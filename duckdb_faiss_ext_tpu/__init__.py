@@ -1,0 +1,69 @@
+"""duckdb_faiss_ext_tpu — a TPU-native vector-similarity-search engine.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of the
+``duckdb-faiss-ext`` reference (a DuckDB extension embedding FAISS): named
+index create/train/add/search/filtered-search/save/load/destroy over nine
+distance metrics, with distance + top-k fused into MXU kernels, IVF as
+coarse-assign + padded list scans, filtered search as selection-vector
+semi-joins fused into the scan, and multi-chip scaling via sharded meshes
+with distributed top-k merges.
+
+Public surface mirrors the reference's 12 SQL functions (see api.py), plus
+the index catalog, metric registry, factory parser, SQL filter tier, and the
+parallel placement/search APIs.
+"""
+
+from .api import (
+    RESULT_DTYPE,
+    create_mask,
+    faiss_add,
+    faiss_create,
+    faiss_create_params,
+    faiss_destroy,
+    faiss_load,
+    faiss_manual_train,
+    faiss_save,
+    faiss_search,
+    faiss_search_filter,
+    faiss_search_filter_set,
+    faiss_to_device,
+)
+from .catalog import GLOBAL_CATALOG, Catalog, IndexEntry
+from .errors import InvalidInputError
+from .factory import build_index
+from .metrics import metric_names, resolve_metric
+from .ops.selectors import BitmapSelector, SetSelector
+from .params import ParamMap
+from .sql import Database, register_table
+from .utils.config import set_precision
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "RESULT_DTYPE",
+    "create_mask",
+    "faiss_add",
+    "faiss_create",
+    "faiss_create_params",
+    "faiss_destroy",
+    "faiss_load",
+    "faiss_manual_train",
+    "faiss_save",
+    "faiss_search",
+    "faiss_search_filter",
+    "faiss_search_filter_set",
+    "faiss_to_device",
+    "GLOBAL_CATALOG",
+    "Catalog",
+    "IndexEntry",
+    "InvalidInputError",
+    "build_index",
+    "metric_names",
+    "resolve_metric",
+    "BitmapSelector",
+    "SetSelector",
+    "ParamMap",
+    "Database",
+    "register_table",
+    "set_precision",
+]

@@ -1,0 +1,279 @@
+"""Public operator surface: the reference's 12 SQL functions as Python ops.
+
+One function per SQL function registered by LoadInternal
+(src/faiss_extension.cpp:1025-1149):
+
+    faiss_create, faiss_create_params, faiss_to_device (faiss_to_gpu
+    analogue), faiss_save, faiss_load, faiss_destroy, faiss_manual_train,
+    faiss_add, create_mask (__faiss_create_mask analogue), faiss_search,
+    faiss_search_filter, faiss_search_filter_set
+
+Semantics (lifecycle errors, label latching, deferred training, immutability
+of loaded indexes, result schema padded to k with label −1) follow the
+reference; each function cites where.  Results are numpy structured arrays
+with fields (rank int32, label int64, distance float32), the analogue of the
+reference's LIST(STRUCT(rank, label, distance)) (src/faiss_extension.cpp:640-662).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional, Sequence
+
+import numpy as np
+
+from . import errors
+from .catalog import GLOBAL_CATALOG, Catalog, IndexEntry
+from .factory import build_index
+from .metrics import DEFAULT_METRIC, resolve_metric
+from .models.base import SearchResult, as_matrix
+from .ops.selectors import BitmapSelector, Selector, SetSelector
+from .params import as_params
+
+RESULT_DTYPE = np.dtype(
+    [("rank", np.int32), ("label", np.int64), ("distance", np.float32)]
+)
+
+
+def _cat(catalog: Optional[Catalog]) -> Catalog:
+    return catalog if catalog is not None else GLOBAL_CATALOG
+
+
+# --------------------------------------------------------------------------
+# Creation / deletion
+# --------------------------------------------------------------------------
+
+def faiss_create(name: str, dimension: int, index_type: str,
+                 catalog: Catalog | None = None, **named) -> None:
+    """CALL faiss_create(name, dim, type[, metric_type=...])
+    (CreateBind/CreateFunction, src/faiss_extension.cpp:70-164)."""
+    faiss_create_params(name, dimension, index_type, None,
+                        catalog=catalog, **named)
+
+
+def faiss_create_params(name: str, dimension: int, index_type: str,
+                        parameters: Mapping[str, object] | None,
+                        catalog: Catalog | None = None, **named) -> None:
+    """CALL faiss_create_params(name, dim, type, MAP) — create-time params
+    applied through the index graph (setIndexParameters recursion,
+    src/faiss_extension.cpp:123-144)."""
+    metric_name = DEFAULT_METRIC  # default INNER_PRODUCT (:105)
+    for key, value in named.items():
+        # Named-parameter handler registry (:80-94); only metric_type exists.
+        if key == "metric_type":
+            metric_name = str(value)
+        else:
+            raise errors.unknown_named_parameter(key)
+    metric = resolve_metric(metric_name)
+
+    params = as_params(parameters)
+    metric_arg = params.get_float("metric_arg", 0.0)
+    index = build_index(int(dimension), index_type, metric, metric_arg)
+    index.apply_create_params(params)
+
+    entry = IndexEntry(index=index,
+                       needs_training=index.requires_training)
+    _cat(catalog).put_new(name, entry)
+
+
+def faiss_destroy(name: str, catalog: Catalog | None = None) -> None:
+    """CALL faiss_destroy(name) (src/faiss_extension.cpp:242-265)."""
+    _cat(catalog).delete(name)
+
+
+# --------------------------------------------------------------------------
+# Training / adding
+# --------------------------------------------------------------------------
+
+def _parse_add_input(data, d: int):
+    """Accept (n, d) vectors, or (ids, vectors) for labeled adds — the
+    1-column vs 2-column input of faiss_add (src/faiss_extension.cpp:423-456)."""
+    if isinstance(data, tuple) and len(data) == 2:
+        ids, vectors = data
+        return (np.asarray(ids, dtype=np.int64).reshape(-1),
+                as_matrix(vectors, d))
+    return None, as_matrix(data, d)
+
+
+def faiss_add(data, name: str, catalog: Catalog | None = None) -> None:
+    """CALL faiss_add(data, name) — streaming ingest with the custom-labels
+    latch and deferred training (src/faiss_extension.cpp:417-615)."""
+    entry = _cat(catalog).get(name)
+    with entry.lock:
+        if not entry.is_mutable:
+            raise errors.immutable_add()  # :486
+        labels, x = _parse_add_input(data, entry.index.d)
+        has_labels = labels is not None
+        if has_labels and labels.shape[0] != x.shape[0]:
+            raise errors.add_error(
+                f"number of ids ({labels.shape[0]}) does not match number of "
+                f"vectors ({x.shape[0]})")
+
+        # Label-mode latch with mixing errors (:437-453).
+        if entry.custom_labels is None:
+            entry.custom_labels = has_labels
+        elif entry.custom_labels != has_labels:
+            raise errors.mixing_labels(with_labels_now=has_labels)
+
+        if entry.needs_training and not entry.index.is_trained:
+            # Deferred-training path: stage, train on everything staged so
+            # far, then add only the un-added delta (:534-544, :601-610).
+            entry.add_data.append(x)
+            if has_labels:
+                entry.add_labels.append(labels)
+            all_x = entry.staged_vectors()
+            try:
+                entry.index.train(all_x)
+            except errors.TrainingTooSmallError as e:
+                entry.add_data.pop()
+                if has_labels:
+                    entry.add_labels.pop()
+                raise errors.too_few_training_points(e, name) from None
+            delta_x = all_x[entry.added:]
+            if has_labels:
+                delta_l = entry.staged_labels()[entry.added:]
+                entry.index.add_with_ids(delta_x, delta_l)
+            else:
+                entry.index.add(delta_x)
+            entry.added = all_x.shape[0]
+            # The staging copy is retained while training can still happen
+            # (README.md:187); once trained it is dead weight — drop it
+            # (documented deviation: saves memory, no observable change).
+            entry.add_data = []
+            entry.add_labels = []
+        else:
+            try:
+                if has_labels:
+                    entry.index.add_with_ids(x, labels)  # may raise :524
+                else:
+                    entry.index.add(x)
+            except errors.InvalidInputError:
+                # Failed labeled add on an empty index resets the latch
+                # (src/faiss_extension.cpp:518-521).
+                if has_labels and entry.index.ntotal == 0:
+                    entry.custom_labels = None
+                raise
+            entry.added = entry.index.ntotal
+
+
+def faiss_manual_train(data, name: str, catalog: Catalog | None = None) -> None:
+    """CALL faiss_manual_train(data, name) — explicit training; later adds
+    skip retraining (MTrainFinaliseFunction, src/faiss_extension.cpp:297-415)."""
+    entry = _cat(catalog).get(name)
+    with entry.lock:
+        if not entry.is_mutable:
+            raise errors.immutable_train()  # :350
+        x = as_matrix(data, entry.index.d)
+        try:
+            entry.index.train(x)
+        except errors.TrainingTooSmallError as e:
+            raise errors.too_few_training_points(e, None) from None
+        entry.needs_training = False  # :411-413
+
+
+# --------------------------------------------------------------------------
+# Search
+# --------------------------------------------------------------------------
+
+def _format_results(res: SearchResult, k: int) -> np.ndarray:
+    nq = res.labels.shape[0]
+    out = np.empty((nq, k), dtype=RESULT_DTYPE)
+    out["rank"] = np.arange(k, dtype=np.int32)[None, :]
+    out["label"] = res.labels
+    out["distance"] = res.distances
+    return out
+
+
+def faiss_search(name: str, k: int, queries,
+                 parameters: Mapping[str, object] | None = None,
+                 catalog: Catalog | None = None,
+                 selector: Selector | None = None) -> np.ndarray:
+    """faiss_search(name, k, q[, MAP]) → (nq, k) structured results
+    (SearchFunction → searchIntoVector, src/faiss_extension.cpp:903-925,
+    619-666)."""
+    entry = _cat(catalog).get(name)
+    params = as_params(parameters)
+    res = entry.index.search(as_matrix(queries, entry.index.d), int(k),
+                             params, selector)
+    return _format_results(res, int(k))
+
+
+def create_mask(flags, ids) -> BitmapSelector:
+    """__faiss_create_mask analogue: build the dense bitmap from (flag, id)
+    pairs, with the sequential-id fast path handled by the native bitmap
+    builder (ProcessSelectionvector, src/faiss_extension.cpp:729-804)."""
+    from .ops.bitmap import build_bitmap
+
+    return build_bitmap(np.asarray(flags), np.asarray(ids, dtype=np.int64))
+
+
+def faiss_search_filter(name: str, k: int, queries, filter_expr: str,
+                        idselector: str, tablename: str,
+                        parameters: Mapping[str, object] | None = None,
+                        catalog: Catalog | None = None,
+                        database=None) -> np.ndarray:
+    """faiss_search_filter — bitmap semi-join filtered search, O(n) in table
+    size (SearchFunctionFilter, src/faiss_extension.cpp:927-972).  The
+    reference re-enters SQL to evaluate the filter; here the two-phase plan is
+    explicit: evaluate (filter, idselector) over the registered table, build
+    the bitmap, then search with the mask fused into the kernel."""
+    from .sql.engine import default_database
+
+    db = database if database is not None else default_database()
+    flags, ids = db.eval_filter_pair(tablename, filter_expr, idselector)
+    selector = create_mask(flags, ids)
+    return faiss_search(name, k, queries, parameters, catalog,
+                        selector=selector)
+
+
+def faiss_search_filter_set(name: str, k: int, queries, filter_expr: str,
+                            idselector: str, tablename: str,
+                            parameters: Mapping[str, object] | None = None,
+                            catalog: Catalog | None = None,
+                            database=None) -> np.ndarray:
+    """faiss_search_filter_set — id-set filtered search, O(m) in selected rows
+    (SearchFunctionFilterSet, src/faiss_extension.cpp:974-1022)."""
+    from .sql.engine import default_database
+
+    db = database if database is not None else default_database()
+    ids = db.eval_filter_ids(tablename, filter_expr, idselector)
+    return faiss_search(name, k, queries, parameters, catalog,
+                        selector=SetSelector(ids))
+
+
+# --------------------------------------------------------------------------
+# Persistence and placement
+# --------------------------------------------------------------------------
+
+def faiss_save(name: str, path: str, catalog: Catalog | None = None) -> None:
+    """CALL faiss_save(name, path) (src/faiss_extension.cpp:166-200)."""
+    from .io.serialize import save_index
+
+    entry = _cat(catalog).get(name)
+    with entry.lock:
+        save_index(entry, path)
+
+
+def faiss_load(name: str, path: str, catalog: Catalog | None = None) -> None:
+    """CALL faiss_load(name, path).  A loaded, already-trained index is
+    immutable (isMutable = needs_training, src/faiss_extension.cpp:238).
+    NOTE: the reference's duplicate-name guard throws the inverted message
+    "Could not find index" (:228-231) — a documented quirk we do NOT copy;
+    we raise the accurate "already exists" error."""
+    from .io.serialize import load_index
+
+    cat = _cat(catalog)
+    entry = load_index(path)
+    cat.put_new(name, entry)
+
+
+def faiss_to_device(name: str, devices=None,
+                    catalog: Catalog | None = None) -> None:
+    """faiss_to_gpu analogue (MoveToGPUFunction, src/gpu/gpu.cpp:34-63): on
+    TPU, "moving to the accelerator" is re-sharding the index's arrays onto a
+    device mesh.  With devices=None the default mesh of all local devices is
+    used."""
+    from .parallel.placement import shard_entry
+
+    entry = _cat(catalog).get(name)
+    with entry.lock:
+        shard_entry(entry, devices)

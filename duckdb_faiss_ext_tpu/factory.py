@@ -1,0 +1,106 @@
+"""Factory-string parser: FAISS index_factory grammar → index model graph.
+
+The reference forwards the index-type string straight to
+``faiss::index_factory(dim, desc, metric)`` (src/faiss_extension.cpp:154-155),
+so the observable surface is the factory grammar itself.  We parse the subset
+the reference exercises (its tests and benchmarks use: ``Flat``,
+``IDMap,Flat``, ``IDMap,IVF1,Flat``, ``HNSW16``, ``IDMap,HNSW32``,
+``IDMap,HNSW128,Flat``, ``IVF2048_HNSW128,Flat`` — SURVEY.md §4,§6) into a
+graph of TPU-native index models:
+
+    desc        := [prefix ","]* component ["," encoding]
+    prefix      := "IDMap" | "IDMap2"
+    component   := "Flat" | "HNSW"[M] | "IVF"nlist["_" quantizer] | "PQ"M["x"nbits]
+    quantizer   := "Flat" | "HNSW"[M] | "PQ"M
+    encoding    := "Flat" | "PQ"M["x"nbits] | "SQ8" | "SQfp16"
+
+Unsupported strings raise InvalidInputError mirroring FAISS's
+"could not parse index string" failure mode.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .errors import InvalidInputError
+from .metrics import Metric
+from .models.base import Index
+from .models.flat import FlatIndex
+from .models.idmap import IDMapIndex
+
+_HNSW_RE = re.compile(r"^HNSW(\d*)$")
+_IVF_RE = re.compile(r"^IVF(\d+)(?:_(.+))?$")
+_PQ_RE = re.compile(r"^PQ(\d+)(?:x(\d+))?$")
+_SQ_RE = re.compile(r"^SQ(8|4|6|fp16)$")
+
+
+def _parse_error(desc: str, detail: str = "") -> InvalidInputError:
+    extra = f" ({detail})" if detail else ""
+    return InvalidInputError(f"could not parse index string {desc}{extra}")
+
+
+def build_index(d: int, desc: str, metric: Metric,
+                metric_arg: float = 0.0) -> Index:
+    """Build the index graph for a factory description."""
+    parts = [p.strip() for p in desc.split(",") if p.strip()]
+    if not parts:
+        raise _parse_error(desc, "empty description")
+
+    idmap = 0
+    while parts and parts[0] in ("IDMap", "IDMap2"):
+        idmap += 1
+        parts.pop(0)
+    if not parts:
+        raise _parse_error(desc, "no index component after IDMap")
+
+    index = _build_component(d, parts, metric, metric_arg, desc)
+    if idmap:
+        index = IDMapIndex(index)
+    index.factory_desc = desc
+    return index
+
+
+def _build_component(d, parts, metric, metric_arg, desc) -> Index:
+    head = parts[0]
+    rest = parts[1:]
+
+    if head == "Flat":
+        if rest:
+            raise _parse_error(desc, f"unexpected trailing components {rest}")
+        return FlatIndex(d, metric, metric_arg)
+
+    m = _HNSW_RE.match(head)
+    if m:
+        from .models.hnsw import HNSWIndex
+
+        M = int(m.group(1)) if m.group(1) else 32
+        storage = rest[0] if rest else "Flat"
+        if rest and rest[0] not in ("Flat",) and not _PQ_RE.match(rest[0]) \
+                and not _SQ_RE.match(rest[0]):
+            raise _parse_error(desc, f"unsupported HNSW storage {rest[0]}")
+        return HNSWIndex(d, metric, metric_arg, M=M, storage=storage)
+
+    m = _IVF_RE.match(head)
+    if m:
+        from .models.ivf import IVFIndex
+
+        nlist = int(m.group(1))
+        quant_desc = m.group(2) or "Flat"
+        quantizer = build_index(d, quant_desc, metric, metric_arg)
+        encoding = rest[0] if rest else "Flat"
+        if len(rest) > 1:
+            raise _parse_error(desc, f"unexpected trailing components {rest[1:]}")
+        return IVFIndex(d, metric, metric_arg, nlist=nlist,
+                        quantizer=quantizer, encoding=encoding)
+
+    m = _PQ_RE.match(head)
+    if m:
+        from .models.pq import PQIndex
+
+        if rest:
+            raise _parse_error(desc, f"unexpected trailing components {rest}")
+        M = int(m.group(1))
+        nbits = int(m.group(2)) if m.group(2) else 8
+        return PQIndex(d, metric, metric_arg, M=M, nbits=nbits)
+
+    raise _parse_error(desc, f"unknown component {head}")

@@ -1,0 +1,126 @@
+"""Base index interface and selector resolution.
+
+Mirrors the slice of ``faiss::Index`` the reference uses (train / add /
+add_with_ids / search / serialization — SURVEY.md §2.2) with TPU-friendly
+semantics: immutable jitted device buffers, power-of-two capacity bucketing,
+and selectors resolved to per-row boolean masks fused into the search kernel.
+"""
+
+from __future__ import annotations
+
+import abc
+from typing import NamedTuple, TYPE_CHECKING
+
+import numpy as np
+
+from .. import errors
+from ..metrics import Metric
+from ..params import EMPTY, ParamMap
+
+if TYPE_CHECKING:
+    from ..ops.selectors import Selector
+
+
+class SearchResult(NamedTuple):
+    """Search output: best-first per query, padded to k.
+
+    Matches the reference's result schema LIST(STRUCT(rank, label, distance))
+    with label = -1 and a sentinel distance for missing slots
+    (src/faiss_extension.cpp:640-662)."""
+
+    distances: np.ndarray  # (nq, k) float32
+    labels: np.ndarray     # (nq, k) int64, -1 where missing
+
+
+class Index(abc.ABC):
+    """Abstract index. Subclasses implement storage + search; composition
+    (IDMap, IVF-with-quantizer) is a graph of these objects, like FAISS's
+    index graph built by index_factory."""
+
+    #: factory description that produced this index (for save/load round-trip)
+    factory_desc: str = ""
+
+    def __init__(self, d: int, metric: Metric, metric_arg: float = 0.0):
+        self.d = int(d)
+        self.metric = metric
+        self.metric_arg = float(metric_arg)
+
+    # --- lifecycle -------------------------------------------------------
+    @property
+    @abc.abstractmethod
+    def ntotal(self) -> int:
+        ...
+
+    @property
+    def is_trained(self) -> bool:
+        return True
+
+    @property
+    def requires_training(self) -> bool:
+        """Whether this index type needs a train() call before add()
+        (drives the entry's needs_training latch, src/include/index.hpp:27)."""
+        return False
+
+    def train(self, x: np.ndarray) -> None:  # noqa: B027  (no-op default)
+        """Train on (n, d) fp32 data. No-op when already trained, mirroring
+        FAISS Level1Quantizer::train_q1 skipping a trained quantizer."""
+
+    @abc.abstractmethod
+    def add(self, x: np.ndarray) -> None:
+        ...
+
+    def add_with_ids(self, x: np.ndarray, ids: np.ndarray) -> None:
+        # FAISS throws from Index::add_with_ids for non-IDMap types; the
+        # extension rewraps it (src/faiss_extension.cpp:524).
+        raise errors.add_with_ids_unsupported()
+
+    # --- search ----------------------------------------------------------
+    @abc.abstractmethod
+    def search(
+        self,
+        xq: np.ndarray,
+        k: int,
+        params: ParamMap = EMPTY,
+        selector: "Selector | None" = None,
+    ) -> SearchResult:
+        ...
+
+    # --- selector plumbing ------------------------------------------------
+    def row_labels(self) -> np.ndarray:
+        """int64 label of every stored row, in storage order — the ids a
+        selector filters on (FAISS IDSelector semantics)."""
+        return np.arange(self.ntotal, dtype=np.int64)
+
+    # --- create-time parameters (setIndexParameters recursion,
+    #     src/faiss_extension.cpp:123-144) --------------------------------
+    def apply_create_params(self, params: ParamMap) -> None:  # noqa: B027
+        pass
+
+    # --- serialization ----------------------------------------------------
+    def state_dict(self) -> dict:
+        """Arrays + metadata for the versioned checkpoint (io/serialize.py),
+        the analogue of faiss write_index (src/faiss_extension.cpp:199)."""
+        return {}
+
+    def load_state(self, state: dict) -> None:  # noqa: B027
+        pass
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return (f"{type(self).__name__}(d={self.d}, metric={self.metric.name}, "
+                f"ntotal={self.ntotal})")
+
+
+def as_matrix(x, d: int, *, name: str = "vectors") -> np.ndarray:
+    """Validate/convert input vectors to (n, d) float32, mirroring
+    ListVectorToFaiss's checks (src/faiss_extension.cpp:267-295)."""
+    arr = np.asarray(x, dtype=np.float32)
+    if arr.ndim == 1:
+        if d != 0 and arr.size % d == 0:
+            arr = arr.reshape(-1, d)
+        else:
+            raise errors.need_list_type()
+    if arr.ndim != 2:
+        raise errors.need_list_type()
+    if arr.shape[1] != d:
+        raise errors.bad_vector_length(d, arr.shape[1], 0)
+    return np.ascontiguousarray(arr)

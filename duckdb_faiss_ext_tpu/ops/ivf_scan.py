@@ -1,0 +1,148 @@
+"""IVF search: coarse-quantizer assignment + gathered inverted-list scan.
+
+TPU-native replacement for faiss::IndexIVF::search as the reference drives it
+(nprobe + nested quantizer params, src/faiss_extension.cpp:675-689).  FAISS
+walks per-list arrays with scalar loops; here:
+
+* coarse assignment is one (Q × nlist) distance tile + top-nprobe — MXU work;
+* the inverted lists live as one row-sorted corpus buffer plus a padded
+  ``list_table`` (nlist × Lmax) of row indices (-free: padding points at a
+  sentinel row), so "scan the probed lists" is a static-shape gather of
+  (nprobe · Lmax) candidates per query followed by batched distances and one
+  top-k — no data-dependent shapes anywhere, which is what XLA needs.
+
+Exactness: candidates are exactly the members of the probed lists, so
+results match FAISS given identical centroids/assignments (the seeded
+k-means of ops/kmeans.py).
+
+The scan is chunked over queries to bound the gathered (q, nprobe·Lmax, d)
+tile.  A Pallas double-buffered gather kernel is the planned upgrade for
+skewed/large lists (PrefetchScalarGridSpec pattern).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .distance import pairwise_tile
+from .flat_search import SIMILARITY_METRICS, _NEG_INF, finalize_scores
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "nprobe", "metric", "q_chunk", "precision"),
+)
+def ivf_search(
+    xb_sorted,     # (cap, d) fp32, rows grouped by list; row `cap-1`… padding
+    nvalid,        # scalar int32: valid rows
+    list_table,    # (nlist, lmax) int32 indices into xb_sorted; pad = cap-ish ≥ nvalid
+    centroids,     # (nlist, d) fp32
+    xq,            # (nq_pad, d) fp32
+    mask,          # (cap,) bool or None — selector semi-join over sorted rows
+    metric_arg,
+    *,
+    k: int,
+    nprobe: int,
+    metric: str,
+    q_chunk: int,
+    precision,
+):
+    """Returns (scores (nq, k) max-oriented with -inf missing, sorted-row
+    positions (nq, k) int32 with -1 missing)."""
+    nq, d = xq.shape
+    nlist, lmax = list_table.shape
+    sim = metric in SIMILARITY_METRICS
+    nprobe = min(nprobe, nlist)
+
+    # --- coarse assignment: top-nprobe lists per query (MXU tile) ---------
+    cdist = pairwise_tile(xq, centroids, metric, metric_arg, precision)
+    cscore = cdist if sim else -cdist
+    _, probe_ids = lax.top_k(cscore, nprobe)              # (nq, nprobe)
+
+    ncand = nprobe * lmax
+
+    def scan_chunk(i, carry):
+        best_s, best_p = carry
+        q0 = i * q_chunk
+        xq_c = lax.dynamic_slice(xq, (q0, 0), (q_chunk, d))
+        probes_c = lax.dynamic_slice(probe_ids, (q0, 0), (q_chunk, nprobe))
+        cand = list_table[probes_c].reshape(q_chunk, ncand)   # (qc, ncand)
+        valid = cand < nvalid
+        cand_safe = jnp.where(valid, cand, 0)
+        xc = xb_sorted[cand_safe]                              # (qc, ncand, d)
+        if metric == "INNER_PRODUCT":
+            dist = jnp.einsum("qd,qcd->qc", xq_c, xc,
+                              precision=precision,
+                              preferred_element_type=jnp.float32)
+        elif metric == "L2":
+            qn = jnp.sum(xq_c * xq_c, axis=1, keepdims=True)
+            bn = jnp.sum(xc * xc, axis=2)
+            xy = jnp.einsum("qd,qcd->qc", xq_c, xc,
+                            precision=precision,
+                            preferred_element_type=jnp.float32)
+            dist = jnp.maximum(qn - 2.0 * xy + bn, 0.0)
+        else:
+            from .distance import _elementwise_tile  # noqa: PLC0415
+
+            # Batched elementwise metrics: (qc, 1, d) vs (qc, ncand, d).
+            x = xq_c[:, None, :]
+            dist = _pairwise_batched(x, xc, metric, metric_arg)
+        if mask is not None:
+            valid = jnp.logical_and(valid, mask[cand_safe])
+        score = dist if sim else -dist
+        score = jnp.where(valid, score, _NEG_INF)
+        s, sel = lax.top_k(score, k)
+        p = jnp.take_along_axis(cand, sel, axis=1)
+        p = jnp.where(jnp.isneginf(s), -1, p)
+        best_s = lax.dynamic_update_slice(best_s, s, (q0, 0))
+        best_p = lax.dynamic_update_slice(best_p, p, (q0, 0))
+        return best_s, best_p
+
+    init = (
+        jnp.full((nq, k), _NEG_INF, jnp.float32),
+        jnp.full((nq, k), -1, jnp.int32),
+    )
+    best_s, best_p = lax.fori_loop(0, nq // q_chunk, scan_chunk, init)
+    return best_s, best_p
+
+
+def _pairwise_batched(x, y, metric, metric_arg):
+    """Elementwise metrics over batched candidates: x (q,1,d), y (q,c,d)."""
+    if metric == "L1":
+        return jnp.sum(jnp.abs(x - y), axis=-1)
+    if metric == "Linf":
+        return jnp.max(jnp.abs(x - y), axis=-1)
+    if metric == "Lp":
+        p = jnp.asarray(metric_arg, jnp.float32)
+        return jnp.sum(jnp.abs(x - y) ** p, axis=-1)
+    if metric == "Canberra":
+        den = jnp.abs(x) + jnp.abs(y)
+        return jnp.sum(jnp.where(den > 0, jnp.abs(x - y) / den, 0.0), axis=-1)
+    if metric == "BrayCurtis":
+        num = jnp.sum(jnp.abs(x - y), axis=-1)
+        den = jnp.sum(jnp.abs(x + y), axis=-1)
+        return jnp.where(den > 0, num / den, 0.0)
+    if metric == "JensenShannon":
+        m = x + y
+        safe = lambda a: jnp.where(
+            a > 0, a * jnp.log(jnp.where(a > 0, 2.0 * a, 1.0)
+                               / jnp.where(m > 0, m, 1.0)), 0.0)
+        return 0.5 * jnp.sum(safe(x) + safe(y), axis=-1)
+    if metric == "Jaccard":
+        num = jnp.sum(jnp.minimum(x, y), axis=-1)
+        den = jnp.sum(jnp.maximum(x, y), axis=-1)
+        return jnp.where(den > 0, num / den, 0.0)
+    raise ValueError(f"unknown metric {metric}")
+
+
+def choose_q_chunk(nq: int, ncand: int, d: int) -> int:
+    """Queries per scan step: bound the gathered (q, ncand, d) fp32 tile."""
+    budget = max(1, (1 << 24) // max(ncand * d, 1))
+    q = 1
+    while q * 2 <= min(budget, nq):
+        q *= 2
+    return q

@@ -1,0 +1,57 @@
+"""Index placement: the faiss_to_gpu analogue.
+
+The reference clones a CPU index wholesale onto one GPU
+(faiss::gpu::index_cpu_to_gpu, src/gpu/gpu.cpp:44-48).  The TPU-native
+equivalent of "move to the accelerator" is re-sharding the index's device
+arrays over a mesh: rows of the corpus partitioned across devices with a
+NamedSharding, so subsequent searches run as sharded computations with a
+distributed top-k merge (parallel/sharded.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..catalog import IndexEntry
+from ..errors import InvalidInputError
+from ..models.flat import FlatIndex
+from ..models.idmap import IDMapIndex
+from ..utils.config import pad_rows
+
+
+def default_mesh(devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(list(devices), ("shard",))
+
+
+def shard_entry(entry: IndexEntry, devices=None) -> None:
+    """Reshard an index's storage over a device mesh (rows over 'shard')."""
+    mesh = devices if isinstance(devices, Mesh) else default_mesh(devices)
+    index = entry.index
+    inner = index.inner if isinstance(index, IDMapIndex) else index
+    if isinstance(inner, FlatIndex):
+        _shard_flat(inner, mesh)
+        return
+    shard = getattr(inner, "shard_over", None)
+    if shard is not None:
+        shard(mesh)
+        return
+    # Mirrors the reference's friendly unsupported-type error
+    # (src/gpu/gpu.cpp:52-58).
+    raise InvalidInputError(
+        f"Index of type {type(inner).__name__} cannot be sharded over devices")
+
+
+def _shard_flat(index: FlatIndex, mesh: Mesh) -> None:
+    nshards = mesh.devices.size
+    cap = index._capacity()
+    # Capacity must divide evenly over shards; capacities are powers of two
+    # ≥ 128, so any power-of-two shard count ≤ 128 divides.
+    if cap % nshards != 0:
+        cap = nshards * ((cap + nshards - 1) // nshards)
+    sharding = NamedSharding(mesh, P("shard", None))
+    index._device_xb = jax.device_put(
+        pad_rows(index.vectors(), cap), sharding)
+    index._mask_cache.clear()

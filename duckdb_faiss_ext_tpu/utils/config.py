@@ -1,0 +1,60 @@
+"""Global runtime configuration.
+
+``precision`` selects the matmul mode for MXU distance kernels:
+
+* ``"parity"``  — lax.Precision.HIGHEST: ~fp32 accumulation, required to match
+  the reference's fp32 BLAS distances (the golden-value tests,
+  test/sql/faiss.test:16-38).
+* ``"fast"``    — lax.Precision.DEFAULT: bf16 MXU passes, the throughput mode.
+
+The reference has no such switch because CPU BLAS is always fp32; on TPU the
+parity/throughput trade-off is real, so it is explicit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from jax import lax
+
+_PRECISIONS = {
+    "parity": lax.Precision.HIGHEST,
+    "fast": lax.Precision.DEFAULT,
+}
+
+
+@dataclasses.dataclass
+class Config:
+    precision_mode: str = "parity"
+    #: minimum padded corpus capacity (power of two); keeps jit cache small
+    min_capacity: int = 128
+    #: minimum padded query-batch bucket
+    min_query_bucket: int = 8
+
+    @property
+    def precision(self):
+        return _PRECISIONS[self.precision_mode]
+
+
+config = Config()
+
+
+def set_precision(mode: str) -> None:
+    if mode not in _PRECISIONS:
+        raise ValueError(f"precision mode must be one of {sorted(_PRECISIONS)}")
+    config.precision_mode = mode
+
+
+def next_pow2(n: int) -> int:
+    return 1 << max(0, (int(n) - 1).bit_length())
+
+
+def pad_rows(arr, target: int, fill=0.0):
+    """Pad (n, ...) array with fill rows up to target rows."""
+    import numpy as np
+
+    n = arr.shape[0]
+    if n == target:
+        return arr
+    pad = [(0, target - n)] + [(0, 0)] * (arr.ndim - 1)
+    return np.pad(arr, pad, constant_values=fill)
