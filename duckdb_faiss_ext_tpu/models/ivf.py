@@ -1,0 +1,267 @@
+"""IVF index: k-means-trained inverted lists with a gathered TPU scan.
+
+Equivalent of faiss::IndexIVF(+Flat storage) as the reference exercises it:
+``IVFn[,Flat]`` and ``IVFn_HNSWm,Flat`` factory strings, deferred training
+through faiss_add, nprobe + ``quantiser.``-prefixed search params
+(src/faiss_extension.cpp:675-689), and native add_with_ids (ids stored in
+the inverted lists, no IDMap needed — test
+faiss_add_ids_with_train copy.test uses IDMap,IVF1,Flat but FAISS IVF also
+accepts ids directly).
+
+Storage layout (rebuilt lazily per mutation):
+* host: vectors + ids in insertion order, plus per-row list assignments;
+* device: rows sorted by list (one contiguous buffer → coalesced gathers),
+  a padded (nlist × Lmax) ``list_table`` of sorted-row indices, centroids.
+
+The coarse quantizer index object (``quantizer``) mirrors FAISS's graph shape
+(it answers ``quantiser.``-scoped params and holds the centroids for
+save/load); assignment itself runs as one fused distance tile, not through
+the quantizer's own search path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .. import errors
+from ..metrics import Metric
+from ..ops.flat_search import SIMILARITY_METRICS, finalize_scores
+from ..ops.ivf_scan import choose_q_chunk, ivf_search
+from ..ops.kmeans import (DEFAULT_NITER, DEFAULT_SEED, kmeans_fit,
+                          subsample_for_training)
+from ..params import EMPTY
+from ..utils.config import config, next_pow2, pad_rows
+from .base import Index, SearchResult, as_matrix
+
+
+class IVFIndex(Index):
+    def __init__(self, d: int, metric: Metric, metric_arg: float,
+                 nlist: int, quantizer: Index, encoding: str = "Flat"):
+        super().__init__(d, metric, metric_arg)
+        if encoding != "Flat":
+            raise errors.InvalidInputError(
+                f"IVF encoding {encoding} is not supported yet (use Flat)")
+        self.nlist = int(nlist)
+        self.quantizer = quantizer
+        self.encoding = encoding
+        self.nprobe_default = 1  # faiss::IndexIVF::nprobe default
+        self.train_seed = DEFAULT_SEED
+        self.train_niter = DEFAULT_NITER
+        self._centroids: np.ndarray | None = None
+        self._xb = np.empty((0, d), dtype=np.float32)
+        self._ids = np.empty((0,), dtype=np.int64)
+        self._assign = np.empty((0,), dtype=np.int32)
+        self._version = 0
+        self._device = None      # (xb_sorted, list_table, centroids, order)
+        self._mask_cache: dict = {}
+
+    # --- lifecycle -------------------------------------------------------
+    @property
+    def ntotal(self) -> int:
+        return self._xb.shape[0]
+
+    @property
+    def is_trained(self) -> bool:
+        return self._centroids is not None
+
+    @property
+    def requires_training(self) -> bool:
+        return True
+
+    def train(self, x) -> None:
+        if self.is_trained:
+            return  # FAISS skips retraining a trained quantizer
+        x = as_matrix(x, self.d)
+        n = x.shape[0]
+        if n < self.nlist:
+            raise errors.TrainingTooSmallError(n, self.nlist)
+        nsub = subsample_for_training(n, self.nlist)
+        if nsub < n:
+            rng = np.random.default_rng(self.train_seed)
+            sel = rng.choice(n, size=nsub, replace=False)
+            x = x[np.sort(sel)]
+        centroids, _ = kmeans_fit(x, self.nlist, niter=self.train_niter,
+                                  seed=self.train_seed,
+                                  precision=config.precision)
+        self._centroids = np.asarray(centroids, dtype=np.float32)
+        if self.quantizer.ntotal == 0:
+            self.quantizer.add(self._centroids)
+        self._invalidate()
+
+    def _require_trained(self):
+        if not self.is_trained:
+            raise errors.InvalidInputError(
+                "Index is not trained; call train (or faiss_manual_train) "
+                "before adding or searching")
+
+    # --- ingest ----------------------------------------------------------
+    def add(self, x) -> None:
+        x = as_matrix(x, self.d)
+        start = self.ntotal
+        self.add_with_ids(
+            x, np.arange(start, start + x.shape[0], dtype=np.int64))
+
+    def add_with_ids(self, x, ids) -> None:
+        self._require_trained()
+        x = as_matrix(x, self.d)
+        ids = np.asarray(ids, dtype=np.int64).reshape(-1)
+        if ids.shape[0] != x.shape[0]:
+            raise errors.add_error(
+                f"number of ids ({ids.shape[0]}) does not match number of "
+                f"vectors ({x.shape[0]})")
+        if x.shape[0] == 0:
+            return
+        assign = self._assign_lists(x)
+        self._xb = np.concatenate([self._xb, x], axis=0)
+        self._ids = np.concatenate([self._ids, ids])
+        self._assign = np.concatenate([self._assign, assign])
+        self._invalidate()
+
+    def _assign_lists(self, x: np.ndarray) -> np.ndarray:
+        """Coarse assignment of new vectors (best list by the index metric)."""
+        from ..ops.distance import pairwise_tile
+
+        out = np.empty((x.shape[0],), dtype=np.int32)
+        sim = self.metric.name in SIMILARITY_METRICS
+        cents = jnp.asarray(self._centroids)
+        chunk = 8192
+        for i in range(0, x.shape[0], chunk):
+            tile = pairwise_tile(jnp.asarray(x[i:i + chunk]), cents,
+                                 self.metric.name, self.metric_arg,
+                                 config.precision)
+            best = jnp.argmax(tile, 1) if sim else jnp.argmin(tile, 1)
+            out[i:i + chunk] = np.asarray(best, dtype=np.int32)
+        return out
+
+    def _invalidate(self):
+        self._version += 1
+        self._device = None
+        self._mask_cache.clear()
+
+    # --- device build ----------------------------------------------------
+    def _build_device(self):
+        if self._device is not None:
+            return self._device
+        n = self.ntotal
+        order = np.argsort(self._assign, kind="stable")
+        sorted_assign = self._assign[order]
+        counts = np.bincount(sorted_assign, minlength=self.nlist)
+        lmax = max(1, int(counts.max()) if n else 1)
+        lmax = max(128, next_pow2(lmax))
+
+        # cap strictly exceeds n so row cap-1 is always a padding row — the
+        # sentinel target for unused list_table slots (masked in the kernel).
+        cap = max(config.min_capacity, next_pow2(n + 1))
+        xb_sorted = pad_rows(self._xb[order] if n else self._xb, cap)
+
+        # list_table[l, j] = sorted-row index of the j-th member of list l.
+        list_table = np.full((self.nlist, lmax), cap - 1, dtype=np.int32)
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        for l in range(self.nlist):
+            c = counts[l]
+            if c:
+                list_table[l, :c] = np.arange(offsets[l], offsets[l] + c,
+                                              dtype=np.int32)
+
+        self._device = (
+            jnp.asarray(xb_sorted),
+            jnp.asarray(list_table),
+            jnp.asarray(self._centroids),
+            order.astype(np.int64),
+        )
+        return self._device
+
+    # --- selector --------------------------------------------------------
+    def row_labels(self) -> np.ndarray:
+        return self._ids
+
+    def _selector_mask(self, selector, order):
+        key = (selector.cache_key(), self._version)
+        hit = self._mask_cache.get(key)
+        if hit is not None:
+            return hit
+        rows = selector.contains(self._ids[order])  # sorted order
+        cap = self._device[0].shape[0]
+        mask = jnp.asarray(pad_rows(rows, cap, fill=False))
+        self._mask_cache = {key: mask}
+        return mask
+
+    # --- search ----------------------------------------------------------
+    def search(self, xq, k, params=EMPTY, selector=None) -> SearchResult:
+        self._require_trained()
+        xq = as_matrix(xq, self.d)
+        nq = xq.shape[0]
+        k = int(k)
+        sim = self.metric.name in SIMILARITY_METRICS
+        sentinel = float("-inf") if sim else float("inf")
+        if nq == 0 or k <= 0 or self.ntotal == 0:
+            return SearchResult(
+                np.full((nq, max(k, 0)), sentinel, np.float32),
+                np.full((nq, max(k, 0)), -1, np.int64))
+
+        # SearchParametersIVF: nprobe plus quantiser.-scoped recursion
+        # (src/faiss_extension.cpp:675-689).  Our coarse assignment is an
+        # exact fused tile, so quantiser.* params parse but cannot change
+        # results; they are accepted for surface parity.
+        nprobe = params.get_int("nprobe", self.nprobe_default)
+        _ = params.scoped("quantiser.")
+
+        xb_sorted, list_table, centroids, order = self._build_device()
+        cap = xb_sorted.shape[0]
+        nprobe_eff = max(1, min(int(nprobe), self.nlist))
+        lmax = list_table.shape[1]
+        k_eff = min(k, nprobe_eff * lmax)
+
+        nq_pad = max(config.min_query_bucket, next_pow2(nq))
+        xq_pad = jnp.asarray(pad_rows(xq, nq_pad))
+        mask = (self._selector_mask(selector, order)
+                if selector is not None else None)
+        q_chunk = choose_q_chunk(nq_pad, nprobe_eff * lmax, self.d)
+
+        scores, pos = ivf_search(
+            xb_sorted, jnp.int32(self.ntotal), list_table, centroids,
+            xq_pad, mask, jnp.asarray(self.metric_arg, jnp.float32),
+            k=k_eff, nprobe=nprobe_eff, metric=self.metric.name,
+            q_chunk=q_chunk, precision=config.precision)
+        dist, pos = finalize_scores(scores, pos, self.metric.name)
+
+        dist = np.asarray(dist[:nq])
+        pos = np.asarray(pos[:nq], dtype=np.int64)
+        labels = np.where(pos >= 0,
+                          self._ids[order][np.clip(pos, 0, None)]
+                          if self.ntotal else pos,
+                          -1)
+        if k_eff < k:
+            dist = np.concatenate(
+                [dist, np.full((nq, k - k_eff), sentinel, np.float32)], 1)
+            labels = np.concatenate(
+                [labels, np.full((nq, k - k_eff), -1, np.int64)], 1)
+        return SearchResult(dist, labels)
+
+    # --- create params (efConstruction recursion hits the quantizer) ------
+    def apply_create_params(self, params) -> None:
+        self.quantizer.apply_create_params(params.scoped("ivf."))
+
+    # --- serialization ----------------------------------------------------
+    def state_dict(self) -> dict:
+        state = {
+            "xb": self._xb,
+            "ids": self._ids,
+            "assign": self._assign,
+        }
+        if self._centroids is not None:
+            state["centroids"] = self._centroids
+        return state
+
+    def load_state(self, state: dict) -> None:
+        self._xb = np.asarray(state["xb"], np.float32).reshape(-1, self.d)
+        self._ids = np.asarray(state["ids"], np.int64).reshape(-1)
+        self._assign = np.asarray(state["assign"], np.int32).reshape(-1)
+        cents = state.get("centroids")
+        self._centroids = (np.asarray(cents, np.float32)
+                           if cents is not None else None)
+        if self._centroids is not None and self.quantizer.ntotal == 0:
+            self.quantizer.add(self._centroids)
+        self._invalidate()

@@ -1,0 +1,160 @@
+"""PQ index model: trained codebooks + uint8 codes, fused decode-scan search.
+
+Equivalent of faiss::IndexPQ (factory ``PQm[xb]``; SearchParametersPQ
+defaults, src/faiss_extension.cpp:704-708).  Like FAISS, only the true
+vector-compression path is stored — codes, not raw vectors; ``reconstruct``
+returns the decoded approximation.  Metrics: L2 and INNER_PRODUCT (FAISS
+IndexPQ likewise supports only these two for ADC search).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .. import errors
+from ..metrics import Metric
+from ..ops.flat_search import SIMILARITY_METRICS, choose_chunk, finalize_scores
+from ..ops.kmeans import DEFAULT_SEED
+from ..ops.pq import pq_decode, pq_encode, pq_search, pq_train
+from ..params import EMPTY
+from ..utils.config import config, next_pow2, pad_rows
+from .base import Index, SearchResult, as_matrix
+
+
+class PQIndex(Index):
+    def __init__(self, d: int, metric: Metric, metric_arg: float = 0.0,
+                 M: int = 8, nbits: int = 8):
+        super().__init__(d, metric, metric_arg)
+        if d % M != 0:
+            raise errors.InvalidInputError(
+                f"The dimension of the vector ({d}) must be a multiple of "
+                f"the number of subquantizers ({M})")
+        if metric.name not in ("L2", "INNER_PRODUCT"):
+            raise errors.InvalidInputError(
+                f"PQ indexes support only L2 and INNER_PRODUCT metrics, "
+                f"got {metric.name}")
+        self.M = int(M)
+        self.nbits = int(nbits)
+        self.ksub = 1 << int(nbits)
+        self.train_seed = DEFAULT_SEED
+        self._codebooks: np.ndarray | None = None   # (M, ksub, dsub)
+        self._codes = np.empty((0, M), dtype=np.uint8)
+        self._version = 0
+        self._device = None
+        self._mask_cache: dict = {}
+
+    @property
+    def ntotal(self) -> int:
+        return self._codes.shape[0]
+
+    @property
+    def is_trained(self) -> bool:
+        return self._codebooks is not None
+
+    @property
+    def requires_training(self) -> bool:
+        return True
+
+    def train(self, x) -> None:
+        if self.is_trained:
+            return
+        x = as_matrix(x, self.d)
+        if x.shape[0] < self.ksub:
+            raise errors.TrainingTooSmallError(x.shape[0], self.ksub)
+        self._codebooks = np.asarray(
+            pq_train(x, self.M, self.ksub, seed=self.train_seed,
+                     precision=config.precision), dtype=np.float32)
+        self._invalidate()
+
+    def add(self, x) -> None:
+        if not self.is_trained:
+            raise errors.InvalidInputError(
+                "Index is not trained; call train (or faiss_manual_train) "
+                "before adding or searching")
+        x = as_matrix(x, self.d)
+        if x.shape[0] == 0:
+            return
+        codes = np.asarray(pq_encode(jnp.asarray(x),
+                                     jnp.asarray(self._codebooks),
+                                     precision=config.precision))
+        self._codes = np.concatenate([self._codes, codes], axis=0)
+        self._invalidate()
+
+    def reconstruct(self, key: int) -> np.ndarray:
+        return np.asarray(pq_decode(jnp.asarray(self._codes[key:key + 1]),
+                                    jnp.asarray(self._codebooks)))[0]
+
+    def _invalidate(self):
+        self._version += 1
+        self._device = None
+        self._mask_cache.clear()
+
+    def _capacity(self) -> int:
+        return max(config.min_capacity, next_pow2(max(self.ntotal, 1)))
+
+    def _device_state(self):
+        if self._device is None:
+            cap = self._capacity()
+            self._device = (jnp.asarray(pad_rows(self._codes, cap)),
+                            jnp.asarray(self._codebooks))
+        return self._device
+
+    def search(self, xq, k, params=EMPTY, selector=None) -> SearchResult:
+        if not self.is_trained:
+            raise errors.InvalidInputError(
+                "Index is not trained; call train (or faiss_manual_train) "
+                "before adding or searching")
+        xq = as_matrix(xq, self.d)
+        nq = xq.shape[0]
+        k = int(k)
+        sim = self.metric.name in SIMILARITY_METRICS
+        sentinel = float("-inf") if sim else float("inf")
+        if nq == 0 or k <= 0:
+            return SearchResult(
+                np.full((nq, max(k, 0)), sentinel, np.float32),
+                np.full((nq, max(k, 0)), -1, np.int64))
+
+        codes_dev, cb_dev = self._device_state()
+        cap = codes_dev.shape[0]
+        k_eff = min(k, cap)
+        nq_pad = max(config.min_query_bucket, next_pow2(nq))
+        xq_pad = jnp.asarray(pad_rows(xq, nq_pad))
+        mask = None
+        if selector is not None:
+            key = (selector.cache_key(), self._version)
+            mask = self._mask_cache.get(key)
+            if mask is None:
+                rows = selector.contains(self.row_labels())
+                mask = jnp.asarray(pad_rows(rows, cap, fill=False))
+                self._mask_cache = {key: mask}
+        chunk = choose_chunk(cap, nq_pad, self.d, self.metric.name)
+
+        scores, pos = pq_search(
+            codes_dev, jnp.int32(self.ntotal), cb_dev, xq_pad, mask,
+            jnp.asarray(self.metric_arg, jnp.float32),
+            k=k_eff, metric=self.metric.name, chunk=chunk,
+            precision=config.precision)
+        dist, pos = finalize_scores(scores, pos, self.metric.name)
+        dist = np.asarray(dist[:nq])
+        labels = np.asarray(pos[:nq], dtype=np.int64)
+        if k_eff < k:
+            dist = np.concatenate(
+                [dist, np.full((nq, k - k_eff), sentinel, np.float32)], 1)
+            labels = np.concatenate(
+                [labels, np.full((nq, k - k_eff), -1, np.int64)], 1)
+        return SearchResult(dist, labels)
+
+    def state_dict(self) -> dict:
+        state = {"codes": self._codes}
+        if self._codebooks is not None:
+            state["codebooks"] = self._codebooks
+        return state
+
+    def load_state(self, state: dict) -> None:
+        self._codes = np.asarray(state["codes"], np.uint8).reshape(-1, self.M)
+        cb = state.get("codebooks")
+        self._codebooks = (np.asarray(cb, np.float32)
+                           if cb is not None else None)
+        self._invalidate()

@@ -86,11 +86,8 @@ def ivf_search(
                             preferred_element_type=jnp.float32)
             dist = jnp.maximum(qn - 2.0 * xy + bn, 0.0)
         else:
-            from .distance import _elementwise_tile  # noqa: PLC0415
-
             # Batched elementwise metrics: (qc, 1, d) vs (qc, ncand, d).
-            x = xq_c[:, None, :]
-            dist = _pairwise_batched(x, xc, metric, metric_arg)
+            dist = _pairwise_batched(xq_c[:, None, :], xc, metric, metric_arg)
         if mask is not None:
             valid = jnp.logical_and(valid, mask[cand_safe])
         score = dist if sim else -dist

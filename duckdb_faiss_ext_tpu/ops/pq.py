@@ -1,0 +1,122 @@
+"""Product-quantization kernels: codebook training, encoding, fused search.
+
+Equivalent of faiss::IndexPQ as reachable through the reference's factory
+strings (``PQm[xb]``, SearchParametersPQ defaults at
+src/faiss_extension.cpp:704-708).
+
+TPU-first design choice: FAISS computes asymmetric distances through a
+(M × ksub) lookup table walked per code byte — a scalar-gather pattern.  On
+TPU we *decode* each corpus chunk instead (codes → centroids via one gather)
+and push the decoded chunk through the same MXU distance tile as Flat
+search.  For L2/IP this is mathematically identical to LUT-ADC
+(‖q − dec(c)‖² = Σ_m ‖q_m − centroid_m‖²) while reading only the 8-bit codes
+from HBM — the compression still pays as bandwidth/capacity, and the FLOPs
+ride the systolic array instead of the VPU.
+
+Training: per-subspace k-means, vmapped over the M subspaces (one batched
+kernel instead of M sequential fits).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .distance import pairwise_tile
+from .flat_search import _NEG_INF, SIMILARITY_METRICS
+from .kmeans import DEFAULT_SEED, _kmeans_fit
+
+
+@functools.partial(jax.jit, static_argnames=("m", "ksub", "niter",
+                                             "precision"))
+def _pq_train(xsub, valid, seed, *, m, ksub, niter, precision):
+    # xsub: (m, n, dsub) — one k-means per subspace, batched with vmap.
+    seeds = seed + jnp.arange(m, dtype=jnp.int32)
+    fit = jax.vmap(
+        lambda xs, s: _kmeans_fit(xs, valid, s, k=ksub, niter=niter,
+                                  precision=precision))
+    codebooks, _ = fit(xsub, seeds)
+    return codebooks  # (m, ksub, dsub)
+
+
+def pq_train(x, m: int, ksub: int, niter: int = 25, seed: int = DEFAULT_SEED,
+             precision=lax.Precision.DEFAULT):
+    """Train PQ codebooks on (n, d) data; d must be divisible by m.
+    Returns (m, ksub, dsub) fp32."""
+    x = jnp.asarray(x, jnp.float32)
+    n, d = x.shape
+    dsub = d // m
+    xsub = x.reshape(n, m, dsub).transpose(1, 0, 2)
+    valid = jnp.ones((n,), bool)
+    return _pq_train(xsub, valid, jnp.int32(seed), m=m, ksub=ksub,
+                     niter=niter, precision=precision)
+
+
+@functools.partial(jax.jit, static_argnames=("precision",))
+def pq_encode(x, codebooks, *, precision=lax.Precision.DEFAULT):
+    """Encode (n, d) → (n, m) uint8 codes (nearest sub-centroid)."""
+    n, d = x.shape
+    m, ksub, dsub = codebooks.shape
+    xsub = x.reshape(n, m, dsub).transpose(1, 0, 2)       # (m, n, dsub)
+
+    def sub_assign(xs, cb):
+        xn = jnp.sum(xs * xs, 1, keepdims=True)
+        cn = jnp.sum(cb * cb, 1)[None, :]
+        xc = jnp.dot(xs, cb.T, precision=precision,
+                     preferred_element_type=jnp.float32)
+        return jnp.argmin(xn - 2 * xc + cn, axis=1)
+
+    codes = jax.vmap(sub_assign)(xsub, codebooks)          # (m, n)
+    return codes.T.astype(jnp.uint8)
+
+
+def pq_decode(codes, codebooks):
+    """Decode (c, m) uint8 codes → (c, d) fp32 reconstruction."""
+    m, ksub, dsub = codebooks.shape
+    c = codes.shape[0]
+    # Gather per subspace: codebooks[m, codes[:, m], :].
+    gathered = jnp.take_along_axis(
+        codebooks[None, :, :, :],                           # (1, m, ksub, dsub)
+        codes.astype(jnp.int32)[:, :, None, None],          # (c, m, 1, 1)
+        axis=2,
+    )                                                       # (c, m, 1, dsub)
+    return gathered.reshape(c, m * dsub)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "chunk", "precision"))
+def pq_search(codes, nvalid, codebooks, xq, mask, metric_arg, *, k, metric,
+              chunk, precision):
+    """Fused decode+distance+top-k scan over PQ codes.
+
+    codes: (cap, m) uint8 (cap multiple of chunk); returns (distances,
+    positions) with the same conventions as flat_search."""
+    cap, m = codes.shape
+    nq = xq.shape[0]
+    sim = metric in SIMILARITY_METRICS
+
+    def body(i, carry):
+        best_s, best_p = carry
+        start = i * chunk
+        cchunk = lax.dynamic_slice(codes, (start, 0), (chunk, m))
+        xc = pq_decode(cchunk, codebooks)
+        dist = pairwise_tile(xq, xc, metric, metric_arg, precision)
+        rowid = start + lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        valid = rowid < nvalid
+        if mask is not None:
+            mc = lax.dynamic_slice(mask, (start,), (chunk,))
+            valid = jnp.logical_and(valid, mc[None, :])
+        score = dist if sim else -dist
+        score = jnp.where(valid, score, _NEG_INF)
+        cat_s = jnp.concatenate([best_s, score], axis=1)
+        cat_p = jnp.concatenate(
+            [best_p, jnp.broadcast_to(rowid, (nq, chunk))], axis=1)
+        new_s, sel = lax.top_k(cat_s, k)
+        return new_s, jnp.take_along_axis(cat_p, sel, axis=1)
+
+    init = (jnp.full((nq, k), _NEG_INF, jnp.float32),
+            jnp.full((nq, k), -1, jnp.int32))
+    return lax.fori_loop(0, cap // chunk, body, init)

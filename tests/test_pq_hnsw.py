@@ -1,0 +1,108 @@
+"""PQ and HNSW-surface index tests."""
+
+import numpy as np
+import pytest
+
+import duckdb_faiss_ext_tpu as dfx
+
+RNG = np.random.default_rng(11)
+
+
+def _clustered(n, d, ncl=16):
+    centers = RNG.standard_normal((ncl, d)).astype(np.float32) * 5
+    a = RNG.integers(0, ncl, n)
+    return (centers[a] + RNG.standard_normal((n, d)).astype(np.float32) * 0.2)
+
+
+def test_pq_recall_on_clustered_data(catalog):
+    d, n, nq, k = 16, 2000, 8, 10
+    xb = _clustered(n, d)
+    xq = _clustered(nq, d)
+    dfx.faiss_create("pq", d, "PQ4", metric_type="L2", catalog=catalog)
+    dfx.faiss_add(xb, "pq", catalog=catalog)
+    dfx.faiss_create("flat", d, "Flat", metric_type="L2", catalog=catalog)
+    dfx.faiss_add(xb, "flat", catalog=catalog)
+    rp = dfx.faiss_search("pq", k, xq, catalog=catalog)
+    rf = dfx.faiss_search("flat", k, xq, catalog=catalog)
+    recall = np.mean([
+        len(set(rp["label"][q]) & set(rf["label"][q])) / k for q in range(nq)])
+    assert recall >= 0.5, recall
+    # Distances are to reconstructions: nonnegative and finite.
+    assert np.isfinite(rp["distance"]).all()
+
+
+def test_pq_self_search(catalog):
+    d = 8
+    xb = _clustered(600, d)
+    dfx.faiss_create("pqs", d, "PQ2", metric_type="L2", catalog=catalog)
+    dfx.faiss_add(xb, "pqs", catalog=catalog)
+    res = dfx.faiss_search("pqs", 1, xb[:8], catalog=catalog)
+    # Codes collide, but each vector's nearest reconstruction should be very
+    # close to its own cell's distance; sanity: nearest distance small.
+    assert (res["distance"][:, 0] < 5.0).all()
+
+
+def test_pq_dim_not_divisible(catalog):
+    with pytest.raises(dfx.InvalidInputError, match="multiple of"):
+        dfx.faiss_create("bad", 10, "PQ3", metric_type="L2", catalog=catalog)
+
+
+def test_pq_unsupported_metric(catalog):
+    with pytest.raises(dfx.InvalidInputError, match="only L2 and"):
+        dfx.faiss_create("bad", 8, "PQ2", metric_type="L1", catalog=catalog)
+
+
+def test_pq_save_load(catalog, tmp_path):
+    d = 8
+    xb = _clustered(400, d)
+    dfx.faiss_create("pq", d, "PQ2", metric_type="L2", catalog=catalog)
+    dfx.faiss_add(xb, "pq", catalog=catalog)
+    a = dfx.faiss_search("pq", 3, xb[:2], catalog=catalog)
+    p = str(tmp_path / "pq.dfx")
+    dfx.faiss_save("pq", p, catalog=catalog)
+    dfx.faiss_load("pq2", p, catalog=catalog)
+    b = dfx.faiss_search("pq2", 3, xb[:2], catalog=catalog)
+    np.testing.assert_array_equal(a["label"], b["label"])
+    np.testing.assert_allclose(a["distance"], b["distance"], rtol=1e-6)
+
+
+def test_hnsw_exact_results(catalog):
+    """HNSW surface with exact execution: results equal Flat (documented
+    deviation: recall 1.0 ≥ reference HNSW)."""
+    d, n = 8, 500
+    xb = _clustered(n, d)
+    xq = _clustered(4, d)
+    dfx.faiss_create_params("h", d, "HNSW16", {"efConstruction": "32"},
+                            metric_type="INNER_PRODUCT", catalog=catalog)
+    dfx.faiss_add(xb, "h", catalog=catalog)
+    dfx.faiss_create("f", d, "Flat", catalog=catalog)
+    dfx.faiss_add(xb, "f", catalog=catalog)
+    rh = dfx.faiss_search("h", 5, xq, {"efSearch": "64"}, catalog=catalog)
+    rf = dfx.faiss_search("f", 5, xq, catalog=catalog)
+    np.testing.assert_array_equal(rh["label"], rf["label"])
+
+
+def test_hnsw_idmap_composite(catalog):
+    """IDMap,HNSW128,Flat — the reference's benchmark index string
+    (Makefile:93)."""
+    d, n = 8, 300
+    xb = _clustered(n, d)
+    ids = np.arange(1000, 1000 + n)
+    dfx.faiss_create("bench_idx", d, "IDMap,HNSW128,Flat",
+                     metric_type="INNER_PRODUCT", catalog=catalog)
+    dfx.faiss_add((ids, xb), "bench_idx", catalog=catalog)
+    res = dfx.faiss_search("bench_idx", 3, xb[:2], catalog=catalog)
+    assert (res["label"] >= 1000).all()
+
+
+def test_hnsw_save_load_keeps_params(catalog, tmp_path):
+    d = 8
+    xb = _clustered(200, d)
+    dfx.faiss_create_params("h", d, "HNSW16", {"efConstruction": "77"},
+                            catalog=catalog)
+    dfx.faiss_add(xb, "h", catalog=catalog)
+    p = str(tmp_path / "h.dfx")
+    dfx.faiss_save("h", p, catalog=catalog)
+    dfx.faiss_load("h2", p, catalog=catalog)
+    entry = catalog.get("h2")
+    assert entry.index.ef_construction == 77
