@@ -1,0 +1,55 @@
+"""Harness tier tests: binomial k', filtered bench plumbing, datasets, TREC."""
+
+import numpy as np
+
+import duckdb_faiss_ext_tpu as dfx
+from duckdb_faiss_ext_tpu.harness import (recall_at_k, required_k,
+                                          run_filtered_bench,
+                                          synthetic_dataset)
+from duckdb_faiss_ext_tpu.harness.filtered import prob_at_least
+from duckdb_faiss_ext_tpu.harness.trec import write_trec_run
+
+
+def test_required_k_properties():
+    # Exactly the reference's semantics: smallest k with
+    # P[Binom(k, p) >= want] >= 0.99 (go/main_test.go:104-128).
+    k = required_k(10, 0.5)
+    assert prob_at_least(10, k, 0.5) >= 0.99
+    assert prob_at_least(10, k - 1, 0.5) < 0.99
+    assert required_k(10, 1.0) == 10
+    assert required_k(10, 0.01) > 1000
+
+
+def test_filtered_bench_runs(catalog):
+    xb, xq = synthetic_dataset(n=2000, d=16, nq=8, ncl=8, seed=1)
+    ids = np.arange(2000)
+    dfx.faiss_create("b", 16, "IDMap,Flat", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_add((ids, xb), "b", catalog=catalog)
+    db = dfx.Database()
+    db.register("t", {"id": ids})
+    results = run_filtered_bench("b", xq, "t", "id",
+                                 passrates=(0.5,), want=5, catalog=catalog,
+                                 database=db, iters=1)
+    r = results[0]
+    assert r.qps_post > 0 and r.qps_sel > 0 and r.qps_set > 0
+    assert r.required_k >= 5
+
+
+def test_recall_at_k():
+    got = np.array([[1, 2, 3], [4, 5, 6]])
+    gt = np.array([[1, 2, 9], [9, 9, 9]])
+    assert recall_at_k(got, gt) == (2 + 0) / 6
+
+
+def test_trec_run_file(catalog, tmp_path):
+    xb, xq = synthetic_dataset(n=500, d=8, nq=3, ncl=4, seed=2)
+    dfx.faiss_create("trec", 8, "Flat", metric_type="L2", catalog=catalog)
+    dfx.faiss_add(xb, "trec", catalog=catalog)
+    path = str(tmp_path / "run.txt")
+    write_trec_run(path, "trec", ["q1", "q2", "q3"], xq, k=5,
+                   catalog=catalog)
+    lines = open(path).read().strip().splitlines()
+    assert len(lines) == 15
+    parts = lines[0].split()
+    assert parts[0] == "q1" and parts[1] == "Q0" and parts[3] == "1"
