@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from .. import errors
 from ..metrics import Metric
 from ..ops.flat_search import SIMILARITY_METRICS, finalize_scores
-from ..ops.ivf_scan import choose_q_chunk, ivf_search
+from ..ops.ivf_scan import choose_q_chunk, ivf_pq_search, ivf_search
 from ..ops.kmeans import (DEFAULT_NITER, DEFAULT_SEED, kmeans_fit,
                           subsample_for_training)
 from ..params import EMPTY
@@ -40,9 +40,28 @@ class IVFIndex(Index):
     def __init__(self, d: int, metric: Metric, metric_arg: float,
                  nlist: int, quantizer: Index, encoding: str = "Flat"):
         super().__init__(d, metric, metric_arg)
+        self.pq_m = self.pq_nbits = None
         if encoding != "Flat":
-            raise errors.InvalidInputError(
-                f"IVF encoding {encoding} is not supported yet (use Flat)")
+            import re
+
+            m = re.match(r"^PQ(\d+)(?:x(\d+))?$", encoding)
+            if not m:
+                raise errors.InvalidInputError(
+                    f"IVF encoding {encoding} is not supported (use Flat or "
+                    f"PQm)")
+            self.pq_m = int(m.group(1))
+            self.pq_nbits = int(m.group(2)) if m.group(2) else 8
+            if d % self.pq_m != 0:
+                raise errors.InvalidInputError(
+                    f"The dimension of the vector ({d}) must be a multiple "
+                    f"of the number of subquantizers ({self.pq_m})")
+            if metric.name not in ("L2", "INNER_PRODUCT"):
+                raise errors.InvalidInputError(
+                    f"PQ indexes support only L2 and INNER_PRODUCT metrics, "
+                    f"got {metric.name}")
+        self._pq_codebooks: np.ndarray | None = None  # (m, ksub, dsub)
+        self._codes = (np.empty((0, self.pq_m), dtype=np.uint8)
+                       if self.pq_m else None)
         self.nlist = int(nlist)
         self.quantizer = quantizer
         self.encoding = encoding
@@ -60,11 +79,13 @@ class IVFIndex(Index):
     # --- lifecycle -------------------------------------------------------
     @property
     def ntotal(self) -> int:
-        return self._xb.shape[0]
+        return self._ids.shape[0]
 
     @property
     def is_trained(self) -> bool:
-        return self._centroids is not None
+        if self._centroids is None:
+            return False
+        return self.pq_m is None or self._pq_codebooks is not None
 
     @property
     def requires_training(self) -> bool:
@@ -88,6 +109,20 @@ class IVFIndex(Index):
         self._centroids = np.asarray(centroids, dtype=np.float32)
         if self.quantizer.ntotal == 0:
             self.quantizer.add(self._centroids)
+        if self.pq_m is not None:
+            # Residual PQ (faiss IndexIVFPQ by_residual): codebooks trained
+            # on x − centroid[assign(x)].
+            from ..ops.pq import pq_train
+
+            ksub = 1 << self.pq_nbits
+            if x.shape[0] < ksub:
+                self._centroids = None
+                raise errors.TrainingTooSmallError(x.shape[0], ksub)
+            assign = self._assign_lists(x)
+            resid = x - self._centroids[assign]
+            self._pq_codebooks = np.asarray(
+                pq_train(resid, self.pq_m, ksub, seed=self.train_seed,
+                         precision=config.precision), dtype=np.float32)
         self._invalidate()
 
     def _require_trained(self):
@@ -114,7 +149,17 @@ class IVFIndex(Index):
         if x.shape[0] == 0:
             return
         assign = self._assign_lists(x)
-        self._xb = np.concatenate([self._xb, x], axis=0)
+        if self.pq_m is not None:
+            # Store byte codes only (FAISS IVFPQ memory profile).
+            from ..ops.pq import pq_encode
+
+            resid = x - self._centroids[assign]
+            codes = np.asarray(pq_encode(jnp.asarray(resid),
+                                         jnp.asarray(self._pq_codebooks),
+                                         precision=config.precision))
+            self._codes = np.concatenate([self._codes, codes], axis=0)
+        else:
+            self._xb = np.concatenate([self._xb, x], axis=0)
         self._ids = np.concatenate([self._ids, ids])
         self._assign = np.concatenate([self._assign, assign])
         self._invalidate()
@@ -154,7 +199,6 @@ class IVFIndex(Index):
         # cap strictly exceeds n so row cap-1 is always a padding row — the
         # sentinel target for unused list_table slots (masked in the kernel).
         cap = max(config.min_capacity, next_pow2(n + 1))
-        xb_sorted = pad_rows(self._xb[order] if n else self._xb, cap)
 
         # list_table[l, j] = sorted-row index of the j-th member of list l.
         list_table = np.full((self.nlist, lmax), cap - 1, dtype=np.int32)
@@ -165,12 +209,25 @@ class IVFIndex(Index):
                 list_table[l, :c] = np.arange(offsets[l], offsets[l] + c,
                                               dtype=np.int32)
 
-        self._device = (
-            jnp.asarray(xb_sorted),
-            jnp.asarray(list_table),
-            jnp.asarray(self._centroids),
-            order.astype(np.int64),
-        )
+        if self.pq_m is not None:
+            codes_sorted = pad_rows(self._codes[order] if n else self._codes,
+                                    cap)
+            assign_sorted = pad_rows(sorted_assign, cap).astype(np.int32)
+            self._device = (
+                (jnp.asarray(codes_sorted), jnp.asarray(assign_sorted),
+                 jnp.asarray(self._pq_codebooks)),
+                jnp.asarray(list_table),
+                jnp.asarray(self._centroids),
+                order.astype(np.int64),
+            )
+        else:
+            xb_sorted = pad_rows(self._xb[order] if n else self._xb, cap)
+            self._device = (
+                jnp.asarray(xb_sorted),
+                jnp.asarray(list_table),
+                jnp.asarray(self._centroids),
+                order.astype(np.int64),
+            )
         return self._device
 
     # --- selector --------------------------------------------------------
@@ -183,7 +240,8 @@ class IVFIndex(Index):
         if hit is not None:
             return hit
         rows = selector.contains(self._ids[order])  # sorted order
-        cap = self._device[0].shape[0]
+        storage = self._device[0]
+        cap = (storage[0] if isinstance(storage, tuple) else storage).shape[0]
         mask = jnp.asarray(pad_rows(rows, cap, fill=False))
         self._mask_cache = {key: mask}
         return mask
@@ -208,8 +266,7 @@ class IVFIndex(Index):
         nprobe = params.get_int("nprobe", self.nprobe_default)
         _ = params.scoped("quantiser.")
 
-        xb_sorted, list_table, centroids, order = self._build_device()
-        cap = xb_sorted.shape[0]
+        storage, list_table, centroids, order = self._build_device()
         nprobe_eff = max(1, min(int(nprobe), self.nlist))
         lmax = list_table.shape[1]
         k_eff = min(k, nprobe_eff * lmax)
@@ -220,11 +277,20 @@ class IVFIndex(Index):
                 if selector is not None else None)
         q_chunk = choose_q_chunk(nq_pad, nprobe_eff * lmax, self.d)
 
-        scores, pos = ivf_search(
-            xb_sorted, jnp.int32(self.ntotal), list_table, centroids,
-            xq_pad, mask, jnp.asarray(self.metric_arg, jnp.float32),
-            k=k_eff, nprobe=nprobe_eff, metric=self.metric.name,
-            q_chunk=q_chunk, precision=config.precision)
+        if self.pq_m is not None:
+            codes_sorted, assign_sorted, codebooks = storage
+            scores, pos = ivf_pq_search(
+                codes_sorted, assign_sorted, codebooks,
+                jnp.int32(self.ntotal), list_table, centroids,
+                xq_pad, mask, jnp.asarray(self.metric_arg, jnp.float32),
+                k=k_eff, nprobe=nprobe_eff, metric=self.metric.name,
+                q_chunk=q_chunk, precision=config.precision)
+        else:
+            scores, pos = ivf_search(
+                storage, jnp.int32(self.ntotal), list_table, centroids,
+                xq_pad, mask, jnp.asarray(self.metric_arg, jnp.float32),
+                k=k_eff, nprobe=nprobe_eff, metric=self.metric.name,
+                q_chunk=q_chunk, precision=config.precision)
         dist, pos = finalize_scores(scores, pos, self.metric.name)
 
         dist = np.asarray(dist[:nq])
@@ -253,6 +319,10 @@ class IVFIndex(Index):
         }
         if self._centroids is not None:
             state["centroids"] = self._centroids
+        if self.pq_m is not None:
+            state["codes"] = self._codes
+            if self._pq_codebooks is not None:
+                state["pq_codebooks"] = self._pq_codebooks
         return state
 
     def load_state(self, state: dict) -> None:
@@ -262,6 +332,12 @@ class IVFIndex(Index):
         cents = state.get("centroids")
         self._centroids = (np.asarray(cents, np.float32)
                            if cents is not None else None)
+        if self.pq_m is not None:
+            self._codes = np.asarray(state["codes"],
+                                     np.uint8).reshape(-1, self.pq_m)
+            cb = state.get("pq_codebooks")
+            self._pq_codebooks = (np.asarray(cb, np.float32)
+                                  if cb is not None else None)
         if self._centroids is not None and self.quantizer.ntotal == 0:
             self.quantizer.add(self._centroids)
         self._invalidate()

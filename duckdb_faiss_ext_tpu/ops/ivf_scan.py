@@ -136,6 +136,84 @@ def _pairwise_batched(x, y, metric, metric_arg):
     raise ValueError(f"unknown metric {metric}")
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "nprobe", "metric", "q_chunk", "precision"),
+)
+def ivf_pq_search(
+    codes_sorted,   # (cap, m) uint8, rows grouped by list
+    assign_sorted,  # (cap,) int32 list id per sorted row
+    codebooks,      # (m, ksub, dsub) fp32 residual codebooks
+    nvalid,
+    list_table,     # (nlist, lmax) int32
+    centroids,      # (nlist, d) fp32
+    xq,             # (nq_pad, d) fp32
+    mask,
+    metric_arg,
+    *,
+    k: int,
+    nprobe: int,
+    metric: str,
+    q_chunk: int,
+    precision,
+):
+    """IVF with PQ-encoded residuals (faiss IndexIVFPQ analogue, by_residual):
+    candidate reconstruction = centroid[list] + decode(code), then the same
+    MXU distance tile as the Flat scan — identical results to residual
+    LUT-ADC for L2/IP with only byte codes read from HBM."""
+    from .pq import pq_decode
+
+    nq, d = xq.shape
+    nlist, lmax = list_table.shape
+    sim = metric in SIMILARITY_METRICS
+    nprobe = min(nprobe, nlist)
+
+    cdist = pairwise_tile(xq, centroids, metric, metric_arg, precision)
+    cscore = cdist if sim else -cdist
+    _, probe_ids = lax.top_k(cscore, nprobe)
+
+    ncand = nprobe * lmax
+    m = codes_sorted.shape[1]
+
+    def scan_chunk(i, carry):
+        best_s, best_p = carry
+        q0 = i * q_chunk
+        xq_c = lax.dynamic_slice(xq, (q0, 0), (q_chunk, d))
+        probes_c = lax.dynamic_slice(probe_ids, (q0, 0), (q_chunk, nprobe))
+        cand = list_table[probes_c].reshape(q_chunk, ncand)
+        valid = cand < nvalid
+        cand_safe = jnp.where(valid, cand, 0)
+        codes_c = codes_sorted[cand_safe.reshape(-1)]       # (qc*ncand, m)
+        resid = pq_decode(codes_c, codebooks)               # (qc*ncand, d)
+        cent_c = centroids[assign_sorted[cand_safe.reshape(-1)]]
+        xc = (resid + cent_c).reshape(q_chunk, ncand, d)
+        if metric == "INNER_PRODUCT":
+            dist = jnp.einsum("qd,qcd->qc", xq_c, xc, precision=precision,
+                              preferred_element_type=jnp.float32)
+        else:  # L2
+            qn = jnp.sum(xq_c * xq_c, axis=1, keepdims=True)
+            bn = jnp.sum(xc * xc, axis=2)
+            xy = jnp.einsum("qd,qcd->qc", xq_c, xc, precision=precision,
+                            preferred_element_type=jnp.float32)
+            dist = jnp.maximum(qn - 2.0 * xy + bn, 0.0)
+        if mask is not None:
+            valid = jnp.logical_and(valid, mask[cand_safe])
+        score = dist if sim else -dist
+        score = jnp.where(valid, score, _NEG_INF)
+        s, sel = lax.top_k(score, k)
+        p = jnp.take_along_axis(cand, sel, axis=1)
+        p = jnp.where(jnp.isneginf(s), -1, p)
+        best_s = lax.dynamic_update_slice(best_s, s, (q0, 0))
+        best_p = lax.dynamic_update_slice(best_p, p, (q0, 0))
+        return best_s, best_p
+
+    init = (
+        jnp.full((nq, k), _NEG_INF, jnp.float32),
+        jnp.full((nq, k), -1, jnp.int32),
+    )
+    return lax.fori_loop(0, nq // q_chunk, scan_chunk, init)
+
+
 def choose_q_chunk(nq: int, ncand: int, d: int) -> int:
     """Queries per scan step: bound the gathered (q, ncand, d) fp32 tile."""
     budget = max(1, (1 << 24) // max(ncand * d, 1))

@@ -139,3 +139,32 @@ def test_ivf_quantiser_params_accepted(catalog):
                            {"nprobe": "2", "quantiser.efSearch": "64"},
                            catalog=catalog)
     assert res["label"][0, 0] == 0
+
+
+def test_ivfpq_recall_and_roundtrip(catalog, tmp_path):
+    """IVFn,PQm — residual-encoded lists (faiss IndexIVFPQ analogue)."""
+    d, n, nq, k = 16, 3000, 8, 10
+    xb = _clustered(n, d, ncl=16)
+    xq = _clustered(nq, d, ncl=16)
+    dfx.faiss_create("ivfpq", d, "IVF8,PQ4", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_add(xb, "ivfpq", catalog=catalog)
+    dfx.faiss_create("flat", d, "Flat", metric_type="L2", catalog=catalog)
+    dfx.faiss_add(xb, "flat", catalog=catalog)
+    rf = dfx.faiss_search("flat", k, xq, catalog=catalog)
+    rp = dfx.faiss_search("ivfpq", k, xq, {"nprobe": "8"}, catalog=catalog)
+    recall = np.mean([
+        len(set(rp["label"][q]) & set(rf["label"][q])) / k
+        for q in range(nq)])
+    assert recall >= 0.4, recall
+    # Memory profile: codes stored, raw vectors absent.
+    entry = catalog.get("ivfpq")
+    inner = entry.index
+    assert inner._codes.shape == (n, 4)
+    assert inner._xb.shape[0] == 0
+    # Save/load roundtrip preserves results.
+    p = str(tmp_path / "ivfpq.dfx")
+    dfx.faiss_save("ivfpq", p, catalog=catalog)
+    dfx.faiss_load("ivfpq2", p, catalog=catalog)
+    rp2 = dfx.faiss_search("ivfpq2", k, xq, {"nprobe": "8"}, catalog=catalog)
+    np.testing.assert_array_equal(rp["label"], rp2["label"])
