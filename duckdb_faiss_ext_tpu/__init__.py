@@ -35,7 +35,7 @@ from .metrics import metric_names, resolve_metric
 from .ops.selectors import BitmapSelector, SetSelector
 from .params import ParamMap
 from .sql import Database, register_table
-from .utils.config import set_precision
+from .utils.config import set_kernel_mode, set_precision
 
 __version__ = "0.1.0"
 
@@ -65,5 +65,6 @@ __all__ = [
     "ParamMap",
     "Database",
     "register_table",
+    "set_kernel_mode",
     "set_precision",
 ]

@@ -19,8 +19,9 @@ import jax.numpy as jnp
 
 from ..metrics import Metric
 from ..ops.flat_search import SIMILARITY_METRICS, flat_search
+from ..ops import pallas_topk
 from ..ops.selectors import Selector
-from ..utils.config import config, next_pow2, pad_rows
+from ..utils.config import config, next_pow2, on_tpu, pad_rows
 from .base import Index, SearchResult, as_matrix
 
 
@@ -98,16 +99,7 @@ class FlatIndex(Index):
         xq_pad = jnp.asarray(pad_rows(xq, nq_pad))
         mask = self._selector_mask(selector) if selector is not None else None
 
-        dist, pos = flat_search(
-            self.device_vectors(),
-            self.ntotal,
-            xq_pad,
-            k_eff,
-            self.metric.name,
-            self.metric_arg,
-            mask=mask,
-            precision=config.precision,
-        )
+        dist, pos = self._dispatch_search(xq_pad, k_eff, mask)
         dist = np.asarray(dist[:nq])
         pos = np.asarray(pos[:nq], dtype=np.int64)
         labels = self._positions_to_labels(pos)
@@ -117,6 +109,25 @@ class FlatIndex(Index):
             labels = np.concatenate(
                 [labels, np.full((nq, k - k_eff), -1, np.int64)], axis=1)
         return SearchResult(dist, labels)
+
+    def _dispatch_search(self, xq_pad, k_eff, mask):
+        """Pick the search kernel: the Pallas fused kernel on TPU for
+        MXU metrics, the XLA scan otherwise (or as forced by config)."""
+        mode = config.kernel_mode
+        use_pallas = (
+            mode != "xla"
+            and pallas_topk.supports(self.metric.name, k_eff, self.d)
+            and (mode == "pallas" or on_tpu())
+        )
+        if use_pallas:
+            return pallas_topk.pallas_flat_search(
+                self.device_vectors(), self.ntotal, xq_pad, k_eff,
+                self.metric.name, mask=mask, precision=config.precision,
+                interpret=not on_tpu())
+        return flat_search(
+            self.device_vectors(), self.ntotal, xq_pad, k_eff,
+            self.metric.name, self.metric_arg, mask=mask,
+            precision=config.precision)
 
     def _positions_to_labels(self, pos: np.ndarray) -> np.ndarray:
         # Flat labels are storage positions; -1 (missing) passes through.

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops.flat_search import choose_chunk, finalize_scores, search_scan
 from ..ops.kmeans import assign_labels, centroid_update
@@ -87,7 +87,7 @@ def sharded_flat_search_fn(mesh: Mesh, *, k: int, metric: str, chunk: int,
         mesh=mesh,
         in_specs=(P("shard", None), P(), P("batch", None)) + mask_spec + (P(),),
         out_specs=(P("batch", None), P("batch", None)),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)
 
@@ -112,7 +112,7 @@ def sharded_kmeans_step_fn(mesh: Mesh, *, k: int,
         in_specs=(P(("shard", "batch"), None), P(("shard", "batch")),
                   P(None, None)),
         out_specs=P(None, None),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)
 

@@ -26,6 +26,10 @@ _PRECISIONS = {
 @dataclasses.dataclass
 class Config:
     precision_mode: str = "parity"
+    #: search-kernel selection: "auto" = Pallas fused kernel on TPU where
+    #: supported (L2/IP, k ≤ 1024), XLA scan otherwise; "xla" / "pallas"
+    #: force one path ("pallas" off-TPU runs the interpreter — tests only).
+    kernel_mode: str = "auto"
     #: minimum padded corpus capacity (power of two); keeps jit cache small
     min_capacity: int = 128
     #: minimum padded query-batch bucket
@@ -43,6 +47,26 @@ def set_precision(mode: str) -> None:
     if mode not in _PRECISIONS:
         raise ValueError(f"precision mode must be one of {sorted(_PRECISIONS)}")
     config.precision_mode = mode
+
+
+def set_kernel_mode(mode: str) -> None:
+    if mode not in ("auto", "xla", "pallas"):
+        raise ValueError("kernel mode must be auto, xla, or pallas")
+    config.kernel_mode = mode
+
+
+def on_tpu() -> bool:
+    """True when the default JAX backend is a TPU (incl. tunneled 'axon'
+    devices, whose platform string differs but which are TPU chips)."""
+    import jax
+
+    try:
+        dev = jax.devices()[0]
+    except Exception:
+        return False
+    kind = (getattr(dev, "device_kind", "") or "").lower()
+    plat = (getattr(dev, "platform", "") or "").lower()
+    return "tpu" in kind or plat in ("tpu", "axon")
 
 
 def next_pow2(n: int) -> int:

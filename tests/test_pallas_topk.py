@@ -1,0 +1,86 @@
+"""Pallas fused top-k kernel vs the XLA scan path (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from duckdb_faiss_ext_tpu.ops.flat_search import flat_search
+from duckdb_faiss_ext_tpu.ops.pallas_topk import pallas_flat_search
+
+RNG = np.random.default_rng(21)
+
+
+@pytest.mark.parametrize("metric", ["L2", "INNER_PRODUCT"])
+@pytest.mark.parametrize("nq,cap,n,k", [
+    (8, 512, 400, 10),
+    (16, 1024, 1024, 3),
+    (8, 256, 100, 130),   # k > 128 → two lane groups
+])
+def test_pallas_matches_xla(metric, nq, cap, n, k):
+    d = 128
+    xb = np.zeros((cap, d), np.float32)
+    xb[:n] = RNG.standard_normal((n, d)).astype(np.float32)
+    xq = RNG.standard_normal((nq, d)).astype(np.float32)
+    k_eff = min(k, cap)
+
+    d_ref, p_ref = flat_search(jnp.asarray(xb), n, jnp.asarray(xq), k_eff,
+                               metric)
+    d_pal, p_pal = pallas_flat_search(jnp.asarray(xb), n, jnp.asarray(xq),
+                                      k_eff, metric, interpret=True)
+    np.testing.assert_allclose(np.asarray(d_pal), np.asarray(d_ref),
+                               rtol=1e-5, atol=1e-5)
+    # Positions agree wherever scores are distinct (ties may reorder).
+    dr = np.asarray(d_ref)
+    ties = np.zeros(dr.shape, bool)
+    ties[:, 1:] |= dr[:, 1:] == dr[:, :-1]
+    ties[:, :-1] |= ties[:, 1:]
+    np.testing.assert_array_equal(np.asarray(p_pal)[~ties],
+                                  np.asarray(p_ref)[~ties])
+
+
+def test_pallas_with_mask():
+    d, cap, n, nq, k = 128, 512, 500, 8, 5
+    xb = np.zeros((cap, d), np.float32)
+    xb[:n] = RNG.standard_normal((n, d)).astype(np.float32)
+    xq = RNG.standard_normal((nq, d)).astype(np.float32)
+    mask = np.zeros((cap,), bool)
+    mask[::3] = True
+
+    d_ref, p_ref = flat_search(jnp.asarray(xb), n, jnp.asarray(xq), k,
+                               "L2", mask=jnp.asarray(mask))
+    d_pal, p_pal = pallas_flat_search(jnp.asarray(xb), n, jnp.asarray(xq),
+                                      k, "L2", mask=jnp.asarray(mask),
+                                      interpret=True)
+    np.testing.assert_allclose(np.asarray(d_pal), np.asarray(d_ref),
+                               rtol=1e-5, atol=1e-5)
+    assert (np.asarray(p_pal) % 3 == 0).all()
+
+
+def test_pallas_fewer_than_k():
+    d, cap, n, nq, k = 128, 256, 4, 8, 10
+    xb = np.zeros((cap, d), np.float32)
+    xb[:n] = RNG.standard_normal((n, d)).astype(np.float32)
+    xq = RNG.standard_normal((nq, d)).astype(np.float32)
+    d_pal, p_pal = pallas_flat_search(jnp.asarray(xb), n, jnp.asarray(xq),
+                                      k, "L2", interpret=True)
+    p = np.asarray(p_pal)
+    assert (p[:, :n] >= 0).all()
+    assert (p[:, n:] == -1).all()
+    assert np.isinf(np.asarray(d_pal)[:, n:]).all()
+
+
+def test_api_with_forced_pallas_kernel(catalog):
+    """Full API path through the Pallas kernel (interpreter on CPU)."""
+    import duckdb_faiss_ext_tpu as dfx
+
+    dfx.set_kernel_mode("pallas")
+    try:
+        xb = RNG.standard_normal((300, 128)).astype(np.float32)
+        dfx.faiss_create("pk", 128, "Flat", metric_type="L2",
+                         catalog=catalog)
+        dfx.faiss_add(xb, "pk", catalog=catalog)
+        res = dfx.faiss_search("pk", 3, xb[:4], catalog=catalog)
+        np.testing.assert_array_equal(res["label"][:, 0], np.arange(4))
+        np.testing.assert_allclose(res["distance"][:, 0], 0.0, atol=1e-4)
+    finally:
+        dfx.set_kernel_mode("auto")
