@@ -1,0 +1,91 @@
+"""SQL dispatcher: the reference's statement shapes against the engine."""
+
+import numpy as np
+import pytest
+
+import duckdb_faiss_ext_tpu as dfx
+from duckdb_faiss_ext_tpu.sql.dispatch import connect
+
+RNG = np.random.default_rng(77)
+
+
+@pytest.fixture
+def con():
+    c = connect(database=dfx.Database())
+    xb = RNG.random((1000, 8), dtype=np.float32)
+    c.register("input", {"id": np.arange(1, 1001), "data": xb})
+    c.register("queries", {"id": np.arange(1, 11),
+                           "data": RNG.random((10, 8), dtype=np.float32)})
+    return c
+
+
+def test_readme_workflow(con):
+    """The reference README example flow (README.md:55-71)."""
+    con.execute("CALL FAISS_CREATE('name', 8, 'IDMap,HNSW32')")
+    con.execute("CALL FAISS_ADD((SELECT id, data FROM input), 'name')")
+    rows = con.execute(
+        "SELECT id, UNNEST(FAISS_SEARCH('name', 10, data)) FROM queries")
+    assert len(rows) == 100
+    assert set(rows[0]) == {"id", "rank", "label", "distance"}
+    rows_f = con.execute(
+        "SELECT id, UNNEST(FAISS_SEARCH_FILTER('name', 10, data, "
+        "'id%2==0', 'id', 'input')) FROM queries")
+    labels = [r["label"] for r in rows_f if r["label"] >= 0]
+    assert labels and all(l % 2 == 0 for l in labels)
+
+
+def test_create_with_metric_and_params(con):
+    con.execute("CALL faiss_create('flat8', 8, 'Flat', metric_type='L2')")
+    con.execute("CALL faiss_create_params('hnsw16', 8, 'HNSW16', "
+                "map{'efConstruction': 32}, metric_type='INNER_PRODUCT')")
+    con.execute("CALL faiss_add((SELECT data FROM input), 'flat8')")
+    rows = con.execute("SELECT faiss_search('flat8', 2, data) FROM queries")
+    assert len(rows) == 10
+    assert rows[0]["result"].shape == (2,)
+
+
+def test_invalid_metric_via_sql(con):
+    with pytest.raises(dfx.InvalidInputError,
+                       match="Unknown metric type: Invalid"):
+        con.execute(
+            "CALL faiss_create('flat8', 8, 'Flat', metric_type='Invalid')")
+
+
+def test_manual_train_and_destroy(con):
+    con.execute("CALL faiss_create('mt', 8, 'IVF4,Flat', metric_type='L2')")
+    con.execute("CALL faiss_manual_train((SELECT data FROM input), 'mt')")
+    con.execute("CALL faiss_add((SELECT data FROM input), 'mt')")
+    rows = con.execute("SELECT UNNEST(faiss_search('mt', 3, data, "
+                       "map{'nprobe': 4})) FROM queries")
+    assert len(rows) == 30
+    con.execute("CALL faiss_destroy('mt')")
+    with pytest.raises(dfx.InvalidInputError, match="Could not find"):
+        con.execute("SELECT faiss_search('mt', 3, data) FROM queries")
+
+
+def test_save_load_via_sql(con, tmp_path):
+    p = str(tmp_path / "i.dfx")
+    con.execute("CALL faiss_create('s', 8, 'Flat', metric_type='L2')")
+    con.execute("CALL faiss_add((SELECT data FROM input), 's')")
+    con.execute(f"CALL faiss_save('s', '{p}')")
+    con.execute(f"CALL faiss_load('s2', '{p}')")
+    a = con.execute("SELECT faiss_search('s', 2, data) FROM queries")
+    b = con.execute("SELECT faiss_search('s2', 2, data) FROM queries")
+    for ra, rb in zip(a, b):
+        np.testing.assert_array_equal(ra["result"]["label"],
+                                      rb["result"]["label"])
+
+
+def test_filter_set_via_sql(con):
+    con.execute("CALL faiss_create('fs', 8, 'IDMap,Flat')")
+    con.execute("CALL faiss_add((SELECT id, data FROM input), 'fs')")
+    rows = con.execute(
+        "SELECT UNNEST(faiss_search_filter_set('fs', 5, data, 'id>500', "
+        "'id', 'input')) FROM queries")
+    labels = [r["label"] for r in rows if r["label"] >= 0]
+    assert labels and all(l > 500 for l in labels)
+
+
+def test_unparseable_statement(con):
+    with pytest.raises(dfx.InvalidInputError, match="Cannot parse"):
+        con.execute("DROP TABLE input")
