@@ -26,6 +26,7 @@ from .api import (
     faiss_search,
     faiss_search_filter,
     faiss_search_filter_set,
+    faiss_stats,
     faiss_to_device,
 )
 from .catalog import GLOBAL_CATALOG, Catalog, IndexEntry
@@ -52,6 +53,7 @@ __all__ = [
     "faiss_search",
     "faiss_search_filter",
     "faiss_search_filter_set",
+    "faiss_stats",
     "faiss_to_device",
     "GLOBAL_CATALOG",
     "Catalog",

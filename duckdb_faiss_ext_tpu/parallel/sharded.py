@@ -69,9 +69,13 @@ def sharded_flat_search_fn(mesh: Mesh, *, k: int, metric: str, chunk: int,
         shard_idx = lax.axis_index("shard")
         cap_local = xb.shape[0]
         offset = (shard_idx * cap_local).astype(jnp.int32)
+        qb = min(xq.shape[0], 256)
+        if xq.shape[0] % qb:
+            qb = xq.shape[0]
         scores, pos = search_scan(
             xb, nvalid, xq, mask, metric_arg, offset,
-            k=k, metric=metric, chunk=chunk, precision=precision)
+            k=k, metric=metric, q_block=qb, c_block=chunk,
+            precision=precision)
         # Merge across corpus shards: k candidates per shard per query.
         all_scores = lax.all_gather(scores, "shard")   # (S, nq_l, k)
         all_pos = lax.all_gather(pos, "shard")
