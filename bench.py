@@ -1,16 +1,17 @@
 """Headline benchmark: Flat exact search QPS/chip at SIFT1M scale.
 
 Workload: BASELINE.json config 2 — corpus 1M × 128-dim fp32, query batch 48,
-k=10, fused distance+top-k (the reference's hot path, Index::search via
-src/faiss_extension.cpp:629-638).
+k=10, fused distance+top-k through the public API (the reference's hot path,
+Index::search via src/faiss_extension.cpp:629-638).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line to stdout: {"metric", "value", "unit", "vs_baseline"}.
+Supplementary numbers (large-batch QPS, IVF QPS/recall, build rate) go to
+stderr.
 
 vs_baseline: ratio against a CPU brute-force stand-in for the reference's
 FAISS-CPU path (BLAS sgemm + partial select via numpy), measured on this
 host on a corpus subsample and scaled linearly to the full corpus size —
-the reference publishes no absolute numbers (BASELINE.md), so the baseline
-is measured, not quoted.
+the reference publishes no absolute numbers (BASELINE.md).
 """
 
 import json
@@ -19,38 +20,75 @@ import time
 
 import numpy as np
 
-N, D, NQ, K = 1_000_000, 128, 48, 10
+N, D, K = 1_000_000, 128, 10
+BATCH = 48
+BIG_BATCH = 1024
 BASELINE_SUBSAMPLE = 131_072
 
 
-def measure_tpu_qps() -> float:
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def bench_api(dfx, cat, name, queries, params=None, iters=10):
+    dfx.faiss_search(name, K, queries, params, catalog=cat)  # warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        dfx.faiss_search(name, K, queries, params, catalog=cat)
+    dt = (time.perf_counter() - t0) / iters
+    return queries.shape[0] / dt
+
+
+def measure_tpu(xb, xq, xq_big):
     import duckdb_faiss_ext_tpu as dfx
     from duckdb_faiss_ext_tpu.catalog import Catalog
 
     dfx.set_precision("fast")
-    rng = np.random.default_rng(42)
-    xb = rng.standard_normal((N, D), dtype=np.float32)
-    xq = rng.standard_normal((NQ, D), dtype=np.float32)
-
     cat = Catalog()
+
     dfx.faiss_create("bench", D, "Flat", metric_type="L2", catalog=cat)
-    dfx.faiss_add(xb, "bench", catalog=cat)
-
-    # Warmup: device upload + jit compile.
-    dfx.faiss_search("bench", K, xq, catalog=cat)
-
-    iters = 10
     t0 = time.perf_counter()
-    for _ in range(iters):
-        dfx.faiss_search("bench", K, xq, catalog=cat)
-    dt = time.perf_counter() - t0
-    return NQ * iters / dt
+    dfx.faiss_add(xb, "bench", catalog=cat)
+    dfx.faiss_search("bench", K, xq[:8], catalog=cat)  # force device build
+    log(f"flat add+upload: {N/(time.perf_counter()-t0):.0f} vectors/s")
+
+    qps48 = bench_api(dfx, cat, "bench", xq)
+    log(f"flat qps b{BATCH}: {qps48:.1f}")
+    qps_big = bench_api(dfx, cat, "bench", xq_big, iters=5)
+    log(f"flat qps b{BIG_BATCH}: {qps_big:.1f}")
+
+    # IVF: train on a subsample, add everything, nprobe sweep point.
+    try:
+        dfx.faiss_create("bench_ivf", D, "IVF4096,Flat", metric_type="L2",
+                         catalog=cat)
+        t0 = time.perf_counter()
+        dfx.faiss_manual_train(xb[:262_144], "bench_ivf", catalog=cat)
+        log(f"ivf train (4096 lists, 262k rows): "
+            f"{time.perf_counter()-t0:.1f}s")
+        t0 = time.perf_counter()
+        dfx.faiss_add(xb, "bench_ivf", catalog=cat)
+        dfx.faiss_search("bench_ivf", K, xq[:8], {"nprobe": "64"},
+                         catalog=cat)
+        log(f"ivf add+build: {N/(time.perf_counter()-t0):.0f} vectors/s")
+        qps_ivf = bench_api(dfx, cat, "bench_ivf", xq, {"nprobe": "64"})
+        rf = dfx.faiss_search("bench", K, xq, catalog=cat)
+        ri = dfx.faiss_search("bench_ivf", K, xq, {"nprobe": "64"},
+                              catalog=cat)
+        recall = float(np.mean([
+            len(set(ri["label"][q]) & set(rf["label"][q])) / K
+            for q in range(BATCH)]))
+        log(f"ivf qps b{BATCH} nprobe=64: {qps_ivf:.1f} (recall@10 "
+            f"{recall:.3f})")
+    except Exception as e:  # noqa: BLE001 — supplementary only
+        log(f"ivf bench skipped: {type(e).__name__}: {e}")
+
+    return qps48
 
 
-def measure_cpu_baseline_qps() -> float:
+def measure_cpu_baseline():
     rng = np.random.default_rng(7)
     xb = rng.standard_normal((BASELINE_SUBSAMPLE, D), dtype=np.float32)
-    xq = rng.standard_normal((NQ, D), dtype=np.float32)
+    xq = rng.standard_normal((BATCH, D), dtype=np.float32)
     xb_norms = (xb * xb).sum(axis=1)
 
     def run():
@@ -60,19 +98,24 @@ def measure_cpu_baseline_qps() -> float:
         order = np.argsort(part, axis=1)
         return np.take_along_axis(idx, order, axis=1)
 
-    run()  # warmup
+    run()
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
         run()
-    dt = time.perf_counter() - t0
-    per_batch = dt / iters * (N / BASELINE_SUBSAMPLE)  # scale to full corpus
-    return NQ / per_batch
+    per_batch = (time.perf_counter() - t0) / iters * (N / BASELINE_SUBSAMPLE)
+    return BATCH / per_batch
 
 
 def main():
-    tpu_qps = measure_tpu_qps()
-    cpu_qps = measure_cpu_baseline_qps()
+    rng = np.random.default_rng(42)
+    xb = rng.standard_normal((N, D), dtype=np.float32)
+    xq = rng.standard_normal((BATCH, D), dtype=np.float32)
+    xq_big = rng.standard_normal((BIG_BATCH, D), dtype=np.float32)
+
+    tpu_qps = measure_tpu(xb, xq, xq_big)
+    cpu_qps = measure_cpu_baseline()
+    log(f"cpu baseline qps (scaled): {cpu_qps:.1f}")
     print(json.dumps({
         "metric": "flat_search_qps_sift1m_k10_b48",
         "value": round(tpu_qps, 2),

@@ -22,6 +22,7 @@ from ..ops.flat_search import SIMILARITY_METRICS, flat_search
 from ..ops import pallas_topk
 from ..ops.selectors import Selector
 from ..utils.config import config, next_pow2, on_tpu, pad_rows
+from ..utils.transfer import fetch_results
 from .base import Index, SearchResult, as_matrix
 
 
@@ -100,8 +101,9 @@ class FlatIndex(Index):
         mask = self._selector_mask(selector) if selector is not None else None
 
         dist, pos = self._dispatch_search(xq_pad, k_eff, mask)
-        dist = np.asarray(dist[:nq])
-        pos = np.asarray(pos[:nq], dtype=np.int64)
+        dist, pos = fetch_results(dist, pos)
+        dist = dist[:nq]
+        pos = pos[:nq].astype(np.int64)
         labels = self._positions_to_labels(pos)
         if k_eff < k:
             dist = np.concatenate(
@@ -113,11 +115,18 @@ class FlatIndex(Index):
     def _dispatch_search(self, xq_pad, k_eff, mask):
         """Pick the search kernel: the Pallas fused kernel on TPU for
         MXU metrics, the XLA scan otherwise (or as forced by config)."""
+        # Measured on v5e: the query-blocked XLA layout (one wide matmul +
+        # one TopK custom-call per block) currently beats the Pallas kernel,
+        # whose in-kernel merge is latency-bound on cross-lane reductions —
+        # so "auto" resolves to XLA and "pallas" is explicit opt-in until
+        # the kernel wins its rematch.
         mode = config.kernel_mode
+        xb = self.device_vectors()
+        multi_device = len(getattr(xb, "devices", lambda: [None])()) > 1
         use_pallas = (
-            mode != "xla"
+            mode == "pallas"
+            and not multi_device  # sharded buffers go through XLA+GSPMD
             and pallas_topk.supports(self.metric.name, k_eff, self.d)
-            and (mode == "pallas" or on_tpu())
         )
         if use_pallas:
             return pallas_topk.pallas_flat_search(

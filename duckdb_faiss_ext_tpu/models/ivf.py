@@ -33,6 +33,7 @@ from ..ops.kmeans import (DEFAULT_NITER, DEFAULT_SEED, kmeans_fit,
                           subsample_for_training)
 from ..params import EMPTY
 from ..utils.config import config, next_pow2, pad_rows
+from ..utils.transfer import fetch_results
 from .base import Index, SearchResult, as_matrix
 
 
@@ -68,6 +69,7 @@ class IVFIndex(Index):
         self.nprobe_default = 1  # faiss::IndexIVF::nprobe default
         self.train_seed = DEFAULT_SEED
         self.train_niter = DEFAULT_NITER
+        self.train_balance = 0.0
         self._centroids: np.ndarray | None = None
         self._xb = np.empty((0, d), dtype=np.float32)
         self._ids = np.empty((0,), dtype=np.int64)
@@ -105,7 +107,8 @@ class IVFIndex(Index):
             x = x[np.sort(sel)]
         centroids, _ = kmeans_fit(x, self.nlist, niter=self.train_niter,
                                   seed=self.train_seed,
-                                  precision=config.precision)
+                                  precision=config.precision,
+                                  balance=getattr(self, "train_balance", 0.0))
         self._centroids = np.asarray(centroids, dtype=np.float32)
         if self.quantizer.ntotal == 0:
             self.quantizer.add(self._centroids)
@@ -292,9 +295,9 @@ class IVFIndex(Index):
                 k=k_eff, nprobe=nprobe_eff, metric=self.metric.name,
                 q_chunk=q_chunk, precision=config.precision)
         dist, pos = finalize_scores(scores, pos, self.metric.name)
-
-        dist = np.asarray(dist[:nq])
-        pos = np.asarray(pos[:nq], dtype=np.int64)
+        dist, pos = fetch_results(dist, pos)
+        dist = dist[:nq]
+        pos = pos[:nq].astype(np.int64)
         labels = np.where(pos >= 0,
                           self._ids[order][np.clip(pos, 0, None)]
                           if self.ntotal else pos,
@@ -308,6 +311,12 @@ class IVFIndex(Index):
 
     # --- create params (efConstruction recursion hits the quantizer) ------
     def apply_create_params(self, params) -> None:
+        # Engine extensions beyond the reference's surface: training knobs
+        # (seed/niter for reproducibility, kmeans_balance for skew-aware
+        # list sizing — SURVEY.md §2.3 skew handling).
+        self.train_seed = params.get_int("train_seed", self.train_seed)
+        self.train_niter = params.get_int("train_niter", self.train_niter)
+        self.train_balance = params.get_float("kmeans_balance", 0.0)
         self.quantizer.apply_create_params(params.scoped("ivf."))
 
     # --- serialization ----------------------------------------------------

@@ -20,6 +20,7 @@ from ..ops.kmeans import DEFAULT_SEED
 from ..ops.pq import pq_decode, pq_encode, pq_search, pq_train
 from ..params import EMPTY
 from ..utils.config import config, next_pow2, pad_rows
+from ..utils.transfer import fetch_results
 from .base import Index, SearchResult, as_matrix
 
 
@@ -137,8 +138,9 @@ class PQIndex(Index):
             k=k_eff, metric=self.metric.name, chunk=chunk,
             precision=config.precision)
         dist, pos = finalize_scores(scores, pos, self.metric.name)
-        dist = np.asarray(dist[:nq])
-        labels = np.asarray(pos[:nq], dtype=np.int64)
+        dist, pos = fetch_results(dist, pos)
+        dist = dist[:nq]
+        labels = pos[:nq].astype(np.int64)
         if k_eff < k:
             dist = np.concatenate(
                 [dist, np.full((nq, k - k_eff), sentinel, np.float32)], 1)

@@ -47,8 +47,9 @@ def centroid_update(x, labels, k, weights=None):
     return sums, counts
 
 
-@functools.partial(jax.jit, static_argnames=("k", "niter", "precision"))
-def _kmeans_fit(x, valid, seed, *, k, niter, precision):
+@functools.partial(jax.jit,
+                   static_argnames=("k", "niter", "precision", "balance"))
+def _kmeans_fit(x, valid, seed, *, k, niter, precision, balance=0.0):
     n, d = x.shape
     key = jax.random.PRNGKey(seed)
     # Seeded init: sample k distinct valid points.  Invalid (padding) rows get
@@ -58,30 +59,57 @@ def _kmeans_fit(x, valid, seed, *, k, niter, precision):
     _, init_idx = lax.top_k(priority, k)
     centroids = x[init_idx]
 
-    def step(centroids, _):
-        labels = assign_labels(x, centroids, precision)
+    navg = jnp.maximum(jnp.sum(valid.astype(jnp.float32)) / k, 1.0)
+
+    def step(carry, _):
+        centroids, counts = carry
+        if balance > 0.0:
+            # Skew-aware assignment: penalise over-full clusters so hot
+            # lists shrink (keeps the padded IVF list_table tight; the
+            # skew-handling called for by BASELINE.json's north star).
+            scale = jnp.mean(jnp.sum(x * x, axis=1))
+            penalty = balance * scale * (counts / navg)[None, :]
+            labels = assign_labels_penalized(x, centroids, penalty,
+                                             precision)
+        else:
+            labels = assign_labels(x, centroids, precision)
         # Padding rows must not pull centroids: zero their weight.
         w = valid.astype(x.dtype)
-        sums, counts = centroid_update(x, labels, k, weights=w)
-        new = sums / jnp.maximum(counts, 1.0)[:, None]
-        new = jnp.where((counts > 0)[:, None], new, centroids)
-        return new, counts
+        sums, new_counts = centroid_update(x, labels, k, weights=w)
+        new = sums / jnp.maximum(new_counts, 1.0)[:, None]
+        new = jnp.where((new_counts > 0)[:, None], new, centroids)
+        return (new, new_counts), None
 
-    centroids, _ = lax.scan(step, centroids, None, length=niter)
+    init_counts = jnp.full((k,), navg, jnp.float32)
+    (centroids, _), _ = lax.scan(step, (centroids, init_counts), None,
+                                 length=niter)
     final_labels = assign_labels(x, centroids, precision)
     return centroids, final_labels
 
 
+def assign_labels_penalized(x, centroids, penalty,
+                            precision=lax.Precision.DEFAULT):
+    """Assignment with an additive per-cluster penalty (balanced k-means)."""
+    xn = jnp.sum(x * x, axis=1, keepdims=True)
+    cn = jnp.sum(centroids * centroids, axis=1)[None, :]
+    xc = jnp.dot(x, centroids.T, precision=precision,
+                 preferred_element_type=jnp.float32)
+    d = xn - 2.0 * xc + cn + penalty
+    return jnp.argmin(d, axis=1).astype(jnp.int32)
+
+
 def kmeans_fit(x, k, niter=DEFAULT_NITER, seed=DEFAULT_SEED,
-               valid=None, precision=lax.Precision.DEFAULT):
+               valid=None, precision=lax.Precision.DEFAULT,
+               balance=0.0):
     """Fit k centroids on (n, d) fp32 data (rows where ``valid`` is False are
-    padding).  Returns (centroids (k, d), labels (n,) int32)."""
+    padding).  ``balance`` > 0 penalises over-full clusters (skew control).
+    Returns (centroids (k, d), labels (n,) int32)."""
     x = jnp.asarray(x, jnp.float32)
     n = x.shape[0]
     if valid is None:
         valid = jnp.ones((n,), bool)
     return _kmeans_fit(x, valid, jnp.int32(seed), k=int(k), niter=int(niter),
-                       precision=precision)
+                       precision=precision, balance=float(balance))
 
 
 def subsample_for_training(n: int, k: int) -> int:

@@ -1,0 +1,37 @@
+"""Result-transfer packing: bit-exact roundtrip of distances + positions.
+
+Regression for a silent-corruption bug: positions bitcast into a float
+buffer are denormals, and the tunneled TPU transport flushed them to zero
+(every label collapsed to row 0).  The pack direction must keep the wire
+buffer integer-typed."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from duckdb_faiss_ext_tpu.utils.transfer import fetch_results
+
+
+def test_roundtrip_exact():
+    d = jnp.asarray(np.array([[1.5, np.inf, -np.inf],
+                              [0.0, 160.25, 3.4e38]], np.float32))
+    p = jnp.asarray(np.array([[2908, 0, -1],
+                              [7, 123456, 2 ** 30]], np.int32))
+    dd, pp = fetch_results(d, p)
+    np.testing.assert_array_equal(pp, np.asarray(p))
+    np.testing.assert_array_equal(dd, np.asarray(d))
+
+
+def test_small_int_positions_not_flushed():
+    # 1..1000 bitcast to f32 are denormals — the historical failure mode.
+    k = 1000
+    d = jnp.zeros((1, k), jnp.float32)
+    p = jnp.asarray(np.arange(1, k + 1, dtype=np.int32)[None, :])
+    _, pp = fetch_results(d, p)
+    np.testing.assert_array_equal(pp[0], np.arange(1, k + 1))
+
+
+def test_k_zero():
+    d = jnp.zeros((3, 0), jnp.float32)
+    p = jnp.zeros((3, 0), jnp.int32)
+    dd, pp = fetch_results(d, p)
+    assert dd.shape == (3, 0) and pp.shape == (3, 0)
