@@ -29,6 +29,8 @@ from .. import errors
 from ..metrics import Metric
 from ..ops.flat_search import SIMILARITY_METRICS, finalize_scores
 from ..ops.ivf_scan import choose_q_chunk, ivf_pq_search, ivf_search
+from ..ops.pallas_ivf import choose_lmax, pallas_ivf_search
+from ..utils.config import on_tpu
 from ..ops.kmeans import (DEFAULT_NITER, DEFAULT_SEED, kmeans_fit,
                           subsample_for_training)
 from ..params import EMPTY
@@ -76,6 +78,7 @@ class IVFIndex(Index):
         self._assign = np.empty((0,), dtype=np.int32)
         self._version = 0
         self._device = None      # (xb_sorted, list_table, centroids, order)
+        self._device_pallas = None   # (xb_lists, counts, row_pos)
         self._mask_cache: dict = {}
 
     # --- lifecycle -------------------------------------------------------
@@ -186,7 +189,57 @@ class IVFIndex(Index):
     def _invalidate(self):
         self._version += 1
         self._device = None
+        self._device_pallas = None
         self._mask_cache.clear()
+
+    # --- Pallas list-scan layout (padded 3-D lists) ------------------------
+    def _use_pallas_scan(self) -> bool:
+        from ..utils.config import config
+
+        if self.pq_m is not None or self.metric.name not in (
+                "L2", "INNER_PRODUCT"):
+            return False
+        mode = config.kernel_mode
+        return mode == "pallas" or (mode == "auto" and on_tpu())
+
+    def _build_device_pallas(self):
+        if getattr(self, "_device_pallas", None) is not None:
+            return self._device_pallas
+        n = self.ntotal
+        counts = np.bincount(self._assign, minlength=self.nlist)
+        lmax = choose_lmax(max(1, int(counts.max()) if n else 1))
+        xb_lists = np.zeros((self.nlist, lmax, self.d), np.float32)
+        row_pos = np.full((self.nlist, lmax), -1, np.int32)
+        order = np.argsort(self._assign, kind="stable")
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        xb_sorted = self._xb[order] if n else self._xb
+        for l in range(self.nlist):
+            c = counts[l]
+            if c:
+                rows = slice(offsets[l], offsets[l] + c)
+                xb_lists[l, :c] = xb_sorted[rows]
+                row_pos[l, :c] = order[rows]
+        self._device_pallas = (
+            jnp.asarray(xb_lists),
+            jnp.asarray(counts.astype(np.int32)),
+            jnp.asarray(row_pos),
+        )
+        return self._device_pallas
+
+    def _pallas_mask(self, selector):
+        key = ("pallas", selector.cache_key(), self._version)
+        hit = self._mask_cache.get(key)
+        if hit is not None:
+            return hit
+        _, _, row_pos = self._build_device_pallas()
+        rp = np.asarray(row_pos)
+        passing = selector.contains(self._ids)
+        mask = np.zeros(rp.shape, np.int8)
+        valid = rp >= 0
+        mask[valid] = passing[rp[valid]]
+        dev = jnp.asarray(mask)
+        self._mask_cache = {key: dev}
+        return dev
 
     # --- device build ----------------------------------------------------
     def _build_device(self):
@@ -269,13 +322,37 @@ class IVFIndex(Index):
         nprobe = params.get_int("nprobe", self.nprobe_default)
         _ = params.scoped("quantiser.")
 
-        storage, list_table, centroids, order = self._build_device()
         nprobe_eff = max(1, min(int(nprobe), self.nlist))
-        lmax = list_table.shape[1]
-        k_eff = min(k, nprobe_eff * lmax)
-
         nq_pad = max(config.min_query_bucket, next_pow2(nq))
         xq_pad = jnp.asarray(pad_rows(xq, nq_pad))
+
+        if self._use_pallas_scan():
+            xb_lists, counts, row_pos = self._build_device_pallas()
+            lmax = xb_lists.shape[1]
+            k_eff = min(k, nprobe_eff * lmax)
+            mask = (self._pallas_mask(selector)
+                    if selector is not None else None)
+            probe_ids = _coarse_topk(
+                xq_pad, jnp.asarray(self._centroids),
+                jnp.asarray(self.metric_arg, jnp.float32),
+                nprobe=nprobe_eff, metric=self.metric.name,
+                precision=config.precision)
+            scores, pos = pallas_ivf_search(
+                xb_lists, counts, row_pos, probe_ids, xq_pad, mask,
+                k=k_eff, nprobe=nprobe_eff, metric=self.metric.name,
+                interpret=not on_tpu())
+            dist, pos = finalize_scores(scores, pos, self.metric.name)
+            dist, pos = fetch_results(dist, pos)
+            dist = dist[:nq]
+            pos = pos[:nq].astype(np.int64)
+            labels = np.where(pos >= 0,
+                              self._ids[np.clip(pos, 0, None)]
+                              if self.ntotal else pos, -1)
+            return self._pad_result(dist, labels, nq, k, k_eff, sentinel)
+
+        storage, list_table, centroids, order = self._build_device()
+        lmax = list_table.shape[1]
+        k_eff = min(k, nprobe_eff * lmax)
         mask = (self._selector_mask(selector, order)
                 if selector is not None else None)
         q_chunk = choose_q_chunk(nq_pad, nprobe_eff * lmax, self.d)
@@ -302,6 +379,10 @@ class IVFIndex(Index):
                           self._ids[order][np.clip(pos, 0, None)]
                           if self.ntotal else pos,
                           -1)
+        return self._pad_result(dist, labels, nq, k, k_eff, sentinel)
+
+    @staticmethod
+    def _pad_result(dist, labels, nq, k, k_eff, sentinel) -> SearchResult:
         if k_eff < k:
             dist = np.concatenate(
                 [dist, np.full((nq, k - k_eff), sentinel, np.float32)], 1)
@@ -350,3 +431,22 @@ class IVFIndex(Index):
         if self._centroids is not None and self.quantizer.ntotal == 0:
             self.quantizer.add(self._centroids)
         self._invalidate()
+
+
+import functools as _functools  # noqa: E402
+
+import jax as _jax  # noqa: E402
+
+
+@_functools.partial(_jax.jit,
+                    static_argnames=("nprobe", "metric", "precision"))
+def _coarse_topk(xq, centroids, metric_arg, *, nprobe, metric, precision):
+    """Coarse-quantizer assignment: top-nprobe list ids per query (MXU tile
+    + one small top_k) — feeds the Pallas list-scan kernel."""
+    from ..ops.distance import pairwise_tile
+    from ..ops.flat_search import SIMILARITY_METRICS as _SIM
+
+    cdist = pairwise_tile(xq, centroids, metric, metric_arg, precision)
+    cscore = cdist if metric in _SIM else -cdist
+    _, ids = _jax.lax.top_k(cscore, nprobe)
+    return ids.astype(_jax.numpy.int32)

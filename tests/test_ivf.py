@@ -168,3 +168,40 @@ def test_ivfpq_recall_and_roundtrip(catalog, tmp_path):
     dfx.faiss_load("ivfpq2", p, catalog=catalog)
     rp2 = dfx.faiss_search("ivfpq2", k, xq, {"nprobe": "8"}, catalog=catalog)
     np.testing.assert_array_equal(rp["label"], rp2["label"])
+
+
+def test_ivf_pallas_scan_matches_xla(catalog):
+    """Pallas list-scan kernel (interpret mode on CPU) vs the gather path."""
+    d, n, nq, k = 16, 1500, 8, 7
+    xb = _clustered(n, d, ncl=8)
+    xq = _clustered(nq, d, ncl=8)
+    ids = np.arange(n) + 50
+    dfx.faiss_create("pvx", d, "IDMap,IVF8,Flat", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_add((ids, xb), "pvx", catalog=catalog)
+
+    ref = dfx.faiss_search("pvx", k, xq, {"nprobe": "4"}, catalog=catalog)
+    dfx.set_kernel_mode("pallas")
+    try:
+        got = dfx.faiss_search("pvx", k, xq, {"nprobe": "4"},
+                               catalog=catalog)
+    finally:
+        dfx.set_kernel_mode("auto")
+    np.testing.assert_allclose(got["distance"], ref["distance"],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(got["label"], ref["label"])
+
+    # Filtered variant through the padded-mask path.
+    db = dfx.Database()
+    db.register("t", {"id": ids})
+    reff = dfx.faiss_search_filter("pvx", k, xq, "id%2==0", "id", "t",
+                                   {"nprobe": "8"}, catalog=catalog,
+                                   database=db)
+    dfx.set_kernel_mode("pallas")
+    try:
+        gotf = dfx.faiss_search_filter("pvx", k, xq, "id%2==0", "id", "t",
+                                       {"nprobe": "8"}, catalog=catalog,
+                                       database=db)
+    finally:
+        dfx.set_kernel_mode("auto")
+    np.testing.assert_array_equal(gotf["label"], reff["label"])
