@@ -14,6 +14,7 @@ parallel placement/search APIs.
 """
 
 from .api import (
+    register_create_parameter,
     RESULT_DTYPE,
     create_mask,
     faiss_add,
@@ -66,6 +67,7 @@ __all__ = [
     "SetSelector",
     "ParamMap",
     "Database",
+    "register_create_parameter",
     "register_table",
     "set_kernel_mode",
     "set_precision",

@@ -54,6 +54,18 @@ def _cat(catalog: Optional[Catalog]) -> Catalog:
 # Creation / deletion
 # --------------------------------------------------------------------------
 
+# Named-parameter handler registry for faiss_create* — the reference's
+# extensibility point (RegisterCreateParameter, src/faiss_extension.cpp:80-94;
+# only metric_type is registered there, same here).
+_CREATE_PARAM_HANDLERS: dict = {}
+
+
+def register_create_parameter(key: str, handler) -> None:
+    """Register a named-parameter handler for faiss_create/faiss_create_params.
+    ``handler(index, value)`` runs after index construction."""
+    _CREATE_PARAM_HANDLERS[key] = handler
+
+
 def faiss_create(name: str, dimension: int, index_type: str,
                  catalog: Catalog | None = None, **named) -> None:
     """CALL faiss_create(name, dim, type[, metric_type=...])
@@ -69,10 +81,14 @@ def faiss_create_params(name: str, dimension: int, index_type: str,
     applied through the index graph (setIndexParameters recursion,
     src/faiss_extension.cpp:123-144)."""
     metric_name = DEFAULT_METRIC  # default INNER_PRODUCT (:105)
+    deferred = []
     for key, value in named.items():
-        # Named-parameter handler registry (:80-94); only metric_type exists.
+        # Named-parameter handler registry (:80-94); metric_type built in,
+        # others via register_create_parameter.
         if key == "metric_type":
             metric_name = str(value)
+        elif key in _CREATE_PARAM_HANDLERS:
+            deferred.append((_CREATE_PARAM_HANDLERS[key], value))
         else:
             raise errors.unknown_named_parameter(key)
     metric = resolve_metric(metric_name)
@@ -81,6 +97,8 @@ def faiss_create_params(name: str, dimension: int, index_type: str,
     metric_arg = params.get_float("metric_arg", 0.0)
     index = build_index(int(dimension), index_type, metric, metric_arg)
     index.apply_create_params(params)
+    for handler, value in deferred:
+        handler(index, value)
 
     entry = IndexEntry(index=index,
                        needs_training=index.requires_training)

@@ -40,7 +40,7 @@ def _scan_kernel(pids_ref, counts_ref, xq_ref, list_ref, out_ref,
     lid = pids_ref[i * nprobe + j]
     cnt = counts_ref[lid]
 
-    q = xq_ref[0, :]                 # (d,)
+    q = xq_ref[0, 0, :]              # (d,)
     block = list_ref[0]              # (lmax, d)
     if metric == "INNER_PRODUCT":
         s = jnp.sum(block * q[None, :], axis=1)      # (lmax,)
@@ -51,8 +51,8 @@ def _scan_kernel(pids_ref, counts_ref, xq_ref, list_ref, out_ref,
     lane = lax.broadcasted_iota(jnp.int32, (1, lmax), 1)[0]
     valid = lane < cnt
     if has_mask:
-        valid = jnp.logical_and(valid, mask_ref[0] != 0)
-    out_ref[0, 0, :] = jnp.where(valid, s, _NEG_INF)
+        valid = jnp.logical_and(valid, mask_ref[0, 0] != 0)
+    out_ref[0, 0, 0, :] = jnp.where(valid, s, _NEG_INF)
 
 
 def _kernel_with_mask(pids_ref, counts_ref, xq_ref, list_ref, mask_ref,
@@ -84,8 +84,10 @@ def pallas_ivf_search(
     nlist, lmax, d = xb_lists.shape
     nq = xq.shape[0]
 
+    # Mosaic requires block dims to be tile-divisible or equal to the
+    # array dim — singleton axes satisfy the latter for per-row blocks.
     in_specs = [
-        pl.BlockSpec((1, d), lambda i, j, pids, cnts: (i, 0),
+        pl.BlockSpec((1, 1, d), lambda i, j, pids, cnts: (i, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(
             (1, lmax, d),
@@ -93,13 +95,13 @@ def pallas_ivf_search(
             memory_space=pltpu.VMEM),
     ]
     args = [probe_ids.reshape(-1).astype(jnp.int32),
-            counts.astype(jnp.int32), xq, xb_lists]
+            counts.astype(jnp.int32), xq.reshape(nq, 1, d), xb_lists]
     if mask is not None:
         in_specs.append(pl.BlockSpec(
-            (1, lmax),
-            lambda i, j, pids, cnts: (pids[i * nprobe + j], 0),
+            (1, 1, lmax),
+            lambda i, j, pids, cnts: (pids[i * nprobe + j], 0, 0),
             memory_space=pltpu.VMEM))
-        args.append(mask)
+        args.append(mask.reshape(nlist, 1, lmax))
         kernel = functools.partial(_kernel_with_mask, nprobe=nprobe,
                                    metric=metric)
     else:
@@ -110,14 +112,14 @@ def pallas_ivf_search(
         num_scalar_prefetch=2,
         grid=(nq, nprobe),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, lmax),
-                               lambda i, j, pids, cnts: (i, j, 0),
+        out_specs=pl.BlockSpec((1, 1, 1, lmax),
+                               lambda i, j, pids, cnts: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     scores = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nq, nprobe, lmax), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nq, nprobe, 1, lmax), jnp.float32),
         interpret=interpret,
     )(*args)
 

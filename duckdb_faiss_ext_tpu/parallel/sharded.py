@@ -27,7 +27,8 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..ops.flat_search import choose_chunk, finalize_scores, search_scan
+from ..ops.flat_search import (SIMILARITY_METRICS, choose_chunk,
+                               finalize_scores, search_scan)
 from ..ops.kmeans import assign_labels, centroid_update
 
 
@@ -161,3 +162,99 @@ def multichip_dryrun(n_devices: int) -> None:
     new_cents = step(x_flat, valid, cents)
     jax.block_until_ready(new_cents)
     assert new_cents.shape == (nclusters, d)
+
+
+def sharded_ivf_search_fn(mesh: Mesh, *, k: int, nprobe: int, metric: str,
+                          q_chunk: int = 8,
+                          precision=lax.Precision.DEFAULT):
+    """Sharded IVF search: inverted lists partitioned over ``shard`` (padded
+    (nlist, lmax, d) layout, nlist divisible by the shard count), queries
+    sharded over ``batch``, centroids replicated.
+
+    Each device computes the coarse top-nprobe (replicated — one small MXU
+    tile), scans only the probed lists it owns, and the per-shard top-k
+    candidates are merged with an all_gather over ICI exactly like the flat
+    path.  Exact: every probed list is scanned by exactly one shard.
+
+    Returned fn signature:
+        (xb_lists P('shard',None,None), counts P('shard'),
+         row_pos P('shard',None), centroids replicated,
+         xq P('batch',None), metric_arg)
+        → (distances, positions) P('batch', None)
+    """
+    sim = metric in SIMILARITY_METRICS
+    nshards = int(mesh.shape["shard"])
+
+    def local(xb_lists, counts, row_pos, centroids, xq, metric_arg):
+        import jax.numpy as jnp  # noqa: PLC0415
+
+        from ..ops.distance import pairwise_tile
+        from ..ops.flat_search import _NEG_INF, finalize_scores
+
+        nlist_l, lmax, d = xb_lists.shape
+        nq = xq.shape[0]
+        npb = min(nprobe, nlist_l * nshards)
+
+        # Coarse assignment on the replicated centroid table.
+        cdist = pairwise_tile(xq, centroids, metric, metric_arg, precision)
+        cscore = cdist if sim else -cdist
+        _, probe = lax.top_k(cscore, npb)                  # global list ids
+
+        base = lax.axis_index("shard") * nlist_l
+        lp = probe - base
+        owned = jnp.logical_and(lp >= 0, lp < nlist_l)
+        lp = jnp.where(owned, lp, 0)
+
+        qc = min(q_chunk, nq)
+        ncand = npb * lmax
+
+        def chunk(i, carry):
+            bs, bp = carry
+            q0 = i * qc
+            xq_c = lax.dynamic_slice(xq, (q0, 0), (qc, d))
+            lp_c = lax.dynamic_slice(lp, (q0, 0), (qc, npb))
+            own_c = lax.dynamic_slice(owned, (q0, 0), (qc, npb))
+            xc = xb_lists[lp_c]                            # (qc,npb,lmax,d)
+            if metric == "INNER_PRODUCT":
+                s = jnp.einsum("qd,qpld->qpl", xq_c, xc,
+                               precision=precision,
+                               preferred_element_type=jnp.float32)
+            else:
+                diff = xc - xq_c[:, None, None, :]
+                s = -jnp.sum(diff * diff, axis=-1)
+            lane = lax.broadcasted_iota(jnp.int32, (qc, npb, lmax), 2)
+            valid = jnp.logical_and(lane < counts[lp_c][:, :, None],
+                                    own_c[:, :, None])
+            s = jnp.where(valid, s, _NEG_INF)
+            flat = s.reshape(qc, ncand)
+            best, sel = lax.top_k(flat, k)
+            slot, ln = sel // lmax, sel % lmax
+            lids = jnp.take_along_axis(lp_c, slot, axis=1)
+            pos = row_pos[lids, ln]
+            pos = jnp.where(jnp.isneginf(best), -1, pos)
+            bs = lax.dynamic_update_slice(bs, best, (q0, 0))
+            bp = lax.dynamic_update_slice(bp, pos, (q0, 0))
+            return bs, bp
+
+        init = (jnp.full((nq, k), _NEG_INF, jnp.float32),
+                jnp.full((nq, k), -1, jnp.int32))
+        scores, pos = lax.fori_loop(0, nq // qc, chunk, init)
+
+        all_s = lax.all_gather(scores, "shard")
+        all_p = lax.all_gather(pos, "shard")
+        s_ct = all_s.shape[0]
+        cat_s = jnp.transpose(all_s, (1, 0, 2)).reshape(nq, s_ct * k)
+        cat_p = jnp.transpose(all_p, (1, 0, 2)).reshape(nq, s_ct * k)
+        ms, sel = lax.top_k(cat_s, k)
+        mp = jnp.take_along_axis(cat_p, sel, axis=1)
+        return finalize_scores(ms, mp, metric)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("shard", None, None), P("shard"), P("shard", None),
+                  P(None, None), P("batch", None), P()),
+        out_specs=(P("batch", None), P("batch", None)),
+        check_vma=False,
+    )
+    return jax.jit(fn)

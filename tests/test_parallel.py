@@ -88,3 +88,49 @@ def test_shard_entry_flat(catalog):
     assert entry.index._device_xb.sharding.is_fully_replicated is False
     after = dfx.faiss_search("sh", 3, xb[:2], catalog=catalog)
     np.testing.assert_array_equal(before["label"], after["label"])
+
+
+def test_sharded_ivf_search_matches_single_device():
+    import jax.numpy as jnp
+    from duckdb_faiss_ext_tpu.ops.pallas_ivf import pallas_ivf_search
+    from duckdb_faiss_ext_tpu.parallel.sharded import sharded_ivf_search_fn
+    from duckdb_faiss_ext_tpu.ops.flat_search import finalize_scores
+
+    mesh = make_mesh(8, batch_axis=2)   # 4 list shards × 2 query shards
+    d, nlist, lmax, nq, k, nprobe = 16, 16, 128, 8, 5, 6
+    rng = np.random.default_rng(77)
+    counts = rng.integers(20, lmax, nlist).astype(np.int32)
+    xb_lists = np.zeros((nlist, lmax, d), np.float32)
+    row_pos = np.full((nlist, lmax), -1, np.int32)
+    next_pos = 0
+    for l in range(nlist):
+        xb_lists[l, :counts[l]] = rng.standard_normal(
+            (counts[l], d)).astype(np.float32)
+        row_pos[l, :counts[l]] = np.arange(next_pos, next_pos + counts[l])
+        next_pos += counts[l]
+    centroids = rng.standard_normal((nlist, d)).astype(np.float32)
+    xq = rng.standard_normal((nq, d)).astype(np.float32)
+
+    # Single-device oracle: pallas interpret path (same candidate set).
+    from duckdb_faiss_ext_tpu.models.ivf import _coarse_topk
+    probe = _coarse_topk(jnp.asarray(xq), jnp.asarray(centroids),
+                         jnp.float32(0.0), nprobe=nprobe, metric="L2",
+                         precision=jax.lax.Precision.HIGHEST)
+    ref_s, ref_p = pallas_ivf_search(
+        jnp.asarray(xb_lists), jnp.asarray(counts), jnp.asarray(row_pos),
+        probe, jnp.asarray(xq), None, k=k, nprobe=nprobe, metric="L2",
+        interpret=True)
+    ref_d, ref_p = finalize_scores(ref_s, ref_p, "L2")
+
+    fn = sharded_ivf_search_fn(mesh, k=k, nprobe=nprobe, metric="L2",
+                               precision=jax.lax.Precision.HIGHEST)
+    xb_s = jax.device_put(xb_lists,
+                          NamedSharding(mesh, P("shard", None, None)))
+    cnt_s = jax.device_put(counts, NamedSharding(mesh, P("shard")))
+    rp_s = jax.device_put(row_pos, NamedSharding(mesh, P("shard", None)))
+    xq_s = jax.device_put(xq, NamedSharding(mesh, P("batch", None)))
+    got_d, got_p = fn(xb_s, cnt_s, rp_s, jnp.asarray(centroids), xq_s,
+                      jnp.float32(0.0))
+    np.testing.assert_allclose(np.asarray(got_d), np.asarray(ref_d),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(ref_p))
