@@ -103,4 +103,11 @@ def _build_component(d, parts, metric, metric_arg, desc) -> Index:
         nbits = int(m.group(2)) if m.group(2) else 8
         return PQIndex(d, metric, metric_arg, M=M, nbits=nbits)
 
+    if head in ("SQ8", "SQfp16"):
+        from .models.sq import SQIndex
+
+        if rest:
+            raise _parse_error(desc, f"unexpected trailing components {rest}")
+        return SQIndex(d, metric, metric_arg, qtype=head)
+
     raise _parse_error(desc, f"unknown component {head}")

@@ -1,0 +1,174 @@
+"""Scalar-quantizer index models: SQ8 and SQfp16.
+
+Equivalent of faiss::IndexScalarQuantizer (factory ``SQ8`` / ``SQfp16``).
+SQ8 requires training (per-dim ranges); SQfp16 is training-free.  Codes are
+the only storage (true compression, FAISS memory profile); search decodes
+chunks on the fly into the MXU distance tile (ops/sq.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .. import errors
+from ..metrics import Metric
+from ..ops.flat_search import (SIMILARITY_METRICS, choose_chunk,
+                               finalize_scores)
+from ..ops.sq import sq8_encode, sq8_train, sq_search
+from ..params import EMPTY
+from ..utils.config import config, next_pow2, pad_rows
+from ..utils.transfer import fetch_results
+from .base import Index, SearchResult, as_matrix
+
+
+class SQIndex(Index):
+    def __init__(self, d: int, metric: Metric, metric_arg: float = 0.0,
+                 qtype: str = "SQ8"):
+        super().__init__(d, metric, metric_arg)
+        if qtype not in ("SQ8", "SQfp16"):
+            raise errors.InvalidInputError(
+                f"Scalar quantizer type {qtype} is not supported "
+                f"(use SQ8 or SQfp16)")
+        self.qtype = qtype
+        self._vmin: np.ndarray | None = None
+        self._scale: np.ndarray | None = None
+        dtype = np.uint8 if qtype == "SQ8" else np.float16
+        self._codes = np.empty((0, d), dtype=dtype)
+        self._version = 0
+        self._device = None
+        self._mask_cache: dict = {}
+
+    @property
+    def ntotal(self) -> int:
+        return self._codes.shape[0]
+
+    @property
+    def is_trained(self) -> bool:
+        return self.qtype == "SQfp16" or self._vmin is not None
+
+    @property
+    def requires_training(self) -> bool:
+        return self.qtype == "SQ8"
+
+    def train(self, x) -> None:
+        if self.is_trained:
+            return
+        x = as_matrix(x, self.d)
+        if x.shape[0] == 0:
+            raise errors.TrainingTooSmallError(0, 1)
+        vmin, scale = sq8_train(x)
+        self._vmin = np.asarray(vmin)
+        self._scale = np.asarray(scale)
+        self._invalidate()
+
+    def add(self, x) -> None:
+        if not self.is_trained:
+            raise errors.InvalidInputError(
+                "Index is not trained; call train (or faiss_manual_train) "
+                "before adding or searching")
+        x = as_matrix(x, self.d)
+        if x.shape[0] == 0:
+            return
+        if self.qtype == "SQ8":
+            codes = np.asarray(sq8_encode(jnp.asarray(x),
+                                          jnp.asarray(self._vmin),
+                                          jnp.asarray(self._scale)))
+        else:
+            codes = x.astype(np.float16)
+        self._codes = np.concatenate([self._codes, codes], axis=0)
+        self._invalidate()
+
+    def reconstruct(self, key: int) -> np.ndarray:
+        if self.qtype == "SQ8":
+            return (self._codes[key].astype(np.float32) * self._scale
+                    + self._vmin)
+        return self._codes[key].astype(np.float32)
+
+    def _invalidate(self):
+        self._version += 1
+        self._device = None
+        self._mask_cache.clear()
+
+    def _capacity(self) -> int:
+        return max(config.min_capacity, next_pow2(max(self.ntotal, 1)))
+
+    def _device_state(self):
+        if self._device is None:
+            cap = self._capacity()
+            if self.qtype == "SQ8":
+                vmin = jnp.asarray(self._vmin)
+                scale = jnp.asarray(self._scale)
+            else:
+                vmin = scale = jnp.zeros((self.d,), jnp.float32)
+            self._device = (jnp.asarray(pad_rows(self._codes, cap)),
+                            vmin, scale)
+        return self._device
+
+    def search(self, xq, k, params=EMPTY, selector=None) -> SearchResult:
+        if not self.is_trained:
+            raise errors.InvalidInputError(
+                "Index is not trained; call train (or faiss_manual_train) "
+                "before adding or searching")
+        xq = as_matrix(xq, self.d)
+        nq = xq.shape[0]
+        k = int(k)
+        sim = self.metric.name in SIMILARITY_METRICS
+        sentinel = float("-inf") if sim else float("inf")
+        if nq == 0 or k <= 0:
+            return SearchResult(
+                np.full((nq, max(k, 0)), sentinel, np.float32),
+                np.full((nq, max(k, 0)), -1, np.int64))
+
+        codes_dev, vmin, scale = self._device_state()
+        cap = codes_dev.shape[0]
+        k_eff = min(k, cap)
+        nq_pad = max(config.min_query_bucket, next_pow2(nq))
+        xq_pad = jnp.asarray(pad_rows(xq, nq_pad))
+        mask = None
+        if selector is not None:
+            key = (selector.cache_key(), self._version)
+            mask = self._mask_cache.get(key)
+            if mask is None:
+                rows = selector.contains(self.row_labels())
+                mask = jnp.asarray(pad_rows(rows, cap, fill=False))
+                self._mask_cache = {key: mask}
+        chunk = choose_chunk(cap, nq_pad, self.d, self.metric.name)
+
+        scores, pos = sq_search(
+            codes_dev, jnp.int32(self.ntotal), vmin, scale, xq_pad, mask,
+            jnp.asarray(self.metric_arg, jnp.float32),
+            k=k_eff, metric=self.metric.name, chunk=chunk,
+            precision=config.precision,
+            codec="sq8" if self.qtype == "SQ8" else "fp16")
+        dist, pos = finalize_scores(scores, pos, self.metric.name)
+        dist, pos = fetch_results(dist, pos)
+        dist = dist[:nq]
+        labels = pos[:nq].astype(np.int64)
+        if k_eff < k:
+            dist = np.concatenate(
+                [dist, np.full((nq, k - k_eff), sentinel, np.float32)], 1)
+            labels = np.concatenate(
+                [labels, np.full((nq, k - k_eff), -1, np.int64)], 1)
+        return SearchResult(dist, labels)
+
+    def state_dict(self) -> dict:
+        state = {"codes": self._codes.view(np.uint8)
+                 if self.qtype == "SQfp16" else self._codes}
+        if self._vmin is not None:
+            state["vmin"] = self._vmin
+            state["scale"] = self._scale
+        return state
+
+    def load_state(self, state: dict) -> None:
+        codes = np.asarray(state["codes"])
+        if self.qtype == "SQfp16":
+            self._codes = codes.view(np.float16).reshape(-1, self.d)
+        else:
+            self._codes = codes.astype(np.uint8).reshape(-1, self.d)
+        vmin = state.get("vmin")
+        if vmin is not None:
+            self._vmin = np.asarray(vmin, np.float32)
+            self._scale = np.asarray(state["scale"], np.float32)
+        self._invalidate()

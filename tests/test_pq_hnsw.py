@@ -106,3 +106,41 @@ def test_hnsw_save_load_keeps_params(catalog, tmp_path):
     dfx.faiss_load("h2", p, catalog=catalog)
     entry = catalog.get("h2")
     assert entry.index.ef_construction == 77
+
+
+def test_sq8_close_to_exact(catalog):
+    d, n, nq, k = 16, 1500, 6, 5
+    xb = _clustered(n, d)
+    xq = _clustered(nq, d)
+    dfx.faiss_create("sq", d, "SQ8", metric_type="L2", catalog=catalog)
+    dfx.faiss_add(xb, "sq", catalog=catalog)   # deferred train on first add
+    dfx.faiss_create("fl", d, "Flat", metric_type="L2", catalog=catalog)
+    dfx.faiss_add(xb, "fl", catalog=catalog)
+    rs = dfx.faiss_search("sq", k, xq, catalog=catalog)
+    rf = dfx.faiss_search("fl", k, xq, catalog=catalog)
+    recall = np.mean([len(set(rs["label"][q]) & set(rf["label"][q])) / k
+                      for q in range(nq)])
+    # Tightly clustered points sit within a few quantization steps of each
+    # other, so some rank swaps are expected — recall stays high.
+    assert recall >= 0.7, recall
+    np.testing.assert_allclose(rs["distance"], rf["distance"],
+                               rtol=0.2, atol=0.2)
+    # Memory: one byte per dim.
+    inner = catalog.get("sq").index
+    assert inner._codes.dtype == np.uint8
+
+
+def test_sqfp16_roundtrip(catalog, tmp_path):
+    d = 8
+    xb = _clustered(300, d)
+    dfx.faiss_create("s16", d, "SQfp16", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_add(xb, "s16", catalog=catalog)  # no training needed
+    a = dfx.faiss_search("s16", 3, xb[:2], catalog=catalog)
+    assert a["label"][0, 0] == 0  # fp16 error ≪ inter-point L2 distance
+    p = str(tmp_path / "s16.dfx")
+    dfx.faiss_save("s16", p, catalog=catalog)
+    dfx.faiss_load("s16b", p, catalog=catalog)
+    b = dfx.faiss_search("s16b", 3, xb[:2], catalog=catalog)
+    np.testing.assert_array_equal(a["label"], b["label"])
+    np.testing.assert_allclose(a["distance"], b["distance"], rtol=1e-6)
