@@ -64,6 +64,28 @@ def choose_blocks(cap: int, nq: int, d: int, metric: str) -> tuple[int, int]:
     return qb, min(cap, _next_pow2(min(cb, cap)))
 
 
+def exact_topk(scores, k: int):
+    """Exact top-k over a wide score matrix via window-max prefiltering.
+
+    Reshape (Q, N) → (Q, N/128, 128) windows; every element of the true
+    top-k lives in one of the top-k windows ranked by window max (≤ k
+    windows can have max ≥ the k-th best value), so selecting k windows and
+    rescanning k·128 candidates is exact.  The window max is a native VPU
+    lane reduction, so this replaces one TopK over N with one over N/128
+    plus one over k·128 — much cheaper for large N."""
+    q, n = scores.shape
+    w = 128
+    if n % w or n // w < k or n <= 4096:
+        return lax.top_k(scores, k)
+    win = scores.reshape(q, n // w, w)
+    wmax = jnp.max(win, axis=2)
+    _, widx = lax.top_k(wmax, k)                           # (q, k)
+    cand = jnp.take_along_axis(win, widx[:, :, None], axis=1)
+    vals, ci = lax.top_k(cand.reshape(q, k * w), k)
+    wsel = jnp.take_along_axis(widx, ci // w, axis=1)
+    return vals, wsel * w + (ci % w)
+
+
 def search_scan(xb, nvalid, xq, mask, metric_arg, row_offset,
                 *, k, metric, q_block, c_block, precision):
     """Blocked scan over a (cap, d) corpus buffer; returns (scores (nq, k),
@@ -94,11 +116,13 @@ def search_scan(xb, nvalid, xq, mask, metric_arg, row_offset,
                 valid = jnp.logical_and(valid, mc[None, :])
             score = dist if sim else -dist
             score = jnp.where(valid, score, _NEG_INF)
-            # Carry slots first: earlier blocks win ties (top_k prefers the
-            # lower index) → deterministic best-first order.
-            cat_s = jnp.concatenate([best_s, score], axis=1)
-            cat_p = jnp.concatenate(
-                [best_p, jnp.broadcast_to(rowid, (q_block, c_block))], axis=1)
+            # Local exact top-k over the block, then a tiny 2k-wide merge
+            # with the carry.  Carry slots first: earlier blocks win ties
+            # (top_k prefers the lower index) → deterministic order.
+            local_s, local_i = exact_topk(score, k)
+            local_p = row_offset + c0 + local_i.astype(jnp.int32)
+            cat_s = jnp.concatenate([best_s, local_s], axis=1)
+            cat_p = jnp.concatenate([best_p, local_p], axis=1)
             new_s, sel = lax.top_k(cat_s, k)
             return new_s, jnp.take_along_axis(cat_p, sel, axis=1)
 

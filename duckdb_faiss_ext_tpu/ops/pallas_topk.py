@@ -71,22 +71,32 @@ def _topk_kernel(nvalid_ref, xq_ref, xb_ref, mask_ref, outd_ref, outp_ref,
     kp = bs_ref.shape[1]
     klane = lax.broadcasted_iota(jnp.int32, (qt, kp), 1)
 
-    def insert_pass(_, state):
-        s, bs, bp = state
-        m = jnp.max(s, axis=1, keepdims=True)                  # (qt, 1)
-        a = jnp.argmax(s, axis=1).astype(jnp.int32)[:, None]   # (qt, 1)
-        s = jnp.where(lane == a, _NEG_INF, s)
-        bmin = jnp.min(bs, axis=1, keepdims=True)
-        bam = jnp.argmin(bs, axis=1).astype(jnp.int32)[:, None]
-        take = jnp.logical_and(klane == bam, m > bmin)
-        bs = jnp.where(take, m, bs)
-        bp = jnp.where(take, j * nt + a, bp)
-        return s, bs, bp
+    # Tile skip: once the running top-k stabilises, most corpus tiles hold
+    # nothing that beats any query's current k-th best — one cheap max
+    # reduction decides, and the k insert passes (the latency-bound part)
+    # are skipped entirely for such tiles.
+    tile_max = jnp.max(scores, axis=1)                         # (qt,)
+    cur_min = jnp.min(bs_ref[:], axis=1)                       # (qt,)
+    any_improves = jnp.any(tile_max > cur_min)
 
-    _, bs, bp = lax.fori_loop(
-        0, k, insert_pass, (scores, bs_ref[:], bp_ref[:]))
-    bs_ref[:] = bs
-    bp_ref[:] = bp
+    @pl.when(any_improves)
+    def _insert():
+        def insert_pass(_, state):
+            s, bs, bp = state
+            m = jnp.max(s, axis=1, keepdims=True)                  # (qt, 1)
+            a = jnp.argmax(s, axis=1).astype(jnp.int32)[:, None]   # (qt, 1)
+            s = jnp.where(lane == a, _NEG_INF, s)
+            bmin = jnp.min(bs, axis=1, keepdims=True)
+            bam = jnp.argmin(bs, axis=1).astype(jnp.int32)[:, None]
+            take = jnp.logical_and(klane == bam, m > bmin)
+            bs = jnp.where(take, m, bs)
+            bp = jnp.where(take, j * nt + a, bp)
+            return s, bs, bp
+
+        _, bs, bp = lax.fori_loop(
+            0, k, insert_pass, (scores, bs_ref[:], bp_ref[:]))
+        bs_ref[:] = bs
+        bp_ref[:] = bp
 
     @pl.when(j == nj - 1)
     def _emit():
@@ -160,12 +170,14 @@ def supports(metric: str, k: int, d: int) -> bool:
 
 
 def choose_tiles(nq: int, cap: int, d: int, k: int):
-    """(qt, nt): VMEM budget ~ qt*d + nt*d + qt*nt + 2*qt*kp floats ≲ 3M."""
-    qt = min(nq, 256)
-    nt = 512
-    while nt * d * 4 > (6 << 20) and nt > 128:
+    """(qt, nt): VMEM budget ~ qt*d + nt*d + qt*nt + 2*qt*kp floats ≲ 8M.
+    Bigger corpus tiles amortise the per-tile reduction latency (the skip
+    check) across more rows."""
+    qt = min(nq, 128)
+    nt = 2048
+    while nt * d * 4 > (4 << 20) and nt > 128:
         nt //= 2
-    while qt * d * 4 > (4 << 20) and qt > 8:
+    while qt * (d + nt) * 4 > (4 << 20) and qt > 8:
         qt //= 2
     return qt, min(nt, cap)
 

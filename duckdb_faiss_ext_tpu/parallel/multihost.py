@@ -87,3 +87,60 @@ def merge_host_topk(dists: np.ndarray, labels: np.ndarray,
                        kind="stable")[:, :k]
     return (np.take_along_axis(flat_d, order, axis=1),
             np.take_along_axis(flat_l, order, axis=1))
+
+
+class PartitionedIndex:
+    """Hash-partitioned corpus over S member indexes — the multi-host
+    search driver.
+
+    Each member owns the rows whose label hashes to its partition
+    (one member per host in a real deployment; in-process members work the
+    same way and are how this is tested).  Searches fan out to every
+    member, each returns its local top-k, and the k·S candidates are merged
+    host-side (native C++ S-way merge) — the DCN leg of BASELINE.json's
+    north star.  Exact: every corpus row is owned by exactly one member.
+    """
+
+    def __init__(self, members):
+        if not members:
+            raise ValueError("need at least one member index")
+        self.members = list(members)
+        d = {m.d for m in self.members}
+        if len(d) != 1:
+            raise ValueError(f"member dimensions differ: {d}")
+        self.d = d.pop()
+        self.metric = self.members[0].metric
+
+    @property
+    def ntotal(self) -> int:
+        return sum(m.ntotal for m in self.members)
+
+    def add_with_ids(self, x, ids) -> None:
+        x = np.asarray(x, np.float32)
+        ids = np.asarray(ids, np.int64).reshape(-1)
+        parts = hash_partition(ids, len(self.members))
+        for p, member in enumerate(self.members):
+            sel = parts == p
+            if sel.any():
+                member.add_with_ids(x[sel], ids[sel])
+
+    def add(self, x) -> None:
+        start = self.ntotal
+        x = np.asarray(x, np.float32)
+        self.add_with_ids(x, np.arange(start, start + x.shape[0],
+                                       dtype=np.int64))
+
+    def train(self, x) -> None:
+        for member in self.members:
+            member.train(x)
+
+    def search(self, xq, k, params=None, selector=None):
+        from ..models.base import SearchResult
+        from ..params import EMPTY
+
+        params = params if params is not None else EMPTY
+        results = [m.search(xq, k, params, selector) for m in self.members]
+        dists = np.stack([r.distances for r in results])   # (S, nq, k)
+        labels = np.stack([r.labels for r in results])
+        d, l = merge_host_topk(dists, labels, self.metric.name, k)
+        return SearchResult(d, l)

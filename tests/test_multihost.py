@@ -65,3 +65,31 @@ def test_native_merge_matches_numpy_fallback():
                             np.ascontiguousarray(labels), False)
     exp = _merge_oracle(dists, labels, False, k)
     np.testing.assert_allclose(nat[0], exp[0], rtol=1e-6)
+
+
+def test_partitioned_index_matches_single(catalog):
+    import duckdb_faiss_ext_tpu as dfx
+    from duckdb_faiss_ext_tpu.factory import build_index
+    from duckdb_faiss_ext_tpu.metrics import resolve_metric
+    from duckdb_faiss_ext_tpu.parallel.multihost import PartitionedIndex
+
+    rng = np.random.default_rng(3)
+    d, n, nq, k = 16, 2000, 6, 8
+    xb = rng.standard_normal((n, d)).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64) * 3 + 11
+    xq = rng.standard_normal((nq, d)).astype(np.float32)
+    metric = resolve_metric("L2")
+
+    single = build_index(d, "IDMap,Flat", metric)
+    single.add_with_ids(xb, ids)
+    ref = single.search(xq, k)
+
+    part = PartitionedIndex(
+        [build_index(d, "IDMap,Flat", metric) for _ in range(4)])
+    part.add_with_ids(xb, ids)
+    assert part.ntotal == n
+    got = part.search(xq, k)
+    np.testing.assert_allclose(got.distances, ref.distances, rtol=1e-5)
+    # Same label sets (ties may order differently across partitions).
+    for q in range(nq):
+        assert set(got.labels[q]) == set(ref.labels[q])
