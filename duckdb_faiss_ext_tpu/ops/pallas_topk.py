@@ -45,7 +45,12 @@ def _topk_kernel(nvalid_ref, xq_ref, xb_ref, mask_ref, outd_ref, outp_ref,
 
     @pl.when(j == 0)
     def _init():
-        bs_ref[:] = jnp.full(bs_ref.shape, _NEG_INF, bs_ref.dtype)
+        # Exactly k live slots: the remaining lane-padding slots start at
+        # +inf so argmin never selects them and the running minimum equals
+        # the true k-th best — the tile-skip threshold stays tight.
+        qt_, kp_ = bs_ref.shape
+        kl = lax.broadcasted_iota(jnp.int32, (qt_, kp_), 1)
+        bs_ref[:] = jnp.where(kl < k, _NEG_INF, jnp.inf).astype(bs_ref.dtype)
         bp_ref[:] = jnp.full(bp_ref.shape, -1, bp_ref.dtype)
 
     xq = xq_ref[:]                     # (qt, d)
@@ -100,7 +105,9 @@ def _topk_kernel(nvalid_ref, xq_ref, xb_ref, mask_ref, outd_ref, outp_ref,
 
     @pl.when(j == nj - 1)
     def _emit():
-        outd_ref[:] = bs_ref[:]
+        # Unused (+inf) and never-filled slots carry bp = -1 → emit -inf so
+        # the host-side sort ranks them last.
+        outd_ref[:] = jnp.where(bp_ref[:] < 0, _NEG_INF, bs_ref[:])
         outp_ref[:] = bp_ref[:]
 
 
