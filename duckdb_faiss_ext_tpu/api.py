@@ -160,11 +160,22 @@ def faiss_add(data, name: str, catalog: Catalog | None = None) -> None:
                     entry.add_labels.pop()
                 raise errors.too_few_training_points(e, name) from None
             delta_x = all_x[entry.added:]
-            if has_labels:
-                delta_l = entry.staged_labels()[entry.added:]
-                entry.index.add_with_ids(delta_x, delta_l)
-            else:
-                entry.index.add(delta_x)
+            try:
+                if has_labels:
+                    delta_l = entry.staged_labels()[entry.added:]
+                    entry.index.add_with_ids(delta_x, delta_l)
+                else:
+                    entry.index.add(delta_x)
+            except errors.InvalidInputError:
+                # Same latch-reset rule as the direct path (:518-521): a
+                # failed add on an empty index must not poison the label
+                # latch or leave the failed batch staged.
+                entry.add_data.pop()
+                if has_labels:
+                    entry.add_labels.pop()
+                if entry.index.ntotal == 0:
+                    entry.custom_labels = None
+                raise
             entry.added = all_x.shape[0]
             # The staging copy is retained while training can still happen
             # (README.md:187); once trained it is dead weight — drop it

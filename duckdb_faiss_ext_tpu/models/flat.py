@@ -32,6 +32,9 @@ class FlatIndex(Index):
         self._xb = np.empty((0, d), dtype=np.float32)
         self._version = 0
         self._device_xb: jax.Array | None = None  # (cap, d), cap = pow2
+        #: sticky placement (a NamedSharding) set by faiss_to_device; adds
+        #: invalidate the buffer but re-materialisation keeps the sharding.
+        self._placement = None
         self._mask_cache: dict = {}
 
     # --- storage ---------------------------------------------------------
@@ -47,9 +50,19 @@ class FlatIndex(Index):
         x = as_matrix(x, self.d)
         if x.shape[0] == 0:
             return
-        self._xb = np.concatenate([self._xb, x], axis=0) if self.ntotal else x
+        start = self.ntotal
+        self._xb = np.concatenate([self._xb, x], axis=0) if start else x
         self._version += 1
-        self._device_xb = None
+        # Streaming ingest stays O(batch), not O(corpus): while the new
+        # rows fit the current capacity bucket, write only the delta into
+        # the live device buffer; otherwise invalidate for a re-upload at
+        # the grown capacity.
+        if (self._device_xb is not None
+                and self.ntotal <= self._device_xb.shape[0]):
+            self._device_xb = jax.lax.dynamic_update_slice(
+                self._device_xb, jnp.asarray(x), (start, 0))
+        else:
+            self._device_xb = None
         self._mask_cache.clear()
 
     def vectors(self) -> np.ndarray:
@@ -60,15 +73,33 @@ class FlatIndex(Index):
         return self._xb[key]
 
     def _capacity(self) -> int:
-        return max(config.min_capacity, next_pow2(max(self.ntotal, 1)))
+        cap = max(config.min_capacity, next_pow2(max(self.ntotal, 1)))
+        if self._placement is not None:
+            # Row-sharded buffers need the capacity divisible by the number
+            # of shard devices.
+            n_dev = len(self._placement.mesh.devices.reshape(-1))
+            cap = n_dev * -(-cap // n_dev)
+        return cap
 
     def device_vectors(self) -> jax.Array:
         """Padded (cap, d) device buffer; re-uploaded only when the capacity
-        bucket changed or data was invalidated."""
+        bucket changed or data was invalidated.  A placement set by
+        faiss_to_device is sticky across adds."""
         cap = self._capacity()
-        if self._device_xb is None or self._device_xb.shape[0] != cap:
-            self._device_xb = jnp.asarray(pad_rows(self._xb, cap))
+        if self._device_xb is None or self._device_xb.shape[0] < cap:
+            host = pad_rows(self._xb, cap)
+            if self._placement is not None:
+                self._device_xb = jax.device_put(host, self._placement)
+            else:
+                self._device_xb = jnp.asarray(host)
         return self._device_xb
+
+    def set_placement(self, sharding) -> None:
+        """Pin the corpus buffer to a device sharding (faiss_to_gpu
+        analogue); None restores single-device placement."""
+        self._placement = sharding
+        self._device_xb = None
+        self._mask_cache.clear()
 
     # --- selector masks ---------------------------------------------------
     def _selector_mask(self, selector: Selector) -> jax.Array:
@@ -77,7 +108,10 @@ class FlatIndex(Index):
         if hit is not None:
             return hit
         rows = selector.contains(self.row_labels())
-        mask = jnp.asarray(pad_rows(rows, self._capacity(), fill=False))
+        # Pad to the live buffer's capacity (it may exceed _capacity() after
+        # delta updates into a previously grown/sharded buffer).
+        cap = self.device_vectors().shape[0]
+        mask = jnp.asarray(pad_rows(rows, cap, fill=False))
         self._mask_cache = {key: mask}  # keep only the latest
         return mask
 

@@ -94,7 +94,9 @@ class IDMapIndex(Index):
 
 class _PositionMaskSelector:
     """Adapter: a precomputed row mask presented through the Selector
-    interface (position-space, already label-resolved)."""
+    interface (position-space, already label-resolved).  The cache key
+    derives from the originating selector's unique id, so it stays valid
+    exactly as long as that selector's own cached masks."""
 
     def __init__(self, mask: np.ndarray, key):
         self._mask = np.asarray(mask, dtype=bool)

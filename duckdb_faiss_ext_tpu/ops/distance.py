@@ -50,8 +50,14 @@ def pairwise_tile(
 def _elementwise_tile(xq, xb, metric, metric_arg):
     # (Q, 1, D) vs (1, C, D) broadcast; XLA fuses the reduce so the (Q, C, D)
     # intermediate never hits HBM for moderate C.
-    x = xq[:, None, :]
-    y = xb[None, :, :]
+    return elementwise_scores(xq[:, None, :], xb[None, :, :], metric,
+                              metric_arg)
+
+
+def elementwise_scores(x, y, metric, metric_arg=0.0):
+    """Elementwise-metric distances over any broadcastable operand pair
+    whose last axis is the vector dimension (single source of truth for the
+    seven non-MXU metric formulas; flat and IVF scans both call this)."""
     if metric == "L1":
         return jnp.sum(jnp.abs(x - y), axis=-1)
     if metric == "Linf":

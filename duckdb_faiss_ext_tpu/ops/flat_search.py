@@ -44,23 +44,25 @@ SIMILARITY_METRICS = frozenset({"INNER_PRODUCT", "Jaccard"})
 _NEG_INF = float("-inf")
 
 
-def _next_pow2(n: int) -> int:
-    return 1 << max(0, (n - 1).bit_length())
+from ..utils.config import next_pow2 as _next_pow2
 
 
-def choose_blocks(cap: int, nq: int, d: int, metric: str) -> tuple[int, int]:
+def choose_blocks(cap: int, nq: int, d: int, metric: str,
+                  k: int = 1) -> tuple[int, int]:
     """(q_block, c_block): per-step tile is (q_block, c_block) fp32 scores.
 
     MXU metrics: bound the score tile to ~1 GB so the corpus-wide top_k
     stays a single call for corpora ≤ ~4M rows.  Elementwise metrics also
     bound the (q, c, d) broadcast.  Both blocks are powers of two dividing
-    the (power-of-two) padded shapes."""
+    the (power-of-two) padded shapes; c_block is never below k (the
+    per-block top-k needs k candidates per step)."""
     qb = min(nq, 256)
     if metric in ("INNER_PRODUCT", "L2"):
         budget_elems = (1 << 28)          # 1 GB of fp32 scores
         cb = max(1024, budget_elems // qb)
     else:
         cb = max(128, (1 << 24) // max(qb * d, 1))
+    cb = max(cb, k)
     return qb, min(cap, _next_pow2(min(cb, cap)))
 
 
@@ -178,7 +180,13 @@ def flat_search(
     cap, d = xb_pad.shape
     if k > cap:
         raise ValueError(f"k={k} exceeds padded capacity {cap}; caller must clamp")
-    qb, cb = choose_blocks(cap, xq_pad.shape[0], d, metric)
+    qb, cb = choose_blocks(cap, xq_pad.shape[0], d, metric, k)
+    # Sharded placements can round cap to a non-power-of-two multiple of the
+    # device count; the block loop must still cover every row, so c_block is
+    # clamped to the largest power-of-two divisor of cap.
+    cb = min(cb, cap & -cap) if cap & -cap >= k else cap
+    if cap % cb:
+        cb = cap
     return _flat_search(
         xb_pad,
         jnp.asarray(nvalid, jnp.int32),

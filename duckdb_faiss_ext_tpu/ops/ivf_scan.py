@@ -87,7 +87,10 @@ def ivf_search(
             dist = jnp.maximum(qn - 2.0 * xy + bn, 0.0)
         else:
             # Batched elementwise metrics: (qc, 1, d) vs (qc, ncand, d).
-            dist = _pairwise_batched(xq_c[:, None, :], xc, metric, metric_arg)
+            from .distance import elementwise_scores
+
+            dist = elementwise_scores(xq_c[:, None, :], xc, metric,
+                                      metric_arg)
         if mask is not None:
             valid = jnp.logical_and(valid, mask[cand_safe])
         score = dist if sim else -dist
@@ -107,33 +110,6 @@ def ivf_search(
     return best_s, best_p
 
 
-def _pairwise_batched(x, y, metric, metric_arg):
-    """Elementwise metrics over batched candidates: x (q,1,d), y (q,c,d)."""
-    if metric == "L1":
-        return jnp.sum(jnp.abs(x - y), axis=-1)
-    if metric == "Linf":
-        return jnp.max(jnp.abs(x - y), axis=-1)
-    if metric == "Lp":
-        p = jnp.asarray(metric_arg, jnp.float32)
-        return jnp.sum(jnp.abs(x - y) ** p, axis=-1)
-    if metric == "Canberra":
-        den = jnp.abs(x) + jnp.abs(y)
-        return jnp.sum(jnp.where(den > 0, jnp.abs(x - y) / den, 0.0), axis=-1)
-    if metric == "BrayCurtis":
-        num = jnp.sum(jnp.abs(x - y), axis=-1)
-        den = jnp.sum(jnp.abs(x + y), axis=-1)
-        return jnp.where(den > 0, num / den, 0.0)
-    if metric == "JensenShannon":
-        m = x + y
-        safe = lambda a: jnp.where(
-            a > 0, a * jnp.log(jnp.where(a > 0, 2.0 * a, 1.0)
-                               / jnp.where(m > 0, m, 1.0)), 0.0)
-        return 0.5 * jnp.sum(safe(x) + safe(y), axis=-1)
-    if metric == "Jaccard":
-        num = jnp.sum(jnp.minimum(x, y), axis=-1)
-        den = jnp.sum(jnp.maximum(x, y), axis=-1)
-        return jnp.where(den > 0, num / den, 0.0)
-    raise ValueError(f"unknown metric {metric}")
 
 
 @functools.partial(

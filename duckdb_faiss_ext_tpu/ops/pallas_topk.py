@@ -168,7 +168,7 @@ def _pallas_topk(xb, nvalid, xq, mask, *, k, metric, qt, nt, precision,
     # Sort candidate slots: score desc, then position asc for deterministic
     # tie order; slice to k.
     order_key = jnp.where(outp < 0, jnp.iinfo(jnp.int32).max, outp)
-    neg, pos, idx = lax.sort((-outd, order_key, outp), num_keys=2)
+    neg, _, idx = lax.sort((-outd, order_key, outp), num_keys=2)
     return (-neg)[:, :k], idx[:, :k]
 
 
@@ -202,10 +202,6 @@ def pallas_flat_search(xb_pad, nvalid, xq_pad, k, metric,
     scores, pos = _pallas_topk(xb_pad, nvalid, xq_pad, mask,
                                k=k, metric=metric, qt=qt, nt=nt,
                                precision=precision, interpret=interpret)
-    sim = metric == "INNER_PRODUCT"
-    missing = jnp.isneginf(scores)
-    dist = scores if sim else -scores
-    sentinel = _NEG_INF if sim else float("inf")
-    dist = jnp.where(missing, sentinel, dist)
-    pos = jnp.where(missing, -1, pos)
-    return dist, pos
+    from .flat_search import finalize_scores
+
+    return finalize_scores(scores, pos, metric)

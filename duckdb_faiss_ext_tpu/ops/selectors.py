@@ -17,17 +17,28 @@ IDMap, positions otherwise) and cached per (selector, index version).
 
 from __future__ import annotations
 
+import itertools
+
 import numpy as np
+
+# Process-unique selector ids: mask caches key on these.  (id(self) is NOT
+# usable — CPython reuses addresses after GC, which would silently serve a
+# stale mask built for a dead selector with a different predicate.)
+_SELECTOR_IDS = itertools.count()
 
 
 class Selector:
+    def __init__(self):
+        self._uid = next(_SELECTOR_IDS)
+
     def contains(self, labels: np.ndarray) -> np.ndarray:
         """Vectorised membership: bool mask over int64 labels."""
         raise NotImplementedError
 
     def cache_key(self):
-        """Hashable identity for per-index mask caching."""
-        return id(self)
+        """Hashable identity for per-index mask caching (unique per
+        selector instance for the process lifetime)."""
+        return self._uid
 
 
 class BitmapSelector(Selector):
@@ -38,6 +49,7 @@ class BitmapSelector(Selector):
     (src/faiss_extension.cpp:789-796)."""
 
     def __init__(self, nbits: int, bitmap: np.ndarray):
+        super().__init__()
         self.nbits = int(nbits)
         self.bitmap = np.asarray(bitmap, dtype=np.uint8)
         if self.bitmap.size < (self.nbits + 7) // 8:
@@ -60,6 +72,7 @@ class SetSelector(Selector):
     """Explicit id set (faiss::IDSelectorBatch analogue)."""
 
     def __init__(self, ids: np.ndarray):
+        super().__init__()
         self.ids = np.unique(np.asarray(ids, dtype=np.int64))
 
     def contains(self, labels: np.ndarray) -> np.ndarray:

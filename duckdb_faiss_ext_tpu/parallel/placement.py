@@ -45,13 +45,7 @@ def shard_entry(entry: IndexEntry, devices=None) -> None:
 
 
 def _shard_flat(index: FlatIndex, mesh: Mesh) -> None:
-    nshards = mesh.devices.size
-    cap = index._capacity()
-    # Capacity must divide evenly over shards; capacities are powers of two
-    # ≥ 128, so any power-of-two shard count ≤ 128 divides.
-    if cap % nshards != 0:
-        cap = nshards * ((cap + nshards - 1) // nshards)
-    sharding = NamedSharding(mesh, P("shard", None))
-    index._device_xb = jax.device_put(
-        pad_rows(index.vectors(), cap), sharding)
-    index._mask_cache.clear()
+    # Sticky: the index re-materialises with this sharding after future
+    # adds (capacity rounding for the device count happens inside).
+    index.set_placement(NamedSharding(mesh, P("shard", None)))
+    index.device_vectors()

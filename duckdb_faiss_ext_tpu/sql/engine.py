@@ -26,14 +26,15 @@ import numpy as np
 from ..errors import filter_query_error
 
 
-def _normalise(expr: str) -> str:
-    """SQL spelling → Python spelling (operators only)."""
+def _normalise_segment(seg: str) -> str:
+    """Operator/keyword rewriting for a segment known to contain no string
+    literals."""
     out = []
     i = 0
-    n = len(expr)
+    n = len(seg)
     while i < n:
-        c = expr[i]
-        two = expr[i:i + 2]
+        c = seg[i]
+        two = seg[i:i + 2]
         if two in ("<=", ">=", "!=", "=="):
             out.append(two)
             i += 2
@@ -51,6 +52,31 @@ def _normalise(expr: str) -> str:
     s = re.sub(r"\bOR\b", "or", s, flags=re.IGNORECASE)
     s = re.sub(r"\bNOT\b", "not ", s, flags=re.IGNORECASE)
     return s
+
+
+def _normalise(expr: str) -> str:
+    """SQL spelling → Python spelling.  Quoted string literals pass through
+    untouched (the reference evaluates filters as real SQL where literals
+    are opaque)."""
+    parts = []
+    i = 0
+    n = len(expr)
+    seg_start = 0
+    while i < n:
+        c = expr[i]
+        if c in "'\"":
+            parts.append(_normalise_segment(expr[seg_start:i]))
+            quote = c
+            j = i + 1
+            while j < n and expr[j] != quote:
+                j += 1
+            parts.append(expr[i:min(j + 1, n)])
+            i = j + 1
+            seg_start = i
+        else:
+            i += 1
+    parts.append(_normalise_segment(expr[seg_start:]))
+    return "".join(parts)
 
 
 _BIN_OPS = {

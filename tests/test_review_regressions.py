@@ -1,0 +1,107 @@
+"""Regression tests for the round-1 code-review findings."""
+
+import numpy as np
+import pytest
+
+import duckdb_faiss_ext_tpu as dfx
+
+RNG = np.random.default_rng(99)
+
+
+def test_elementwise_metric_large_k(catalog):
+    """choose_blocks must keep c_block ≥ k (crashed with L1, d=512, k=200)."""
+    d, n, k = 512, 300, 200
+    xb = RNG.random((n, d), dtype=np.float32)
+    xq = RNG.random((256, d), dtype=np.float32)
+    dfx.faiss_create("ek", d, "Flat", metric_type="L1", catalog=catalog)
+    dfx.faiss_add(xb, "ek", catalog=catalog)
+    res = dfx.faiss_search("ek", k, xq, catalog=catalog)
+    assert res.shape == (256, k)
+    assert (res["label"][:, :n] >= 0).all()
+
+
+def test_graft_entry_callable():
+    """entry() must stay in sync with the kernel signature."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    d, p = fn(*args)
+    assert d.shape == (64, 10)
+
+
+def test_sequential_selectors_not_confused(catalog):
+    """Distinct consecutive filters must not share cached masks."""
+    n, d = 200, 8
+    ids = np.arange(n)
+    xb = RNG.random((n, d), dtype=np.float32)
+    dfx.faiss_create("sel2", d, "IDMap,Flat", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_add((ids, xb), "sel2", catalog=catalog)
+    db = dfx.Database()
+    db.register("t", {"id": ids})
+    for expr, pred in [("id%2==0", lambda l: l % 2 == 0),
+                       ("id%2==1", lambda l: l % 2 == 1),
+                       ("id<50", lambda l: l < 50),
+                       ("id>=150", lambda l: l >= 150)]:
+        res = dfx.faiss_search_filter("sel2", 5, xb[:3], expr, "id", "t",
+                                      catalog=catalog, database=db)
+        got = res["label"][res["label"] >= 0]
+        assert got.size and pred(got).all(), expr
+
+
+def test_deferred_add_failure_resets_latch(catalog):
+    """A failed unlabeled add to IDMap,IVF must not poison the latch or
+    keep the failed batch staged (mirror of the reference's :518-521)."""
+    xb = RNG.random((64, 8), dtype=np.float32)
+    ids = np.arange(64)
+    dfx.faiss_create("latch", 8, "IDMap,IVF2,Flat", metric_type="L2",
+                     catalog=catalog)
+    with pytest.raises(dfx.InvalidInputError):
+        dfx.faiss_add(xb, "latch", catalog=catalog)  # unlabeled → inner add fails
+    # A labeled add must now succeed (latch was reset, stage rolled back).
+    dfx.faiss_add((ids, xb), "latch", catalog=catalog)
+    res = dfx.faiss_search("latch", 2, xb[:2], {"nprobe": "2"},
+                           catalog=catalog)
+    assert res["label"][0, 0] == 0
+
+
+def test_placement_sticky_across_adds(catalog):
+    """faiss_to_device sharding survives subsequent adds."""
+    xb = RNG.random((300, 16), dtype=np.float32)
+    dfx.faiss_create("plc", 16, "Flat", metric_type="L2", catalog=catalog)
+    dfx.faiss_add(xb, "plc", catalog=catalog)
+    dfx.faiss_to_device("plc", catalog=catalog)
+    dfx.faiss_add(RNG.random((2000, 16), dtype=np.float32), "plc",
+                  catalog=catalog)  # grows past the original capacity
+    entry = catalog.get("plc")
+    buf = entry.index.device_vectors()
+    assert len(buf.sharding.device_set) > 1
+    res = dfx.faiss_search("plc", 3, xb[:2], catalog=catalog)
+    np.testing.assert_array_equal(res["label"][:, 0], [0, 1])
+
+
+def test_incremental_device_update(catalog):
+    """Adds within the capacity bucket update the buffer in place."""
+    dfx.faiss_create("inc", 8, "Flat", metric_type="L2", catalog=catalog)
+    a = RNG.random((60, 8), dtype=np.float32)
+    b = RNG.random((40, 8), dtype=np.float32)
+    dfx.faiss_add(a, "inc", catalog=catalog)
+    entry = catalog.get("inc")
+    buf0 = entry.index.device_vectors()
+    dfx.faiss_add(b, "inc", catalog=catalog)   # fits the 128 bucket
+    assert entry.index._device_xb is not None  # no invalidation
+    res = dfx.faiss_search("inc", 1, b[:5], catalog=catalog)
+    np.testing.assert_array_equal(res["label"][:, 0], 60 + np.arange(5))
+
+
+def test_sql_quoted_literals_preserved():
+    """Operator normalisation must not rewrite inside string literals."""
+    db = dfx.Database()
+    db.register("t", {"tag": np.array([1, 2, 3]), "id": np.arange(3)})
+    from duckdb_faiss_ext_tpu.sql.engine import _normalise
+
+    assert _normalise("tag = 'AND'") == "tag == 'AND'"
+    assert _normalise("col = 'a=b' AND id=1") == "col == 'a=b' and id==1"
+    assert _normalise('x = "NOT y"') == 'x == "NOT y"'
