@@ -34,7 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = float("-inf")
 
 #: lists scanned per grid step (amortises per-step pipeline overhead)
-WAYS = 4
+WAYS = 8
 
 
 def _score_block(q, block, metric):
@@ -138,8 +138,10 @@ def pallas_ivf_search(
         interpret=interpret,
     )(*args)
 
+    from .flat_search import exact_topk
+
     flat = scores.reshape(nq, nprobe * lmax)
-    best, sel = lax.top_k(flat, k)                      # (nq, k)
+    best, sel = exact_topk(flat, k)                     # (nq, k)
     # Resolve positions: sel → (probe slot, lane) → list id → original row.
     probe_slot = sel // lmax
     lane = sel % lmax

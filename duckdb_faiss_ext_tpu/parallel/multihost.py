@@ -35,10 +35,14 @@ def init_multihost(coordinator_address: str | None = None,
                    process_id: int | None = None) -> None:
     """Bring up the multi-host runtime (no-op when already initialised or
     when running single-process with no coordinator configured)."""
-    if jax.process_count() > 1:
-        return
     if coordinator_address is None:
         return  # single-process run
+    # NOTE: must not touch jax.devices()/process_count() before initialize —
+    # that would initialise the XLA backend and make initialize() raise.
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return  # already initialised
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)

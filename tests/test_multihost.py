@@ -93,3 +93,19 @@ def test_partitioned_index_matches_single(catalog):
     # Same label sets (ties may order differently across partitions).
     for q in range(nq):
         assert set(got.labels[q]) == set(ref.labels[q])
+
+
+def test_two_process_distributed_search():
+    """Run the real jax.distributed 2-process demo (CPU, Gloo collectives)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, DFX_DEMO_PORT="12411")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "multihost_demo.py")],
+        env=env, capture_output=True, text=True, timeout=240)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "MULTIHOST OK" in out.stdout, out.stdout[-2000:]

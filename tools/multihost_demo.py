@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Two-process jax.distributed demo/validation of the multi-host search path.
+
+Launch (run from the repo root; CPU backend with 2 virtual devices per
+process → a 4-device global mesh across 2 "hosts"):
+
+    python tools/multihost_demo.py            # spawns both workers
+
+Each worker initialises the distributed runtime (parallel/multihost.py),
+owns the corpus rows hash-partitioned to it, builds the globally-sharded
+corpus buffer, and runs the sharded flat search with the cross-host
+all-gather merge.  Worker 0 checks the result against a local brute-force
+oracle.  This exercises the same code the driver's multichip dry run
+compiles, but across real process boundaries.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = __file__.rsplit("/", 2)[0]
+sys.path.insert(0, REPO)
+
+PORT = int(os.environ.get("DFX_DEMO_PORT", "12357"))
+NPROC = 2
+DEV_PER_PROC = 2
+
+
+def worker(pid: int) -> int:
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={DEV_PER_PROC}")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from duckdb_faiss_ext_tpu.parallel.multihost import init_multihost
+
+    init_multihost(f"127.0.0.1:{PORT}", num_processes=NPROC, process_id=pid)
+    assert jax.process_count() == NPROC
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from duckdb_faiss_ext_tpu.ops.flat_search import flat_search
+    from duckdb_faiss_ext_tpu.parallel.sharded import sharded_flat_search_fn
+
+    n_dev = NPROC * DEV_PER_PROC
+    d, cap, n, nq, k = 16, 256, 250, 8, 5
+    rng = np.random.default_rng(0)  # same seed everywhere → shared "corpus"
+    xb = np.zeros((cap, d), np.float32)
+    xb[:n] = rng.standard_normal((n, d)).astype(np.float32)
+    xq = rng.standard_normal((nq, d)).astype(np.float32)
+
+    mesh = Mesh(np.array(jax.devices()).reshape(n_dev, 1),
+                ("shard", "batch"))
+    sharding = NamedSharding(mesh, P("shard", None))
+    # Each process contributes its local slice of the row-sharded corpus.
+    rows_per_dev = cap // n_dev
+    local_rows = xb[pid * DEV_PER_PROC * rows_per_dev:
+                    (pid + 1) * DEV_PER_PROC * rows_per_dev]
+    xb_global = jax.make_array_from_process_local_data(sharding, local_rows,
+                                                       (cap, d))
+    xq_global = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P(None, None)), xq, (nq, d))
+
+    from jax.experimental import multihost_utils
+
+    fn = sharded_flat_search_fn(mesh, k=k, metric="L2", chunk=rows_per_dev)
+    dist, pos = fn(xb_global, jnp.int32(n), xq_global, jnp.float32(0.0))
+    dist_local = np.asarray(
+        multihost_utils.process_allgather(dist, tiled=True))
+
+    if pid == 0:
+        ref_d, ref_p = flat_search(jnp.asarray(xb), n, jnp.asarray(xq), k,
+                                   "L2")
+        np.testing.assert_allclose(dist_local.reshape(nq, k),
+                                   np.asarray(ref_d), rtol=1e-5, atol=1e-6)
+        print("MULTIHOST OK: 2 processes × 2 devices, sharded search "
+              "matches the single-process oracle")
+    return 0
+
+
+def main() -> int:
+    if "DFX_DEMO_PID" in os.environ:
+        return worker(int(os.environ["DFX_DEMO_PID"]))
+    procs = []
+    for pid in range(NPROC):
+        env = dict(os.environ, DFX_DEMO_PID=str(pid),
+                   PYTHONPATH=REPO + ":" + os.environ.get("PYTHONPATH", ""))
+        env.pop("PALLAS_AXON_POOL_IPS", None)  # force CPU backend
+        procs.append(subprocess.Popen([sys.executable, __file__], env=env))
+    rc = 0
+    for p in procs:
+        rc |= p.wait(timeout=300)
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())
