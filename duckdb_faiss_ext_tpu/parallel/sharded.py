@@ -163,6 +163,23 @@ def multichip_dryrun(n_devices: int) -> None:
     jax.block_until_ready(new_cents)
     assert new_cents.shape == (nclusters, d)
 
+    # Sharded IVF: lists partitioned over the shard axis (one padded list
+    # per shard here), queries over batch — the full ep/list-parallel path.
+    nlist = 4 * n_shard
+    lmax = 128
+    counts = np.full((nlist,), 16, np.int32)
+    xb_lists = rng.standard_normal((nlist, lmax, d)).astype(np.float32)
+    row_pos = np.arange(nlist * lmax, dtype=np.int32).reshape(nlist, lmax)
+    ivf = sharded_ivf_search_fn(mesh, k=k, nprobe=2, metric="L2", q_chunk=4)
+    di, pi = ivf(
+        jax.device_put(xb_lists, NamedSharding(mesh, P("shard", None, None))),
+        jax.device_put(counts, NamedSharding(mesh, P("shard"))),
+        jax.device_put(row_pos, NamedSharding(mesh, P("shard", None))),
+        jnp.asarray(rng.standard_normal((nlist, d)).astype(np.float32)),
+        xq_s, jnp.float32(0.0))
+    jax.block_until_ready((di, pi))
+    assert di.shape == (nq, k)
+
 
 def sharded_ivf_search_fn(mesh: Mesh, *, k: int, nprobe: int, metric: str,
                           q_chunk: int = 8,

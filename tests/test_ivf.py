@@ -205,3 +205,35 @@ def test_ivf_pallas_scan_matches_xla(catalog):
     finally:
         dfx.set_kernel_mode("auto")
     np.testing.assert_array_equal(gotf["label"], reff["label"])
+
+
+def test_ivf_elementwise_metric(catalog):
+    """IVF with a non-MXU metric goes through the gather path for all nine
+    metrics (L1 here) and matches the flat oracle at full probe."""
+    d, n, nq, k = 8, 400, 4, 5
+    xb = _clustered(n, d)
+    xq = _clustered(nq, d)
+    dfx.faiss_create("ivl1", d, "IVF4,Flat", metric_type="L1",
+                     catalog=catalog)
+    dfx.faiss_add(xb, "ivl1", catalog=catalog)
+    dfx.faiss_create("fl1", d, "Flat", metric_type="L1", catalog=catalog)
+    dfx.faiss_add(xb, "fl1", catalog=catalog)
+    ri = dfx.faiss_search("ivl1", k, xq, {"nprobe": "4"}, catalog=catalog)
+    rf = dfx.faiss_search("fl1", k, xq, catalog=catalog)
+    np.testing.assert_allclose(ri["distance"], rf["distance"], rtol=1e-5)
+    np.testing.assert_array_equal(ri["label"], rf["label"])
+
+
+def test_errors_on_missing_index(catalog):
+    for fn in (lambda: dfx.faiss_save("ghost", "/tmp/x", catalog=catalog),
+               lambda: dfx.faiss_destroy("ghost", catalog=catalog),
+               lambda: dfx.faiss_add(np.zeros((1, 4), np.float32), "ghost",
+                                     catalog=catalog),
+               lambda: dfx.faiss_manual_train(np.zeros((4, 4), np.float32),
+                                              "ghost", catalog=catalog),
+               lambda: dfx.faiss_search("ghost", 1,
+                                        np.zeros((1, 4), np.float32),
+                                        catalog=catalog)):
+        with pytest.raises(dfx.InvalidInputError,
+                           match="Could not find index ghost."):
+            fn()
