@@ -25,6 +25,7 @@ from .api import (
     faiss_manual_train,
     faiss_save,
     faiss_search,
+    faiss_search_batched,
     faiss_search_filter,
     faiss_search_filter_set,
     faiss_stats,
@@ -52,6 +53,7 @@ __all__ = [
     "faiss_manual_train",
     "faiss_save",
     "faiss_search",
+    "faiss_search_batched",
     "faiss_search_filter",
     "faiss_search_filter_set",
     "faiss_stats",

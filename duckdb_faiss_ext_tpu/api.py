@@ -354,3 +354,38 @@ def faiss_stats(name: str | None = None,
             "custom_labels": entry.custom_labels,
         }
     return {"indexes": indexes, "ops": op_stats()}
+
+
+def faiss_search_batched(name: str, k: int, queries,
+                         parameters: Mapping[str, object] | None = None,
+                         batch_size: int = 256,
+                         catalog: Catalog | None = None,
+                         selector: Selector | None = None) -> np.ndarray:
+    """Pipelined bulk search: split ``queries`` into batches, dispatch every
+    batch to the device back-to-back, then gather — device compute overlaps
+    host round-trips, so per-call latency is paid once, not per batch.
+
+    No reference equivalent (the reference is synchronous per DuckDB chunk);
+    this is the TPU serving path for large offline query sets.  Indexes
+    whose model implements ``search_async`` pipeline natively; others fall
+    back to sequential search."""
+    entry = _cat(catalog).get(name)
+    queries = as_matrix(queries, entry.index.d)
+    params = as_params(parameters)
+    k = int(k)
+    nq = queries.shape[0]
+    submit = getattr(entry.index, "search_async", None)
+
+    pieces = []
+    if submit is None:
+        for start in range(0, nq, batch_size):
+            pieces.append(entry.index.search(
+                queries[start:start + batch_size], k, params, selector))
+    else:
+        handles = [submit(queries[s:s + batch_size], k, params, selector)
+                   for s in range(0, nq, batch_size)]
+        pieces = [h() for h in handles]
+    res = SearchResult(
+        np.concatenate([p.distances for p in pieces], axis=0),
+        np.concatenate([p.labels for p in pieces], axis=0))
+    return _format_results(res, k)

@@ -117,16 +117,25 @@ class FlatIndex(Index):
 
     # --- search ----------------------------------------------------------
     def search(self, xq, k, params=None, selector=None) -> SearchResult:
+        return self.search_async(xq, k, params, selector)()
+
+    def search_async(self, xq, k, params=None, selector=None):
+        """Dispatch the search without waiting for the device; returns a
+        zero-arg callable that fetches and formats the results.  Callers can
+        submit many batches back-to-back and gather later — the dispatches
+        pipeline on device, hiding per-call host latency (the serving-path
+        pattern; see api.faiss_search_batched)."""
         xq = as_matrix(xq, self.d)
         nq = xq.shape[0]
         k = int(k)
         sentinel = float("-inf") if self.metric.name in SIMILARITY_METRICS \
             else float("inf")
         if nq == 0 or k <= 0:
-            return SearchResult(
+            empty = SearchResult(
                 np.full((nq, max(k, 0)), sentinel, np.float32),
                 np.full((nq, max(k, 0)), -1, np.int64),
             )
+            return lambda: empty
 
         cap = self._capacity()
         k_eff = min(k, cap)
@@ -134,26 +143,27 @@ class FlatIndex(Index):
         xq_pad = jnp.asarray(pad_rows(xq, nq_pad))
         mask = self._selector_mask(selector) if selector is not None else None
 
-        dist, pos = self._dispatch_search(xq_pad, k_eff, mask)
-        dist, pos = fetch_results(dist, pos)
-        dist = dist[:nq]
-        pos = pos[:nq].astype(np.int64)
-        labels = self._positions_to_labels(pos)
-        if k_eff < k:
-            dist = np.concatenate(
-                [dist, np.full((nq, k - k_eff), sentinel, np.float32)], axis=1)
-            labels = np.concatenate(
-                [labels, np.full((nq, k - k_eff), -1, np.int64)], axis=1)
-        return SearchResult(dist, labels)
+        dist_dev, pos_dev = self._dispatch_search(xq_pad, k_eff, mask)
+
+        def gather() -> SearchResult:
+            dist, pos = fetch_results(dist_dev, pos_dev)
+            dist = dist[:nq]
+            pos = pos[:nq].astype(np.int64)
+            labels = self._positions_to_labels(pos)
+            if k_eff < k:
+                d2 = np.concatenate(
+                    [dist, np.full((nq, k - k_eff), sentinel, np.float32)],
+                    axis=1)
+                l2 = np.concatenate(
+                    [labels, np.full((nq, k - k_eff), -1, np.int64)], axis=1)
+                return SearchResult(d2, l2)
+            return SearchResult(dist, labels)
+
+        return gather
 
     def _dispatch_search(self, xq_pad, k_eff, mask):
         """Pick the search kernel: the Pallas fused kernel on TPU for
         MXU metrics, the XLA scan otherwise (or as forced by config)."""
-        # Measured on v5e: the query-blocked XLA layout (one wide matmul +
-        # one TopK custom-call per block) currently beats the Pallas kernel,
-        # whose in-kernel merge is latency-bound on cross-lane reductions —
-        # so "auto" resolves to XLA and "pallas" is explicit opt-in until
-        # the kernel wins its rematch.
         mode = config.kernel_mode
         xb = self.device_vectors()
         multi_device = len(getattr(xb, "devices", lambda: [None])()) > 1

@@ -34,7 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = float("-inf")
 
 #: lists scanned per grid step (amortises per-step pipeline overhead)
-WAYS = 8
+WAYS = 4
 
 
 def _score_block(q, block, metric):

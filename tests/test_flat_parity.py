@@ -168,3 +168,15 @@ def test_small_dataset_filter(catalog):
     assert res.shape == (1, 2)
     # 231 is odd → filtered out → no results.
     assert (res["label"] == -1).all()
+
+
+def test_batched_search_matches_sequential(training_data, query_data, catalog):
+    _, xb = training_data
+    _, xq = query_data
+    dfx.faiss_create("batched", 8, "Flat", catalog=catalog)
+    dfx.faiss_add(xb, "batched", catalog=catalog)
+    a = dfx.faiss_search("batched", 2, xq, catalog=catalog)
+    b = dfx.faiss_search_batched("batched", 2, xq, batch_size=3,
+                                 catalog=catalog)
+    np.testing.assert_array_equal(a["label"], b["label"])
+    np.testing.assert_allclose(a["distance"], b["distance"], rtol=1e-6)
