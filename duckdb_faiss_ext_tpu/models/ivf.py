@@ -326,6 +326,21 @@ class IVFIndex(Index):
         nq_pad = max(config.min_query_bucket, next_pow2(nq))
         xq_pad = jnp.asarray(pad_rows(xq, nq_pad))
 
+        if getattr(self, "_shard_mesh", None) is not None:
+            # Device-sharded placement (faiss_to_device): lists partitioned
+            # over the mesh, all-gather top-k merge.
+            lmax_s = self._ivf_sharded_lmax()
+            k_eff = min(k, nprobe_eff * lmax_s)
+            dist, pos = self._search_sharded(xq_pad, k_eff, nprobe_eff,
+                                             selector)
+            dist, pos = fetch_results(dist, pos)
+            dist = dist[:nq]
+            pos = pos[:nq].astype(np.int64)
+            labels = np.where(pos >= 0,
+                              self._ids[np.clip(pos, 0, None)]
+                              if self.ntotal else pos, -1)
+            return self._pad_result(dist, labels, nq, k, k_eff, sentinel)
+
         if self._use_pallas_scan():
             xb_lists, counts, row_pos = self._build_device_pallas()
             lmax = xb_lists.shape[1]
@@ -450,3 +465,91 @@ def _coarse_topk(xq, centroids, metric_arg, *, nprobe, metric, precision):
     cscore = cdist if metric in _SIM else -cdist
     _, ids = _jax.lax.top_k(cscore, nprobe)
     return ids.astype(_jax.numpy.int32)
+
+
+def _ivf_shard_over(self, mesh) -> None:
+    """faiss_to_gpu analogue for IVF: partition the padded list layout over
+    the mesh's 'shard' axis (each device owns a contiguous block of lists);
+    searches then run through parallel.sharded.sharded_ivf_search_fn with
+    the all-gather top-k merge.  The placement is sticky across adds (the
+    sharded layout rebuilds on the same mesh after mutations)."""
+    if self.pq_m is not None:
+        raise errors.InvalidInputError(
+            "IVF with PQ encoding cannot be sharded over devices yet")
+    nshards = int(mesh.shape["shard"])
+    if self.nlist % nshards:
+        raise errors.InvalidInputError(
+            f"Number of IVF lists ({self.nlist}) must be divisible by the "
+            f"number of shards ({nshards})")
+    self._shard_mesh = mesh
+    self._device_pallas = None  # rebuilt sharded on next search
+
+
+def _ivf_build_sharded(self):
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if getattr(self, "_device_sharded", None) is not None \
+            and self._device_sharded[0] == self._version:
+        return self._device_sharded[1]
+    mesh = self._shard_mesh
+    n = self.ntotal
+    counts = np.bincount(self._assign, minlength=self.nlist)
+    from ..ops.pallas_ivf import choose_lmax as _choose_lmax
+
+    lmax = _choose_lmax(max(1, int(counts.max()) if n else 1))
+    xb_lists = np.zeros((self.nlist, lmax, self.d), np.float32)
+    row_pos = np.full((self.nlist, lmax), -1, np.int32)
+    order = np.argsort(self._assign, kind="stable")
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    xb_sorted = self._xb[order] if n else self._xb
+    for l in range(self.nlist):
+        c = counts[l]
+        if c:
+            rows = slice(offsets[l], offsets[l] + c)
+            xb_lists[l, :c] = xb_sorted[rows]
+            row_pos[l, :c] = order[rows]
+    arrays = (
+        jax.device_put(xb_lists, NamedSharding(mesh, P("shard", None, None))),
+        jax.device_put(counts.astype(np.int32),
+                       NamedSharding(mesh, P("shard"))),
+        jax.device_put(row_pos, NamedSharding(mesh, P("shard", None))),
+        jnp.asarray(self._centroids),
+    )
+    self._device_sharded = (self._version, arrays)
+    return arrays
+
+
+def _ivf_search_sharded(self, xq_pad, k_eff, nprobe_eff, selector):
+    from ..parallel.sharded import sharded_ivf_search_fn
+
+    if selector is not None:
+        raise errors.InvalidInputError(
+            "Filtered search on a device-sharded IVF index is not "
+            "supported yet; run faiss_search_filter before sharding")
+    xb_lists, counts, row_pos, centroids = self._build_sharded()
+    key = (k_eff, nprobe_eff, self.metric.name, xq_pad.shape[0])
+    cache = getattr(self, "_sharded_fn_cache", None)
+    if cache is None or cache[0] != key:
+        fn = sharded_ivf_search_fn(
+            self._shard_mesh, k=k_eff, nprobe=nprobe_eff,
+            metric=self.metric.name,
+            q_chunk=min(8, xq_pad.shape[0]),
+            precision=config.precision)
+        self._sharded_fn_cache = (key, fn)
+    else:
+        fn = cache[1]
+    return fn(xb_lists, counts, row_pos, centroids, xq_pad,
+              jnp.asarray(self.metric_arg, jnp.float32))
+
+
+IVFIndex.shard_over = _ivf_shard_over
+IVFIndex._build_sharded = _ivf_build_sharded
+IVFIndex._search_sharded = _ivf_search_sharded
+
+
+def _ivf_sharded_lmax(self) -> int:
+    return self._build_sharded()[0].shape[1]
+
+
+IVFIndex._ivf_sharded_lmax = _ivf_sharded_lmax

@@ -134,3 +134,35 @@ def test_sharded_ivf_search_matches_single_device():
     np.testing.assert_allclose(np.asarray(got_d), np.asarray(ref_d),
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(got_p), np.asarray(ref_p))
+
+
+def test_faiss_to_device_ivf(catalog):
+    """faiss_to_device on an IVF index: lists sharded over the mesh, search
+    results unchanged."""
+    import duckdb_faiss_ext_tpu as dfx
+
+    rng = np.random.default_rng(8)
+    d, n = 16, 2000
+    centers = rng.standard_normal((8, d)).astype(np.float32) * 4
+    xb = centers[rng.integers(0, 8, n)] + \
+        rng.standard_normal((n, d)).astype(np.float32) * 0.3
+    dfx.faiss_create("shivf", d, "IVF8,Flat", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_add(xb, "shivf", catalog=catalog)
+    before = dfx.faiss_search("shivf", 5, xb[:4], {"nprobe": "8"},
+                              catalog=catalog)
+    mesh = make_mesh(8, batch_axis=1)
+    dfx.faiss_to_device("shivf", mesh, catalog=catalog)
+    after = dfx.faiss_search("shivf", 5, xb[:4], {"nprobe": "8"},
+                             catalog=catalog)
+    np.testing.assert_array_equal(before["label"], after["label"])
+    # Sharded path computes L2 as direct diff² vs the gather path's
+    # decomposition — equal answers modulo summation order.
+    np.testing.assert_allclose(before["distance"], after["distance"],
+                               rtol=3e-4, atol=3e-4)
+    # Adds keep working and the placement sticks.
+    dfx.faiss_add(xb[:100], "shivf", catalog=catalog)
+    again = dfx.faiss_search("shivf", 5, xb[:4], {"nprobe": "8"},
+                             catalog=catalog)
+    np.testing.assert_array_equal(again["label"][:, 0],
+                                  before["label"][:, 0])
