@@ -111,3 +111,15 @@ class _PositionMaskSelector:
 
     def cache_key(self):
         return self._key
+
+
+def _idmap_reconstruct(self, label: int) -> np.ndarray:
+    """Reconstruct a stored vector by its custom label (IndexIDMap2
+    semantics — the reference's factory accepts IDMap2 prefixes)."""
+    matches = np.nonzero(self._labels == int(label))[0]
+    if matches.size == 0:
+        raise errors.InvalidInputError(f"Label {label} not found in index")
+    return self.inner.reconstruct(int(matches[0]))
+
+
+IDMapIndex.reconstruct = _idmap_reconstruct

@@ -144,3 +144,31 @@ def test_sqfp16_roundtrip(catalog, tmp_path):
     b = dfx.faiss_search("s16b", 3, xb[:2], catalog=catalog)
     np.testing.assert_array_equal(a["label"], b["label"])
     np.testing.assert_allclose(a["distance"], b["distance"], rtol=1e-6)
+
+
+def test_idmap_composites_with_codecs(catalog):
+    """IDMap over PQ and SQ8: labeled adds with deferred training."""
+    d, n = 16, 800
+    xb = _clustered(n, d)
+    ids = np.arange(n) * 7 + 3
+    for name, desc in [("ipq", "IDMap,PQ4"), ("isq", "IDMap,SQ8")]:
+        dfx.faiss_create(name, d, desc, metric_type="L2", catalog=catalog)
+        dfx.faiss_add((ids, xb), name, catalog=catalog)
+        res = dfx.faiss_search(name, 3, xb[:4], catalog=catalog)
+        assert res.shape == (4, 3)
+        # labels come from the custom id space
+        valid = res["label"][res["label"] >= 0]
+        assert ((valid - 3) % 7 == 0).all(), desc
+
+
+def test_idmap2_reconstruct(catalog):
+    """IDMap2 surface: reconstruct by label (faiss IndexIDMap2 semantics)."""
+    d = 8
+    xb = _clustered(100, d)
+    ids = np.arange(100) + 1000
+    dfx.faiss_create("im2", d, "IDMap2,Flat", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_add((ids, xb), "im2", catalog=catalog)
+    inner = catalog.get("im2").index
+    rec = inner.reconstruct(1005)
+    np.testing.assert_allclose(rec, xb[5], rtol=1e-6)
