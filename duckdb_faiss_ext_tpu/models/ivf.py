@@ -223,6 +223,7 @@ class IVFIndex(Index):
             jnp.asarray(xb_lists),
             jnp.asarray(counts.astype(np.int32)),
             jnp.asarray(row_pos),
+            jnp.asarray(self._centroids),
         )
         return self._device_pallas
 
@@ -231,7 +232,7 @@ class IVFIndex(Index):
         hit = self._mask_cache.get(key)
         if hit is not None:
             return hit
-        _, _, row_pos = self._build_device_pallas()
+        _, _, row_pos, _ = self._build_device_pallas()
         rp = np.asarray(row_pos)
         passing = selector.contains(self._ids)
         mask = np.zeros(rp.shape, np.int8)
@@ -342,13 +343,14 @@ class IVFIndex(Index):
             return self._pad_result(dist, labels, nq, k, k_eff, sentinel)
 
         if self._use_pallas_scan():
-            xb_lists, counts, row_pos = self._build_device_pallas()
+            xb_lists, counts, row_pos, cents_dev = \
+                self._build_device_pallas()
             lmax = xb_lists.shape[1]
             k_eff = min(k, nprobe_eff * lmax)
             mask = (self._pallas_mask(selector)
                     if selector is not None else None)
             probe_ids = _coarse_topk(
-                xq_pad, jnp.asarray(self._centroids),
+                xq_pad, cents_dev,
                 jnp.asarray(self.metric_arg, jnp.float32),
                 nprobe=nprobe_eff, metric=self.metric.name,
                 precision=config.precision)

@@ -232,9 +232,17 @@ class Connection:
         name = _parse_literal(toks[0])
         k = int(_parse_literal(toks[1]))
         qcol = toks[2].strip()
-        if qcol not in tab:
+        if qcol.startswith("[") and qcol.endswith("]"):
+            # Literal query vector, e.g. faiss_search('n', 2, [0.1, 0.2])
+            # (test/sql/faiss7.test uses this shape).
+            vec = [float(v) for v in _split_args(qcol[1:-1])]
+            queries = np.broadcast_to(
+                np.asarray(vec, np.float32),
+                (next(iter(tab.values())).shape[0] if tab else 1, len(vec)))
+        elif qcol in tab:
+            queries = np.asarray(tab[qcol], dtype=np.float32)
+        else:
             raise InvalidInputError(f"unknown column {qcol} in table {table}")
-        queries = np.asarray(tab[qcol], dtype=np.float32)
 
         if fn == "faiss_search":
             params = _parse_literal(toks[3]) if len(toks) > 3 else None

@@ -89,3 +89,13 @@ def test_filter_set_via_sql(con):
 def test_unparseable_statement(con):
     with pytest.raises(dfx.InvalidInputError, match="Cannot parse"):
         con.execute("DROP TABLE input")
+
+
+def test_literal_query_vector(con):
+    con.execute("CALL faiss_create('lit', 8, 'Flat', metric_type='L2')")
+    con.execute("CALL faiss_add((SELECT data FROM input), 'lit')")
+    rows = con.execute(
+        "SELECT UNNEST(faiss_search('lit', 2, "
+        "[0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8])) FROM queries")
+    assert len(rows) == 20  # broadcast over the 10 queries-table rows
+    assert all(r["label"] >= 0 for r in rows)
