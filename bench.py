@@ -57,6 +57,17 @@ def measure_tpu(xb, xq, xq_big):
     qps_big = bench_api(dfx, cat, "bench", xq_big, iters=5)
     log(f"flat qps b{BIG_BATCH}: {qps_big:.1f}")
 
+    # Pipelined serving path: many b48 requests in flight
+    # (faiss_search_batched dispatches all, then gathers).
+    big = np.tile(xq, (16, 1))
+    dfx.faiss_search_batched("bench", K, big, batch_size=BATCH, catalog=cat)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        dfx.faiss_search_batched("bench", K, big, batch_size=BATCH,
+                                 catalog=cat)
+    qps_pipe = big.shape[0] * 3 / (time.perf_counter() - t0)
+    log(f"flat qps pipelined 16×b{BATCH}: {qps_pipe:.1f}")
+
     # IVF: train on a subsample, add everything, nprobe sweep point.
     try:
         # kmeans_balance keeps hot lists near the mean size so the padded

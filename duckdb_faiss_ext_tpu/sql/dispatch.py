@@ -122,6 +122,9 @@ class Connection:
         self.catalog = catalog if catalog is not None else Catalog()
         self.database = database if database is not None else \
             default_database()
+        #: session mask registry for __faiss_create_mask (the reference
+        #: stashes the bitmap on the index entry, :898; ours is per-session)
+        self.masks: dict = {}
 
     # -- table management (stand-in for CREATE TABLE / inserts) ------------
     def register(self, name: str, table) -> None:
@@ -206,8 +209,11 @@ class Connection:
             return api.faiss_to_device(_parse_literal(pos[0]),
                                        catalog=self.catalog)
         if fn == "__faiss_create_mask":
-            raise InvalidInputError(
-                "__faiss_create_mask is internal; use faiss_search_filter")
+            # CALL __faiss_create_mask((SELECT flag, id FROM t), 'key')
+            # (SelBind..SelFinalise, src/faiss_extension.cpp:822-901).
+            flags, ids = self._table_arg(pos[0])
+            self.masks[_parse_literal(pos[1])] = api.create_mask(flags, ids)
+            return None
         raise InvalidInputError(f"Unknown function: {fn}")
 
     # -- SELECT ... --------------------------------------------------------

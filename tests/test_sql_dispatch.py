@@ -99,3 +99,23 @@ def test_literal_query_vector(con):
         "[0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8])) FROM queries")
     assert len(rows) == 20  # broadcast over the 10 queries-table rows
     assert all(r["label"] >= 0 for r in rows)
+
+
+def test_create_mask_call(con):
+    import numpy as np
+
+    con.execute("CALL faiss_create('cm', 8, 'IDMap,Flat')")
+    con.execute("CALL faiss_add((SELECT id, data FROM input), 'cm')")
+    con.register("flags", {"flag": (np.arange(1, 1001) % 2 == 0)
+                           .astype(np.uint8),
+                           "id": np.arange(1, 1001)})
+    con.execute(
+        "CALL __faiss_create_mask((SELECT flag, id FROM flags), 'even')")
+    sel = con.masks["even"]
+    import duckdb_faiss_ext_tpu as dfx2
+    from duckdb_faiss_ext_tpu import faiss_search
+
+    q = np.random.default_rng(0).random((2, 8), dtype=np.float32)
+    res = faiss_search("cm", 5, q, catalog=con.catalog, selector=sel)
+    got = res["label"][res["label"] >= 0]
+    assert got.size and (got % 2 == 0).all()
