@@ -30,13 +30,18 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def bench_api(dfx, cat, name, queries, params=None, iters=10):
+def bench_api(dfx, cat, name, queries, params=None, iters=10, groups=3):
+    """Best-of-N measurement groups: the tunneled runtime's round-trip
+    latency drifts between runs, so a single group under-reports."""
     dfx.faiss_search(name, K, queries, params, catalog=cat)  # warmup
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        dfx.faiss_search(name, K, queries, params, catalog=cat)
-    dt = (time.perf_counter() - t0) / iters
-    return queries.shape[0] / dt
+    best = 0.0
+    for _ in range(groups):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            dfx.faiss_search(name, K, queries, params, catalog=cat)
+        dt = (time.perf_counter() - t0) / iters
+        best = max(best, queries.shape[0] / dt)
+    return best
 
 
 def measure_tpu(xb, xq, xq_big):
@@ -113,11 +118,14 @@ def measure_cpu_baseline():
         return np.take_along_axis(idx, order, axis=1)
 
     run()
-    iters = 5
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        run()
-    per_batch = (time.perf_counter() - t0) / iters * (N / BASELINE_SUBSAMPLE)
+    best = float("inf")
+    for _ in range(3):
+        iters = 5
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            run()
+        best = min(best, (time.perf_counter() - t0) / iters)
+    per_batch = best * (N / BASELINE_SUBSAMPLE)
     return BATCH / per_batch
 
 
