@@ -196,8 +196,7 @@ class IVFIndex(Index):
     def _use_pallas_scan(self) -> bool:
         from ..utils.config import config
 
-        if self.pq_m is not None or self.metric.name not in (
-                "L2", "INNER_PRODUCT"):
+        if self.metric.name not in ("L2", "INNER_PRODUCT"):
             return False
         mode = config.kernel_mode
         return mode == "pallas" or (mode == "auto" and on_tpu())
@@ -208,23 +207,29 @@ class IVFIndex(Index):
         n = self.ntotal
         counts = np.bincount(self._assign, minlength=self.nlist)
         lmax = choose_lmax(max(1, int(counts.max()) if n else 1))
-        xb_lists = np.zeros((self.nlist, lmax, self.d), np.float32)
         row_pos = np.full((self.nlist, lmax), -1, np.int32)
         order = np.argsort(self._assign, kind="stable")
         offsets = np.concatenate([[0], np.cumsum(counts)])
-        xb_sorted = self._xb[order] if n else self._xb
+        if self.pq_m is not None:
+            payload = np.zeros((self.nlist, lmax, self.pq_m), np.uint8)
+            src = self._codes[order] if n else self._codes
+        else:
+            payload = np.zeros((self.nlist, lmax, self.d), np.float32)
+            src = self._xb[order] if n else self._xb
         for l in range(self.nlist):
             c = counts[l]
             if c:
                 rows = slice(offsets[l], offsets[l] + c)
-                xb_lists[l, :c] = xb_sorted[rows]
+                payload[l, :c] = src[rows]
                 row_pos[l, :c] = order[rows]
+        extra = ((jnp.asarray(self._pq_codebooks),)
+                 if self.pq_m is not None else ())
         self._device_pallas = (
-            jnp.asarray(xb_lists),
+            jnp.asarray(payload),
             jnp.asarray(counts.astype(np.int32)),
             jnp.asarray(row_pos),
             jnp.asarray(self._centroids),
-        )
+        ) + extra
         return self._device_pallas
 
     def _pallas_mask(self, selector):
@@ -232,7 +237,7 @@ class IVFIndex(Index):
         hit = self._mask_cache.get(key)
         if hit is not None:
             return hit
-        _, _, row_pos, _ = self._build_device_pallas()
+        row_pos = self._build_device_pallas()[2]
         rp = np.asarray(row_pos)
         passing = selector.contains(self._ids)
         mask = np.zeros(rp.shape, np.int8)
@@ -343,9 +348,9 @@ class IVFIndex(Index):
             return self._pad_result(dist, labels, nq, k, k_eff, sentinel)
 
         if self._use_pallas_scan():
-            xb_lists, counts, row_pos, cents_dev = \
-                self._build_device_pallas()
-            lmax = xb_lists.shape[1]
+            dev = self._build_device_pallas()
+            payload, counts, row_pos, cents_dev = dev[:4]
+            lmax = payload.shape[1]
             k_eff = min(k, nprobe_eff * lmax)
             mask = (self._pallas_mask(selector)
                     if selector is not None else None)
@@ -354,10 +359,21 @@ class IVFIndex(Index):
                 jnp.asarray(self.metric_arg, jnp.float32),
                 nprobe=nprobe_eff, metric=self.metric.name,
                 precision=config.precision)
-            scores, pos = pallas_ivf_search(
-                xb_lists, counts, row_pos, probe_ids, xq_pad, mask,
-                k=k_eff, nprobe=nprobe_eff, metric=self.metric.name,
-                interpret=not on_tpu())
+            if self.pq_m is not None:
+                from ..ops.pallas_ivf import pallas_ivf_pq_search
+
+                qc = max(1, min(8, xq_pad.shape[0]))
+                scores, pos = pallas_ivf_pq_search(
+                    payload, counts, row_pos, dev[4], cents_dev,
+                    probe_ids, xq_pad, mask,
+                    k=k_eff, nprobe=nprobe_eff, metric=self.metric.name,
+                    q_chunk=qc, precision=config.precision,
+                    interpret=not on_tpu())
+            else:
+                scores, pos = pallas_ivf_search(
+                    payload, counts, row_pos, probe_ids, xq_pad, mask,
+                    k=k_eff, nprobe=nprobe_eff, metric=self.metric.name,
+                    interpret=not on_tpu())
             dist, pos = finalize_scores(scores, pos, self.metric.name)
             dist, pos = fetch_results(dist, pos)
             dist = dist[:nq]

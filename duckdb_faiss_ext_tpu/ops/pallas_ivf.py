@@ -157,3 +157,124 @@ def choose_lmax(counts_max: int) -> int:
     while lmax < counts_max:
         lmax *= 2
     return lmax
+
+
+def _gather_kernel(pids_ref, counts_ref, *rest, nprobe: int, ways: int):
+    list_refs = rest[:ways]
+    out_ref = rest[ways]
+    for w in range(ways):
+        out_ref[0, w, 0, :, :] = list_refs[w][0]
+
+
+@functools.partial(jax.jit, static_argnames=("nprobe", "interpret"))
+def pallas_gather_lists(lists, probe_ids, *, nprobe: int,
+                        interpret: bool = False):
+    """Compact the probed list blocks into a contiguous buffer.
+
+    lists: (nlist, lmax, w) any dtype → (nq, nprobe, lmax, w).  Pure data
+    movement: the Pallas pipeline streams exactly the probed blocks
+    (scalar-prefetched index maps), replacing XLA's slow row gather; the
+    caller runs decode/score on the compacted result where XLA is strong.
+    Used for the IVFPQ path, where a code block is only lmax×m bytes."""
+    nlist, lmax, width = lists.shape
+    nq = probe_ids.shape[0]
+    ways = WAYS if nprobe % WAYS == 0 else 1
+    counts_dummy = jnp.zeros((1,), jnp.int32)
+
+    def lspec(w):
+        return pl.BlockSpec(
+            (1, lmax, width),
+            lambda i, j, pids, cnts, w=w: (pids[i * nprobe + j * ways + w],
+                                           0, 0),
+            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nq, nprobe // ways),
+        in_specs=[lspec(w) for w in range(ways)],
+        out_specs=pl.BlockSpec(
+            (1, ways, 1, lmax, width),
+            lambda i, j, pids, cnts: (i, j, 0, 0, 0),
+            memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_gather_kernel, nprobe=nprobe, ways=ways),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nq, nprobe, 1, lmax, width),
+                                       lists.dtype),
+        interpret=interpret,
+    )(probe_ids.reshape(-1).astype(jnp.int32), counts_dummy,
+      *([lists] * ways))
+    return out.reshape(nq, nprobe, lmax, width)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "nprobe", "metric", "q_chunk", "precision",
+                     "interpret"),
+)
+def pallas_ivf_pq_search(
+    codes_lists,    # (nlist, lmax, m) uint8 padded per list
+    counts,         # (nlist,) int32
+    row_pos,        # (nlist, lmax) int32
+    codebooks,      # (m, ksub, dsub) fp32 residual codebooks
+    centroids,      # (nlist, d) fp32
+    probe_ids,      # (nq, nprobe) int32
+    xq,             # (nq, d) fp32
+    mask,           # (nlist, lmax) int8 or None
+    *,
+    k: int,
+    nprobe: int,
+    metric: str,
+    q_chunk: int,
+    precision,
+    interpret: bool = False,
+):
+    """IVFPQ scan: Pallas compacts the probed byte-code blocks, XLA decodes
+    residuals (+ list centroid) and scores on the MXU in query chunks —
+    identical results to residual LUT-ADC for L2/IP."""
+    from .flat_search import _NEG_INF, exact_topk
+    from .pq import pq_decode
+
+    nlist, lmax, m = codes_lists.shape
+    nq, d = xq.shape
+    sim = metric == "INNER_PRODUCT"
+
+    gathered = pallas_gather_lists(codes_lists, probe_ids, nprobe=nprobe,
+                                   interpret=interpret)   # (nq,np,lmax,m)
+    ncand = nprobe * lmax
+
+    def chunk(i, carry):
+        bs, bp = carry
+        q0 = i * q_chunk
+        xq_c = lax.dynamic_slice(xq, (q0, 0), (q_chunk, d))
+        pids_c = lax.dynamic_slice(probe_ids, (q0, 0), (q_chunk, nprobe))
+        codes_c = lax.dynamic_slice(
+            gathered, (q0, 0, 0, 0), (q_chunk, nprobe, lmax, m))
+        resid = pq_decode(codes_c.reshape(-1, m), codebooks)
+        cents = centroids[pids_c]                       # (qc, np, d)
+        xc = (resid.reshape(q_chunk, nprobe, lmax, d)
+              + cents[:, :, None, :])
+        if sim:
+            s = jnp.einsum("qd,qpld->qpl", xq_c, xc, precision=precision,
+                           preferred_element_type=jnp.float32)
+        else:
+            diff = xc - xq_c[:, None, None, :]
+            s = -jnp.sum(diff * diff, axis=-1)
+        lane = lax.broadcasted_iota(jnp.int32, (q_chunk, nprobe, lmax), 2)
+        valid = lane < counts[pids_c][:, :, None]
+        if mask is not None:
+            valid = jnp.logical_and(valid, mask[pids_c] != 0)
+        s = jnp.where(valid, s, _NEG_INF)
+        best, sel = exact_topk(s.reshape(q_chunk, ncand), k)
+        slot, ln = sel // lmax, sel % lmax
+        lids = jnp.take_along_axis(pids_c, slot, axis=1)
+        pos = row_pos[lids, ln]
+        pos = jnp.where(jnp.isneginf(best), -1, pos)
+        bs = lax.dynamic_update_slice(bs, best, (q0, 0))
+        bp = lax.dynamic_update_slice(bp, pos, (q0, 0))
+        return bs, bp
+
+    init = (jnp.full((nq, k), _NEG_INF, jnp.float32),
+            jnp.full((nq, k), -1, jnp.int32))
+    return lax.fori_loop(0, nq // q_chunk, chunk, init)

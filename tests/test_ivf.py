@@ -237,3 +237,24 @@ def test_errors_on_missing_index(catalog):
         with pytest.raises(dfx.InvalidInputError,
                            match="Could not find index ghost."):
             fn()
+
+
+def test_ivfpq_pallas_matches_gather(catalog):
+    """IVFPQ through the Pallas compaction kernel (interpret on CPU) equals
+    the XLA gather path."""
+    d, n, nq, k = 16, 2000, 8, 6
+    xb = _clustered(n, d, ncl=8)
+    xq = _clustered(nq, d, ncl=8)
+    dfx.faiss_create("pqp", d, "IVF8,PQ4", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_add(xb, "pqp", catalog=catalog)
+    ref = dfx.faiss_search("pqp", k, xq, {"nprobe": "4"}, catalog=catalog)
+    dfx.set_kernel_mode("pallas")
+    try:
+        got = dfx.faiss_search("pqp", k, xq, {"nprobe": "4"},
+                               catalog=catalog)
+    finally:
+        dfx.set_kernel_mode("auto")
+    np.testing.assert_allclose(got["distance"], ref["distance"],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(got["label"], ref["label"])
