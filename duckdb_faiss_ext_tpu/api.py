@@ -373,7 +373,13 @@ def faiss_search_batched(name: str, k: int, queries,
     queries = as_matrix(queries, entry.index.d)
     params = as_params(parameters)
     k = int(k)
+    if batch_size < 1:
+        raise errors.InvalidInputError(
+            f"batch_size must be positive, got {batch_size}")
     nq = queries.shape[0]
+    if nq == 0:
+        return _format_results(entry.index.search(queries, k, params,
+                                                  selector), k)
     submit = getattr(entry.index, "search_async", None)
 
     pieces = []

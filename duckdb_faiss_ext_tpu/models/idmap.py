@@ -115,11 +115,16 @@ class _PositionMaskSelector:
 
 def _idmap_reconstruct(self, label: int) -> np.ndarray:
     """Reconstruct a stored vector by its custom label (IndexIDMap2
-    semantics — the reference's factory accepts IDMap2 prefixes)."""
+    semantics — the reference's factory accepts IDMap2 prefixes; plain
+    IDMap gets it too, a harmless superset)."""
     matches = np.nonzero(self._labels == int(label))[0]
     if matches.size == 0:
         raise errors.InvalidInputError(f"Label {label} not found in index")
-    return self.inner.reconstruct(int(matches[0]))
+    inner_rec = getattr(self.inner, "reconstruct", None)
+    if inner_rec is None:
+        raise errors.InvalidInputError(
+            f"reconstruct is not supported by {type(self.inner).__name__}")
+    return inner_rec(int(matches[0]))
 
 
 IDMapIndex.reconstruct = _idmap_reconstruct

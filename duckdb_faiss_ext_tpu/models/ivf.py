@@ -201,9 +201,11 @@ class IVFIndex(Index):
         mode = config.kernel_mode
         return mode == "pallas" or (mode == "auto" and on_tpu())
 
-    def _build_device_pallas(self):
-        if getattr(self, "_device_pallas", None) is not None:
-            return self._device_pallas
+    def _build_list_layout(self):
+        """Host-side padded list layout: (payload (nlist, lmax, w), counts
+        (nlist,), row_pos (nlist, lmax)) — payload is byte codes for PQ
+        storage, raw fp32 rows otherwise.  Single source for the pallas and
+        device-sharded layouts."""
         n = self.ntotal
         counts = np.bincount(self._assign, minlength=self.nlist)
         lmax = choose_lmax(max(1, int(counts.max()) if n else 1))
@@ -222,11 +224,17 @@ class IVFIndex(Index):
                 rows = slice(offsets[l], offsets[l] + c)
                 payload[l, :c] = src[rows]
                 row_pos[l, :c] = order[rows]
+        return payload, counts.astype(np.int32), row_pos
+
+    def _build_device_pallas(self):
+        if getattr(self, "_device_pallas", None) is not None:
+            return self._device_pallas
+        payload, counts, row_pos = self._build_list_layout()
         extra = ((jnp.asarray(self._pq_codebooks),)
                  if self.pq_m is not None else ())
         self._device_pallas = (
             jnp.asarray(payload),
-            jnp.asarray(counts.astype(np.int32)),
+            jnp.asarray(counts),
             jnp.asarray(row_pos),
             jnp.asarray(self._centroids),
         ) + extra
@@ -494,11 +502,27 @@ def _ivf_shard_over(self, mesh) -> None:
     if self.pq_m is not None:
         raise errors.InvalidInputError(
             "IVF with PQ encoding cannot be sharded over devices yet")
+    if self.metric.name not in ("L2", "INNER_PRODUCT"):
+        raise errors.InvalidInputError(
+            f"IVF indexes with metric {self.metric.name} cannot be sharded "
+            f"over devices (only L2 and INNER_PRODUCT)")
+    if "batch" not in mesh.shape or "shard" not in mesh.shape:
+        raise errors.InvalidInputError(
+            "IVF sharding needs a mesh with 'shard' and 'batch' axes "
+            "(parallel.placement.default_mesh builds one)")
     nshards = int(mesh.shape["shard"])
     if self.nlist % nshards:
-        raise errors.InvalidInputError(
-            f"Number of IVF lists ({self.nlist}) must be divisible by the "
-            f"number of shards ({nshards})")
+        # Auto-shrink to the largest list-count divisor that fits the
+        # devices (the default mesh uses every local device; small indexes
+        # can't use them all).
+        usable = next(g for g in range(min(nshards, self.nlist), 0, -1)
+                      if self.nlist % g == 0)
+        import numpy as _np
+        from jax.sharding import Mesh as _Mesh
+
+        devs = mesh.devices.reshape(-1)[: usable]
+        mesh = _Mesh(_np.array(devs).reshape(usable, 1),
+                     ("shard", "batch"))
     self._shard_mesh = mesh
     self._device_pallas = None  # rebuilt sharded on next search
 
@@ -511,26 +535,10 @@ def _ivf_build_sharded(self):
             and self._device_sharded[0] == self._version:
         return self._device_sharded[1]
     mesh = self._shard_mesh
-    n = self.ntotal
-    counts = np.bincount(self._assign, minlength=self.nlist)
-    from ..ops.pallas_ivf import choose_lmax as _choose_lmax
-
-    lmax = _choose_lmax(max(1, int(counts.max()) if n else 1))
-    xb_lists = np.zeros((self.nlist, lmax, self.d), np.float32)
-    row_pos = np.full((self.nlist, lmax), -1, np.int32)
-    order = np.argsort(self._assign, kind="stable")
-    offsets = np.concatenate([[0], np.cumsum(counts)])
-    xb_sorted = self._xb[order] if n else self._xb
-    for l in range(self.nlist):
-        c = counts[l]
-        if c:
-            rows = slice(offsets[l], offsets[l] + c)
-            xb_lists[l, :c] = xb_sorted[rows]
-            row_pos[l, :c] = order[rows]
+    xb_lists, counts, row_pos = self._build_list_layout()
     arrays = (
         jax.device_put(xb_lists, NamedSharding(mesh, P("shard", None, None))),
-        jax.device_put(counts.astype(np.int32),
-                       NamedSharding(mesh, P("shard"))),
+        jax.device_put(counts, NamedSharding(mesh, P("shard"))),
         jax.device_put(row_pos, NamedSharding(mesh, P("shard", None))),
         jnp.asarray(self._centroids),
     )
@@ -548,15 +556,15 @@ def _ivf_search_sharded(self, xq_pad, k_eff, nprobe_eff, selector):
     xb_lists, counts, row_pos, centroids = self._build_sharded()
     key = (k_eff, nprobe_eff, self.metric.name, xq_pad.shape[0])
     cache = getattr(self, "_sharded_fn_cache", None)
-    if cache is None or cache[0] != key:
-        fn = sharded_ivf_search_fn(
+    if cache is None:
+        cache = self._sharded_fn_cache = {}
+    fn = cache.get(key)
+    if fn is None:
+        fn = cache[key] = sharded_ivf_search_fn(
             self._shard_mesh, k=k_eff, nprobe=nprobe_eff,
             metric=self.metric.name,
             q_chunk=min(8, xq_pad.shape[0]),
             precision=config.precision)
-        self._sharded_fn_cache = (key, fn)
-    else:
-        fn = cache[1]
     return fn(xb_lists, counts, row_pos, centroids, xq_pad,
               jnp.asarray(self.metric_arg, jnp.float32))
 

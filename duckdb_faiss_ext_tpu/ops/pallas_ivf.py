@@ -159,7 +159,7 @@ def choose_lmax(counts_max: int) -> int:
     return lmax
 
 
-def _gather_kernel(pids_ref, counts_ref, *rest, nprobe: int, ways: int):
+def _gather_kernel(pids_ref, *rest, nprobe: int, ways: int):
     list_refs = rest[:ways]
     out_ref = rest[ways]
     for w in range(ways):
@@ -179,22 +179,20 @@ def pallas_gather_lists(lists, probe_ids, *, nprobe: int,
     nlist, lmax, width = lists.shape
     nq = probe_ids.shape[0]
     ways = WAYS if nprobe % WAYS == 0 else 1
-    counts_dummy = jnp.zeros((1,), jnp.int32)
 
     def lspec(w):
         return pl.BlockSpec(
             (1, lmax, width),
-            lambda i, j, pids, cnts, w=w: (pids[i * nprobe + j * ways + w],
-                                           0, 0),
+            lambda i, j, pids, w=w: (pids[i * nprobe + j * ways + w], 0, 0),
             memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(nq, nprobe // ways),
         in_specs=[lspec(w) for w in range(ways)],
         out_specs=pl.BlockSpec(
             (1, ways, 1, lmax, width),
-            lambda i, j, pids, cnts: (i, j, 0, 0, 0),
+            lambda i, j, pids: (i, j, 0, 0, 0),
             memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
@@ -203,8 +201,7 @@ def pallas_gather_lists(lists, probe_ids, *, nprobe: int,
         out_shape=jax.ShapeDtypeStruct((nq, nprobe, 1, lmax, width),
                                        lists.dtype),
         interpret=interpret,
-    )(probe_ids.reshape(-1).astype(jnp.int32), counts_dummy,
-      *([lists] * ways))
+    )(probe_ids.reshape(-1).astype(jnp.int32), *([lists] * ways))
     return out.reshape(nq, nprobe, lmax, width)
 
 

@@ -22,8 +22,13 @@ from ..utils.config import pad_rows
 
 
 def default_mesh(devices=None) -> Mesh:
-    devices = devices if devices is not None else jax.devices()
-    return Mesh(list(devices), ("shard",))
+    """2-axis (shard × batch=1) mesh: every sharded search path (flat and
+    IVF) expects both axis names to exist."""
+    import numpy as np
+
+    devices = list(devices if devices is not None else jax.devices())
+    return Mesh(np.array(devices).reshape(len(devices), 1),
+                ("shard", "batch"))
 
 
 def shard_entry(entry: IndexEntry, devices=None) -> None:

@@ -238,13 +238,14 @@ class Connection:
         name = _parse_literal(toks[0])
         k = int(_parse_literal(toks[1]))
         qcol = toks[2].strip()
+        literal_rows = None
         if qcol.startswith("[") and qcol.endswith("]"):
             # Literal query vector, e.g. faiss_search('n', 2, [0.1, 0.2])
-            # (test/sql/faiss7.test uses this shape).
+            # (test/sql/faiss7.test uses this shape): search ONCE and
+            # replicate the result row per table row.
             vec = [float(v) for v in _split_args(qcol[1:-1])]
-            queries = np.broadcast_to(
-                np.asarray(vec, np.float32),
-                (next(iter(tab.values())).shape[0] if tab else 1, len(vec)))
+            queries = np.asarray(vec, np.float32)[None, :]
+            literal_rows = (next(iter(tab.values())).shape[0] if tab else 1)
         elif qcol in tab:
             queries = np.asarray(tab[qcol], dtype=np.float32)
         else:
@@ -263,6 +264,9 @@ class Connection:
                  else api.faiss_search_filter_set)
             res = f(name, k, queries, filt, idsel, tname, params,
                     catalog=self.catalog, database=self.database)
+
+        if literal_rows is not None:
+            res = np.broadcast_to(res, (literal_rows,) + res.shape[1:])
 
         extra_cols = []
         if passthrough:

@@ -105,3 +105,50 @@ def test_sql_quoted_literals_preserved():
     assert _normalise("tag = 'AND'") == "tag == 'AND'"
     assert _normalise("col = 'a=b' AND id=1") == "col == 'a=b' and id==1"
     assert _normalise('x = "NOT y"') == 'x == "NOT y"'
+
+
+def test_faiss_to_device_ivf_default_mesh(catalog):
+    """faiss_to_device('ivf') with no mesh argument must work (builds a
+    2-axis default mesh) — regressed as a late search-time crash."""
+    xb = RNG.random((600, 8), dtype=np.float32)
+    dfx.faiss_create("dmi", 8, "IVF4,Flat", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_add(xb, "dmi", catalog=catalog)
+    before = dfx.faiss_search("dmi", 3, xb[:2], {"nprobe": "4"},
+                              catalog=catalog)
+    dfx.faiss_to_device("dmi", catalog=catalog)
+    after = dfx.faiss_search("dmi", 3, xb[:2], {"nprobe": "4"},
+                             catalog=catalog)
+    np.testing.assert_array_equal(before["label"], after["label"])
+
+
+def test_sharded_ivf_rejects_unsupported_metric(catalog):
+    xb = RNG.random((600, 8), dtype=np.float32)
+    dfx.faiss_create("l1i", 8, "IVF4,Flat", metric_type="L1",
+                     catalog=catalog)
+    dfx.faiss_add(xb, "l1i", catalog=catalog)
+    with pytest.raises(dfx.InvalidInputError, match="cannot be sharded"):
+        dfx.faiss_to_device("l1i", catalog=catalog)
+
+
+def test_batched_search_empty_and_bad_batch(catalog):
+    dfx.faiss_create("eb", 4, "Flat", metric_type="L2", catalog=catalog)
+    dfx.faiss_add(RNG.random((10, 4), dtype=np.float32), "eb",
+                  catalog=catalog)
+    res = dfx.faiss_search_batched("eb", 3, np.empty((0, 4), np.float32),
+                                   catalog=catalog)
+    assert res.shape == (0, 3)
+    with pytest.raises(dfx.InvalidInputError, match="batch_size"):
+        dfx.faiss_search_batched("eb", 3, RNG.random((4, 4),
+                                                     dtype=np.float32),
+                                 batch_size=0, catalog=catalog)
+
+
+def test_idmap_reconstruct_unsupported_inner(catalog):
+    xb = RNG.random((64, 8), dtype=np.float32)
+    ids = np.arange(64)
+    dfx.faiss_create("rci", 8, "IDMap2,IVF2,Flat", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_add((ids, xb), "rci", catalog=catalog)
+    with pytest.raises(dfx.InvalidInputError, match="not supported"):
+        catalog.get("rci").index.reconstruct(5)
