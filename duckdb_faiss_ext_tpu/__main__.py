@@ -6,6 +6,7 @@ analogue, README.md:27-39).
 Extra dot-commands beyond the SQL surface:
     .tables                       list registered tables
     .indexes                      list catalog indexes
+    .stats                        per-index metadata + op timings
     .read_csv <table> <path>      register a CSV as a table: column0 is the
                                   id, remaining columns become the vector
                                   column 'data' (matches the reference's
@@ -59,6 +60,13 @@ def main(argv=None) -> int:
                     print(sorted(con.database._tables))
                 elif cmd == ".indexes":
                     print(con.catalog.names())
+                elif cmd == ".stats":
+                    from .api import faiss_stats
+
+                    import json as _json
+                    print(_json.dumps(
+                        faiss_stats(catalog=con.catalog), indent=2,
+                        default=str))
                 elif cmd == ".read_csv" and len(rest) == 2:
                     load_csv_table(con, rest[0], rest[1])
                 else:

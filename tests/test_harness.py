@@ -1,6 +1,7 @@
 """Harness tier tests: binomial k', filtered bench plumbing, datasets, TREC."""
 
 import numpy as np
+import pytest
 
 import duckdb_faiss_ext_tpu as dfx
 from duckdb_faiss_ext_tpu.harness import (recall_at_k, required_k,
@@ -53,3 +54,44 @@ def test_trec_run_file(catalog, tmp_path):
     assert len(lines) == 15
     parts = lines[0].split()
     assert parts[0] == "q1" and parts[1] == "Q0" and parts[3] == "1"
+
+
+def test_load_errors(catalog, tmp_path):
+    import duckdb_faiss_ext_tpu as dfx2
+
+    with pytest.raises(dfx2.InvalidInputError, match="Could not read"):
+        dfx2.faiss_load("x", str(tmp_path / "missing.dfx"), catalog=catalog)
+    bad = tmp_path / "bad.dfx"
+    bad.write_bytes(b"not an index")
+    with pytest.raises(dfx2.InvalidInputError):
+        dfx2.faiss_load("x", str(bad), catalog=catalog)
+    # npz without our header
+    import numpy as np2
+    with open(tmp_path / "plain.npz", "wb") as f:
+        np2.savez(f, a=np2.zeros(3))
+    with pytest.raises(dfx2.InvalidInputError, match="not a saved index"):
+        dfx2.faiss_load("x", str(tmp_path / "plain.npz"), catalog=catalog)
+
+
+def test_load_duplicate_name(catalog, tmp_path):
+    """Documented deviation: accurate 'already exists' error (the reference
+    emits an inverted 'Could not find index' message here, SURVEY §7)."""
+    import duckdb_faiss_ext_tpu as dfx2
+
+    dfx2.faiss_create("dupl", 4, "Flat", catalog=catalog)
+    dfx2.faiss_add(np.zeros((4, 4), np.float32), "dupl", catalog=catalog)
+    p = str(tmp_path / "d.dfx")
+    dfx2.faiss_save("dupl", p, catalog=catalog)
+    with pytest.raises(dfx2.InvalidInputError, match="already exists"):
+        dfx2.faiss_load("dupl", p, catalog=catalog)
+
+
+def test_catalog_churn(catalog):
+    import duckdb_faiss_ext_tpu as dfx2
+
+    for i in range(30):
+        dfx2.faiss_create("churn", 4, "Flat", catalog=catalog)
+        dfx2.faiss_add(np.ones((8, 4), np.float32) * i, "churn",
+                       catalog=catalog)
+        dfx2.faiss_destroy("churn", catalog=catalog)
+    assert "churn" not in catalog.names()
