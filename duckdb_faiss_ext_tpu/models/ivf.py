@@ -171,20 +171,27 @@ class IVFIndex(Index):
         self._invalidate()
 
     def _assign_lists(self, x: np.ndarray) -> np.ndarray:
-        """Coarse assignment of new vectors (best list by the index metric)."""
+        """Coarse assignment of new vectors (best list by the index metric).
+
+        All chunk dispatches are issued asynchronously and fetched with ONE
+        host transfer at the end — per-chunk fetches serialize on the host
+        round-trip and made 10M-row ingest latency-bound."""
         from ..ops.distance import pairwise_tile
 
-        out = np.empty((x.shape[0],), dtype=np.int32)
         sim = self.metric.name in SIMILARITY_METRICS
         cents = jnp.asarray(self._centroids)
-        chunk = 8192
+        # Bound the transient (chunk × nlist) score tile to ~512 MB.
+        chunk = max(1024, min(65536, (1 << 27) // max(self.nlist, 1)))
+        parts = []
         for i in range(0, x.shape[0], chunk):
             tile = pairwise_tile(jnp.asarray(x[i:i + chunk]), cents,
                                  self.metric.name, self.metric_arg,
                                  config.precision)
             best = jnp.argmax(tile, 1) if sim else jnp.argmin(tile, 1)
-            out[i:i + chunk] = np.asarray(best, dtype=np.int32)
-        return out
+            parts.append(best.astype(jnp.int32))
+        if not parts:
+            return np.empty((0,), dtype=np.int32)
+        return np.asarray(jnp.concatenate(parts), dtype=np.int32)
 
     def _invalidate(self):
         self._version += 1
