@@ -75,11 +75,8 @@ def measure_tpu(xb, xq, xq_big):
 
     # IVF: train on a subsample, add everything, nprobe sweep point.
     try:
-        # kmeans_balance keeps hot lists near the mean size so the padded
-        # list blocks (and the scan's DMA bytes) stay tight.
-        dfx.faiss_create_params("bench_ivf", D, "IVF4096,Flat",
-                                {"kmeans_balance": "0.5"},
-                                metric_type="L2", catalog=cat)
+        dfx.faiss_create("bench_ivf", D, "IVF4096,Flat", metric_type="L2",
+                         catalog=cat)
         t0 = time.perf_counter()
         dfx.faiss_manual_train(xb[:262_144], "bench_ivf", catalog=cat)
         log(f"ivf train (4096 lists, 262k rows): "

@@ -67,10 +67,17 @@ def _kmeans_fit(x, valid, seed, *, k, niter, precision, balance=0.0):
             # Skew-aware assignment: penalise over-full clusters so hot
             # lists shrink (keeps the padded IVF list_table tight; the
             # skew-handling called for by BASELINE.json's north star).
-            scale = jnp.mean(jnp.sum(x * x, axis=1))
-            penalty = balance * scale * (counts / navg)[None, :]
-            labels = assign_labels_penalized(x, centroids, penalty,
-                                             precision)
+            # The penalty must live on the scale of *differences* between
+            # competing centroid distances, not the absolute norm — for
+            # high-dim data mean ‖x‖² dwarfs those differences and an
+            # over-scaled penalty collapses the clustering entirely
+            # (observed at nlist=16k).  Use the mean assigned distance and
+            # clamp the overfullness factor.
+            d2 = _assignment_distances(x, centroids, precision)
+            scale = jnp.mean(jnp.min(d2, axis=1)) * 0.5
+            over = jnp.clip(counts / navg - 1.0, 0.0, 2.0)
+            penalty = balance * scale * over[None, :]
+            labels = jnp.argmin(d2 + penalty, axis=1).astype(jnp.int32)
         else:
             labels = assign_labels(x, centroids, precision)
         # Padding rows must not pull centroids: zero their weight.
@@ -87,15 +94,13 @@ def _kmeans_fit(x, valid, seed, *, k, niter, precision, balance=0.0):
     return centroids, final_labels
 
 
-def assign_labels_penalized(x, centroids, penalty,
-                            precision=lax.Precision.DEFAULT):
-    """Assignment with an additive per-cluster penalty (balanced k-means)."""
+def _assignment_distances(x, centroids, precision=lax.Precision.DEFAULT):
+    """Squared-L2 distance matrix used by (penalized) assignment."""
     xn = jnp.sum(x * x, axis=1, keepdims=True)
     cn = jnp.sum(centroids * centroids, axis=1)[None, :]
     xc = jnp.dot(x, centroids.T, precision=precision,
                  preferred_element_type=jnp.float32)
-    d = xn - 2.0 * xc + cn + penalty
-    return jnp.argmin(d, axis=1).astype(jnp.int32)
+    return xn - 2.0 * xc + cn
 
 
 def kmeans_fit(x, k, niter=DEFAULT_NITER, seed=DEFAULT_SEED,
