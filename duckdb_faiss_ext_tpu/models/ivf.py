@@ -108,9 +108,16 @@ class IVFIndex(Index):
             rng = np.random.default_rng(self.train_seed)
             sel = rng.choice(n, size=nsub, replace=False)
             x = x[np.sort(sel)]
+        # Training and assignment always run at full precision: with many
+        # lists the distance differences between competing centroids fall
+        # below bf16 resolution and assignment collapses into a few giant
+        # lists (observed at nlist=16k on 96-d data — the padded layout then
+        # explodes).  Search-time coarse probing keeps config precision.
+        import jax as _jax
+
         centroids, _ = kmeans_fit(x, self.nlist, niter=self.train_niter,
                                   seed=self.train_seed,
-                                  precision=config.precision,
+                                  precision=_jax.lax.Precision.HIGHEST,
                                   balance=getattr(self, "train_balance", 0.0))
         self._centroids = np.asarray(centroids, dtype=np.float32)
         if self.quantizer.ntotal == 0:
@@ -183,10 +190,14 @@ class IVFIndex(Index):
         # Bound the transient (chunk × nlist) score tile to ~512 MB.
         chunk = max(1024, min(65536, (1 << 27) // max(self.nlist, 1)))
         parts = []
+        import jax as _jax
+
         for i in range(0, x.shape[0], chunk):
+            # Full precision: assignment consistency with training matters
+            # more than ingest speed (see train()).
             tile = pairwise_tile(jnp.asarray(x[i:i + chunk]), cents,
                                  self.metric.name, self.metric_arg,
-                                 config.precision)
+                                 _jax.lax.Precision.HIGHEST)
             best = jnp.argmax(tile, 1) if sim else jnp.argmin(tile, 1)
             parts.append(best.astype(jnp.int32))
         if not parts:
