@@ -226,6 +226,13 @@ class IVFIndex(Index):
         device-sharded layouts."""
         n = self.ntotal
         counts = np.bincount(self._assign, minlength=self.nlist)
+        if n and counts.max() > max(32 * n / self.nlist, 4096):
+            import sys
+
+            print(f"duckdb_faiss_ext_tpu: IVF list skew is extreme "
+                  f"(max {counts.max()} vs avg {n / self.nlist:.0f}); the "
+                  f"padded layout will be memory-heavy — consider retraining "
+                  f"(kmeans_balance) or fewer lists", file=sys.stderr)
         lmax = choose_lmax(max(1, int(counts.max()) if n else 1))
         row_pos = np.full((self.nlist, lmax), -1, np.int32)
         order = np.argsort(self._assign, kind="stable")
