@@ -211,13 +211,31 @@ class IVFIndex(Index):
         self._mask_cache.clear()
 
     # --- Pallas list-scan layout (padded 3-D lists) ------------------------
+    #: HBM budget for the padded (nlist, lmax, d) list layout; beyond this
+    #: the pad-to-max waste is not worth the DMA-friendly shape and the
+    #: sorted+gather layout is used instead (raw-sized + an int32 table).
+    PALLAS_LAYOUT_BUDGET_BYTES = 2 << 30
+
+    def _counts_max(self) -> int:
+        cache = getattr(self, "_counts_max_cache", None)
+        if cache is not None and cache[0] == self._version:
+            return cache[1]
+        mx = int(np.bincount(self._assign, minlength=self.nlist).max()) \
+            if self.ntotal else 1
+        self._counts_max_cache = (self._version, mx)
+        return mx
+
     def _use_pallas_scan(self) -> bool:
         from ..utils.config import config
 
         if self.metric.name not in ("L2", "INNER_PRODUCT"):
             return False
         mode = config.kernel_mode
-        return mode == "pallas" or (mode == "auto" and on_tpu())
+        if not (mode == "pallas" or (mode == "auto" and on_tpu())):
+            return False
+        lmax = choose_lmax(self._counts_max())
+        width = self.pq_m if self.pq_m is not None else self.d * 4
+        return self.nlist * lmax * width <= self.PALLAS_LAYOUT_BUDGET_BYTES
 
     def _build_list_layout(self):
         """Host-side padded list layout: (payload (nlist, lmax, w), counts
