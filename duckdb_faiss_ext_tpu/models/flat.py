@@ -21,7 +21,8 @@ from ..metrics import Metric
 from ..ops.flat_search import SIMILARITY_METRICS, flat_search
 from ..ops import pallas_topk
 from ..ops.selectors import Selector
-from ..utils.config import config, next_pow2, on_tpu, pad_rows
+from ..utils.config import (config, next_capacity, next_pow2, on_tpu,
+                            pad_rows)
 from ..utils.transfer import fetch_results
 from .base import Index, SearchResult, as_matrix
 
@@ -73,7 +74,7 @@ class FlatIndex(Index):
         return self._xb[key]
 
     def _capacity(self) -> int:
-        cap = max(config.min_capacity, next_pow2(max(self.ntotal, 1)))
+        cap = max(config.min_capacity, next_capacity(max(self.ntotal, 1)))
         if self._placement is not None:
             # Row-sharded buffers need the capacity divisible by the number
             # of shard devices.

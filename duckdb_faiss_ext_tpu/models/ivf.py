@@ -34,7 +34,8 @@ from ..utils.config import on_tpu
 from ..ops.kmeans import (DEFAULT_NITER, DEFAULT_SEED, kmeans_fit,
                           subsample_for_training)
 from ..params import EMPTY
-from ..utils.config import config, next_pow2, pad_rows
+from ..utils.config import (config, next_capacity, next_pow2,
+                            pad_rows)
 from ..utils.transfer import fetch_results
 from .base import Index, SearchResult, as_matrix
 
@@ -311,7 +312,7 @@ class IVFIndex(Index):
 
         # cap strictly exceeds n so row cap-1 is always a padding row — the
         # sentinel target for unused list_table slots (masked in the kernel).
-        cap = max(config.min_capacity, next_pow2(n + 1))
+        cap = max(config.min_capacity, next_capacity(n + 1))
 
         # list_table[l, j] = sorted-row index of the j-th member of list l.
         list_table = np.full((self.nlist, lmax), cap - 1, dtype=np.int32)

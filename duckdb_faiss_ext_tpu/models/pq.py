@@ -19,7 +19,8 @@ from ..ops.flat_search import SIMILARITY_METRICS, choose_chunk, finalize_scores
 from ..ops.kmeans import DEFAULT_SEED
 from ..ops.pq import pq_decode, pq_encode, pq_search, pq_train
 from ..params import EMPTY
-from ..utils.config import config, next_pow2, pad_rows
+from ..utils.config import (config, next_capacity, next_pow2,
+                            pad_rows)
 from ..utils.transfer import fetch_results
 from .base import Index, SearchResult, as_matrix
 
@@ -93,7 +94,7 @@ class PQIndex(Index):
         self._mask_cache.clear()
 
     def _capacity(self) -> int:
-        return max(config.min_capacity, next_pow2(max(self.ntotal, 1)))
+        return max(config.min_capacity, next_capacity(max(self.ntotal, 1)))
 
     def _device_state(self):
         if self._device is None:

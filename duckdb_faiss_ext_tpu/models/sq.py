@@ -18,7 +18,8 @@ from ..ops.flat_search import (SIMILARITY_METRICS, choose_chunk,
                                finalize_scores)
 from ..ops.sq import sq8_encode, sq8_train, sq_search
 from ..params import EMPTY
-from ..utils.config import config, next_pow2, pad_rows
+from ..utils.config import (config, next_capacity, next_pow2,
+                            pad_rows)
 from ..utils.transfer import fetch_results
 from .base import Index, SearchResult, as_matrix
 
@@ -92,7 +93,7 @@ class SQIndex(Index):
         self._mask_cache.clear()
 
     def _capacity(self) -> int:
-        return max(config.min_capacity, next_pow2(max(self.ntotal, 1)))
+        return max(config.min_capacity, next_capacity(max(self.ntotal, 1)))
 
     def _device_state(self):
         if self._device is None:

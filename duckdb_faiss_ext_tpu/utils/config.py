@@ -73,6 +73,18 @@ def next_pow2(n: int) -> int:
     return 1 << max(0, (int(n) - 1).bit_length())
 
 
+def next_capacity(n: int) -> int:
+    """Device-buffer capacity schedule: powers of two up to 1M rows
+    (amortised growth, few jit shapes), then 1M-row increments — pow2
+    padding wastes up to 2× HBM at 10M+ rows.  All returned values are
+    divisible by every power-of-two block size ≤ 2^20 the kernels pick."""
+    n = int(n)
+    if n <= (1 << 20):
+        return next_pow2(max(n, 1))
+    step = 1 << 20
+    return step * -(-n // step)
+
+
 def pad_rows(arr, target: int, fill=0.0):
     """Pad (n, ...) array with fill rows up to target rows."""
     import numpy as np
