@@ -543,9 +543,6 @@ def _ivf_shard_over(self, mesh) -> None:
     searches then run through parallel.sharded.sharded_ivf_search_fn with
     the all-gather top-k merge.  The placement is sticky across adds (the
     sharded layout rebuilds on the same mesh after mutations)."""
-    if self.pq_m is not None:
-        raise errors.InvalidInputError(
-            "IVF with PQ encoding cannot be sharded over devices yet")
     if self.metric.name not in ("L2", "INNER_PRODUCT"):
         raise errors.InvalidInputError(
             f"IVF indexes with metric {self.metric.name} cannot be sharded "
@@ -579,26 +576,49 @@ def _ivf_build_sharded(self):
             and self._device_sharded[0] == self._version:
         return self._device_sharded[1]
     mesh = self._shard_mesh
-    xb_lists, counts, row_pos = self._build_list_layout()
+    payload, counts, row_pos = self._build_list_layout()
     arrays = (
-        jax.device_put(xb_lists, NamedSharding(mesh, P("shard", None, None))),
+        jax.device_put(payload, NamedSharding(mesh, P("shard", None, None))),
         jax.device_put(counts, NamedSharding(mesh, P("shard"))),
         jax.device_put(row_pos, NamedSharding(mesh, P("shard", None))),
         jnp.asarray(self._centroids),
     )
+    if self.pq_m is not None:
+        arrays += (jnp.asarray(self._pq_codebooks),)
     self._device_sharded = (self._version, arrays)
     return arrays
+
+
+def _ivf_sharded_mask(self, selector):
+    """Selector mask aligned with the sharded (nlist, lmax) layout, placed
+    with the same 'shard' partitioning as the lists."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    key = ("sharded", selector.cache_key(), self._version)
+    hit = self._mask_cache.get(key)
+    if hit is not None:
+        return hit
+    row_pos = np.asarray(self._build_sharded()[2])
+    passing = selector.contains(self._ids)
+    mask = np.zeros(row_pos.shape, np.int8)
+    valid = row_pos >= 0
+    mask[valid] = passing[row_pos[valid]]
+    dev = jax.device_put(mask,
+                         NamedSharding(self._shard_mesh, P("shard", None)))
+    self._mask_cache = {key: dev}
+    return dev
 
 
 def _ivf_search_sharded(self, xq_pad, k_eff, nprobe_eff, selector):
     from ..parallel.sharded import sharded_ivf_search_fn
 
-    if selector is not None:
-        raise errors.InvalidInputError(
-            "Filtered search on a device-sharded IVF index is not "
-            "supported yet; run faiss_search_filter before sharding")
-    xb_lists, counts, row_pos, centroids = self._build_sharded()
-    key = (k_eff, nprobe_eff, self.metric.name, xq_pad.shape[0])
+    arrays = self._build_sharded()
+    payload, counts, row_pos, centroids = arrays[:4]
+    pq = self.pq_m is not None
+    has_mask = selector is not None
+    key = (k_eff, nprobe_eff, self.metric.name, xq_pad.shape[0], pq,
+           has_mask)
     cache = getattr(self, "_sharded_fn_cache", None)
     if cache is None:
         cache = self._sharded_fn_cache = {}
@@ -608,14 +628,18 @@ def _ivf_search_sharded(self, xq_pad, k_eff, nprobe_eff, selector):
             self._shard_mesh, k=k_eff, nprobe=nprobe_eff,
             metric=self.metric.name,
             q_chunk=min(8, xq_pad.shape[0]),
-            precision=config.precision)
-    return fn(xb_lists, counts, row_pos, centroids, xq_pad,
-              jnp.asarray(self.metric_arg, jnp.float32))
+            precision=config.precision, pq=pq, has_mask=has_mask)
+    extras = arrays[4:]  # codebooks when PQ-encoded
+    if has_mask:
+        extras += (self._ivf_sharded_mask(selector),)
+    return fn(payload, counts, row_pos, centroids, xq_pad,
+              jnp.asarray(self.metric_arg, jnp.float32), *extras)
 
 
 IVFIndex.shard_over = _ivf_shard_over
 IVFIndex._build_sharded = _ivf_build_sharded
 IVFIndex._search_sharded = _ivf_search_sharded
+IVFIndex._ivf_sharded_mask = _ivf_sharded_mask
 
 
 def _ivf_sharded_lmax(self) -> int:

@@ -74,16 +74,40 @@ def pq_encode(x, codebooks, *, precision=lax.Precision.DEFAULT):
 
 
 def pq_decode(codes, codebooks):
-    """Decode (c, m) uint8 codes → (c, d) fp32 reconstruction."""
+    """Decode (c, m) uint8 codes → (c, d) fp32 reconstruction.
+
+    TPU path: one-hot × codebook contraction instead of a gather.  XLA
+    lowers take_along_axis to a serialized scalar-addressed gather on TPU
+    (the dominant cost of the whole IVFPQ search when profiled); a
+    (c, ksub)·(ksub, dsub) matmul per subspace rides the MXU instead.  The
+    one-hot row selects exactly one codebook entry, so with HIGHEST
+    precision the result matches the gather to fp32 rounding.  CPU keeps
+    the gather (ksub× fewer flops, and Eigen gathers are fine)."""
+    from ..utils.config import on_tpu
+
+    if on_tpu():
+        return pq_decode_onehot(codes, codebooks)
     m, ksub, dsub = codebooks.shape
     c = codes.shape[0]
-    # Gather per subspace: codebooks[m, codes[:, m], :].
     gathered = jnp.take_along_axis(
         codebooks[None, :, :, :],                           # (1, m, ksub, dsub)
         codes.astype(jnp.int32)[:, :, None, None],          # (c, m, 1, 1)
         axis=2,
     )                                                       # (c, m, 1, dsub)
     return gathered.reshape(c, m * dsub)
+
+
+def pq_decode_onehot(codes, codebooks):
+    """One-hot matmul decode (the TPU path of pq_decode)."""
+    m, ksub, dsub = codebooks.shape
+    c = codes.shape[0]
+    onehot = (codes.astype(jnp.int32)[:, :, None] ==
+              jnp.arange(ksub, dtype=jnp.int32)[None, None, :]
+              ).astype(jnp.float32)                          # (c, m, ksub)
+    dec = jnp.einsum("cmk,mkd->cmd", onehot, codebooks,
+                     precision=lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32)
+    return dec.reshape(c, m * dsub)
 
 
 @functools.partial(

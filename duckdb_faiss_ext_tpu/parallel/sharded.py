@@ -183,9 +183,10 @@ def multichip_dryrun(n_devices: int) -> None:
 
 def sharded_ivf_search_fn(mesh: Mesh, *, k: int, nprobe: int, metric: str,
                           q_chunk: int = 8,
-                          precision=lax.Precision.DEFAULT):
+                          precision=lax.Precision.DEFAULT,
+                          pq: bool = False, has_mask: bool = False):
     """Sharded IVF search: inverted lists partitioned over ``shard`` (padded
-    (nlist, lmax, d) layout, nlist divisible by the shard count), queries
+    (nlist, lmax, w) layout, nlist divisible by the shard count), queries
     sharded over ``batch``, centroids replicated.
 
     Each device computes the coarse top-nprobe (replicated — one small MXU
@@ -194,21 +195,37 @@ def sharded_ivf_search_fn(mesh: Mesh, *, k: int, nprobe: int, metric: str,
     path.  Exact: every probed list is scanned by exactly one shard.
 
     Returned fn signature:
-        (xb_lists P('shard',None,None), counts P('shard'),
-         row_pos P('shard',None), centroids replicated,
-         xq P('batch',None), metric_arg)
+        (payload P('shard',None,None) — fp32 rows (Flat) or uint8 codes (PQ),
+         counts P('shard'), row_pos P('shard',None), centroids replicated,
+         xq P('batch',None), metric_arg,
+         [codebooks replicated if pq], [mask P('shard',None) if has_mask])
         → (distances, positions) P('batch', None)
+
+    ``pq=True``: payload holds residual PQ byte codes; candidates are
+    reconstructed as centroid[list] + decode(code) on-device (the IVFPQ
+    by_residual path).  ``has_mask=True``: a per-(list, slot) selector mask
+    sharded alongside the lists is fused into validity (filtered search on a
+    device-sharded index).
     """
     sim = metric in SIMILARITY_METRICS
     nshards = int(mesh.shape["shard"])
+    extra_specs = ()
+    if pq:
+        extra_specs += (P(None, None, None),)
+    if has_mask:
+        extra_specs += (P("shard", None),)
 
-    def local(xb_lists, counts, row_pos, centroids, xq, metric_arg):
+    def local(payload, counts, row_pos, centroids, xq, metric_arg, *rest):
         import jax.numpy as jnp  # noqa: PLC0415
 
         from ..ops.distance import pairwise_tile
         from ..ops.flat_search import _NEG_INF, finalize_scores
 
-        nlist_l, lmax, d = xb_lists.shape
+        rest = list(rest)
+        codebooks = rest.pop(0) if pq else None
+        sel_mask = rest.pop(0) if has_mask else None
+        nlist_l, lmax = payload.shape[:2]
+        d = centroids.shape[1]
         nq = xq.shape[0]
         npb = min(nprobe, nlist_l * nshards)
 
@@ -231,7 +248,17 @@ def sharded_ivf_search_fn(mesh: Mesh, *, k: int, nprobe: int, metric: str,
             xq_c = lax.dynamic_slice(xq, (q0, 0), (qc, d))
             lp_c = lax.dynamic_slice(lp, (q0, 0), (qc, npb))
             own_c = lax.dynamic_slice(owned, (q0, 0), (qc, npb))
-            xc = xb_lists[lp_c]                            # (qc,npb,lmax,d)
+            if pq:
+                from ..ops.pq import pq_decode
+
+                probe_c = lax.dynamic_slice(probe, (q0, 0), (qc, npb))
+                m = payload.shape[2]
+                codes_c = payload[lp_c].reshape(-1, m)     # (qc*npb*lmax, m)
+                resid = pq_decode(codes_c, codebooks).reshape(
+                    qc, npb, lmax, d)
+                xc = resid + centroids[probe_c][:, :, None, :]
+            else:
+                xc = payload[lp_c]                         # (qc,npb,lmax,d)
             if metric == "INNER_PRODUCT":
                 s = jnp.einsum("qd,qpld->qpl", xq_c, xc,
                                precision=precision,
@@ -242,6 +269,8 @@ def sharded_ivf_search_fn(mesh: Mesh, *, k: int, nprobe: int, metric: str,
             lane = lax.broadcasted_iota(jnp.int32, (qc, npb, lmax), 2)
             valid = jnp.logical_and(lane < counts[lp_c][:, :, None],
                                     own_c[:, :, None])
+            if sel_mask is not None:
+                valid = jnp.logical_and(valid, sel_mask[lp_c] != 0)
             s = jnp.where(valid, s, _NEG_INF)
             flat = s.reshape(qc, ncand)
             best, sel = lax.top_k(flat, k)
@@ -270,7 +299,7 @@ def sharded_ivf_search_fn(mesh: Mesh, *, k: int, nprobe: int, metric: str,
         local,
         mesh=mesh,
         in_specs=(P("shard", None, None), P("shard"), P("shard", None),
-                  P(None, None), P("batch", None), P()),
+                  P(None, None), P("batch", None), P()) + extra_specs,
         out_specs=(P("batch", None), P("batch", None)),
         check_vma=False,
     )

@@ -166,3 +166,77 @@ def test_faiss_to_device_ivf(catalog):
                              catalog=catalog)
     np.testing.assert_array_equal(again["label"][:, 0],
                                   before["label"][:, 0])
+
+
+def test_faiss_to_device_ivfpq(catalog):
+    """faiss_to_device on an IVFPQ index: byte-code lists sharded over the
+    mesh, candidates reconstructed on-device (round-2 queue item 1)."""
+    import duckdb_faiss_ext_tpu as dfx
+
+    rng = np.random.default_rng(21)
+    d, n = 16, 3000
+    centers = rng.standard_normal((8, d)).astype(np.float32) * 4
+    xb = centers[rng.integers(0, 8, n)] + \
+        rng.standard_normal((n, d)).astype(np.float32) * 0.3
+    dfx.faiss_create("shivfpq", d, "IVF8,PQ4", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_add(xb, "shivfpq", catalog=catalog)
+    before = dfx.faiss_search("shivfpq", 5, xb[:6], {"nprobe": "8"},
+                              catalog=catalog)
+    mesh = make_mesh(8, batch_axis=1)
+    dfx.faiss_to_device("shivfpq", mesh, catalog=catalog)
+    after = dfx.faiss_search("shivfpq", 5, xb[:6], {"nprobe": "8"},
+                             catalog=catalog)
+    np.testing.assert_array_equal(before["label"], after["label"])
+    np.testing.assert_allclose(before["distance"], after["distance"],
+                               rtol=3e-4, atol=3e-4)
+
+
+def test_faiss_to_device_ivf_filtered(catalog):
+    """Filtered search on a device-sharded IVF index (round-2 queue item 2):
+    mask sharded alongside the lists, fused into the per-shard scan."""
+    import duckdb_faiss_ext_tpu as dfx
+    from duckdb_faiss_ext_tpu.ops.selectors import SetSelector
+
+    rng = np.random.default_rng(33)
+    d, n = 16, 2000
+    xb = rng.standard_normal((n, d)).astype(np.float32)
+    dfx.faiss_create("shivf_f", d, "IVF8,Flat", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_add(xb, "shivf_f", catalog=catalog)
+    keep = np.arange(0, n, 3, dtype=np.int64)        # every 3rd id passes
+    sel = SetSelector(keep)
+    before = dfx.faiss_search("shivf_f", 5, xb[:6], {"nprobe": "8"},
+                              catalog=catalog, selector=sel)
+    mesh = make_mesh(8, batch_axis=1)
+    dfx.faiss_to_device("shivf_f", mesh, catalog=catalog)
+    after = dfx.faiss_search("shivf_f", 5, xb[:6], {"nprobe": "8"},
+                             catalog=catalog, selector=sel)
+    np.testing.assert_array_equal(before["label"], after["label"])
+    assert np.all(before["label"] % 3 == 0)
+    np.testing.assert_allclose(before["distance"], after["distance"],
+                               rtol=3e-4, atol=3e-4)
+
+
+def test_faiss_to_device_ivfpq_filtered(catalog):
+    """Both round-2 queue items combined: PQ payload + selector mask through
+    the sharded scan."""
+    import duckdb_faiss_ext_tpu as dfx
+    from duckdb_faiss_ext_tpu.ops.selectors import SetSelector
+
+    rng = np.random.default_rng(34)
+    d, n = 16, 3000
+    xb = rng.standard_normal((n, d)).astype(np.float32)
+    dfx.faiss_create("shpq_f", d, "IVF8,PQ4", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_add(xb, "shpq_f", catalog=catalog)
+    keep = np.arange(0, n, 2, dtype=np.int64)
+    sel = SetSelector(keep)
+    before = dfx.faiss_search("shpq_f", 5, xb[:6], {"nprobe": "8"},
+                              catalog=catalog, selector=sel)
+    mesh = make_mesh(8, batch_axis=1)
+    dfx.faiss_to_device("shpq_f", mesh, catalog=catalog)
+    after = dfx.faiss_search("shpq_f", 5, xb[:6], {"nprobe": "8"},
+                             catalog=catalog, selector=sel)
+    np.testing.assert_array_equal(before["label"], after["label"])
+    assert np.all(before["label"] % 2 == 0)

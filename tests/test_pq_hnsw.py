@@ -172,3 +172,19 @@ def test_idmap2_reconstruct(catalog):
     inner = catalog.get("im2").index
     rec = inner.reconstruct(1005)
     np.testing.assert_allclose(rec, xb[5], rtol=1e-6)
+
+
+def test_pq_decode_onehot_matches_gather():
+    """The TPU one-hot matmul decode is exact vs the gather decode (the
+    one-hot row selects exactly one codebook entry)."""
+    from duckdb_faiss_ext_tpu.ops.pq import pq_decode, pq_decode_onehot
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    m, ksub, dsub, c = 8, 256, 4, 1000
+    codebooks = jnp.asarray(
+        rng.standard_normal((m, ksub, dsub)).astype(np.float32))
+    codes = jnp.asarray(rng.integers(0, ksub, (c, m)).astype(np.uint8))
+    ref = np.asarray(pq_decode(codes, codebooks))
+    got = np.asarray(pq_decode_onehot(codes, codebooks))
+    np.testing.assert_array_equal(ref, got)
