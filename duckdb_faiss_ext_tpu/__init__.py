@@ -23,6 +23,7 @@ from .api import (
     faiss_destroy,
     faiss_load,
     faiss_manual_train,
+    faiss_range_search,
     faiss_save,
     faiss_search,
     faiss_search_batched,
@@ -51,6 +52,7 @@ __all__ = [
     "faiss_destroy",
     "faiss_load",
     "faiss_manual_train",
+    "faiss_range_search",
     "faiss_save",
     "faiss_search",
     "faiss_search_batched",

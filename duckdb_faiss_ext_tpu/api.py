@@ -314,6 +314,23 @@ def faiss_load(name: str, path: str, catalog: Catalog | None = None) -> None:
     cat.put_new(name, entry)
 
 
+@_timed_op("faiss_range_search")
+def faiss_range_search(name: str, radius: float, queries,
+                       parameters: Mapping[str, object] | None = None,
+                       catalog: Catalog | None = None,
+                       selector=None) -> dict:
+    """All neighbors within ``radius`` (faiss::Index::range_search — part of
+    the FAISS surface behind the reference, though not exposed in its SQL
+    function set).  Returns {"lims": (nq+1,), "label": (nres,),
+    "distance": (nres,)} — query q's matches are rows lims[q]:lims[q+1],
+    mirroring faiss::RangeSearchResult."""
+    entry = _cat(catalog).get(name)
+    params = as_params(parameters)
+    res = entry.index.range_search(
+        as_matrix(queries, entry.index.d), float(radius), params, selector)
+    return {"lims": res.lims, "label": res.labels, "distance": res.distances}
+
+
 def faiss_to_device(name: str, devices=None,
                     catalog: Catalog | None = None) -> None:
     """faiss_to_gpu analogue (MoveToGPUFunction, src/gpu/gpu.cpp:34-63): on

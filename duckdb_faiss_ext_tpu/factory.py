@@ -53,7 +53,20 @@ def build_index(d: int, desc: str, metric: Metric,
     if not parts:
         raise _parse_error(desc, "no index component after IDMap")
 
+    refine = False
+    if parts[-1] == "RFlat":
+        # faiss::IndexRefineFlat suffix (exact re-rank of the base's
+        # candidates on raw vectors).
+        refine = True
+        parts.pop()
+        if not parts:
+            raise _parse_error(desc, "RFlat needs a base index")
+
     index = _build_component(d, parts, metric, metric_arg, desc)
+    if refine:
+        from .models.refine import RefineFlatIndex
+
+        index = RefineFlatIndex(index)
     if idmap:
         index = IDMapIndex(index)
     index.factory_desc = desc

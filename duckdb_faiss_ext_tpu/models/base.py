@@ -85,6 +85,14 @@ class Index(abc.ABC):
     ) -> SearchResult:
         ...
 
+    def range_search(self, xq, radius: float, params: ParamMap = EMPTY,
+                     selector: "Selector | None" = None):
+        """All neighbors within ``radius`` (faiss::Index::range_search) as a
+        CSR RangeSearchResult.  Beyond the reference's SQL surface; supported
+        by the dense-scan index families (Flat/SQ/PQ/IVF)."""
+        raise errors.InvalidInputError(
+            f"range search is not supported for {type(self).__name__}")
+
     # --- selector plumbing ------------------------------------------------
     def row_labels(self) -> np.ndarray:
         """int64 label of every stored row, in storage order — the ids a

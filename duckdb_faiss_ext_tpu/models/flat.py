@@ -194,6 +194,32 @@ class FlatIndex(Index):
         # Flat labels are storage positions; -1 (missing) passes through.
         return pos
 
+    # --- range search -----------------------------------------------------
+    def range_search(self, xq, radius, params=None, selector=None):
+        from ..ops.range import (empty_range_result, choose_range_chunk,
+                                 _range_tile, range_scan_dense)
+
+        xq = as_matrix(xq, self.d)
+        nq = xq.shape[0]
+        if nq == 0 or self.ntotal == 0:
+            return empty_range_result(nq)
+        xb = self.device_vectors()
+        cap = xb.shape[0]
+        chunk = choose_range_chunk(cap)
+        nq_pad = max(config.min_query_bucket, next_pow2(nq))
+        xq_dev = jnp.asarray(pad_rows(xq, nq_pad))
+        marg = jnp.asarray(self.metric_arg, jnp.float32)
+        passing = (selector.contains(self.row_labels())
+                   if selector is not None else None)
+
+        def get_tile(i):
+            return _range_tile(xb[i * chunk:(i + 1) * chunk], xq_dev, marg,
+                               metric=self.metric.name,
+                               precision=config.precision)
+
+        return range_scan_dense(get_tile, cap // chunk, chunk, self.ntotal,
+                                nq, float(radius), self.metric.name, passing)
+
     # --- serialization ----------------------------------------------------
     def state_dict(self) -> dict:
         return {"xb": self._xb}

@@ -128,3 +128,22 @@ def _idmap_reconstruct(self, label: int) -> np.ndarray:
 
 
 IDMapIndex.reconstruct = _idmap_reconstruct
+
+
+def _idmap_range_search(self, xq, radius, params=EMPTY, selector=None):
+    """Range search with label translation (positions → custom labels)."""
+    from ..ops.range import RangeSearchResult
+
+    if selector is not None:
+        passing = selector.contains(self._labels)
+        inner_sel = _PositionMaskSelector(passing, (selector.cache_key(),
+                                                    len(self._labels)))
+    else:
+        inner_sel = None
+    res = self.inner.range_search(xq, radius, params, inner_sel)
+    labels = (self._labels[res.labels] if self._labels.size
+              else res.labels)
+    return RangeSearchResult(res.lims, labels, res.distances)
+
+
+IDMapIndex.range_search = _idmap_range_search

@@ -647,3 +647,91 @@ def _ivf_sharded_lmax(self) -> int:
 
 
 IVFIndex._ivf_sharded_lmax = _ivf_sharded_lmax
+
+
+def _ivf_range_search(self, xq, radius, params=EMPTY, selector=None):
+    """Range search over the probed lists (faiss::IndexIVF::range_search
+    contract: exact within the nprobe-selected lists)."""
+    from ..ops.range import _ivf_range_chunk, empty_range_result
+    from ..ops.range import RangeSearchResult
+
+    self._require_trained()
+    xq = as_matrix(xq, self.d)
+    nq = xq.shape[0]
+    if nq == 0 or self.ntotal == 0:
+        return empty_range_result(nq)
+    nprobe = params.get_int("nprobe", self.nprobe_default)
+    nprobe_eff = max(1, min(int(nprobe), self.nlist))
+
+    storage, list_table, centroids, order = self._build_device()
+    xb_sorted = storage[0] if isinstance(storage, tuple) else storage
+    if self.pq_m is not None:
+        # Decode-on-the-fly for PQ storage: reconstruct candidates from
+        # codes inside the chunk fn is not wired here; decode the probed
+        # candidates via the dense sorted codes path instead.
+        codes_sorted, assign_sorted, codebooks = storage
+        from ..ops.pq import pq_decode
+
+        # Materialize decoded rows chunk-wise would defeat compression;
+        # for range search (non-hot path) decode the full sorted corpus
+        # once on device.
+        resid = pq_decode(codes_sorted, codebooks)
+        xb_sorted = resid + centroids[assign_sorted]
+    nq_pad = max(config.min_query_bucket, next_pow2(nq))
+    xq_pad = jnp.asarray(pad_rows(xq, nq_pad))
+    probe_ids = _coarse_topk(xq_pad, centroids,
+                             jnp.asarray(self.metric_arg, jnp.float32),
+                             nprobe=nprobe_eff, metric=self.metric.name,
+                             precision=config.precision)
+    sim = self.metric.name in SIMILARITY_METRICS
+    labels_sorted = self._ids[order] if self.ntotal else self._ids
+    passing = (selector.contains(labels_sorted)
+               if selector is not None else None)
+    lmax = list_table.shape[1]
+    # Power-of-two chunk so it divides nq_pad (slices never shift).
+    budget = max(1, (1 << 22) // max(nprobe_eff * lmax, 1))
+    qc = 1
+    while qc * 2 <= min(budget, int(nq_pad)):
+        qc *= 2
+    marg = jnp.asarray(self.metric_arg, jnp.float32)
+    per_q_rows = [[] for _ in range(nq)]
+    per_q_dist = [[] for _ in range(nq)]
+    for q0 in range(0, nq, qc):
+        xq_c = jax.lax.dynamic_slice(
+            xq_pad, (min(q0, nq_pad - qc), 0), (qc, self.d))
+        pr_c = jax.lax.dynamic_slice(
+            probe_ids, (min(q0, nq_pad - qc), 0), (qc, nprobe_eff))
+        dist, cand = _ivf_range_chunk(
+            xb_sorted, jnp.int32(self.ntotal), list_table, pr_c, xq_c,
+            marg, metric=self.metric.name, precision=config.precision)
+        dist = np.asarray(dist)
+        cand = np.asarray(cand)
+        hit = (dist > radius) if sim else (dist < radius)
+        if passing is not None:
+            hit &= passing[np.clip(cand, 0, len(passing) - 1)] & \
+                (cand < len(passing))
+        for qi in range(min(qc, nq - q0)):
+            sel_idx = np.nonzero(hit[qi])[0]
+            if sel_idx.size:
+                rows = cand[qi, sel_idx]
+                per_q_rows[q0 + qi].append(labels_sorted[rows])
+                per_q_dist[q0 + qi].append(dist[qi, sel_idx])
+    lims = np.zeros((nq + 1,), np.int64)
+    lparts, dparts = [], []
+    for q in range(nq):
+        rows = (np.concatenate(per_q_rows[q]) if per_q_rows[q]
+                else np.empty((0,), np.int64))
+        ds = (np.concatenate(per_q_dist[q]) if per_q_dist[q]
+              else np.empty((0,), np.float32))
+        lims[q + 1] = lims[q] + rows.size
+        lparts.append(rows.astype(np.int64))
+        dparts.append(ds.astype(np.float32))
+    return RangeSearchResult(
+        lims,
+        np.concatenate(lparts) if lparts else np.empty((0,), np.int64),
+        np.concatenate(dparts) if dparts else np.empty((0,), np.float32))
+
+
+import jax  # noqa: E402
+
+IVFIndex.range_search = _ivf_range_search

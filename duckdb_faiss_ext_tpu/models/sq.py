@@ -173,3 +173,37 @@ class SQIndex(Index):
             self._vmin = np.asarray(vmin, np.float32)
             self._scale = np.asarray(state["scale"], np.float32)
         self._invalidate()
+
+
+def _sq_range_search(self, xq, radius, params=None, selector=None):
+    from ..ops.range import (_range_tile_sq, choose_range_chunk,
+                             empty_range_result, range_scan_dense)
+
+    if not self.is_trained:
+        raise errors.InvalidInputError(
+            "Index is not trained; call train (or faiss_manual_train) "
+            "before adding or searching")
+    xq = as_matrix(xq, self.d)
+    nq = xq.shape[0]
+    if nq == 0 or self.ntotal == 0:
+        return empty_range_result(nq)
+    codes_dev, vmin, scale = self._device_state()
+    cap = codes_dev.shape[0]
+    chunk = choose_range_chunk(cap)
+    nq_pad = max(config.min_query_bucket, next_pow2(nq))
+    xq_dev = jnp.asarray(pad_rows(xq, nq_pad))
+    marg = jnp.asarray(self.metric_arg, jnp.float32)
+    passing = (selector.contains(self.row_labels())
+               if selector is not None else None)
+    codec = "sq8" if self.qtype == "SQ8" else "fp16"
+
+    def get_tile(i):
+        return _range_tile_sq(codes_dev[i * chunk:(i + 1) * chunk], vmin,
+                              scale, xq_dev, marg, metric=self.metric.name,
+                              precision=config.precision, codec=codec)
+
+    return range_scan_dense(get_tile, cap // chunk, chunk, self.ntotal, nq,
+                            float(radius), self.metric.name, passing)
+
+
+SQIndex.range_search = _sq_range_search

@@ -1,16 +1,25 @@
-"""Scalar-quantizer codecs: SQ8 (uint8 per dim) and SQfp16.
+"""Scalar-quantizer codecs: SQ8, SQ4, SQ6 (bit-packed) and SQfp16.
 
 Equivalent of faiss::IndexScalarQuantizer as reachable through factory
-strings (``SQ8``, ``SQfp16``).  SQ8 trains per-dimension [vmin, vmax] ranges
-(FAISS's RS_minmax default) and stores one byte per dimension; search
-decodes chunks on the fly and rides the same MXU distance tile as Flat —
-the same TPU-first decode-don't-LUT design as ops/pq.py, at 4× (SQ8) or 2×
-(fp16) less HBM traffic than fp32.
+strings (``SQ8``, ``SQ4``, ``SQ6``, ``SQfp16``).  The quantized codecs train
+per-dimension [vmin, vmax] ranges (FAISS's RS_minmax default) and store
+8/4/6 bits per dimension; search decodes chunks on the fly and rides the
+same MXU distance tile as Flat — the same TPU-first decode-don't-LUT design
+as ops/pq.py, at 4×/8×/5.3× (SQ8/SQ4/SQ6) or 2× (fp16) less HBM traffic
+than fp32.
+
+Packing layouts (host packs with numpy at ingest; device unpacks with
+vectorized shift/mask ops inside the scan):
+* SQ4: two 4-bit codes per byte, low nibble first → (n, ceil(d/2));
+* SQ6: four 6-bit codes per 3 bytes (big-endian bit order) →
+  (n, 3·ceil(d/4)).
 """
 
 from __future__ import annotations
 
 import functools
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -19,25 +28,104 @@ from jax import lax
 from .distance import pairwise_tile
 from .flat_search import _NEG_INF, SIMILARITY_METRICS
 
+#: quantization levels per codec (code range [0, levels])
+SQ_LEVELS = {"sq8": 255, "sq4": 15, "sq6": 63}
 
-def sq8_train(x) -> tuple[jax.Array, jax.Array]:
+
+def sq_train(x, levels: int) -> tuple[jax.Array, jax.Array]:
     """Per-dim (vmin (d,), scale (d,)) from training data."""
     x = jnp.asarray(x, jnp.float32)
     vmin = jnp.min(x, axis=0)
     vmax = jnp.max(x, axis=0)
-    scale = jnp.maximum(vmax - vmin, 1e-20) / 255.0
+    scale = jnp.maximum(vmax - vmin, 1e-20) / float(levels)
     return vmin, scale
 
 
-@jax.jit
-def sq8_encode(x, vmin, scale):
+def sq8_train(x) -> tuple[jax.Array, jax.Array]:
+    return sq_train(x, 255)
+
+
+@functools.partial(jax.jit, static_argnames=("levels",))
+def sq_quantize(x, vmin, scale, *, levels: int = 255):
     q = jnp.round((jnp.asarray(x, jnp.float32) - vmin[None, :])
                   / scale[None, :])
-    return jnp.clip(q, 0, 255).astype(jnp.uint8)
+    return jnp.clip(q, 0, levels).astype(jnp.uint8)
+
+
+def sq8_encode(x, vmin, scale):
+    return sq_quantize(x, vmin, scale, levels=255)
 
 
 def sq8_decode(codes, vmin, scale):
     return codes.astype(jnp.float32) * scale[None, :] + vmin[None, :]
+
+
+# --- bit packing (host, ingest path) --------------------------------------
+
+def sq4_pack(q: np.ndarray) -> np.ndarray:
+    """(n, d) codes 0..15 → (n, ceil(d/2)) packed bytes, low nibble first."""
+    q = np.asarray(q, np.uint8)
+    n, d = q.shape
+    if d % 2:
+        q = np.concatenate([q, np.zeros((n, 1), np.uint8)], axis=1)
+    return (q[:, 0::2] | (q[:, 1::2] << 4)).astype(np.uint8)
+
+
+def sq6_pack(q: np.ndarray) -> np.ndarray:
+    """(n, d) codes 0..63 → (n, 3·ceil(d/4)) packed bytes."""
+    q = np.asarray(q, np.uint16)
+    n, d = q.shape
+    pad = (-d) % 4
+    if pad:
+        q = np.concatenate([q, np.zeros((n, pad), np.uint16)], axis=1)
+    g = q.reshape(n, -1, 4)
+    b0 = (g[..., 0] << 2) | (g[..., 1] >> 4)
+    b1 = ((g[..., 1] & 15) << 4) | (g[..., 2] >> 2)
+    b2 = ((g[..., 2] & 3) << 6) | g[..., 3]
+    return np.stack([b0, b1, b2], axis=-1).reshape(n, -1).astype(np.uint8)
+
+
+def sq_code_width(d: int, codec: str) -> int:
+    """Packed bytes per row for a codec."""
+    if codec == "sq4":
+        return (d + 1) // 2
+    if codec == "sq6":
+        return 3 * ((d + 3) // 4)
+    return d  # sq8 and fp16 (fp16 rows are (d,) float16, not bytes)
+
+
+# --- device decode (inside the scan kernels) ------------------------------
+
+def sq4_decode(packed, vmin, scale):
+    d = vmin.shape[0]
+    lo = packed & jnp.uint8(15)
+    hi = packed >> jnp.uint8(4)
+    q = jnp.stack([lo, hi], axis=-1).reshape(packed.shape[0], -1)[:, :d]
+    return q.astype(jnp.float32) * scale[None, :] + vmin[None, :]
+
+
+def sq6_decode(packed, vmin, scale):
+    d = vmin.shape[0]
+    c = packed.shape[0]
+    g = packed.reshape(c, -1, 3)
+    b0, b1, b2 = g[..., 0], g[..., 1], g[..., 2]
+    c0 = b0 >> jnp.uint8(2)
+    c1 = ((b0 & jnp.uint8(3)) << jnp.uint8(4)) | (b1 >> jnp.uint8(4))
+    c2 = ((b1 & jnp.uint8(15)) << jnp.uint8(2)) | (b2 >> jnp.uint8(6))
+    c3 = b2 & jnp.uint8(63)
+    q = jnp.stack([c0, c1, c2, c3], axis=-1).reshape(c, -1)[:, :d]
+    return q.astype(jnp.float32) * scale[None, :] + vmin[None, :]
+
+
+def sq_decode(codes, vmin, scale, codec: str):
+    """Codec dispatch: packed/quantized codes → (c, d) fp32."""
+    if codec == "sq8":
+        return sq8_decode(codes, vmin, scale)
+    if codec == "sq4":
+        return sq4_decode(codes, vmin, scale)
+    if codec == "sq6":
+        return sq6_decode(codes, vmin, scale)
+    return codes.astype(jnp.float32)  # fp16
 
 
 @functools.partial(
@@ -46,20 +134,17 @@ def sq_search(codes, nvalid, vmin, scale, xq, mask, metric_arg, *, k, metric,
               chunk, precision, codec="sq8"):
     """Fused decode+distance+top-k scan over quantized codes.
 
-    codes: (cap, d) uint8 (sq8) or float16 (fp16); same output conventions
-    as flat_search."""
-    cap, d = codes.shape
+    codes: (cap, w) packed uint8 (sq8/sq4/sq6) or (cap, d) float16; same
+    output conventions as flat_search."""
+    cap, w = codes.shape
     nq = xq.shape[0]
     sim = metric in SIMILARITY_METRICS
 
     def body(i, carry):
         best_s, best_p = carry
         start = i * chunk
-        cchunk = lax.dynamic_slice(codes, (start, 0), (chunk, d))
-        if codec == "sq8":
-            xc = sq8_decode(cchunk, vmin, scale)
-        else:
-            xc = cchunk.astype(jnp.float32)
+        cchunk = lax.dynamic_slice(codes, (start, 0), (chunk, w))
+        xc = sq_decode(cchunk, vmin, scale, codec)
         dist = pairwise_tile(xq, xc, metric, metric_arg, precision)
         rowid = start + lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         valid = rowid < nvalid
