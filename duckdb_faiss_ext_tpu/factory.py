@@ -12,7 +12,8 @@ graph of TPU-native index models:
     prefix      := "IDMap" | "IDMap2"
     component   := "Flat" | "HNSW"[M] | "IVF"nlist["_" quantizer] | "PQ"M["x"nbits]
     quantizer   := "Flat" | "HNSW"[M] | "PQ"M
-    encoding    := "Flat" | "PQ"M["x"nbits] | "SQ8" | "SQfp16"
+    encoding    := "Flat" | "PQ"M["x"nbits] | "SQ8" | "SQ4" | "SQ6" | "SQfp16"
+    suffix      := "RFlat"  (exact re-rank wrapper, IndexRefineFlat)
 
 Unsupported strings raise InvalidInputError mirroring FAISS's
 "could not parse index string" failure mode.
@@ -116,7 +117,7 @@ def _build_component(d, parts, metric, metric_arg, desc) -> Index:
         nbits = int(m.group(2)) if m.group(2) else 8
         return PQIndex(d, metric, metric_arg, M=M, nbits=nbits)
 
-    if head in ("SQ8", "SQfp16"):
+    if head in ("SQ8", "SQ4", "SQ6", "SQfp16"):
         from .models.sq import SQIndex
 
         if rest:

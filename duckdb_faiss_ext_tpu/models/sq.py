@@ -1,9 +1,11 @@
-"""Scalar-quantizer index models: SQ8 and SQfp16.
+"""Scalar-quantizer index models: SQ8, SQ4, SQ6 and SQfp16.
 
-Equivalent of faiss::IndexScalarQuantizer (factory ``SQ8`` / ``SQfp16``).
-SQ8 requires training (per-dim ranges); SQfp16 is training-free.  Codes are
-the only storage (true compression, FAISS memory profile); search decodes
-chunks on the fly into the MXU distance tile (ops/sq.py).
+Equivalent of faiss::IndexScalarQuantizer (factory ``SQ8`` / ``SQ4`` /
+``SQ6`` / ``SQfp16``).  The quantized types require training (per-dim
+ranges); SQfp16 is training-free.  Codes are the only storage — SQ4/SQ6 are
+bit-packed (ops/sq.py packing layouts), true compression matching the FAISS
+memory profile; search decodes chunks on the fly into the MXU distance tile
+(ops/sq.py).
 """
 
 from __future__ import annotations
@@ -16,7 +18,8 @@ from .. import errors
 from ..metrics import Metric
 from ..ops.flat_search import (SIMILARITY_METRICS, choose_chunk,
                                finalize_scores)
-from ..ops.sq import sq8_encode, sq8_train, sq_search
+from ..ops.sq import (SQ_LEVELS, sq4_pack, sq6_pack, sq_code_width,
+                      sq_decode, sq_quantize, sq_search, sq_train)
 from ..params import EMPTY
 from ..utils.config import (config, next_capacity, next_pow2,
                             pad_rows)
@@ -28,15 +31,19 @@ class SQIndex(Index):
     def __init__(self, d: int, metric: Metric, metric_arg: float = 0.0,
                  qtype: str = "SQ8"):
         super().__init__(d, metric, metric_arg)
-        if qtype not in ("SQ8", "SQfp16"):
+        if qtype not in ("SQ8", "SQ4", "SQ6", "SQfp16"):
             raise errors.InvalidInputError(
                 f"Scalar quantizer type {qtype} is not supported "
-                f"(use SQ8 or SQfp16)")
+                f"(use SQ8, SQ4, SQ6 or SQfp16)")
         self.qtype = qtype
+        self.codec = "fp16" if qtype == "SQfp16" else qtype.lower()
         self._vmin: np.ndarray | None = None
         self._scale: np.ndarray | None = None
-        dtype = np.uint8 if qtype == "SQ8" else np.float16
-        self._codes = np.empty((0, d), dtype=dtype)
+        if qtype == "SQfp16":
+            self._codes = np.empty((0, d), dtype=np.float16)
+        else:
+            self._codes = np.empty((0, sq_code_width(d, self.codec)),
+                                   dtype=np.uint8)
         self._version = 0
         self._device = None
         self._mask_cache: dict = {}
@@ -51,7 +58,7 @@ class SQIndex(Index):
 
     @property
     def requires_training(self) -> bool:
-        return self.qtype == "SQ8"
+        return self.qtype != "SQfp16"
 
     def train(self, x) -> None:
         if self.is_trained:
@@ -59,7 +66,7 @@ class SQIndex(Index):
         x = as_matrix(x, self.d)
         if x.shape[0] == 0:
             raise errors.TrainingTooSmallError(0, 1)
-        vmin, scale = sq8_train(x)
+        vmin, scale = sq_train(x, SQ_LEVELS[self.codec])
         self._vmin = np.asarray(vmin)
         self._scale = np.asarray(scale)
         self._invalidate()
@@ -72,20 +79,28 @@ class SQIndex(Index):
         x = as_matrix(x, self.d)
         if x.shape[0] == 0:
             return
-        if self.qtype == "SQ8":
-            codes = np.asarray(sq8_encode(jnp.asarray(x),
-                                          jnp.asarray(self._vmin),
-                                          jnp.asarray(self._scale)))
-        else:
+        if self.qtype == "SQfp16":
             codes = x.astype(np.float16)
+        else:
+            q = np.asarray(sq_quantize(jnp.asarray(x),
+                                       jnp.asarray(self._vmin),
+                                       jnp.asarray(self._scale),
+                                       levels=SQ_LEVELS[self.codec]))
+            if self.qtype == "SQ4":
+                codes = sq4_pack(q)
+            elif self.qtype == "SQ6":
+                codes = sq6_pack(q)
+            else:
+                codes = q
         self._codes = np.concatenate([self._codes, codes], axis=0)
         self._invalidate()
 
     def reconstruct(self, key: int) -> np.ndarray:
-        if self.qtype == "SQ8":
-            return (self._codes[key].astype(np.float32) * self._scale
-                    + self._vmin)
-        return self._codes[key].astype(np.float32)
+        if self.qtype == "SQfp16":
+            return self._codes[key].astype(np.float32)
+        return np.asarray(sq_decode(jnp.asarray(self._codes[key:key + 1]),
+                                    jnp.asarray(self._vmin),
+                                    jnp.asarray(self._scale), self.codec))[0]
 
     def _invalidate(self):
         self._version += 1
@@ -98,7 +113,7 @@ class SQIndex(Index):
     def _device_state(self):
         if self._device is None:
             cap = self._capacity()
-            if self.qtype == "SQ8":
+            if self.qtype != "SQfp16":
                 vmin = jnp.asarray(self._vmin)
                 scale = jnp.asarray(self._scale)
             else:
@@ -141,8 +156,7 @@ class SQIndex(Index):
             codes_dev, jnp.int32(self.ntotal), vmin, scale, xq_pad, mask,
             jnp.asarray(self.metric_arg, jnp.float32),
             k=k_eff, metric=self.metric.name, chunk=chunk,
-            precision=config.precision,
-            codec="sq8" if self.qtype == "SQ8" else "fp16")
+            precision=config.precision, codec=self.codec)
         dist, pos = finalize_scores(scores, pos, self.metric.name)
         dist, pos = fetch_results(dist, pos)
         dist = dist[:nq]
@@ -167,7 +181,8 @@ class SQIndex(Index):
         if self.qtype == "SQfp16":
             self._codes = codes.view(np.float16).reshape(-1, self.d)
         else:
-            self._codes = codes.astype(np.uint8).reshape(-1, self.d)
+            self._codes = codes.astype(np.uint8).reshape(
+                -1, sq_code_width(self.d, self.codec))
         vmin = state.get("vmin")
         if vmin is not None:
             self._vmin = np.asarray(vmin, np.float32)
@@ -195,7 +210,7 @@ def _sq_range_search(self, xq, radius, params=None, selector=None):
     marg = jnp.asarray(self.metric_arg, jnp.float32)
     passing = (selector.contains(self.row_labels())
                if selector is not None else None)
-    codec = "sq8" if self.qtype == "SQ8" else "fp16"
+    codec = self.codec
 
     def get_tile(i):
         return _range_tile_sq(codes_dev[i * chunk:(i + 1) * chunk], vmin,

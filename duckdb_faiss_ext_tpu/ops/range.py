@@ -51,11 +51,10 @@ def _range_tile(xb_c, xq, metric_arg, *, metric, precision):
 def _range_tile_sq(codes_c, vmin, scale, xq, metric_arg, *, metric,
                    precision, codec):
     """SQ corpus chunk: decode on the fly, then the same pairwise tile."""
-    from .sq import sq8_decode
+    from .sq import sq_decode
 
-    xb_c = (sq8_decode(codes_c, vmin, scale) if codec == "sq8"
-            else codes_c.astype(jnp.float32))
-    return pairwise_tile(xq, xb_c, metric, metric_arg, precision)
+    return pairwise_tile(xq, sq_decode(codes_c, vmin, scale, codec), metric,
+                         metric_arg, precision)
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "precision"))

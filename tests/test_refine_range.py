@@ -183,3 +183,55 @@ def test_range_search_hnsw_exact_scan(catalog):
     for q in range(2):
         assert set(got[q].keys()) == \
             set(np.nonzero(oracle[q] < 8.0)[0].tolist())
+
+
+# --- SQ4 / SQ6 ------------------------------------------------------------
+
+def test_sq_pack_roundtrip():
+    from duckdb_faiss_ext_tpu.ops.sq import (sq4_decode, sq4_pack,
+                                             sq6_decode, sq6_pack)
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(10)
+    for d in (8, 9, 13, 96):
+        q4 = rng.integers(0, 16, (50, d)).astype(np.uint8)
+        vmin = jnp.zeros((d,), jnp.float32)
+        scale = jnp.ones((d,), jnp.float32)
+        dec = np.asarray(sq4_decode(jnp.asarray(sq4_pack(q4)), vmin, scale))
+        np.testing.assert_array_equal(dec, q4.astype(np.float32))
+        q6 = rng.integers(0, 64, (50, d)).astype(np.uint8)
+        dec = np.asarray(sq6_decode(jnp.asarray(sq6_pack(q6)), vmin, scale))
+        np.testing.assert_array_equal(dec, q6.astype(np.float32))
+
+
+@pytest.mark.parametrize("qtype,err", [("SQ4", 1.0), ("SQ6", 0.1)])
+def test_sq46_index_end_to_end(catalog, qtype, err):
+    rng = np.random.default_rng(11)
+    d, n, k = 16, 1200, 5
+    xb = rng.standard_normal((n, d)).astype(np.float32)
+    xq = xb[:6]
+    dfx.faiss_create("sqx" + qtype, d, qtype, metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_add(xb, "sqx" + qtype, catalog=catalog)
+    res = dfx.faiss_search("sqx" + qtype, k, xq, catalog=catalog)
+    # self-hit with small quantization error
+    assert np.all(res["label"][:, 0] == np.arange(6))
+    assert np.all(res["distance"][:, 0] < err)
+    # memory profile: packed storage
+    entry = catalog.get("sqx" + qtype)
+    w = entry.index._codes.shape[1]
+    assert w == (8 if qtype == "SQ4" else 12)
+
+
+def test_sq46_save_load(catalog, tmp_path):
+    rng = np.random.default_rng(12)
+    xb = rng.standard_normal((400, 9)).astype(np.float32)  # odd dim
+    dfx.faiss_create("sqs", 9, "SQ4", metric_type="L2", catalog=catalog)
+    dfx.faiss_add(xb, "sqs", catalog=catalog)
+    before = dfx.faiss_search("sqs", 3, xb[:4], catalog=catalog)
+    path = str(tmp_path / "sq4.idx")
+    dfx.faiss_save("sqs", path, catalog=catalog)
+    dfx.faiss_load("sql", path, catalog=catalog)
+    after = dfx.faiss_search("sql", 3, xb[:4], catalog=catalog)
+    np.testing.assert_array_equal(before["label"], after["label"])
+    np.testing.assert_allclose(before["distance"], after["distance"])
