@@ -8,8 +8,10 @@ the reference exercises (its tests and benchmarks use: ``Flat``,
 ``IDMap,HNSW128,Flat``, ``IVF2048_HNSW128,Flat`` — SURVEY.md §4,§6) into a
 graph of TPU-native index models:
 
-    desc        := [prefix ","]* component ["," encoding]
+    desc        := [prefix ","]* [transform ","]* component ["," encoding]
+                   ["," suffix]
     prefix      := "IDMap" | "IDMap2"
+    transform   := "PCA"[R|W]n | "OPQ"m["_"dout] | "L2norm"
     component   := "Flat" | "HNSW"[M] | "IVF"nlist["_" quantizer] | "PQ"M["x"nbits]
     quantizer   := "Flat" | "HNSW"[M] | "PQ"M
     encoding    := "Flat" | "PQ"M["x"nbits] | "SQ8" | "SQ4" | "SQ6" | "SQfp16"
@@ -33,6 +35,28 @@ _HNSW_RE = re.compile(r"^HNSW(\d*)$")
 _IVF_RE = re.compile(r"^IVF(\d+)(?:_(.+))?$")
 _PQ_RE = re.compile(r"^PQ(\d+)(?:x(\d+))?$")
 _SQ_RE = re.compile(r"^SQ(8|4|6|fp16)$")
+_PCA_RE = re.compile(r"^PCA(R|W)?(\d+)$")
+_OPQ_RE = re.compile(r"^OPQ(\d+)(?:_(\d+))?$")
+
+
+def _parse_transform(tok: str, d: int):
+    """Transform-prefix tokens (faiss VectorTransform grammar subset):
+    PCAn / PCARn / PCAWn, OPQm[_dout], L2norm.  Returns None for
+    non-transform tokens."""
+    from .transforms import L2NormTransform, OPQMatrix, PCAMatrix
+
+    if tok == "L2norm":
+        return L2NormTransform(d)
+    m = _PCA_RE.match(tok)
+    if m:
+        return PCAMatrix(d, int(m.group(2)),
+                         random_rotation=m.group(1) == "R",
+                         whiten=m.group(1) == "W")
+    m = _OPQ_RE.match(tok)
+    if m:
+        d_out = int(m.group(2)) if m.group(2) else None
+        return OPQMatrix(d, int(m.group(1)), d_out)
+    return None
 
 
 def _parse_error(desc: str, detail: str = "") -> InvalidInputError:
@@ -63,7 +87,23 @@ def build_index(d: int, desc: str, metric: Metric,
         if not parts:
             raise _parse_error(desc, "RFlat needs a base index")
 
-    index = _build_component(d, parts, metric, metric_arg, desc)
+    transforms = []
+    d_cur = d
+    while parts:
+        t = _parse_transform(parts[0], d_cur)
+        if t is None:
+            break
+        transforms.append(t)
+        d_cur = t.d_out
+        parts.pop(0)
+    if not parts:
+        raise _parse_error(desc, "no index component after transforms")
+
+    index = _build_component(d_cur, parts, metric, metric_arg, desc)
+    if transforms:
+        from .models.pretransform import PreTransformIndex
+
+        index = PreTransformIndex(transforms, index)
     if refine:
         from .models.refine import RefineFlatIndex
 
