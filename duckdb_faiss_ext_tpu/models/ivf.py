@@ -209,6 +209,7 @@ class IVFIndex(Index):
         self._version += 1
         self._device = None
         self._device_pallas = None
+        self._device_spill = None
         self._mask_cache.clear()
 
     # --- Pallas list-scan layout (padded 3-D lists) ------------------------
@@ -217,35 +218,78 @@ class IVFIndex(Index):
     #: sorted+gather layout is used instead (raw-sized + an int32 table).
     PALLAS_LAYOUT_BUDGET_BYTES = 2 << 30
 
-    def _counts_max(self) -> int:
-        cache = getattr(self, "_counts_max_cache", None)
+    #: spill-region cap: beyond this fraction of rows overflowing the capped
+    #: layout, the dense spill scan would dominate and the sorted+gather
+    #: layout wins instead.
+    SPILL_FRACTION_MAX = 0.1
+
+    def _counts(self) -> np.ndarray:
+        cache = getattr(self, "_counts_cache", None)
         if cache is not None and cache[0] == self._version:
             return cache[1]
-        mx = int(np.bincount(self._assign, minlength=self.nlist).max()) \
-            if self.ntotal else 1
-        self._counts_max_cache = (self._version, mx)
-        return mx
+        c = (np.bincount(self._assign, minlength=self.nlist)
+             if self.ntotal else np.zeros((self.nlist,), np.int64))
+        self._counts_cache = (self._version, c)
+        return c
 
-    def _use_pallas_scan(self) -> bool:
+    def _counts_max(self) -> int:
+        return int(self._counts().max()) if self.ntotal else 1
+
+    def _pallas_plan(self):
+        """Layout plan for the Pallas list-scan kernel:
+        None           — pallas unusable (metric/mode/memory);
+        ("full", None) — padded (nlist, lmax, w) fits the HBM budget;
+        ("spill", L)   — lists capped at L, overflow rows in a flat spill
+                         region scanned densely and merged (bounds memory at
+                         high skew while keeping the DMA kernel layout)."""
         from ..utils.config import config
 
         if self.metric.name not in ("L2", "INNER_PRODUCT"):
-            return False
+            return None
         mode = config.kernel_mode
         if not (mode == "pallas" or (mode == "auto" and on_tpu())):
-            return False
-        lmax = choose_lmax(self._counts_max())
+            return None
+        cache = getattr(self, "_pallas_plan_cache", None)
+        if cache is not None and cache[0] == self._version:
+            return cache[1]
         width = self.pq_m if self.pq_m is not None else self.d * 4
-        return self.nlist * lmax * width <= self.PALLAS_LAYOUT_BUDGET_BYTES
+        full = choose_lmax(self._counts_max())
+        if self.nlist * full * width <= self.PALLAS_LAYOUT_BUDGET_BYTES:
+            plan = ("full", None)
+        else:
+            budget_lmax = self.PALLAS_LAYOUT_BUDGET_BYTES // \
+                max(self.nlist * width, 1)
+            lmax = 128
+            while lmax * 2 <= budget_lmax:
+                lmax *= 2
+            if budget_lmax < 128:
+                plan = None
+            else:
+                counts = self._counts()
+                nspill = int(np.maximum(counts - lmax, 0).sum())
+                plan = (("spill", lmax)
+                        if nspill <= self.SPILL_FRACTION_MAX * self.ntotal
+                        else None)
+        self._pallas_plan_cache = (self._version, plan)
+        return plan
 
-    def _build_list_layout(self):
+    def _use_pallas_scan(self) -> bool:
+        return self._pallas_plan() is not None
+
+    def _build_list_layout(self, lmax_cap: int | None = None):
         """Host-side padded list layout: (payload (nlist, lmax, w), counts
-        (nlist,), row_pos (nlist, lmax)) — payload is byte codes for PQ
-        storage, raw fp32 rows otherwise.  Single source for the pallas and
-        device-sharded layouts."""
+        (nlist,), row_pos (nlist, lmax), spill) — payload is byte codes for
+        PQ storage, raw fp32 rows otherwise.  Single source for the pallas
+        and device-sharded layouts.
+
+        With ``lmax_cap``, lists longer than the cap keep their first cap
+        members in the padded layout; the overflow rows come back in
+        ``spill`` = (payload (s, w), assign (s,), pos (s,) original-row
+        positions), unpadded.  spill is None otherwise."""
         n = self.ntotal
-        counts = np.bincount(self._assign, minlength=self.nlist)
-        if n and counts.max() > max(32 * n / self.nlist, 4096):
+        counts = self._counts()
+        if lmax_cap is None and n and \
+                counts.max() > max(32 * n / self.nlist, 4096):
             import sys
 
             print(f"duckdb_faiss_ext_tpu: IVF list skew is extreme "
@@ -253,6 +297,9 @@ class IVFIndex(Index):
                   f"padded layout will be memory-heavy — consider retraining "
                   f"(kmeans_balance) or fewer lists", file=sys.stderr)
         lmax = choose_lmax(max(1, int(counts.max()) if n else 1))
+        if lmax_cap is not None:
+            lmax = min(lmax, lmax_cap)
+        kept = np.minimum(counts, lmax)
         row_pos = np.full((self.nlist, lmax), -1, np.int32)
         order = np.argsort(self._assign, kind="stable")
         offsets = np.concatenate([[0], np.cumsum(counts)])
@@ -262,18 +309,28 @@ class IVFIndex(Index):
         else:
             payload = np.zeros((self.nlist, lmax, self.d), np.float32)
             src = self._xb[order] if n else self._xb
+        spill_rows = []
         for l in range(self.nlist):
-            c = counts[l]
-            if c:
-                rows = slice(offsets[l], offsets[l] + c)
-                payload[l, :c] = src[rows]
-                row_pos[l, :c] = order[rows]
-        return payload, counts.astype(np.int32), row_pos
+            c, kc = int(counts[l]), int(kept[l])
+            if kc:
+                rows = slice(offsets[l], offsets[l] + kc)
+                payload[l, :kc] = src[rows]
+                row_pos[l, :kc] = order[rows]
+            if c > kc:
+                spill_rows.append(order[offsets[l] + kc:offsets[l] + c])
+        spill = None
+        if spill_rows:
+            sp = np.concatenate(spill_rows)
+            raw = self._codes if self.pq_m is not None else self._xb
+            spill = (raw[sp], self._assign[sp], sp.astype(np.int32))
+        return payload, kept.astype(np.int32), row_pos, spill
 
     def _build_device_pallas(self):
         if getattr(self, "_device_pallas", None) is not None:
             return self._device_pallas
-        payload, counts, row_pos = self._build_list_layout()
+        plan = self._pallas_plan()
+        lmax_cap = plan[1] if plan is not None else None
+        payload, counts, row_pos, spill = self._build_list_layout(lmax_cap)
         extra = ((jnp.asarray(self._pq_codebooks),)
                  if self.pq_m is not None else ())
         self._device_pallas = (
@@ -282,7 +339,32 @@ class IVFIndex(Index):
             jnp.asarray(row_pos),
             jnp.asarray(self._centroids),
         ) + extra
+        if spill is None:
+            self._device_spill = None
+        else:
+            sp_payload, sp_assign, sp_pos = spill
+            s_pad = max(128, next_pow2(sp_pos.shape[0]))
+            self._device_spill = (
+                jnp.asarray(pad_rows(sp_payload, s_pad)),
+                jnp.asarray(pad_rows(sp_assign, s_pad).astype(np.int32)),
+                jnp.asarray(pad_rows(sp_pos, s_pad, fill=-1)
+                            .astype(np.int32)),
+            )
         return self._device_pallas
+
+    def _spill_mask(self, selector):
+        key = ("spill", selector.cache_key(), self._version)
+        hit = self._mask_cache.get(key)
+        if hit is not None:
+            return hit
+        sp_pos = np.asarray(self._device_spill[2])
+        passing = selector.contains(self._ids)
+        mask = np.zeros(sp_pos.shape, bool)
+        valid = sp_pos >= 0
+        mask[valid] = passing[sp_pos[valid]]
+        dev = jnp.asarray(mask)
+        self._mask_cache[key] = dev
+        return dev
 
     def _pallas_mask(self, selector):
         key = ("pallas", selector.cache_key(), self._version)
@@ -426,6 +508,24 @@ class IVFIndex(Index):
                     payload, counts, row_pos, probe_ids, xq_pad, mask,
                     k=k_eff, nprobe=nprobe_eff, metric=self.metric.name,
                     interpret=not on_tpu())
+            spill = getattr(self, "_device_spill", None)
+            if spill is not None:
+                # Overflow rows of capped lists: dense scan masked to each
+                # query's probe set, merged with the padded-layout top-k.
+                from ..ops.ivf_scan import ivf_spill_scan, merge_topk
+
+                sp_payload, sp_assign, sp_pos = spill
+                sp_mask = (self._spill_mask(selector)
+                           if selector is not None else None)
+                sp_scores, sp_positions = ivf_spill_scan(
+                    sp_payload, sp_assign, sp_pos, cents_dev,
+                    dev[4] if self.pq_m is not None else None,
+                    probe_ids, xq_pad, sp_mask,
+                    jnp.asarray(self.metric_arg, jnp.float32),
+                    k=min(k_eff, sp_pos.shape[0]), metric=self.metric.name,
+                    precision=config.precision, pq=self.pq_m is not None)
+                scores, pos = merge_topk(scores, pos, sp_scores,
+                                         sp_positions, k_eff)
             dist, pos = finalize_scores(scores, pos, self.metric.name)
             dist, pos = fetch_results(dist, pos)
             dist = dist[:nq]
@@ -576,7 +676,7 @@ def _ivf_build_sharded(self):
             and self._device_sharded[0] == self._version:
         return self._device_sharded[1]
     mesh = self._shard_mesh
-    payload, counts, row_pos = self._build_list_layout()
+    payload, counts, row_pos, _ = self._build_list_layout()
     arrays = (
         jax.device_put(payload, NamedSharding(mesh, P("shard", None, None))),
         jax.device_put(counts, NamedSharding(mesh, P("shard"))),

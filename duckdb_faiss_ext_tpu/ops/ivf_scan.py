@@ -197,3 +197,59 @@ def choose_q_chunk(nq: int, ncand: int, d: int) -> int:
     while q * 2 <= min(budget, nq):
         q *= 2
     return q
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "precision", "pq"))
+def ivf_spill_scan(spill_payload, spill_assign, spill_pos, centroids,
+                   codebooks, probe_ids, xq, mask, metric_arg, *,
+                   k, metric, precision, pq=False):
+    """Scan the IVF overflow-spill region: rows whose list exceeded the
+    capped padded layout (models/ivf.py quantile-lmax plan).
+
+    Every spill row is scored against every query, then masked to rows
+    whose list is in that query's probe set — exact IVF semantics (a
+    candidate is returned iff its list was probed), with the tail of the
+    skew distribution riding one dense MXU tile instead of exploding the
+    padded (nlist, lmax, ·) layout.
+
+    spill_payload: (s_pad, d) fp32 rows, or (s_pad, m) uint8 codes when
+    ``pq`` (decoded + centroid[assign] like the main PQ path);
+    spill_pos: (s_pad,) int32 original-row position, -1 padding.
+    Returns (scores (nq, k) max-oriented, positions (nq, k)).
+    """
+    nq = xq.shape[0]
+    nlist = centroids.shape[0]
+    sim = metric in SIMILARITY_METRICS
+
+    # Probed-list membership: one-hot scatter (nq, nlist) then a column
+    # gather by each spill row's list id.
+    onehot = jnp.zeros((nq, nlist), jnp.bool_)
+    qidx = lax.broadcasted_iota(jnp.int32, probe_ids.shape, 0)
+    onehot = onehot.at[qidx, probe_ids].set(True)
+    probed = jnp.take(onehot, spill_assign, axis=1)        # (nq, s_pad)
+
+    if pq:
+        from .pq import pq_decode
+
+        xc = pq_decode(spill_payload, codebooks) + centroids[spill_assign]
+    else:
+        xc = spill_payload
+    dist = pairwise_tile(xq, xc, metric, metric_arg, precision)
+    valid = jnp.logical_and(probed, (spill_pos >= 0)[None, :])
+    if mask is not None:
+        valid = jnp.logical_and(valid, mask[None, :])
+    score = dist if sim else -dist
+    score = jnp.where(valid, score, _NEG_INF)
+    best, sel = lax.top_k(score, k)
+    pos = jnp.take(spill_pos, sel)
+    pos = jnp.where(jnp.isneginf(best), -1, pos)
+    return best, pos
+
+
+def merge_topk(scores_a, pos_a, scores_b, pos_b, k: int):
+    """Merge two max-oriented candidate sets into the best k."""
+    cat_s = jnp.concatenate([scores_a, scores_b], axis=1)
+    cat_p = jnp.concatenate([pos_a, pos_b], axis=1)
+    best, sel = lax.top_k(cat_s, k)
+    return best, jnp.take_along_axis(cat_p, sel, axis=1)

@@ -258,3 +258,57 @@ def test_ivfpq_pallas_matches_gather(catalog):
     np.testing.assert_allclose(got["distance"], ref["distance"],
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_array_equal(got["label"], ref["label"])
+
+
+def test_ivf_spill_layout_parity(catalog):
+    """Capped-lmax + spill-region plan returns the same results as the
+    uncapped gather path on heavily skewed lists (round-2 queue item 4)."""
+    import duckdb_faiss_ext_tpu as dfx
+    from duckdb_faiss_ext_tpu.models.ivf import IVFIndex
+
+    rng = np.random.default_rng(44)
+    d, n = 16, 4000
+    # Skew: 70% of points near one center → one giant list.
+    centers = rng.standard_normal((8, d)).astype(np.float32) * 5
+    which = np.where(rng.random(n) < 0.7, 0, rng.integers(0, 8, n))
+    xb = centers[which] + rng.standard_normal((n, d)).astype(np.float32) * .3
+    xq = xb[:8]
+
+    dfx.faiss_create("spill", d, "IVF8,Flat", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_add(xb, "spill", catalog=catalog)
+    idx = catalog.get("spill").index
+    assert isinstance(idx, IVFIndex)
+
+    # Reference: XLA gather path (kernel_mode auto on CPU).
+    ref = dfx.faiss_search("spill", 10, xq, {"nprobe": "8"}, catalog=catalog)
+
+    # Force the spill plan: budget so small the giant list must be capped.
+    idx.PALLAS_LAYOUT_BUDGET_BYTES = 8 * 256 * d * 4   # lmax cap = 256
+    idx.SPILL_FRACTION_MAX = 1.0
+    idx._pallas_plan_cache = None
+    idx._device_pallas = None
+    dfx.set_kernel_mode("pallas")
+    try:
+        plan = idx._pallas_plan()
+        assert plan is not None and plan[0] == "spill"
+        got = dfx.faiss_search("spill", 10, xq, {"nprobe": "8"},
+                               catalog=catalog)
+        assert idx._device_spill is not None
+    finally:
+        dfx.set_kernel_mode("auto")
+    np.testing.assert_array_equal(ref["label"], got["label"])
+    np.testing.assert_allclose(ref["distance"], got["distance"],
+                               rtol=2e-3, atol=2e-3)
+
+    # Filtered search through the spill path too.
+    sel = dfx.SetSelector(np.arange(0, n, 2, dtype=np.int64))
+    ref_f = dfx.faiss_search("spill", 10, xq, {"nprobe": "8"},
+                             catalog=catalog, selector=sel)
+    dfx.set_kernel_mode("pallas")
+    try:
+        got_f = dfx.faiss_search("spill", 10, xq, {"nprobe": "8"},
+                                 catalog=catalog, selector=sel)
+    finally:
+        dfx.set_kernel_mode("auto")
+    np.testing.assert_array_equal(ref_f["label"], got_f["label"])
