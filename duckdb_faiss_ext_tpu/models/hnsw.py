@@ -6,12 +6,20 @@ The reference builds faiss::IndexHNSW via factory strings (``HNSW16``,
 (src/faiss_extension.cpp:133-141, 691-702).
 
 Graph-walking ANN is TPU-hostile (pointer chasing, data-dependent control
-flow — SURVEY.md §2.2), so this index accepts the full HNSW surface —
-factory string, efConstruction/efSearch parameters — but executes searches
-as the fused exact MXU scan (FlatIndex).  Documented deviation: same API,
-recall ≥ HNSW's by construction (exact results), different algorithm; the
-parameters are validated and recorded but do not alter results.  This is the
-"lower to TPU-friendly exact/IVF scan" decision of SURVEY.md §7 step 8.
+flow — SURVEY.md §2.2), so this index accepts the full HNSW surface but
+executes TPU-shaped searches — the "lower to TPU-friendly exact/IVF scan"
+decision of SURVEY.md §7 step 8.  Two regimes:
+
+* small corpora (< ``ann_threshold`` rows): the fused exact MXU scan
+  (FlatIndex) — recall 1.0, still faster than a graph walk at these sizes;
+* at scale: a lazily-built internal IVF partition (nlist ≈ √n k-means over
+  a training subsample) searched with nprobe mapped from efSearch
+  (nprobe = max(1, efSearch/4), matching HNSW's candidate-pool scaling),
+  plus an exact scan of the "tail" rows added after the partition was
+  built, merged per query.  Adds stay O(batch); the partition rebuilds only
+  when the tail outgrows 20% of the corpus.  Approximate like real HNSW,
+  with the knobs meaning the same thing (bigger efSearch → more candidates
+  → higher recall); ``{"exact": "true"}`` forces the exact path.
 """
 
 from __future__ import annotations
@@ -25,6 +33,14 @@ from .flat import FlatIndex
 
 
 class HNSWIndex(FlatIndex):
+    #: corpus size where the internal IVF partition takes over from the
+    #: exact scan (graph ANN only pays at scale; below this the MXU scan is
+    #: already faster than a graph walk).
+    ann_threshold = 200_000
+    #: rebuild the partition when rows added since the build exceed this
+    #: fraction of the corpus (until then they are scanned exactly).
+    tail_rebuild_fraction = 0.2
+
     def __init__(self, d: int, metric: Metric, metric_arg: float = 0.0,
                  M: int = 32, storage: str = "Flat"):
         super().__init__(d, metric, metric_arg)
@@ -32,6 +48,7 @@ class HNSWIndex(FlatIndex):
         self.storage = storage
         self.ef_construction = 40  # faiss::HNSW default
         self.ef_search = 16        # faiss::HNSW default
+        self._accel = None         # (IVFIndex, rows_indexed)
 
     def apply_create_params(self, params) -> None:
         # The only create-time knob the reference implements
@@ -39,19 +56,91 @@ class HNSWIndex(FlatIndex):
         ef = params.get_int("efConstruction")
         if ef is not None:
             self.ef_construction = ef
+        at = params.get_int("ann_threshold")
+        if at is not None:
+            self.ann_threshold = at
+
+    # --- IVF acceleration --------------------------------------------------
+    def _accel_ready(self):
+        """Internal IVF partition covering a prefix of the corpus, or None
+        when the exact scan should run (small corpus / unsupported metric)."""
+        n = self.ntotal
+        if n < self.ann_threshold or \
+                self.metric.name not in ("L2", "INNER_PRODUCT") or \
+                self._placement is not None:
+            # Sharded placement (faiss_to_device) keeps the sharded exact
+            # scan — the partition would run single-device.
+            return None
+        if self._accel is not None:
+            accel, indexed = self._accel
+            if n - indexed <= self.tail_rebuild_fraction * n:
+                return self._accel
+        from .ivf import IVFIndex
+
+        nlist = 1
+        while nlist * nlist < n:
+            nlist *= 2
+        nlist = min(nlist, 65_536)
+        quant = FlatIndex(self.d, self.metric, self.metric_arg)
+        accel = IVFIndex(self.d, self.metric, self.metric_arg,
+                         nlist=nlist, quantizer=quant)
+        # efConstruction scales build effort in HNSW; here it maps to
+        # k-means iterations (more effort → better partition).
+        accel.train_niter = max(4, min(25, self.ef_construction // 8))
+        accel.train(self._xb)
+        accel.add(self._xb)   # ids = positions 0..n-1
+        self._accel = (accel, n)
+        return self._accel
+
+    def add(self, x) -> None:
+        super().add(x)
+        # The partition goes stale but stays valid for its prefix; new rows
+        # are tail-scanned exactly until the rebuild threshold.
 
     def search(self, xq, k, params=EMPTY, selector=None) -> SearchResult:
-        # efSearch accepted for parity (src/faiss_extension.cpp:691-702);
-        # results are exact regardless.
+        # efSearch accepted per the reference (src/faiss_extension.cpp:
+        # 691-702); at scale it maps to the candidate-pool size (nprobe).
         ef = params.get_int("efSearch")
         if ef is not None:
             self.ef_search = ef
-        return super().search(xq, k, params, selector)
+        if (params.get_str("exact") or "").lower() in ("true", "1"):
+            return super().search(xq, k, params, selector)
+        accel_state = self._accel_ready()
+        if accel_state is None:
+            return super().search(xq, k, params, selector)
+        accel, indexed = accel_state
+        nprobe = params.get_int("nprobe",
+                                max(1, round(self.ef_search / 4)))
+        res = accel.search(xq, k, _with_nprobe(params, nprobe), selector)
+        n = self.ntotal
+        if indexed == n:
+            return res
+        # Tail rows added after the partition build: exact scan + merge.
+        tail = self._tail_search(xq, k, indexed, selector)
+        return _merge_results(res, tail, k,
+                              self.metric.name in _SIMILARITY)
+
+    def _tail_search(self, xq, k, start: int, selector) -> SearchResult:
+        tail = FlatIndex(self.d, self.metric, self.metric_arg)
+        tail.add(self._xb[start:])
+        sel = (_ShiftedSelector(selector, start)
+               if selector is not None else None)
+        res = tail.search(np.asarray(xq, np.float32), k, EMPTY, sel)
+        labels = np.where(res.labels >= 0, res.labels + start, -1)
+        return SearchResult(res.distances, labels)
 
     def state_dict(self) -> dict:
         state = super().state_dict()
         state["hnsw_meta"] = np.array(
             [self.M, self.ef_construction, self.ef_search])
+        if self._accel is not None:
+            # Persist the partition (the analogue of FAISS serializing the
+            # HNSW graph): k-means + full-corpus assignment cost minutes at
+            # scale and are deterministic state, not caches.
+            accel, indexed = self._accel
+            state["accel_centroids"] = accel._centroids
+            state["accel_assign"] = accel._assign
+            state["accel_meta"] = np.array([accel.nlist, indexed])
         return state
 
     def load_state(self, state: dict) -> None:
@@ -59,4 +148,57 @@ class HNSWIndex(FlatIndex):
         if meta is not None:
             m = [int(v) for v in meta]
             self.M, self.ef_construction, self.ef_search = m
+        cents = state.pop("accel_centroids", None)
+        assign = state.pop("accel_assign", None)
+        ameta = state.pop("accel_meta", None)
+        self._accel = None
         super().load_state(state)
+        if cents is not None and ameta is not None:
+            from .ivf import IVFIndex
+
+            nlist, indexed = int(ameta[0]), int(ameta[1])
+            quant = FlatIndex(self.d, self.metric, self.metric_arg)
+            accel = IVFIndex(self.d, self.metric, self.metric_arg,
+                             nlist=nlist, quantizer=quant)
+            accel._centroids = np.asarray(cents, np.float32)
+            quant.add(accel._centroids)
+            accel._xb = np.ascontiguousarray(self._xb[:indexed])
+            accel._ids = np.arange(indexed, dtype=np.int64)
+            accel._assign = np.asarray(assign, np.int32).reshape(-1)
+            self._accel = (accel, indexed)
+
+
+from ..ops.flat_search import SIMILARITY_METRICS as _SIMILARITY  # noqa: E402
+
+
+def _with_nprobe(params, nprobe: int):
+    from ..params import ParamMap
+
+    merged = dict(params)
+    merged["nprobe"] = str(nprobe)
+    return ParamMap(merged)
+
+
+def _merge_results(a: SearchResult, b: SearchResult, k: int,
+                   sim: bool) -> SearchResult:
+    dist = np.concatenate([a.distances, b.distances], axis=1)
+    labels = np.concatenate([a.labels, b.labels], axis=1)
+    # Missing slots carry ±inf sentinels that sort last either way.
+    order = np.argsort(-dist if sim else dist, axis=1, kind="stable")[:, :k]
+    return SearchResult(np.take_along_axis(dist, order, axis=1),
+                        np.take_along_axis(labels, order, axis=1))
+
+
+class _ShiftedSelector:
+    """Selector over tail positions: position p in the tail index is
+    corpus position p + start."""
+
+    def __init__(self, inner, start: int):
+        self._inner = inner
+        self._start = int(start)
+
+    def contains(self, labels: np.ndarray) -> np.ndarray:
+        return self._inner.contains(np.asarray(labels) + self._start)
+
+    def cache_key(self):
+        return ("shift", self._start, self._inner.cache_key())

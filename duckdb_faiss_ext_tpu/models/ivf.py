@@ -218,6 +218,10 @@ class IVFIndex(Index):
     #: sorted+gather layout is used instead (raw-sized + an int32 table).
     PALLAS_LAYOUT_BUDGET_BYTES = 2 << 30
 
+    #: scalar-prefetch budget for the probe table (SMEM is 1 MB/core; leave
+    #: headroom for the grid scalars).
+    PALLAS_SMEM_PROBE_INTS = 96 * 1024
+
     #: spill-region cap: beyond this fraction of rows overflowing the capped
     #: layout, the dense spill scan would dominate and the sorted+gather
     #: layout wins instead.
@@ -303,26 +307,24 @@ class IVFIndex(Index):
         row_pos = np.full((self.nlist, lmax), -1, np.int32)
         order = np.argsort(self._assign, kind="stable")
         offsets = np.concatenate([[0], np.cumsum(counts)])
-        if self.pq_m is not None:
-            payload = np.zeros((self.nlist, lmax, self.pq_m), np.uint8)
-            src = self._codes[order] if n else self._codes
-        else:
-            payload = np.zeros((self.nlist, lmax, self.d), np.float32)
-            src = self._xb[order] if n else self._xb
-        spill_rows = []
-        for l in range(self.nlist):
-            c, kc = int(counts[l]), int(kept[l])
-            if kc:
-                rows = slice(offsets[l], offsets[l] + kc)
-                payload[l, :kc] = src[rows]
-                row_pos[l, :kc] = order[rows]
-            if c > kc:
-                spill_rows.append(order[offsets[l] + kc:offsets[l] + c])
+        w = self.pq_m if self.pq_m is not None else self.d
+        dtype = np.uint8 if self.pq_m is not None else np.float32
+        payload = np.zeros((self.nlist, lmax, w), dtype)
+        raw = self._codes if self.pq_m is not None else self._xb
         spill = None
-        if spill_rows:
-            sp = np.concatenate(spill_rows)
-            raw = self._codes if self.pq_m is not None else self._xb
-            spill = (raw[sp], self._assign[sp], sp.astype(np.int32))
+        if n:
+            # Vectorized scatter (a Python loop over nlist was the build
+            # bottleneck at 16k lists): rank of each sorted row within its
+            # list decides padded slot vs spill.
+            sorted_assign = self._assign[order]
+            ranks = np.arange(n, dtype=np.int64) - offsets[sorted_assign]
+            keep = ranks < lmax
+            flat = sorted_assign[keep].astype(np.int64) * lmax + ranks[keep]
+            payload.reshape(-1, w)[flat] = raw[order[keep]]
+            row_pos.reshape(-1)[flat] = order[keep]
+            if not keep.all():
+                sp = order[~keep]
+                spill = (raw[sp], self._assign[sp], sp.astype(np.int32))
         return payload, kept.astype(np.int32), row_pos, spill
 
     def _build_device_pallas(self):
@@ -396,14 +398,14 @@ class IVFIndex(Index):
         # sentinel target for unused list_table slots (masked in the kernel).
         cap = max(config.min_capacity, next_capacity(n + 1))
 
-        # list_table[l, j] = sorted-row index of the j-th member of list l.
+        # list_table[l, j] = sorted-row index of the j-th member of list l
+        # (vectorized scatter; see _build_list_layout).
         list_table = np.full((self.nlist, lmax), cap - 1, dtype=np.int32)
-        offsets = np.concatenate([[0], np.cumsum(counts)])
-        for l in range(self.nlist):
-            c = counts[l]
-            if c:
-                list_table[l, :c] = np.arange(offsets[l], offsets[l] + c,
-                                              dtype=np.int32)
+        if n:
+            offsets = np.concatenate([[0], np.cumsum(counts)])
+            ranks = np.arange(n, dtype=np.int64) - offsets[sorted_assign]
+            flat = sorted_assign.astype(np.int64) * lmax + ranks
+            list_table.reshape(-1)[flat] = np.arange(n, dtype=np.int32)
 
         if self.pq_m is not None:
             codes_sorted = pad_rows(self._codes[order] if n else self._codes,
@@ -493,21 +495,36 @@ class IVFIndex(Index):
                 jnp.asarray(self.metric_arg, jnp.float32),
                 nprobe=nprobe_eff, metric=self.metric.name,
                 precision=config.precision)
-            if self.pq_m is not None:
-                from ..ops.pallas_ivf import pallas_ivf_pq_search
+            # The probe table is scalar-prefetched into SMEM (1 MB/core):
+            # block the kernel over queries so nq_block·nprobe ints stay
+            # within budget (1024×256 probes hit the 1 MB wall — measured).
+            qb = xq_pad.shape[0]
+            while qb * nprobe_eff > self.PALLAS_SMEM_PROBE_INTS and qb > 64:
+                qb //= 2
 
-                qc = max(1, min(8, xq_pad.shape[0]))
-                scores, pos = pallas_ivf_pq_search(
-                    payload, counts, row_pos, dev[4], cents_dev,
-                    probe_ids, xq_pad, mask,
+            def run_block(xq_b, probe_b, mask_b=mask):
+                if self.pq_m is not None:
+                    from ..ops.pallas_ivf import pallas_ivf_pq_search
+
+                    qc = max(1, min(8, xq_b.shape[0]))
+                    return pallas_ivf_pq_search(
+                        payload, counts, row_pos, dev[4], cents_dev,
+                        probe_b, xq_b, mask_b,
+                        k=k_eff, nprobe=nprobe_eff, metric=self.metric.name,
+                        q_chunk=qc, precision=config.precision,
+                        interpret=not on_tpu())
+                return pallas_ivf_search(
+                    payload, counts, row_pos, probe_b, xq_b, mask_b,
                     k=k_eff, nprobe=nprobe_eff, metric=self.metric.name,
-                    q_chunk=qc, precision=config.precision,
                     interpret=not on_tpu())
+
+            if qb == xq_pad.shape[0]:
+                scores, pos = run_block(xq_pad, probe_ids)
             else:
-                scores, pos = pallas_ivf_search(
-                    payload, counts, row_pos, probe_ids, xq_pad, mask,
-                    k=k_eff, nprobe=nprobe_eff, metric=self.metric.name,
-                    interpret=not on_tpu())
+                parts = [run_block(xq_pad[i:i + qb], probe_ids[i:i + qb])
+                         for i in range(0, xq_pad.shape[0], qb)]
+                scores = jnp.concatenate([p[0] for p in parts], axis=0)
+                pos = jnp.concatenate([p[1] for p in parts], axis=0)
             spill = getattr(self, "_device_spill", None)
             if spill is not None:
                 # Overflow rows of capped lists: dense scan masked to each

@@ -188,3 +188,93 @@ def test_pq_decode_onehot_matches_gather():
     ref = np.asarray(pq_decode(codes, codebooks))
     got = np.asarray(pq_decode_onehot(codes, codebooks))
     np.testing.assert_array_equal(ref, got)
+
+
+def test_hnsw_ivf_acceleration(catalog):
+    """At scale HNSW lowers to an internal IVF partition (efSearch→nprobe);
+    small corpora and {'exact': 'true'} keep the exact scan."""
+    import duckdb_faiss_ext_tpu as dfx
+
+    rng = np.random.default_rng(50)
+    d, n = 16, 6000
+    centers = rng.standard_normal((32, d)).astype(np.float32) * 4
+    xb = centers[rng.integers(0, 32, n)] + \
+        rng.standard_normal((n, d)).astype(np.float32) * 0.3
+    xq = xb[:10]
+    dfx.faiss_create("hacc", d, "HNSW32", metric_type="L2", catalog=catalog)
+    idx = catalog.get("hacc").index
+    idx.ann_threshold = 1000          # force the ANN regime at test scale
+    dfx.faiss_add(xb, "hacc", catalog=catalog)
+
+    exact = dfx.faiss_search("hacc", 5, xq, {"exact": "true"},
+                             catalog=catalog)
+    approx = dfx.faiss_search("hacc", 5, xq, {"efSearch": "64"},
+                              catalog=catalog)
+    assert idx._accel is not None     # partition was built
+    # clustered data + efSearch 64 → nprobe 16 of 128 lists: self-hits hold
+    assert np.all(approx["label"][:, 0] == np.arange(10))
+    recall = np.mean([len(set(approx["label"][q]) & set(exact["label"][q]))
+                      for q in range(10)]) / 5
+    assert recall > 0.9
+
+    # Tail rows added after the build are found without a rebuild.
+    extra = centers[:1] + rng.standard_normal((10, d)).astype(np.float32) * .1
+    dfx.faiss_add(extra, "hacc", catalog=catalog)
+    accel_before = idx._accel
+    res = dfx.faiss_search("hacc", 3, extra, {"efSearch": "64"},
+                           catalog=catalog)
+    assert idx._accel is accel_before  # no rebuild for a small tail
+    assert np.all(res["label"][:, 0] >= n)  # each finds its tail self-hit
+
+    # Growing the tail past the threshold rebuilds the partition.
+    more = rng.standard_normal((3000, d)).astype(np.float32)
+    dfx.faiss_add(more, "hacc", catalog=catalog)
+    dfx.faiss_search("hacc", 3, xq[:2], catalog=catalog)
+    assert idx._accel is not accel_before
+    assert idx._accel[1] == idx.ntotal
+
+
+def test_hnsw_accel_selector(catalog):
+    import duckdb_faiss_ext_tpu as dfx
+
+    rng = np.random.default_rng(51)
+    d, n = 8, 3000
+    xb = rng.standard_normal((n, d)).astype(np.float32)
+    dfx.faiss_create("hsel", d, "HNSW16", metric_type="L2", catalog=catalog)
+    idx = catalog.get("hsel").index
+    idx.ann_threshold = 1000
+    dfx.faiss_add(xb, "hsel", catalog=catalog)
+    dfx.faiss_add(xb[:200] + 0.001, "hsel", catalog=catalog)  # tail rows
+    sel = dfx.SetSelector(np.arange(0, n + 200, 3, dtype=np.int64))
+    res = dfx.faiss_search("hsel", 5, xb[:6], {"efSearch": "512"},
+                           catalog=catalog, selector=sel)
+    assert np.all(res["label"] % 3 == 0)
+
+
+def test_hnsw_accel_save_load(catalog, tmp_path):
+    """The partition persists through save/load (no k-means on load)."""
+    import duckdb_faiss_ext_tpu as dfx
+
+    rng = np.random.default_rng(52)
+    d, n = 8, 3000
+    xb = rng.standard_normal((n, d)).astype(np.float32)
+    dfx.faiss_create("hsl", d, "HNSW16", metric_type="L2", catalog=catalog)
+    idx = catalog.get("hsl").index
+    idx.ann_threshold = 1000
+    dfx.faiss_add(xb, "hsl", catalog=catalog)
+    before = dfx.faiss_search("hsl", 5, xb[:6], {"efSearch": "256"},
+                              catalog=catalog)
+    assert idx._accel is not None
+    path = str(tmp_path / "hnsw.idx")
+    dfx.faiss_save("hsl", path, catalog=catalog)
+    dfx.faiss_load("hsl2", path, catalog=catalog)
+    idx2 = catalog.get("hsl2").index
+    assert idx2._accel is not None          # restored, not retrained
+    np.testing.assert_array_equal(idx2._accel[0]._assign,
+                                  idx._accel[0]._assign)
+    idx2.ann_threshold = 1000
+    after = dfx.faiss_search("hsl2", 5, xb[:6], {"efSearch": "256"},
+                             catalog=catalog)
+    np.testing.assert_array_equal(before["label"], after["label"])
+    np.testing.assert_allclose(before["distance"], after["distance"],
+                               rtol=1e-5, atol=1e-5)
