@@ -15,6 +15,7 @@ graph of TPU-native index models:
     component   := "Flat" | "HNSW"[M] | "IVF"nlist["_" quantizer] | "PQ"M["x"nbits]
     quantizer   := "Flat" | "HNSW"[M] | "PQ"M
     encoding    := "Flat" | "PQ"M["x"nbits] | "SQ8" | "SQ4" | "SQ6" | "SQfp16"
+                   (PQ and SQ encodings valid both standalone and as IVF storage)
     suffix      := "RFlat"  (exact re-rank wrapper, IndexRefineFlat)
 
 Unsupported strings raise InvalidInputError mirroring FAISS's

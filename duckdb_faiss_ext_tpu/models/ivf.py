@@ -45,27 +45,46 @@ class IVFIndex(Index):
                  nlist: int, quantizer: Index, encoding: str = "Flat"):
         super().__init__(d, metric, metric_arg)
         self.pq_m = self.pq_nbits = None
+        self.sq_type: str | None = None   # "sq8"|"sq4"|"sq6"|"fp16"
         if encoding != "Flat":
             import re
 
             m = re.match(r"^PQ(\d+)(?:x(\d+))?$", encoding)
-            if not m:
+            if m:
+                self.pq_m = int(m.group(1))
+                self.pq_nbits = int(m.group(2)) if m.group(2) else 8
+                if d % self.pq_m != 0:
+                    raise errors.InvalidInputError(
+                        f"The dimension of the vector ({d}) must be a "
+                        f"multiple of the number of subquantizers "
+                        f"({self.pq_m})")
+            elif encoding in ("SQ8", "SQ4", "SQ6", "SQfp16"):
+                # faiss IndexIVFScalarQuantizer (by_residual=false, the
+                # index_factory default): raw rows SQ-encoded per list.
+                self.sq_type = ("fp16" if encoding == "SQfp16"
+                                else encoding.lower())
+            else:
                 raise errors.InvalidInputError(
-                    f"IVF encoding {encoding} is not supported (use Flat or "
-                    f"PQm)")
-            self.pq_m = int(m.group(1))
-            self.pq_nbits = int(m.group(2)) if m.group(2) else 8
-            if d % self.pq_m != 0:
-                raise errors.InvalidInputError(
-                    f"The dimension of the vector ({d}) must be a multiple "
-                    f"of the number of subquantizers ({self.pq_m})")
+                    f"IVF encoding {encoding} is not supported (use Flat, "
+                    f"PQm, SQ8, SQ4, SQ6 or SQfp16)")
             if metric.name not in ("L2", "INNER_PRODUCT"):
                 raise errors.InvalidInputError(
-                    f"PQ indexes support only L2 and INNER_PRODUCT metrics, "
-                    f"got {metric.name}")
+                    f"{encoding} indexes support only L2 and INNER_PRODUCT "
+                    f"metrics, got {metric.name}")
         self._pq_codebooks: np.ndarray | None = None  # (m, ksub, dsub)
-        self._codes = (np.empty((0, self.pq_m), dtype=np.uint8)
-                       if self.pq_m else None)
+        self._sq_vmin: np.ndarray | None = None
+        self._sq_scale: np.ndarray | None = None
+        if self.pq_m:
+            self._codes = np.empty((0, self.pq_m), dtype=np.uint8)
+        elif self.sq_type == "fp16":
+            self._codes = np.empty((0, d), dtype=np.float16)
+        elif self.sq_type:
+            from ..ops.sq import sq_code_width
+
+            self._codes = np.empty((0, sq_code_width(d, self.sq_type)),
+                                   dtype=np.uint8)
+        else:
+            self._codes = None
         self.nlist = int(nlist)
         self.quantizer = quantizer
         self.encoding = encoding
@@ -91,7 +110,11 @@ class IVFIndex(Index):
     def is_trained(self) -> bool:
         if self._centroids is None:
             return False
-        return self.pq_m is None or self._pq_codebooks is not None
+        if self.pq_m is not None:
+            return self._pq_codebooks is not None
+        if self.sq_type is not None and self.sq_type != "fp16":
+            return self._sq_vmin is not None
+        return True
 
     @property
     def requires_training(self) -> bool:
@@ -137,6 +160,12 @@ class IVFIndex(Index):
             self._pq_codebooks = np.asarray(
                 pq_train(resid, self.pq_m, ksub, seed=self.train_seed,
                          precision=config.precision), dtype=np.float32)
+        if self.sq_type is not None and self.sq_type != "fp16":
+            from ..ops.sq import SQ_LEVELS, sq_train
+
+            vmin, scale = sq_train(x, SQ_LEVELS[self.sq_type])
+            self._sq_vmin = np.asarray(vmin)
+            self._sq_scale = np.asarray(scale)
         self._invalidate()
 
     def _require_trained(self):
@@ -172,11 +201,58 @@ class IVFIndex(Index):
                                          jnp.asarray(self._pq_codebooks),
                                          precision=config.precision))
             self._codes = np.concatenate([self._codes, codes], axis=0)
+        elif self.sq_type is not None:
+            self._codes = np.concatenate(
+                [self._codes, self._sq_encode(x)], axis=0)
         else:
             self._xb = np.concatenate([self._xb, x], axis=0)
         self._ids = np.concatenate([self._ids, ids])
         self._assign = np.concatenate([self._assign, assign])
         self._invalidate()
+
+    def reconstruct(self, key: int) -> np.ndarray:
+        """Stored vector by position (decodes PQ/SQ storage; feeds IDMap2
+        reconstruct-by-label through the composite graph)."""
+        key = int(key)
+        if key < 0 or key >= self.ntotal:
+            raise errors.InvalidInputError(
+                f"Position {key} is out of range (ntotal={self.ntotal})")
+        if self.pq_m is not None:
+            from ..ops.pq import pq_decode
+
+            resid = np.asarray(pq_decode(
+                jnp.asarray(self._codes[key:key + 1]),
+                jnp.asarray(self._pq_codebooks)))[0]
+            return resid + self._centroids[self._assign[key]]
+        if self.sq_type is not None:
+            from ..ops.sq import sq_decode
+
+            vmin, scale = self._sq_ranges()
+            return np.asarray(sq_decode(
+                jnp.asarray(self._codes[key:key + 1]), vmin, scale,
+                self.sq_type))[0]
+        return self._xb[key]
+
+    def _sq_encode(self, x: np.ndarray) -> np.ndarray:
+        from ..ops.sq import SQ_LEVELS, sq4_pack, sq6_pack, sq_quantize
+
+        if self.sq_type == "fp16":
+            return x.astype(np.float16)
+        q = np.asarray(sq_quantize(jnp.asarray(x),
+                                   jnp.asarray(self._sq_vmin),
+                                   jnp.asarray(self._sq_scale),
+                                   levels=SQ_LEVELS[self.sq_type]))
+        if self.sq_type == "sq4":
+            return sq4_pack(q)
+        if self.sq_type == "sq6":
+            return sq6_pack(q)
+        return q
+
+    def _sq_ranges(self):
+        if self.sq_type == "fp16" or self._sq_vmin is None:
+            z = np.zeros((self.d,), np.float32)
+            return jnp.asarray(z), jnp.asarray(z)
+        return jnp.asarray(self._sq_vmin), jnp.asarray(self._sq_scale)
 
     def _assign_lists(self, x: np.ndarray) -> np.ndarray:
         """Coarse assignment of new vectors (best list by the index metric).
@@ -250,6 +326,8 @@ class IVFIndex(Index):
 
         if self.metric.name not in ("L2", "INNER_PRODUCT"):
             return None
+        if self.sq_type is not None:
+            return None   # SQ storage runs the XLA decode+gather scan
         mode = config.kernel_mode
         if not (mode == "pallas" or (mode == "auto" and on_tpu())):
             return None
@@ -307,10 +385,9 @@ class IVFIndex(Index):
         row_pos = np.full((self.nlist, lmax), -1, np.int32)
         order = np.argsort(self._assign, kind="stable")
         offsets = np.concatenate([[0], np.cumsum(counts)])
-        w = self.pq_m if self.pq_m is not None else self.d
-        dtype = np.uint8 if self.pq_m is not None else np.float32
-        payload = np.zeros((self.nlist, lmax, w), dtype)
-        raw = self._codes if self.pq_m is not None else self._xb
+        raw = self._codes if self._codes is not None else self._xb
+        w = raw.shape[1] if self._codes is not None else self.d
+        payload = np.zeros((self.nlist, lmax, w), raw.dtype)
         spill = None
         if n:
             # Vectorized scatter (a Python loop over nlist was the build
@@ -414,6 +491,16 @@ class IVFIndex(Index):
             self._device = (
                 (jnp.asarray(codes_sorted), jnp.asarray(assign_sorted),
                  jnp.asarray(self._pq_codebooks)),
+                jnp.asarray(list_table),
+                jnp.asarray(self._centroids),
+                order.astype(np.int64),
+            )
+        elif self.sq_type is not None:
+            codes_sorted = pad_rows(self._codes[order] if n else self._codes,
+                                    cap)
+            vmin, scale = self._sq_ranges()
+            self._device = (
+                (jnp.asarray(codes_sorted), vmin, scale),
                 jnp.asarray(list_table),
                 jnp.asarray(self._centroids),
                 order.astype(np.int64),
@@ -567,6 +654,17 @@ class IVFIndex(Index):
                 xq_pad, mask, jnp.asarray(self.metric_arg, jnp.float32),
                 k=k_eff, nprobe=nprobe_eff, metric=self.metric.name,
                 q_chunk=q_chunk, precision=config.precision)
+        elif self.sq_type is not None:
+            from ..ops.ivf_scan import ivf_sq_search
+
+            codes_sorted, vmin, scale = storage
+            scores, pos = ivf_sq_search(
+                codes_sorted, vmin, scale,
+                jnp.int32(self.ntotal), list_table, centroids,
+                xq_pad, mask, jnp.asarray(self.metric_arg, jnp.float32),
+                k=k_eff, nprobe=nprobe_eff, metric=self.metric.name,
+                q_chunk=q_chunk, precision=config.precision,
+                codec=self.sq_type)
         else:
             scores, pos = ivf_search(
                 storage, jnp.int32(self.ntotal), list_table, centroids,
@@ -615,6 +713,12 @@ class IVFIndex(Index):
             state["codes"] = self._codes
             if self._pq_codebooks is not None:
                 state["pq_codebooks"] = self._pq_codebooks
+        if self.sq_type is not None:
+            state["codes"] = (self._codes.view(np.uint8)
+                              if self.sq_type == "fp16" else self._codes)
+            if self._sq_vmin is not None:
+                state["sq_vmin"] = self._sq_vmin
+                state["sq_scale"] = self._sq_scale
         return state
 
     def load_state(self, state: dict) -> None:
@@ -630,6 +734,19 @@ class IVFIndex(Index):
             cb = state.get("pq_codebooks")
             self._pq_codebooks = (np.asarray(cb, np.float32)
                                   if cb is not None else None)
+        if self.sq_type is not None:
+            from ..ops.sq import sq_code_width
+
+            codes = np.asarray(state["codes"])
+            if self.sq_type == "fp16":
+                self._codes = codes.view(np.float16).reshape(-1, self.d)
+            else:
+                self._codes = codes.astype(np.uint8).reshape(
+                    -1, sq_code_width(self.d, self.sq_type))
+            vmin = state.get("sq_vmin")
+            if vmin is not None:
+                self._sq_vmin = np.asarray(vmin, np.float32)
+                self._sq_scale = np.asarray(state["sq_scale"], np.float32)
         if self._centroids is not None and self.quantizer.ntotal == 0:
             self.quantizer.add(self._centroids)
         self._invalidate()
@@ -664,6 +781,10 @@ def _ivf_shard_over(self, mesh) -> None:
         raise errors.InvalidInputError(
             f"IVF indexes with metric {self.metric.name} cannot be sharded "
             f"over devices (only L2 and INNER_PRODUCT)")
+    if self.sq_type is not None:
+        raise errors.InvalidInputError(
+            "IVF with SQ encoding cannot be sharded over devices yet "
+            "(use Flat or PQ storage)")
     if "batch" not in mesh.shape or "shard" not in mesh.shape:
         raise errors.InvalidInputError(
             "IVF sharding needs a mesh with 'shard' and 'batch' axes "
@@ -794,6 +915,11 @@ def _ivf_range_search(self, xq, radius, params=EMPTY, selector=None):
         # once on device.
         resid = pq_decode(codes_sorted, codebooks)
         xb_sorted = resid + centroids[assign_sorted]
+    elif self.sq_type is not None:
+        from ..ops.sq import sq_decode
+
+        codes_sorted, vmin, scale = storage
+        xb_sorted = sq_decode(codes_sorted, vmin, scale, self.sq_type)
     nq_pad = max(config.min_query_bucket, next_pow2(nq))
     xq_pad = jnp.asarray(pad_rows(xq, nq_pad))
     probe_ids = _coarse_topk(xq_pad, centroids,

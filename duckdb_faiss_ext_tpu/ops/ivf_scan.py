@@ -253,3 +253,82 @@ def merge_topk(scores_a, pos_a, scores_b, pos_b, k: int):
     cat_p = jnp.concatenate([pos_a, pos_b], axis=1)
     best, sel = lax.top_k(cat_s, k)
     return best, jnp.take_along_axis(cat_p, sel, axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "nprobe", "metric", "q_chunk", "precision",
+                     "codec"),
+)
+def ivf_sq_search(
+    codes_sorted,   # (cap, w) packed uint8 / (cap, d) fp16, grouped by list
+    vmin,           # (d,) fp32 (zeros for fp16)
+    scale,          # (d,) fp32
+    nvalid,
+    list_table,     # (nlist, lmax) int32
+    centroids,      # (nlist, d) fp32
+    xq,             # (nq_pad, d) fp32
+    mask,
+    metric_arg,
+    *,
+    k: int,
+    nprobe: int,
+    metric: str,
+    q_chunk: int,
+    precision,
+    codec: str,
+):
+    """IVF with scalar-quantized storage (faiss IndexIVFScalarQuantizer,
+    by_residual=false as index_factory builds it): candidates decode through
+    the SQ codec (ops/sq.py) into the same MXU distance tile as the Flat
+    scan, reading only the packed codes from HBM."""
+    from .sq import sq_decode
+
+    nq, d = xq.shape
+    nlist, lmax = list_table.shape
+    sim = metric in SIMILARITY_METRICS
+    nprobe = min(nprobe, nlist)
+
+    cdist = pairwise_tile(xq, centroids, metric, metric_arg, precision)
+    cscore = cdist if sim else -cdist
+    _, probe_ids = lax.top_k(cscore, nprobe)
+
+    ncand = nprobe * lmax
+    w = codes_sorted.shape[1]
+
+    def scan_chunk(i, carry):
+        best_s, best_p = carry
+        q0 = i * q_chunk
+        xq_c = lax.dynamic_slice(xq, (q0, 0), (q_chunk, d))
+        probes_c = lax.dynamic_slice(probe_ids, (q0, 0), (q_chunk, nprobe))
+        cand = list_table[probes_c].reshape(q_chunk, ncand)
+        valid = cand < nvalid
+        cand_safe = jnp.where(valid, cand, 0)
+        codes_c = codes_sorted[cand_safe.reshape(-1)]       # (qc*ncand, w)
+        xc = sq_decode(codes_c, vmin, scale, codec) \
+            .reshape(q_chunk, ncand, d)
+        if metric == "INNER_PRODUCT":
+            dist = jnp.einsum("qd,qcd->qc", xq_c, xc, precision=precision,
+                              preferred_element_type=jnp.float32)
+        else:  # L2
+            qn = jnp.sum(xq_c * xq_c, axis=1, keepdims=True)
+            bn = jnp.sum(xc * xc, axis=2)
+            xy = jnp.einsum("qd,qcd->qc", xq_c, xc, precision=precision,
+                            preferred_element_type=jnp.float32)
+            dist = jnp.maximum(qn - 2.0 * xy + bn, 0.0)
+        if mask is not None:
+            valid = jnp.logical_and(valid, mask[cand_safe])
+        score = dist if sim else -dist
+        score = jnp.where(valid, score, _NEG_INF)
+        s, sel = lax.top_k(score, k)
+        p = jnp.take_along_axis(cand, sel, axis=1)
+        p = jnp.where(jnp.isneginf(s), -1, p)
+        best_s = lax.dynamic_update_slice(best_s, s, (q0, 0))
+        best_p = lax.dynamic_update_slice(best_p, p, (q0, 0))
+        return best_s, best_p
+
+    init = (
+        jnp.full((nq, k), _NEG_INF, jnp.float32),
+        jnp.full((nq, k), -1, jnp.int32),
+    )
+    return lax.fori_loop(0, nq // q_chunk, scan_chunk, init)

@@ -312,3 +312,76 @@ def test_ivf_spill_layout_parity(catalog):
     finally:
         dfx.set_kernel_mode("auto")
     np.testing.assert_array_equal(ref_f["label"], got_f["label"])
+
+
+def test_ivf_sq_encodings(catalog):
+    """IVFn,SQ8/SQ4/SQfp16: scalar-quantized list storage (faiss
+    IndexIVFScalarQuantizer, by_residual=false)."""
+    import duckdb_faiss_ext_tpu as dfx
+
+    rng = np.random.default_rng(60)
+    d, n = 16, 3000
+    xb = rng.standard_normal((n, d)).astype(np.float32)
+    for enc, err in (("SQ8", 0.05), ("SQ4", 1.0), ("SQfp16", 1e-3)):
+        name = "ivfsq" + enc
+        dfx.faiss_create(name, d, f"IVF8,{enc}", metric_type="L2",
+                         catalog=catalog)
+        dfx.faiss_add(xb, name, catalog=catalog)
+        res = dfx.faiss_search(name, 5, xb[:6], {"nprobe": "8"},
+                               catalog=catalog)
+        assert np.all(res["label"][:, 0] == np.arange(6)), enc
+        assert np.all(res["distance"][:, 0] < err), enc
+
+
+def test_ivf_sq_save_load(catalog, tmp_path):
+    import duckdb_faiss_ext_tpu as dfx
+
+    rng = np.random.default_rng(61)
+    xb = rng.standard_normal((2000, 9)).astype(np.float32)  # odd dim
+    dfx.faiss_create("ivfsqs", 9, "IVF4,SQ4", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_add(xb, "ivfsqs", catalog=catalog)
+    before = dfx.faiss_search("ivfsqs", 4, xb[:5], {"nprobe": "4"},
+                              catalog=catalog)
+    path = str(tmp_path / "ivfsq.idx")
+    dfx.faiss_save("ivfsqs", path, catalog=catalog)
+    dfx.faiss_load("ivfsql", path, catalog=catalog)
+    after = dfx.faiss_search("ivfsql", 4, xb[:5], {"nprobe": "4"},
+                             catalog=catalog)
+    np.testing.assert_array_equal(before["label"], after["label"])
+    np.testing.assert_allclose(before["distance"], after["distance"])
+
+
+def test_ivf_sq_range_and_filter(catalog):
+    import duckdb_faiss_ext_tpu as dfx
+
+    rng = np.random.default_rng(62)
+    d, n = 8, 1500
+    xb = rng.standard_normal((n, d)).astype(np.float32)
+    dfx.faiss_create("ivfsqr", d, "IVF4,SQ8", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_add(xb, "ivfsqr", catalog=catalog)
+    sel = dfx.SetSelector(np.arange(0, n, 2, dtype=np.int64))
+    res = dfx.faiss_search("ivfsqr", 5, xb[:4], {"nprobe": "4"},
+                           catalog=catalog, selector=sel)
+    assert np.all(res["label"] % 2 == 0)
+    r = dfx.faiss_range_search("ivfsqr", 5.0, xb[:3], {"nprobe": "4"},
+                               catalog=catalog)
+    for q in range(3):
+        seg = r["label"][r["lims"][q]:r["lims"][q + 1]]
+        assert q in seg
+
+
+def test_idmap2_ivfpq_reconstruct(catalog):
+    import duckdb_faiss_ext_tpu as dfx
+
+    rng = np.random.default_rng(63)
+    d, n = 16, 2000
+    xb = rng.standard_normal((n, d)).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64) * 3 + 1
+    dfx.faiss_create("r2", d, "IDMap2,IVF8,PQ4", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_add((ids, xb), "r2", catalog=catalog)
+    rec = catalog.get("r2").index.reconstruct(int(ids[7]))
+    # PQ reconstruction error is bounded, not exact
+    assert np.linalg.norm(rec - xb[7]) < 0.5 * np.linalg.norm(xb[7])

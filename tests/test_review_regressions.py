@@ -144,11 +144,15 @@ def test_batched_search_empty_and_bad_batch(catalog):
                                  batch_size=0, catalog=catalog)
 
 
-def test_idmap_reconstruct_unsupported_inner(catalog):
+def test_idmap_reconstruct_ivf_inner(catalog):
+    # IVF gained reconstruct (IDMap2 composites decode through it); the
+    # label-5 row is position 5 with these sequential ids.
     xb = RNG.random((64, 8), dtype=np.float32)
     ids = np.arange(64)
     dfx.faiss_create("rci", 8, "IDMap2,IVF2,Flat", metric_type="L2",
                      catalog=catalog)
     dfx.faiss_add((ids, xb), "rci", catalog=catalog)
-    with pytest.raises(dfx.InvalidInputError, match="not supported"):
-        catalog.get("rci").index.reconstruct(5)
+    np.testing.assert_allclose(catalog.get("rci").index.reconstruct(5),
+                               xb[5], rtol=1e-6)
+    with pytest.raises(dfx.InvalidInputError, match="out of range"):
+        catalog.get("rci").index.inner.reconstruct(64)
