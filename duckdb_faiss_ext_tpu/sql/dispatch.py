@@ -46,7 +46,8 @@ _SELECT_RE = re.compile(
     r"^\s*SELECT\s+(.*?)\s+FROM\s+(\w+)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL)
 _FN_RE = re.compile(
-    r"(UNNEST\s*\(\s*)?(faiss_search(?:_filter(?:_set)?)?)\s*\((.*)\)"
+    r"(UNNEST\s*\(\s*)?(faiss_search(?:_filter(?:_set)?)?|faiss_range_search)"
+    r"\s*\((.*)\)"
     r"(\s*\))?\s*$",
     re.IGNORECASE | re.DOTALL)
 _SUBQ_RE = re.compile(
@@ -236,6 +237,26 @@ class Connection:
 
         tab = self.database._table(table)
         name = _parse_literal(toks[0])
+        if fn == "faiss_range_search":
+            # Engine extension (no reference SQL equivalent): emits one row
+            # per (query, match) pair — query index, label, distance.
+            radius = float(_parse_literal(toks[1]))
+            qcol = toks[2].strip()
+            if qcol not in tab:
+                raise InvalidInputError(
+                    f"unknown column {qcol} in table {table}")
+            queries = np.asarray(tab[qcol], dtype=np.float32)
+            params = _parse_literal(toks[3]) if len(toks) > 3 else None
+            rs = api.faiss_range_search(name, radius, queries, params,
+                                        catalog=self.catalog)
+            out = []
+            lims = rs["lims"]
+            for qi in range(len(lims) - 1):
+                for j in range(lims[qi], lims[qi + 1]):
+                    out.append({"query": qi,
+                                "label": int(rs["label"][j]),
+                                "distance": float(rs["distance"][j])})
+            return out
         k = int(_parse_literal(toks[1]))
         qcol = toks[2].strip()
         literal_rows = None

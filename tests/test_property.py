@@ -91,7 +91,12 @@ def test_save_load_roundtrip_all_factories(catalog, tmp_path):
     ids = np.arange(n, dtype=np.int64) + 5
     factories = ["Flat", "IDMap,Flat", "IDMap2,Flat", "HNSW16",
                  "IDMap,HNSW32,Flat", "IVF4,Flat", "IDMap,IVF4,Flat",
-                 "IVF4_HNSW8,Flat", "PQ4", "IVF4,PQ4", "SQ8", "SQfp16"]
+                 "IVF4_HNSW8,Flat", "PQ4", "IVF4,PQ4", "SQ8", "SQfp16",
+                 "SQ4", "SQ6", "IVF4,SQ8", "IVF4,SQ4", "IVF4,SQfp16",
+                 "PQ4,RFlat", "IVF4,PQ4,RFlat", "IDMap,PQ4,RFlat",
+                 "PCA8,Flat", "PCAR8,Flat", "PCAW8,Flat", "L2norm,Flat",
+                 "OPQ4,PQ4", "OPQ4_8,IVF4,PQ4", "PCA8,SQ8",
+                 "IDMap,OPQ4,IVF4,PQ4"]
     for i, desc in enumerate(factories):
         name = f"rt{i}"
         dfx.faiss_create(name, d, desc, metric_type="L2", catalog=catalog)

@@ -119,3 +119,28 @@ def test_create_mask_call(con):
     res = faiss_search("cm", 5, q, catalog=con.catalog, selector=sel)
     got = res["label"][res["label"] >= 0]
     assert got.size and (got % 2 == 0).all()
+
+
+def test_sql_range_search(catalog):
+    import numpy as np
+    import duckdb_faiss_ext_tpu as dfx
+    from duckdb_faiss_ext_tpu.sql.dispatch import connect
+
+    rng = np.random.default_rng(70)
+    xb = rng.standard_normal((300, 8)).astype(np.float32)
+    con = connect(catalog)
+    con.register("docs", {"emb": xb})
+    con.execute("CALL faiss_create('rng_idx', 8, 'Flat', metric_type='L2')")
+    con.execute("CALL faiss_add((SELECT emb FROM docs), 'rng_idx')")
+    con.register("q", {"emb": xb[:3]})
+    rows = con.execute(
+        "SELECT faiss_range_search('rng_idx', 4.0, emb) FROM q")
+    assert rows, "no matches returned"
+    oracle = ((xb[:3, None, :] - xb[None, :, :]) ** 2).sum(-1)
+    got = {}
+    for r in rows:
+        got.setdefault(r["query"], set()).add(r["label"])
+        assert abs(oracle[r["query"], r["label"]] - r["distance"]) < 1e-3
+    for qi in range(3):
+        assert got.get(qi, set()) == \
+            set(np.nonzero(oracle[qi] < 4.0)[0].tolist())

@@ -79,6 +79,60 @@ def worker(pid: int) -> int:
                                    np.asarray(ref_d), rtol=1e-5, atol=1e-6)
         print("MULTIHOST OK: 2 processes × 2 devices, sharded search "
               "matches the single-process oracle")
+
+    # --- sharded IVFPQ with a selector mask across the processes ----------
+    from duckdb_faiss_ext_tpu.ops.pq import pq_decode, pq_encode, pq_train
+    from duckdb_faiss_ext_tpu.parallel.sharded import sharded_ivf_search_fn
+
+    nlist, lmax, m, npb = n_dev * 2, 16, 4, 3
+    cents = rng.standard_normal((nlist, d)).astype(np.float32) * 3
+    raw = (cents[:, None, :] + 0.3 * rng.standard_normal(
+        (nlist, lmax, d)).astype(np.float32))
+    resid = raw.reshape(-1, d) - np.repeat(cents, lmax, axis=0)
+    codebooks = np.asarray(pq_train(resid, m, 16, seed=0), np.float32)
+    codes = np.asarray(pq_encode(jnp.asarray(resid),
+                                 jnp.asarray(codebooks))
+                       ).reshape(nlist, lmax, m)
+    counts = np.full((nlist,), lmax, np.int32)
+    row_pos = np.arange(nlist * lmax, dtype=np.int32).reshape(nlist, lmax)
+    sel_mask = (row_pos % 3 == 0).astype(np.int8)
+
+    def put(arr, spec):
+        sh = NamedSharding(mesh, spec)
+        rows = arr.shape[0] // NPROC
+        return jax.make_array_from_process_local_data(
+            sh, arr[pid * rows:(pid + 1) * rows], arr.shape)
+
+    ivf_fn = sharded_ivf_search_fn(mesh, k=k, nprobe=npb, metric="L2",
+                                   pq=True, has_mask=True)
+    di, pi = ivf_fn(
+        put(codes, P("shard", None, None)), put(counts, P("shard")),
+        put(row_pos, P("shard", None)), jnp.asarray(cents),
+        xq_global, jnp.float32(0.0), jnp.asarray(codebooks),
+        put(sel_mask, P("shard", None)))
+    di_all = np.asarray(multihost_utils.process_allgather(di, tiled=True))
+    pi_all = np.asarray(multihost_utils.process_allgather(pi, tiled=True))
+
+    if pid == 0:
+        dec = (np.asarray(pq_decode(jnp.asarray(codes.reshape(-1, m)),
+                                    jnp.asarray(codebooks)))
+               + np.repeat(cents, lmax, axis=0))
+        cd = ((xq[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        probes = np.argsort(cd, axis=1)[:, :npb]
+        for q in range(nq):
+            ok_lists = set(probes[q].tolist())
+            dall = ((xq[q][None, :] - dec) ** 2).sum(-1)
+            allowed = np.array(
+                [(r // lmax) in ok_lists and r % 3 == 0
+                 for r in range(nlist * lmax)])
+            expect = np.sort(dall[allowed])[:k]
+            np.testing.assert_allclose(np.sort(di_all.reshape(nq, k)[q]),
+                                       expect, rtol=1e-3, atol=1e-3)
+            got_rows = pi_all.reshape(nq, k)[q]
+            assert np.all(got_rows % 3 == 0)
+            assert all((r // lmax) in ok_lists for r in got_rows)
+        print("MULTIHOST OK: sharded IVFPQ + selector mask matches the "
+              "local decode oracle across processes")
     return 0
 
 
