@@ -48,6 +48,7 @@ def measure_tpu(xb, xq, xq_big):
     import duckdb_faiss_ext_tpu as dfx
     from duckdb_faiss_ext_tpu.catalog import Catalog
 
+    start = time.perf_counter()
     dfx.set_precision("fast")
     cat = Catalog()
 
@@ -74,6 +75,13 @@ def measure_tpu(xb, xq, xq_big):
     log(f"flat qps pipelined 16×b{BATCH}: {qps_pipe:.1f}")
 
     # IVF: train on a subsample, add everything, nprobe sweep point.
+    # Supplementary only — skip when the relay is slow (upload speed varies
+    # 10x between days) so the headline JSON always lands within the
+    # driver's budget.
+    if time.perf_counter() - start > 300:
+        log(f"ivf bench skipped: headline took "
+            f"{time.perf_counter() - start:.0f}s (slow relay)")
+        return qps48
     try:
         dfx.faiss_create("bench_ivf", D, "IVF4096,Flat", metric_type="L2",
                          catalog=cat)

@@ -397,6 +397,44 @@ def faiss_search_batched(name: str, k: int, queries,
     if nq == 0:
         return _format_results(entry.index.search(queries, k, params,
                                                   selector), k)
+    dispatch = getattr(entry.index, "search_dispatch", None)
+    if dispatch is not None and k > 0:
+        # Fast path: dispatch every batch, concatenate the padded device
+        # results, fetch ONCE — per-fetch round-trips (27 ms each through
+        # the tunneled runtime) are paid a single time for the whole set.
+        import jax.numpy as jnp
+
+        from .ops.flat_search import SIMILARITY_METRICS
+        from .utils.transfer import fetch_results
+
+        disps = [dispatch(queries[s:s + batch_size], k, params, selector)
+                 for s in range(0, nq, batch_size)]
+        big_d, big_p = fetch_results(
+            jnp.concatenate([d[0] for d in disps], axis=0),
+            jnp.concatenate([d[1] for d in disps], axis=0))
+        sim = entry.index.metric.name in SIMILARITY_METRICS
+        sentinel = float("-inf") if sim else float("inf")
+        dist_parts, label_parts = [], []
+        row = 0
+        for dist_dev, _, nqb, k_eff in disps:
+            rows = dist_dev.shape[0]
+            dist = big_d[row:row + nqb]
+            pos = big_p[row:row + nqb].astype(np.int64)
+            row += rows
+            labels = entry.index._positions_to_labels(pos)
+            if k_eff < k:
+                dist = np.concatenate(
+                    [dist, np.full((nqb, k - k_eff), sentinel, np.float32)],
+                    axis=1)
+                labels = np.concatenate(
+                    [labels, np.full((nqb, k - k_eff), -1, np.int64)],
+                    axis=1)
+            dist_parts.append(dist)
+            label_parts.append(labels)
+        res = SearchResult(np.concatenate(dist_parts, axis=0),
+                           np.concatenate(label_parts, axis=0))
+        return _format_results(res, k)
+
     submit = getattr(entry.index, "search_async", None)
 
     pieces = []

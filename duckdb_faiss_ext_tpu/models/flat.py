@@ -120,31 +120,43 @@ class FlatIndex(Index):
     def search(self, xq, k, params=None, selector=None) -> SearchResult:
         return self.search_async(xq, k, params, selector)()
 
+    def search_dispatch(self, xq, k, params=None, selector=None):
+        """Raw device dispatch: (dist_dev (nq_pad, k_eff), pos_dev, nq,
+        k_eff), or None when no device work applies (empty queries, k≤0).
+        The serving tier concatenates many dispatches and fetches ONCE
+        (api.faiss_search_batched) — through the tunneled runtime each fetch
+        costs a full round-trip, so one packed fetch is the lever."""
+        xq = as_matrix(xq, self.d)
+        nq = xq.shape[0]
+        k = int(k)
+        if nq == 0 or k <= 0:
+            return None
+        cap = self._capacity()
+        k_eff = min(k, cap)
+        nq_pad = max(config.min_query_bucket, next_pow2(nq))
+        xq_pad = jnp.asarray(pad_rows(xq, nq_pad))
+        mask = self._selector_mask(selector) if selector is not None else None
+        dist_dev, pos_dev = self._dispatch_search(xq_pad, k_eff, mask)
+        return dist_dev, pos_dev, nq, k_eff
+
     def search_async(self, xq, k, params=None, selector=None):
         """Dispatch the search without waiting for the device; returns a
         zero-arg callable that fetches and formats the results.  Callers can
         submit many batches back-to-back and gather later — the dispatches
         pipeline on device, hiding per-call host latency (the serving-path
         pattern; see api.faiss_search_batched)."""
-        xq = as_matrix(xq, self.d)
-        nq = xq.shape[0]
         k = int(k)
         sentinel = float("-inf") if self.metric.name in SIMILARITY_METRICS \
             else float("inf")
-        if nq == 0 or k <= 0:
+        disp = self.search_dispatch(xq, k, params, selector)
+        if disp is None:
+            nq = as_matrix(xq, self.d).shape[0]
             empty = SearchResult(
                 np.full((nq, max(k, 0)), sentinel, np.float32),
                 np.full((nq, max(k, 0)), -1, np.int64),
             )
             return lambda: empty
-
-        cap = self._capacity()
-        k_eff = min(k, cap)
-        nq_pad = max(config.min_query_bucket, next_pow2(nq))
-        xq_pad = jnp.asarray(pad_rows(xq, nq_pad))
-        mask = self._selector_mask(selector) if selector is not None else None
-
-        dist_dev, pos_dev = self._dispatch_search(xq_pad, k_eff, mask)
+        dist_dev, pos_dev, nq, k_eff = disp
 
         def gather() -> SearchResult:
             dist, pos = fetch_results(dist_dev, pos_dev)
