@@ -170,15 +170,32 @@ def multichip_dryrun(n_devices: int) -> None:
     counts = np.full((nlist,), 16, np.int32)
     xb_lists = rng.standard_normal((nlist, lmax, d)).astype(np.float32)
     row_pos = np.arange(nlist * lmax, dtype=np.int32).reshape(nlist, lmax)
+    cents = jnp.asarray(rng.standard_normal((nlist, d)).astype(np.float32))
     ivf = sharded_ivf_search_fn(mesh, k=k, nprobe=2, metric="L2", q_chunk=4)
     di, pi = ivf(
         jax.device_put(xb_lists, NamedSharding(mesh, P("shard", None, None))),
         jax.device_put(counts, NamedSharding(mesh, P("shard"))),
         jax.device_put(row_pos, NamedSharding(mesh, P("shard", None))),
-        jnp.asarray(rng.standard_normal((nlist, d)).astype(np.float32)),
-        xq_s, jnp.float32(0.0))
+        cents, xq_s, jnp.float32(0.0))
     jax.block_until_ready((di, pi))
     assert di.shape == (nq, k)
+
+    # Sharded IVFPQ + selector mask: byte-code lists reconstructed
+    # on-device, per-(list, slot) mask fused into validity.
+    m, ksub, dsub = 4, 16, d // 4
+    codes = rng.integers(0, ksub, (nlist, lmax, m)).astype(np.uint8)
+    codebooks = rng.standard_normal((m, ksub, dsub)).astype(np.float32)
+    sel_mask = (row_pos % 2 == 0).astype(np.int8)
+    ivfpq = sharded_ivf_search_fn(mesh, k=k, nprobe=2, metric="L2",
+                                  q_chunk=4, pq=True, has_mask=True)
+    dq, pq_ = ivfpq(
+        jax.device_put(codes, NamedSharding(mesh, P("shard", None, None))),
+        jax.device_put(counts, NamedSharding(mesh, P("shard"))),
+        jax.device_put(row_pos, NamedSharding(mesh, P("shard", None))),
+        cents, xq_s, jnp.float32(0.0), jnp.asarray(codebooks),
+        jax.device_put(sel_mask, NamedSharding(mesh, P("shard", None))))
+    jax.block_until_ready((dq, pq_))
+    assert dq.shape == (nq, k)
 
 
 def sharded_ivf_search_fn(mesh: Mesh, *, k: int, nprobe: int, metric: str,
