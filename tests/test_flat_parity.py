@@ -180,3 +180,29 @@ def test_batched_search_matches_sequential(training_data, query_data, catalog):
                                  catalog=catalog)
     np.testing.assert_array_equal(a["label"], b["label"])
     np.testing.assert_allclose(a["distance"], b["distance"], rtol=1e-6)
+
+
+def test_batched_search_k_exceeds_corpus(catalog):
+    """The single-fetch batched path pads k_eff<k slots like sync search."""
+    xb = np.arange(12, dtype=np.float32).reshape(3, 4) / 10
+    dfx.faiss_create("bk", 4, "Flat", metric_type="L2", catalog=catalog)
+    dfx.faiss_add(xb, "bk", catalog=catalog)
+    xq = np.tile(xb, (3, 1))
+    a = dfx.faiss_search("bk", 7, xq, catalog=catalog)
+    b = dfx.faiss_search_batched("bk", 7, xq, batch_size=2, catalog=catalog)
+    np.testing.assert_array_equal(a["label"], b["label"])
+    np.testing.assert_allclose(a["distance"], b["distance"])
+    assert (b["label"][:, 3:] == -1).all()
+
+
+def test_batched_search_with_selector(catalog):
+    rng = np.random.default_rng(3)
+    xb = rng.standard_normal((200, 8)).astype(np.float32)
+    dfx.faiss_create("bsel", 8, "Flat", metric_type="L2", catalog=catalog)
+    dfx.faiss_add(xb, "bsel", catalog=catalog)
+    sel = dfx.SetSelector(np.arange(0, 200, 2, dtype=np.int64))
+    a = dfx.faiss_search("bsel", 5, xb[:10], catalog=catalog, selector=sel)
+    b = dfx.faiss_search_batched("bsel", 5, xb[:10], batch_size=4,
+                                 catalog=catalog, selector=sel)
+    np.testing.assert_array_equal(a["label"], b["label"])
+    assert np.all(b["label"] % 2 == 0)
