@@ -409,6 +409,11 @@ def faiss_search_batched(name: str, k: int, queries,
 
         disps = [dispatch(queries[s:s + batch_size], k, params, selector)
                  for s in range(0, nq, batch_size)]
+        if any(d is None for d in disps):
+            disps = None   # index can't fast-path (e.g. IDMap over IVF)
+    else:
+        disps = None
+    if disps is not None:
         big_d, big_p = fetch_results(
             jnp.concatenate([d[0] for d in disps], axis=0),
             jnp.concatenate([d[1] for d in disps], axis=0))

@@ -209,6 +209,7 @@ class FlatIndex(Index):
     # --- range search -----------------------------------------------------
     def range_search(self, xq, radius, params=None, selector=None):
         from ..ops.range import (empty_range_result, choose_range_chunk,
+                             range_num_chunks,
                                  _range_tile, range_scan_dense)
 
         xq = as_matrix(xq, self.d)
@@ -229,7 +230,7 @@ class FlatIndex(Index):
                                metric=self.metric.name,
                                precision=config.precision)
 
-        return range_scan_dense(get_tile, cap // chunk, chunk, self.ntotal,
+        return range_scan_dense(get_tile, range_num_chunks(cap, chunk), chunk, self.ntotal,
                                 nq, float(radius), self.metric.name, passing)
 
     # --- serialization ----------------------------------------------------

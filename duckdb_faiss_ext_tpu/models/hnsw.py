@@ -121,13 +121,42 @@ class HNSWIndex(FlatIndex):
                               self.metric.name in _SIMILARITY)
 
     def _tail_search(self, xq, k, start: int, selector) -> SearchResult:
-        tail = FlatIndex(self.d, self.metric, self.metric_arg)
-        tail.add(self._xb[start:])
+        # Cache the tail index between adds — rebuilding re-uploads the
+        # whole tail every search otherwise (up to 20% of the corpus).
+        cache = getattr(self, "_tail_cache", None)
+        key = (start, self.ntotal)
+        if cache is None or cache[0] != key:
+            tail = FlatIndex(self.d, self.metric, self.metric_arg)
+            tail.add(self._xb[start:])
+            self._tail_cache = cache = (key, tail)
+        tail = cache[1]
         sel = (_ShiftedSelector(selector, start)
                if selector is not None else None)
         res = tail.search(np.asarray(xq, np.float32), k, EMPTY, sel)
         labels = np.where(res.labels >= 0, res.labels + start, -1)
         return SearchResult(res.distances, labels)
+
+    # --- serving-tier dispatch --------------------------------------------
+    def _exact_requested(self, params) -> bool:
+        if params is None:
+            return False
+        return (params.get_str("exact") or "").lower() in ("true", "1")
+
+    def search_dispatch(self, xq, k, params=None, selector=None):
+        """No raw dispatch in the accel regime — the batched serving tier
+        would otherwise silently run the full exact scan (10-20× slower at
+        scale and ignoring efSearch); returning None makes it fall back to
+        per-batch accelerated searches."""
+        if self._exact_requested(params) or self._accel_ready() is None:
+            return super().search_dispatch(xq, k, params, selector)
+        return None
+
+    def search_async(self, xq, k, params=None, selector=None):
+        if self._exact_requested(params) or self._accel_ready() is None:
+            return super().search_async(xq, k, params, selector)
+        res = self.search(xq, k, params if params is not None else EMPTY,
+                          selector)
+        return lambda: res
 
     def state_dict(self) -> dict:
         state = super().state_dict()
@@ -152,6 +181,7 @@ class HNSWIndex(FlatIndex):
         assign = state.pop("accel_assign", None)
         ameta = state.pop("accel_meta", None)
         self._accel = None
+        self._tail_cache = None
         super().load_state(state)
         if cents is not None and ameta is not None:
             from .ivf import IVFIndex

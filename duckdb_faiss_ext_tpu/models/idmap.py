@@ -79,6 +79,23 @@ class IDMapIndex(Index):
                           if self._labels.size else pos, -1)
         return SearchResult(dist, labels)
 
+    def search_dispatch(self, xq, k, params=EMPTY, selector=None):
+        """Raw device dispatch for the single-fetch serving tier: selector
+        translated to position space, positions mapped back to labels by
+        _positions_to_labels after the packed fetch."""
+        inner = getattr(self.inner, "search_dispatch", None)
+        if inner is None:
+            return None
+        if selector is not None:
+            passing = selector.contains(self._labels)
+            selector = _PositionMaskSelector(passing, (selector.cache_key(),
+                                                       len(self._labels)))
+        return inner(xq, k, params, selector)
+
+    def _positions_to_labels(self, pos: np.ndarray) -> np.ndarray:
+        return np.where(pos >= 0, self._labels[np.clip(pos, 0, None)]
+                        if self._labels.size else pos, -1)
+
     def apply_create_params(self, params) -> None:
         # setIndexParameters unwraps IDMap and recurses
         # (src/faiss_extension.cpp:127-131).

@@ -292,7 +292,12 @@ class IVFIndex(Index):
     #: HBM budget for the padded (nlist, lmax, d) list layout; beyond this
     #: the pad-to-max waste is not worth the DMA-friendly shape and the
     #: sorted+gather layout is used instead (raw-sized + an int32 table).
-    PALLAS_LAYOUT_BUDGET_BYTES = 2 << 30
+    #: Measured at 10M×96/nlist=4096: the full padded layout is 6.4 GB
+    #: (pad ratio 1.68× raw) and fits v5e's 16 GB HBM with ample headroom,
+    #: taking b48 search from 120 qps (sorted+gather) to the DMA kernel
+    #: path.  2 GB (the old budget) silently forced gather at exactly the
+    #: scale the kernel matters.
+    PALLAS_LAYOUT_BUDGET_BYTES = 7 << 30
 
     #: scalar-prefetch budget for the probe table (SMEM is 1 MB/core; leave
     #: headroom for the grid scalars).
@@ -300,8 +305,10 @@ class IVFIndex(Index):
 
     #: spill-region cap: beyond this fraction of rows overflowing the capped
     #: layout, the dense spill scan would dominate and the sorted+gather
-    #: layout wins instead.
-    SPILL_FRACTION_MAX = 0.1
+    #: layout wins instead.  20% of the corpus as one dense MXU tile costs
+    #: about a fifth of a flat scan — still far cheaper than the gather
+    #: path it replaces.
+    SPILL_FRACTION_MAX = 0.2
 
     def _counts(self) -> np.ndarray:
         cache = getattr(self, "_counts_cache", None)
@@ -570,11 +577,21 @@ class IVFIndex(Index):
                               if self.ntotal else pos, -1)
             return self._pad_result(dist, labels, nq, k, k_eff, sentinel)
 
-        if self._use_pallas_scan():
+        # Pallas list-scan path; skipped when even the minimum 64-query
+        # block would overflow the SMEM probe-table budget (qb bottoms out
+        # at 64 below — very high nprobe goes through the gather scan).
+        if self._use_pallas_scan() and \
+                64 * nprobe_eff <= self.PALLAS_SMEM_PROBE_INTS:
             dev = self._build_device_pallas()
             payload, counts, row_pos, cents_dev = dev[:4]
             lmax = payload.shape[1]
-            k_eff = min(k, nprobe_eff * lmax)
+            spill = getattr(self, "_device_spill", None)
+            # Spill rows are extra candidates beyond the capped padded
+            # layout: k_eff must count them or k > nprobe·lmax truncates
+            # valid neighbors to the padded slots.
+            n_spill = spill[2].shape[0] if spill is not None else 0
+            k_kernel = min(k, nprobe_eff * lmax)
+            k_eff = min(k, nprobe_eff * lmax + n_spill)
             mask = (self._pallas_mask(selector)
                     if selector is not None else None)
             probe_ids = _coarse_topk(
@@ -597,12 +614,13 @@ class IVFIndex(Index):
                     return pallas_ivf_pq_search(
                         payload, counts, row_pos, dev[4], cents_dev,
                         probe_b, xq_b, mask_b,
-                        k=k_eff, nprobe=nprobe_eff, metric=self.metric.name,
+                        k=k_kernel, nprobe=nprobe_eff,
+                        metric=self.metric.name,
                         q_chunk=qc, precision=config.precision,
                         interpret=not on_tpu())
                 return pallas_ivf_search(
                     payload, counts, row_pos, probe_b, xq_b, mask_b,
-                    k=k_eff, nprobe=nprobe_eff, metric=self.metric.name,
+                    k=k_kernel, nprobe=nprobe_eff, metric=self.metric.name,
                     interpret=not on_tpu())
 
             if qb == xq_pad.shape[0]:
@@ -612,7 +630,6 @@ class IVFIndex(Index):
                          for i in range(0, xq_pad.shape[0], qb)]
                 scores = jnp.concatenate([p[0] for p in parts], axis=0)
                 pos = jnp.concatenate([p[1] for p in parts], axis=0)
-            spill = getattr(self, "_device_spill", None)
             if spill is not None:
                 # Overflow rows of capped lists: dense scan masked to each
                 # query's probe set, merged with the padded-layout top-k.

@@ -164,7 +164,7 @@ class PQIndex(Index):
 
 
 def _pq_range_search(self, xq, radius, params=None, selector=None):
-    from ..ops.range import (_range_tile_pq, choose_range_chunk,
+    from ..ops.range import (_range_tile_pq, choose_range_chunk, range_num_chunks,
                              empty_range_result, range_scan_dense)
 
     if not self.is_trained:
@@ -189,7 +189,7 @@ def _pq_range_search(self, xq, radius, params=None, selector=None):
                               xq_dev, marg, metric=self.metric.name,
                               precision=config.precision)
 
-    return range_scan_dense(get_tile, cap // chunk, chunk, self.ntotal, nq,
+    return range_scan_dense(get_tile, range_num_chunks(cap, chunk), chunk, self.ntotal, nq,
                             float(radius), self.metric.name, passing)
 
 

@@ -191,7 +191,7 @@ class SQIndex(Index):
 
 
 def _sq_range_search(self, xq, radius, params=None, selector=None):
-    from ..ops.range import (_range_tile_sq, choose_range_chunk,
+    from ..ops.range import (_range_tile_sq, choose_range_chunk, range_num_chunks,
                              empty_range_result, range_scan_dense)
 
     if not self.is_trained:
@@ -217,7 +217,7 @@ def _sq_range_search(self, xq, radius, params=None, selector=None):
                               scale, xq_dev, marg, metric=self.metric.name,
                               precision=config.precision, codec=codec)
 
-    return range_scan_dense(get_tile, cap // chunk, chunk, self.ntotal, nq,
+    return range_scan_dense(get_tile, range_num_chunks(cap, chunk), chunk, self.ntotal, nq,
                             float(radius), self.metric.name, passing)
 
 

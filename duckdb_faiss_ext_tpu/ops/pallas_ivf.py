@@ -36,6 +36,22 @@ _NEG_INF = float("-inf")
 #: lists scanned per grid step (amortises per-step pipeline overhead)
 WAYS = 4
 
+#: VMEM budget for the double-buffered list blocks (of the 16 MB core
+#: VMEM; the rest covers the output block, query block, and the score
+#: temporaries Mosaic stack-allocates — measured 16.12 MB total at
+#: ways=4 × lmax=4096 × d=96, i.e. 3.5 MB of non-list overhead).
+_LIST_VMEM_BUDGET = 11 << 20
+
+
+def choose_ways(nprobe: int, lmax: int, width_bytes: int) -> int:
+    """Largest ways (4/2/1) whose double-buffered list blocks fit VMEM and
+    divide nprobe — large lmax·d shrinks the multi-way window."""
+    for w in (WAYS, 2, 1):
+        if nprobe % w == 0 and w * lmax * width_bytes * 2 \
+                <= _LIST_VMEM_BUDGET:
+            return w
+    return 1
+
 
 def _score_block(q, block, metric):
     if metric == "INNER_PRODUCT":
@@ -91,7 +107,7 @@ def pallas_ivf_search(
     (nq, k) int32 original row ids, -1 missing)."""
     nlist, lmax, d = xb_lists.shape
     nq = xq.shape[0]
-    ways = WAYS if nprobe % WAYS == 0 else 1
+    ways = choose_ways(nprobe, lmax, d * 4)
     has_mask = mask is not None
 
     def list_spec(w):
@@ -178,7 +194,7 @@ def pallas_gather_lists(lists, probe_ids, *, nprobe: int,
     Used for the IVFPQ path, where a code block is only lmax×m bytes."""
     nlist, lmax, width = lists.shape
     nq = probe_ids.shape[0]
-    ways = WAYS if nprobe % WAYS == 0 else 1
+    ways = choose_ways(nprobe, lmax, width * lists.dtype.itemsize)
 
     def lspec(w):
         return pl.BlockSpec(

@@ -97,17 +97,35 @@ def pq_decode(codes, codebooks):
     return gathered.reshape(c, m * dsub)
 
 
-def pq_decode_onehot(codes, codebooks):
-    """One-hot matmul decode (the TPU path of pq_decode)."""
+#: rows per one-hot block: bounds the (chunk, m, ksub) fp32 intermediate
+#: (16384·16·256·4 B = 256 MB worst case) — the one-hot is ksub× the size
+#: of the codes, so an unchunked decode of a large corpus would OOM HBM.
+_ONEHOT_CHUNK = 16_384
+
+
+def _pq_decode_onehot_block(codes, codebooks):
     m, ksub, dsub = codebooks.shape
-    c = codes.shape[0]
     onehot = (codes.astype(jnp.int32)[:, :, None] ==
               jnp.arange(ksub, dtype=jnp.int32)[None, None, :]
               ).astype(jnp.float32)                          # (c, m, ksub)
     dec = jnp.einsum("cmk,mkd->cmd", onehot, codebooks,
                      precision=lax.Precision.HIGHEST,
                      preferred_element_type=jnp.float32)
-    return dec.reshape(c, m * dsub)
+    return dec.reshape(codes.shape[0], m * dsub)
+
+
+def pq_decode_onehot(codes, codebooks):
+    """One-hot matmul decode (the TPU path of pq_decode), blocked so the
+    one-hot intermediate stays bounded regardless of row count."""
+    m, ksub, dsub = codebooks.shape
+    c = codes.shape[0]
+    if c <= _ONEHOT_CHUNK:
+        return _pq_decode_onehot_block(codes, codebooks)
+    pad = (-c) % _ONEHOT_CHUNK
+    codes_p = jnp.pad(codes, ((0, pad), (0, 0)))
+    blocks = codes_p.reshape(-1, _ONEHOT_CHUNK, m)
+    dec = lax.map(lambda cb: _pq_decode_onehot_block(cb, codebooks), blocks)
+    return dec.reshape(-1, m * dsub)[:c]
 
 
 @functools.partial(

@@ -143,9 +143,14 @@ def range_scan_dense(get_tile, nchunks: int, chunk: int, ntotal: int,
 
 
 def choose_range_chunk(cap: int) -> int:
-    """Corpus rows per tile: bound the fetched (nq_pad, chunk) buffer while
-    dividing the (power-of-two-or-1M-multiple) capacity evenly."""
-    chunk = min(cap, 1 << 16)
-    while cap % chunk:
-        chunk //= 2
-    return max(chunk, 1)
+    """Corpus rows per tile: bound the fetched (nq_pad, chunk) buffer.
+
+    Chunks need NOT divide the capacity — the last tile is simply shorter
+    (one extra jit shape).  Requiring exact division collapsed 1M-multiple
+    capacities (small power-of-2 factors) into tiny chunks and tens of
+    thousands of per-chunk round-trip fetches."""
+    return max(1, min(cap, 1 << 16))
+
+
+def range_num_chunks(cap: int, chunk: int) -> int:
+    return -(-cap // chunk)

@@ -69,6 +69,7 @@ class LinearTransform(VectorTransform):
         super().__init__(d_in, d_out)
         self.A: np.ndarray | None = None       # (d_in, d_out)
         self.mean: np.ndarray | None = None    # (d_in,)
+        self._Ainv: np.ndarray | None = None   # lazy pseudo-inverse
 
     @property
     def is_trained(self) -> bool:
@@ -85,9 +86,13 @@ class LinearTransform(VectorTransform):
                     preferred_element_type=jnp.float32))
 
     def reverse(self, y: np.ndarray) -> np.ndarray:
-        # Orthogonal columns → pseudo-inverse is the transpose.
+        # Pseudo-inverse, not transpose: whitened PCA columns are scaled by
+        # 1/sqrt(eigenvalue) and are no longer orthonormal (A.T would
+        # silently mis-scale every component).
+        if self._Ainv is None:
+            self._Ainv = np.linalg.pinv(self.A).astype(np.float32)
         y = np.asarray(y, np.float32)
-        return y @ self.A.T + self.mean[None, :]
+        return y @ self._Ainv + self.mean[None, :]
 
     def state_dict(self) -> dict:
         state = {}
@@ -100,6 +105,7 @@ class LinearTransform(VectorTransform):
         if "A" in state:
             self.A = np.asarray(state["A"], np.float32)
             self.mean = np.asarray(state["mean"], np.float32)
+            self._Ainv = None
 
 
 class PCAMatrix(LinearTransform):

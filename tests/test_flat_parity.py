@@ -206,3 +206,39 @@ def test_batched_search_with_selector(catalog):
                                  catalog=catalog, selector=sel)
     np.testing.assert_array_equal(a["label"], b["label"])
     assert np.all(b["label"] % 2 == 0)
+
+
+def test_batched_search_idmap_fast_path(catalog):
+    """IDMap,Flat rides the single-fetch batched path with label remap and
+    selector translation."""
+    rng = np.random.default_rng(4)
+    xb = rng.standard_normal((300, 8)).astype(np.float32)
+    ids = np.arange(300, dtype=np.int64) * 7 + 2
+    dfx.faiss_create("bid", 8, "IDMap,Flat", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_add((ids, xb), "bid", catalog=catalog)
+    a = dfx.faiss_search("bid", 4, xb[:10], catalog=catalog)
+    b = dfx.faiss_search_batched("bid", 4, xb[:10], batch_size=3,
+                                 catalog=catalog)
+    np.testing.assert_array_equal(a["label"], b["label"])
+    assert np.all(b["label"] % 7 == 2)
+    sel = dfx.SetSelector(ids[::2])
+    c = dfx.faiss_search_batched("bid", 4, xb[:10], batch_size=3,
+                                 catalog=catalog, selector=sel)
+    d = dfx.faiss_search("bid", 4, xb[:10], catalog=catalog, selector=sel)
+    np.testing.assert_array_equal(c["label"], d["label"])
+
+
+def test_batched_search_idmap_ivf_falls_back(catalog):
+    """IDMap over IVF has no raw dispatch — the batched API falls back to
+    sequential searches with identical results."""
+    rng = np.random.default_rng(5)
+    xb = rng.standard_normal((500, 8)).astype(np.float32)
+    ids = np.arange(500, dtype=np.int64) + 9
+    dfx.faiss_create("biv", 8, "IDMap,IVF4,Flat", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_add((ids, xb), "biv", catalog=catalog)
+    a = dfx.faiss_search("biv", 4, xb[:6], {"nprobe": "4"}, catalog=catalog)
+    b = dfx.faiss_search_batched("biv", 4, xb[:6], {"nprobe": "4"},
+                                 batch_size=2, catalog=catalog)
+    np.testing.assert_array_equal(a["label"], b["label"])

@@ -385,3 +385,47 @@ def test_idmap2_ivfpq_reconstruct(catalog):
     rec = catalog.get("r2").index.reconstruct(int(ids[7]))
     # PQ reconstruction error is bounded, not exact
     assert np.linalg.norm(rec - xb[7]) < 0.5 * np.linalg.norm(xb[7])
+
+
+def test_ivf_spill_k_beyond_capped_layout(catalog):
+    """Regression (code review): k larger than nprobe*capped_lmax must
+    still return the spill region's valid neighbors, not truncate."""
+    import duckdb_faiss_ext_tpu as dfx
+    from duckdb_faiss_ext_tpu.models.ivf import IVFIndex
+
+    rng = np.random.default_rng(70)
+    d, n = 8, 4000
+    centers = rng.standard_normal((8, d)).astype(np.float32) * 5
+    which = np.where(rng.random(n) < 0.7, 0, rng.integers(0, 8, n))
+    xb = centers[which] + rng.standard_normal((n, d)).astype(np.float32) * .3
+    dfx.faiss_create("spk", d, "IVF8,Flat", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_add(xb, "spk", catalog=catalog)
+    idx = catalog.get("spk").index
+    assert isinstance(idx, IVFIndex)
+    k = 400
+    ref = dfx.faiss_search("spk", k, xb[:4], {"nprobe": "1"},
+                           catalog=catalog)
+    idx.PALLAS_LAYOUT_BUDGET_BYTES = 8 * 256 * d * 4   # cap lmax at 256
+    idx.SPILL_FRACTION_MAX = 1.0
+    idx._pallas_plan_cache = None
+    idx._device_pallas = None
+    dfx.set_kernel_mode("pallas")
+    try:
+        assert idx._pallas_plan()[0] == "spill"
+        got = dfx.faiss_search("spk", k, xb[:4], {"nprobe": "1"},
+                               catalog=catalog)
+    finally:
+        dfx.set_kernel_mode("auto")
+    # Same neighbor sets (distance summation order differs by ~1e-6 between
+    # the padded kernel and the dense spill tile, so near-ties may swap
+    # ranks); valid counts must match exactly — the old bug truncated to
+    # nprobe*capped_lmax valid slots.
+    for q in range(4):
+        rv = ref["label"][q][ref["label"][q] >= 0]
+        gv = got["label"][q][got["label"][q] >= 0]
+        assert len(rv) == len(gv)
+        assert set(rv.tolist()) == set(gv.tolist())
+    np.testing.assert_allclose(np.sort(got["distance"], axis=1),
+                               np.sort(ref["distance"], axis=1),
+                               rtol=1e-4, atol=1e-4)

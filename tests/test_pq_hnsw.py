@@ -278,3 +278,21 @@ def test_hnsw_accel_save_load(catalog, tmp_path):
     np.testing.assert_array_equal(before["label"], after["label"])
     np.testing.assert_allclose(before["distance"], after["distance"],
                                rtol=1e-5, atol=1e-5)
+
+
+def test_pq_decode_onehot_chunked_exact():
+    """Regression (code review): the blocked one-hot decode (rows beyond
+    one chunk) stays exact vs the gather decode."""
+    from duckdb_faiss_ext_tpu.ops.pq import (_ONEHOT_CHUNK, pq_decode,
+                                             pq_decode_onehot)
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(6)
+    m, ksub, dsub = 2, 16, 4
+    c = _ONEHOT_CHUNK + 1000   # forces the lax.map blocking path
+    codebooks = jnp.asarray(
+        rng.standard_normal((m, ksub, dsub)).astype(np.float32))
+    codes = jnp.asarray(rng.integers(0, ksub, (c, m)).astype(np.uint8))
+    ref = np.asarray(pq_decode(codes, codebooks))
+    got = np.asarray(pq_decode_onehot(codes, codebooks))
+    np.testing.assert_array_equal(ref, got)

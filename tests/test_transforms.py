@@ -119,3 +119,16 @@ def test_pretransform_range_search(catalog):
     for q in range(3):
         seg = res["label"][res["lims"][q]:res["lims"][q + 1]]
         assert q in seg
+
+
+def test_pcaw_reverse_roundtrip():
+    """Regression (code review): reverse must use the pseudo-inverse —
+    whitened PCA columns are not orthonormal, so A.T mis-scales."""
+    from duckdb_faiss_ext_tpu.transforms import PCAMatrix
+
+    x = _data(4000, 10, seed=8)
+    t = PCAMatrix(10, 10, whiten=True)
+    t.train(x)
+    y = t.apply(x[:50])
+    back = t.reverse(y)
+    np.testing.assert_allclose(back, x[:50], rtol=1e-2, atol=1e-3)
