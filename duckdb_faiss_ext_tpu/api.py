@@ -421,12 +421,15 @@ def faiss_search_batched(name: str, k: int, queries,
         sentinel = float("-inf") if sim else float("inf")
         dist_parts, label_parts = [], []
         row = 0
-        for dist_dev, _, nqb, k_eff in disps:
+        for disp in disps:
+            dist_dev, _, nqb, k_eff = disp[:4]
+            to_labels = (disp[4] if len(disp) > 4
+                         else entry.index._positions_to_labels)
             rows = dist_dev.shape[0]
             dist = big_d[row:row + nqb]
             pos = big_p[row:row + nqb].astype(np.int64)
             row += rows
-            labels = entry.index._positions_to_labels(pos)
+            labels = to_labels(pos)
             if k_eff < k:
                 dist = np.concatenate(
                     [dist, np.full((nqb, k - k_eff), sentinel, np.float32)],

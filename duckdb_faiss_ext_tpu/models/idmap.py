@@ -90,7 +90,14 @@ class IDMapIndex(Index):
             passing = selector.contains(self._labels)
             selector = _PositionMaskSelector(passing, (selector.cache_key(),
                                                        len(self._labels)))
-        return inner(xq, k, params, selector)
+        disp = inner(xq, k, params, selector)
+        if disp is None or len(disp) <= 4:
+            return disp
+        # Inner dispatch carries its own positions→ids mapper (IVF); its
+        # ids are storage positions here, so compose with the label table.
+        inner_labels = disp[4]
+        return disp[:4] + (
+            lambda pos: self._positions_to_labels(inner_labels(pos)),)
 
     def _positions_to_labels(self, pos: np.ndarray) -> np.ndarray:
         return np.where(pos >= 0, self._labels[np.clip(pos, 0, None)]

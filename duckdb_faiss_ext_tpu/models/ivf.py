@@ -540,16 +540,32 @@ class IVFIndex(Index):
 
     # --- search ----------------------------------------------------------
     def search(self, xq, k, params=EMPTY, selector=None) -> SearchResult:
+        k = int(k)
+        sim = self.metric.name in SIMILARITY_METRICS
+        sentinel = float("-inf") if sim else float("inf")
+        disp = self.search_dispatch(xq, k, params, selector)
+        if disp is None:
+            nq = as_matrix(xq, self.d).shape[0]
+            return SearchResult(
+                np.full((nq, max(k, 0)), sentinel, np.float32),
+                np.full((nq, max(k, 0)), -1, np.int64))
+        dist_dev, pos_dev, nq, k_eff, to_labels = disp
+        dist, pos = fetch_results(dist_dev, pos_dev)
+        dist = dist[:nq]
+        pos = pos[:nq].astype(np.int64)
+        return self._pad_result(dist, to_labels(pos), nq, k, k_eff,
+                                sentinel)
+
+    def search_dispatch(self, xq, k, params=EMPTY, selector=None):
+        """Raw device dispatch for the single-fetch serving tier
+        (api.faiss_search_batched): (dist_dev, pos_dev, nq, k_eff,
+        positions→labels fn) or None when no device work applies."""
         self._require_trained()
         xq = as_matrix(xq, self.d)
         nq = xq.shape[0]
         k = int(k)
-        sim = self.metric.name in SIMILARITY_METRICS
-        sentinel = float("-inf") if sim else float("inf")
         if nq == 0 or k <= 0 or self.ntotal == 0:
-            return SearchResult(
-                np.full((nq, max(k, 0)), sentinel, np.float32),
-                np.full((nq, max(k, 0)), -1, np.int64))
+            return None
 
         # SearchParametersIVF: nprobe plus quantiser.-scoped recursion
         # (src/faiss_extension.cpp:675-689).  Our coarse assignment is an
@@ -562,6 +578,10 @@ class IVFIndex(Index):
         nq_pad = max(config.min_query_bucket, next_pow2(nq))
         xq_pad = jnp.asarray(pad_rows(xq, nq_pad))
 
+        def ids_labels(pos, ids=self._ids):
+            return np.where(pos >= 0, ids[np.clip(pos, 0, None)]
+                            if ids.size else pos, -1)
+
         if getattr(self, "_shard_mesh", None) is not None:
             # Device-sharded placement (faiss_to_device): lists partitioned
             # over the mesh, all-gather top-k merge.
@@ -569,13 +589,7 @@ class IVFIndex(Index):
             k_eff = min(k, nprobe_eff * lmax_s)
             dist, pos = self._search_sharded(xq_pad, k_eff, nprobe_eff,
                                              selector)
-            dist, pos = fetch_results(dist, pos)
-            dist = dist[:nq]
-            pos = pos[:nq].astype(np.int64)
-            labels = np.where(pos >= 0,
-                              self._ids[np.clip(pos, 0, None)]
-                              if self.ntotal else pos, -1)
-            return self._pad_result(dist, labels, nq, k, k_eff, sentinel)
+            return dist, pos, nq, k_eff, ids_labels
 
         # Pallas list-scan path; skipped when even the minimum 64-query
         # block would overflow the SMEM probe-table budget (qb bottoms out
@@ -648,13 +662,7 @@ class IVFIndex(Index):
                 scores, pos = merge_topk(scores, pos, sp_scores,
                                          sp_positions, k_eff)
             dist, pos = finalize_scores(scores, pos, self.metric.name)
-            dist, pos = fetch_results(dist, pos)
-            dist = dist[:nq]
-            pos = pos[:nq].astype(np.int64)
-            labels = np.where(pos >= 0,
-                              self._ids[np.clip(pos, 0, None)]
-                              if self.ntotal else pos, -1)
-            return self._pad_result(dist, labels, nq, k, k_eff, sentinel)
+            return dist, pos, nq, k_eff, ids_labels
 
         storage, list_table, centroids, order = self._build_device()
         lmax = list_table.shape[1]
@@ -689,14 +697,14 @@ class IVFIndex(Index):
                 k=k_eff, nprobe=nprobe_eff, metric=self.metric.name,
                 q_chunk=q_chunk, precision=config.precision)
         dist, pos = finalize_scores(scores, pos, self.metric.name)
-        dist, pos = fetch_results(dist, pos)
-        dist = dist[:nq]
-        pos = pos[:nq].astype(np.int64)
-        labels = np.where(pos >= 0,
-                          self._ids[order][np.clip(pos, 0, None)]
-                          if self.ntotal else pos,
-                          -1)
-        return self._pad_result(dist, labels, nq, k, k_eff, sentinel)
+
+        def sorted_labels(pos_host, ids_sorted=self._ids[order]
+                          if self.ntotal else self._ids):
+            return np.where(pos_host >= 0,
+                            ids_sorted[np.clip(pos_host, 0, None)]
+                            if ids_sorted.size else pos_host, -1)
+
+        return dist, pos, nq, k_eff, sorted_labels
 
     @staticmethod
     def _pad_result(dist, labels, nq, k, k_eff, sentinel) -> SearchResult:

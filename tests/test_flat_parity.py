@@ -229,9 +229,9 @@ def test_batched_search_idmap_fast_path(catalog):
     np.testing.assert_array_equal(c["label"], d["label"])
 
 
-def test_batched_search_idmap_ivf_falls_back(catalog):
-    """IDMap over IVF has no raw dispatch — the batched API falls back to
-    sequential searches with identical results."""
+def test_batched_search_idmap_ivf(catalog):
+    """IDMap over IVF rides the single-fetch path (IVF dispatch + label
+    composition) with results identical to sequential searches."""
     rng = np.random.default_rng(5)
     xb = rng.standard_normal((500, 8)).astype(np.float32)
     ids = np.arange(500, dtype=np.int64) + 9
