@@ -424,7 +424,8 @@ def faiss_search_batched(name: str, k: int, queries,
         for disp in disps:
             dist_dev, _, nqb, k_eff = disp[:4]
             to_labels = (disp[4] if len(disp) > 4
-                         else entry.index._positions_to_labels)
+                         else getattr(entry.index, "_positions_to_labels",
+                                      lambda p: p))
             rows = dist_dev.shape[0]
             dist = big_d[row:row + nqb]
             pos = big_p[row:row + nqb].astype(np.int64)

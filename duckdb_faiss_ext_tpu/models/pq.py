@@ -104,6 +104,28 @@ class PQIndex(Index):
         return self._device
 
     def search(self, xq, k, params=EMPTY, selector=None) -> SearchResult:
+        k = int(k)
+        sim = self.metric.name in SIMILARITY_METRICS
+        sentinel = float("-inf") if sim else float("inf")
+        disp = self.search_dispatch(xq, k, params, selector)
+        if disp is None:
+            nq = as_matrix(xq, self.d).shape[0]
+            return SearchResult(
+                np.full((nq, max(k, 0)), sentinel, np.float32),
+                np.full((nq, max(k, 0)), -1, np.int64))
+        dist_dev, pos_dev, nq, k_eff = disp
+        dist, pos = fetch_results(dist_dev, pos_dev)
+        dist = dist[:nq]
+        labels = pos[:nq].astype(np.int64)
+        if k_eff < k:
+            dist = np.concatenate(
+                [dist, np.full((nq, k - k_eff), sentinel, np.float32)], 1)
+            labels = np.concatenate(
+                [labels, np.full((nq, k - k_eff), -1, np.int64)], 1)
+        return SearchResult(dist, labels)
+
+    def search_dispatch(self, xq, k, params=EMPTY, selector=None):
+        """Raw device dispatch for the single-fetch serving tier."""
         if not self.is_trained:
             raise errors.InvalidInputError(
                 "Index is not trained; call train (or faiss_manual_train) "
@@ -111,12 +133,8 @@ class PQIndex(Index):
         xq = as_matrix(xq, self.d)
         nq = xq.shape[0]
         k = int(k)
-        sim = self.metric.name in SIMILARITY_METRICS
-        sentinel = float("-inf") if sim else float("inf")
         if nq == 0 or k <= 0:
-            return SearchResult(
-                np.full((nq, max(k, 0)), sentinel, np.float32),
-                np.full((nq, max(k, 0)), -1, np.int64))
+            return None
 
         codes_dev, cb_dev = self._device_state()
         cap = codes_dev.shape[0]
@@ -139,15 +157,7 @@ class PQIndex(Index):
             k=k_eff, metric=self.metric.name, chunk=chunk,
             precision=config.precision)
         dist, pos = finalize_scores(scores, pos, self.metric.name)
-        dist, pos = fetch_results(dist, pos)
-        dist = dist[:nq]
-        labels = pos[:nq].astype(np.int64)
-        if k_eff < k:
-            dist = np.concatenate(
-                [dist, np.full((nq, k - k_eff), sentinel, np.float32)], 1)
-            labels = np.concatenate(
-                [labels, np.full((nq, k - k_eff), -1, np.int64)], 1)
-        return SearchResult(dist, labels)
+        return dist, pos, nq, k_eff
 
     def state_dict(self) -> dict:
         state = {"codes": self._codes}

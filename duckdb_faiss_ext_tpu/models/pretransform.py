@@ -103,3 +103,18 @@ class PreTransformIndex(Index):
         for i, t in enumerate(self.transforms):
             t.load_state(state.get(f"vt{i}", {}))
         self.inner.load_state(state.get("inner", {}))
+
+
+def _pretransform_search_dispatch(self, xq, k, params=EMPTY, selector=None):
+    """Raw device dispatch: apply the transform chain, delegate to the
+    inner index's dispatch (the single-fetch serving tier)."""
+    inner = getattr(self.inner, "search_dispatch", None)
+    if inner is None:
+        return None
+    xq = as_matrix(xq, self.d)
+    if xq.shape[0] == 0:
+        return None
+    return inner(self._apply_chain(xq), k, params, selector)
+
+
+PreTransformIndex.search_dispatch = _pretransform_search_dispatch

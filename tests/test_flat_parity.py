@@ -242,3 +242,20 @@ def test_batched_search_idmap_ivf(catalog):
     b = dfx.faiss_search_batched("biv", 4, xb[:6], {"nprobe": "4"},
                                  batch_size=2, catalog=catalog)
     np.testing.assert_array_equal(a["label"], b["label"])
+
+
+def test_batched_search_pq_sq_pretransform(catalog):
+    """PQ / SQ / PreTransform families ride the single-fetch batched path
+    with results identical to sequential searches."""
+    rng = np.random.default_rng(6)
+    xb = rng.standard_normal((600, 16)).astype(np.float32)
+    for name, desc in (("bpq", "PQ4"), ("bsq", "SQ8"),
+                       ("bpt", "PCA8,Flat"), ("bl2", "L2norm,SQ8")):
+        dfx.faiss_create(name, 16, desc, metric_type="L2", catalog=catalog)
+        dfx.faiss_add(xb, name, catalog=catalog)
+        a = dfx.faiss_search(name, 4, xb[:10], catalog=catalog)
+        b = dfx.faiss_search_batched(name, 4, xb[:10], batch_size=3,
+                                     catalog=catalog)
+        np.testing.assert_array_equal(a["label"], b["label"], err_msg=desc)
+        np.testing.assert_allclose(a["distance"], b["distance"],
+                                   err_msg=desc)
