@@ -409,8 +409,20 @@ def faiss_search_batched(name: str, k: int, queries,
 
         disps = [dispatch(queries[s:s + batch_size], k, params, selector)
                  for s in range(0, nq, batch_size)]
-        if any(d is None for d in disps):
-            disps = None   # index can't fast-path (e.g. IDMap over IVF)
+
+        def _fetchable(a):
+            # Multi-process sharded outputs (jax.distributed) cannot be
+            # eagerly concatenated/fetched here unless fully replicated;
+            # route them through the sequential path, which handles the
+            # per-search fetch (2-process-validated).
+            return (getattr(a, "is_fully_addressable", True)
+                    or getattr(a, "is_fully_replicated", False))
+
+        if any(d is None for d in disps) or not all(
+                _fetchable(d[0]) and _fetchable(d[1]) for d in disps):
+            # Index can't fast-path: HNSW's deliberate opt-out, empty/k≤0
+            # batches, or non-addressable sharded results.
+            disps = None
     else:
         disps = None
     if disps is not None:
@@ -424,8 +436,7 @@ def faiss_search_batched(name: str, k: int, queries,
         for disp in disps:
             dist_dev, _, nqb, k_eff = disp[:4]
             to_labels = (disp[4] if len(disp) > 4
-                         else getattr(entry.index, "_positions_to_labels",
-                                      lambda p: p))
+                         else entry.index._positions_to_labels)
             rows = dist_dev.shape[0]
             dist = big_d[row:row + nqb]
             pos = big_p[row:row + nqb].astype(np.int64)

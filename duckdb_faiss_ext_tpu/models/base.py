@@ -99,6 +99,50 @@ class Index(abc.ABC):
         selector filters on (FAISS IDSelector semantics)."""
         return np.arange(self.ntotal, dtype=np.int64)
 
+    def _positions_to_labels(self, pos: np.ndarray) -> np.ndarray:
+        """Map storage positions in search output to user-visible labels.
+        Identity by default (positions ARE labels for dense storage:
+        Flat/PQ/SQ); overridden where labels indirect through a table
+        (IDMap) — sorted-layout indexes (IVF) instead ship a mapper as the
+        5th element of their dispatch tuple."""
+        return pos
+
+    @staticmethod
+    def _pad_result(dist, labels, nq: int, k: int, k_eff: int,
+                    sentinel: float) -> "SearchResult":
+        """Pad (nq, k_eff) results out to k columns with sentinel distances
+        and label -1 (src/faiss_extension.cpp:640-662)."""
+        if k_eff < k:
+            dist = np.concatenate(
+                [dist, np.full((nq, k - k_eff), sentinel, np.float32)], 1)
+            labels = np.concatenate(
+                [labels, np.full((nq, k - k_eff), -1, np.int64)], 1)
+        return SearchResult(dist, labels)
+
+    def _finish_dispatch(self, disp, xq, k: int) -> "SearchResult":
+        """Shared search epilogue over a ``search_dispatch`` tuple: one
+        packed device→host fetch, position→label mapping, sentinel padding
+        to k.  ``disp`` is (dist_dev, pos_dev, nq, k_eff[, mapper]) or None
+        for no device work (empty queries, k≤0, empty index)."""
+        from ..ops.flat_search import SIMILARITY_METRICS
+        from ..utils.transfer import fetch_results
+
+        k = int(k)
+        sentinel = (float("-inf")
+                    if self.metric.name in SIMILARITY_METRICS
+                    else float("inf"))
+        if disp is None:
+            nq = as_matrix(xq, self.d).shape[0]
+            return SearchResult(
+                np.full((nq, max(k, 0)), sentinel, np.float32),
+                np.full((nq, max(k, 0)), -1, np.int64))
+        dist_dev, pos_dev, nq, k_eff = disp[:4]
+        to_labels = disp[4] if len(disp) > 4 else self._positions_to_labels
+        dist, pos = fetch_results(dist_dev, pos_dev)
+        dist = dist[:nq]
+        labels = to_labels(pos[:nq].astype(np.int64))
+        return self._pad_result(dist, labels, nq, k, k_eff, sentinel)
+
     # --- create-time parameters (setIndexParameters recursion,
     #     src/faiss_extension.cpp:123-144) --------------------------------
     def apply_create_params(self, params: ParamMap) -> None:  # noqa: B027

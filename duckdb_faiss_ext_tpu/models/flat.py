@@ -18,12 +18,11 @@ import jax
 import jax.numpy as jnp
 
 from ..metrics import Metric
-from ..ops.flat_search import SIMILARITY_METRICS, flat_search
+from ..ops.flat_search import flat_search
 from ..ops import pallas_topk
 from ..ops.selectors import Selector
 from ..utils.config import (config, next_capacity, next_pow2, on_tpu,
                             pad_rows)
-from ..utils.transfer import fetch_results
 from .base import Index, SearchResult, as_matrix
 
 
@@ -145,34 +144,8 @@ class FlatIndex(Index):
         submit many batches back-to-back and gather later — the dispatches
         pipeline on device, hiding per-call host latency (the serving-path
         pattern; see api.faiss_search_batched)."""
-        k = int(k)
-        sentinel = float("-inf") if self.metric.name in SIMILARITY_METRICS \
-            else float("inf")
         disp = self.search_dispatch(xq, k, params, selector)
-        if disp is None:
-            nq = as_matrix(xq, self.d).shape[0]
-            empty = SearchResult(
-                np.full((nq, max(k, 0)), sentinel, np.float32),
-                np.full((nq, max(k, 0)), -1, np.int64),
-            )
-            return lambda: empty
-        dist_dev, pos_dev, nq, k_eff = disp
-
-        def gather() -> SearchResult:
-            dist, pos = fetch_results(dist_dev, pos_dev)
-            dist = dist[:nq]
-            pos = pos[:nq].astype(np.int64)
-            labels = self._positions_to_labels(pos)
-            if k_eff < k:
-                d2 = np.concatenate(
-                    [dist, np.full((nq, k - k_eff), sentinel, np.float32)],
-                    axis=1)
-                l2 = np.concatenate(
-                    [labels, np.full((nq, k - k_eff), -1, np.int64)], axis=1)
-                return SearchResult(d2, l2)
-            return SearchResult(dist, labels)
-
-        return gather
+        return lambda: self._finish_dispatch(disp, xq, k)
 
     def _dispatch_search(self, xq_pad, k_eff, mask):
         """Pick the search kernel: the Pallas fused kernel on TPU for
@@ -201,10 +174,6 @@ class FlatIndex(Index):
             self.device_vectors(), self.ntotal, xq_pad, k_eff,
             self.metric.name, self.metric_arg, mask=mask,
             precision=config.precision)
-
-    def _positions_to_labels(self, pos: np.ndarray) -> np.ndarray:
-        # Flat labels are storage positions; -1 (missing) passes through.
-        return pos
 
     # --- range search -----------------------------------------------------
     def range_search(self, xq, radius, params=None, selector=None):

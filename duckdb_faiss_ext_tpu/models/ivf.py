@@ -36,7 +36,6 @@ from ..ops.kmeans import (DEFAULT_NITER, DEFAULT_SEED, kmeans_fit,
 from ..params import EMPTY
 from ..utils.config import (config, next_capacity, next_pow2,
                             pad_rows)
-from ..utils.transfer import fetch_results
 from .base import Index, SearchResult, as_matrix
 
 
@@ -99,6 +98,7 @@ class IVFIndex(Index):
         self._version = 0
         self._device = None      # (xb_sorted, list_table, centroids, order)
         self._device_pallas = None   # (xb_lists, counts, row_pos)
+        self._ids_sorted = None      # (order, ids[order]) — see _sorted_ids
         self._mask_cache: dict = {}
 
     # --- lifecycle -------------------------------------------------------
@@ -286,6 +286,7 @@ class IVFIndex(Index):
         self._device = None
         self._device_pallas = None
         self._device_spill = None
+        self._ids_sorted = None
         self._mask_cache.clear()
 
     # --- Pallas list-scan layout (padded 3-D lists) ------------------------
@@ -540,21 +541,8 @@ class IVFIndex(Index):
 
     # --- search ----------------------------------------------------------
     def search(self, xq, k, params=EMPTY, selector=None) -> SearchResult:
-        k = int(k)
-        sim = self.metric.name in SIMILARITY_METRICS
-        sentinel = float("-inf") if sim else float("inf")
-        disp = self.search_dispatch(xq, k, params, selector)
-        if disp is None:
-            nq = as_matrix(xq, self.d).shape[0]
-            return SearchResult(
-                np.full((nq, max(k, 0)), sentinel, np.float32),
-                np.full((nq, max(k, 0)), -1, np.int64))
-        dist_dev, pos_dev, nq, k_eff, to_labels = disp
-        dist, pos = fetch_results(dist_dev, pos_dev)
-        dist = dist[:nq]
-        pos = pos[:nq].astype(np.int64)
-        return self._pad_result(dist, to_labels(pos), nq, k, k_eff,
-                                sentinel)
+        return self._finish_dispatch(
+            self.search_dispatch(xq, k, params, selector), xq, k)
 
     def search_dispatch(self, xq, k, params=EMPTY, selector=None):
         """Raw device dispatch for the single-fetch serving tier
@@ -698,22 +686,25 @@ class IVFIndex(Index):
                 q_chunk=q_chunk, precision=config.precision)
         dist, pos = finalize_scores(scores, pos, self.metric.name)
 
-        def sorted_labels(pos_host, ids_sorted=self._ids[order]
-                          if self.ntotal else self._ids):
+        def sorted_labels(pos_host, ids_sorted=self._sorted_ids(order)):
             return np.where(pos_host >= 0,
                             ids_sorted[np.clip(pos_host, 0, None)]
                             if ids_sorted.size else pos_host, -1)
 
         return dist, pos, nq, k_eff, sorted_labels
 
-    @staticmethod
-    def _pad_result(dist, labels, nq, k, k_eff, sentinel) -> SearchResult:
-        if k_eff < k:
-            dist = np.concatenate(
-                [dist, np.full((nq, k - k_eff), sentinel, np.float32)], 1)
-            labels = np.concatenate(
-                [labels, np.full((nq, k - k_eff), -1, np.int64)], 1)
-        return SearchResult(dist, labels)
+    def _sorted_ids(self, order) -> np.ndarray:
+        """ids permuted into the sorted storage layout, cached per layout
+        build — the batched serving tier holds one dispatch tuple per batch,
+        so materializing an O(ntotal) copy per dispatch (80 MB at the 10M
+        scale) is both a host hot-path gather and a memory multiplier.
+        Keyed on the identity of the layout's ``order`` array: a rebuild
+        (any add) produces a fresh order object, invalidating the cache."""
+        cached = self._ids_sorted
+        if cached is None or cached[0] is not order:
+            cached = (order, self._ids[order] if self.ntotal else self._ids)
+            self._ids_sorted = cached
+        return cached[1]
 
     # --- create params (efConstruction recursion hits the quantizer) ------
     def apply_create_params(self, params) -> None:
@@ -952,7 +943,7 @@ def _ivf_range_search(self, xq, radius, params=EMPTY, selector=None):
                              nprobe=nprobe_eff, metric=self.metric.name,
                              precision=config.precision)
     sim = self.metric.name in SIMILARITY_METRICS
-    labels_sorted = self._ids[order] if self.ntotal else self._ids
+    labels_sorted = self._sorted_ids(order)
     passing = (selector.contains(labels_sorted)
                if selector is not None else None)
     lmax = list_table.shape[1]

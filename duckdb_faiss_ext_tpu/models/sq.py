@@ -16,14 +16,13 @@ import jax.numpy as jnp
 
 from .. import errors
 from ..metrics import Metric
-from ..ops.flat_search import (SIMILARITY_METRICS, choose_chunk,
+from ..ops.flat_search import (choose_chunk,
                                finalize_scores)
 from ..ops.sq import (SQ_LEVELS, sq4_pack, sq6_pack, sq_code_width,
                       sq_decode, sq_quantize, sq_search, sq_train)
 from ..params import EMPTY
 from ..utils.config import (config, next_capacity, next_pow2,
                             pad_rows)
-from ..utils.transfer import fetch_results
 from .base import Index, SearchResult, as_matrix
 
 
@@ -123,25 +122,8 @@ class SQIndex(Index):
         return self._device
 
     def search(self, xq, k, params=EMPTY, selector=None) -> SearchResult:
-        k = int(k)
-        sim = self.metric.name in SIMILARITY_METRICS
-        sentinel = float("-inf") if sim else float("inf")
-        disp = self.search_dispatch(xq, k, params, selector)
-        if disp is None:
-            nq = as_matrix(xq, self.d).shape[0]
-            return SearchResult(
-                np.full((nq, max(k, 0)), sentinel, np.float32),
-                np.full((nq, max(k, 0)), -1, np.int64))
-        dist_dev, pos_dev, nq, k_eff = disp
-        dist, pos = fetch_results(dist_dev, pos_dev)
-        dist = dist[:nq]
-        labels = pos[:nq].astype(np.int64)
-        if k_eff < k:
-            dist = np.concatenate(
-                [dist, np.full((nq, k - k_eff), sentinel, np.float32)], 1)
-            labels = np.concatenate(
-                [labels, np.full((nq, k - k_eff), -1, np.int64)], 1)
-        return SearchResult(dist, labels)
+        return self._finish_dispatch(
+            self.search_dispatch(xq, k, params, selector), xq, k)
 
     def search_dispatch(self, xq, k, params=EMPTY, selector=None):
         """Raw device dispatch for the single-fetch serving tier."""
