@@ -12,7 +12,8 @@ graph of TPU-native index models:
                    ["," suffix]
     prefix      := "IDMap" | "IDMap2"
     transform   := "PCA"[R|W]n | "OPQ"m["_"dout] | "L2norm"
-    component   := "Flat" | "HNSW"[M] | "IVF"nlist["_" quantizer] | "PQ"M["x"nbits]
+    component   := "Flat" | "HNSW"[M] | "IVF"nlist["_" quantizer]
+                   | "PQ"M["x"nbits] | "LSH"[nbits]["r"]["t"]
     quantizer   := "Flat" | "HNSW"[M] | "PQ"M
     encoding    := "Flat" | "PQ"M["x"nbits] | "SQ8" | "SQ4" | "SQ6" | "SQfp16"
                    (PQ and SQ encodings valid both standalone and as IVF storage)
@@ -36,6 +37,7 @@ _HNSW_RE = re.compile(r"^HNSW(\d*)$")
 _IVF_RE = re.compile(r"^IVF(\d+)(?:_(.+))?$")
 _PQ_RE = re.compile(r"^PQ(\d+)(?:x(\d+))?$")
 _SQ_RE = re.compile(r"^SQ(8|4|6|fp16)$")
+_LSH_RE = re.compile(r"^LSH(\d*)(r?)(t?)$")
 _PCA_RE = re.compile(r"^PCA(R|W)?(\d+)$")
 _OPQ_RE = re.compile(r"^OPQ(\d+)(?:_(\d+))?$")
 
@@ -157,6 +159,17 @@ def _build_component(d, parts, metric, metric_arg, desc) -> Index:
         M = int(m.group(1))
         nbits = int(m.group(2)) if m.group(2) else 8
         return PQIndex(d, metric, metric_arg, M=M, nbits=nbits)
+
+    m = _LSH_RE.match(head)
+    if m:
+        from .models.lsh import LSHIndex
+
+        if rest:
+            raise _parse_error(desc, f"unexpected trailing components {rest}")
+        return LSHIndex(d, metric, metric_arg,
+                        nbits=int(m.group(1)) if m.group(1) else None,
+                        rotate=bool(m.group(2)),
+                        train_thresholds=bool(m.group(3)))
 
     if head in ("SQ8", "SQ4", "SQ6", "SQfp16"):
         from .models.sq import SQIndex
