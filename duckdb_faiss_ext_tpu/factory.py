@@ -13,6 +13,7 @@ graph of TPU-native index models:
     prefix      := "IDMap" | "IDMap2"
     transform   := "PCA"[R|W]n | "OPQ"m["_"dout] | "L2norm"
     component   := "Flat" | "HNSW"[M] | "IVF"nlist["_" quantizer]
+                   | "IVF"nlist"("quantizer-desc")"   (parenthesized form)
                    | "PQ"M["x"nbits] | "LSH"[nbits]["r"]["t"]
     quantizer   := "Flat" | "HNSW"[M] | "PQ"M
     encoding    := "Flat" | "PQ"M["x"nbits] | "SQ8" | "SQ4" | "SQ6" | "SQfp16"
@@ -35,6 +36,7 @@ from .models.idmap import IDMapIndex
 
 _HNSW_RE = re.compile(r"^HNSW(\d*)$")
 _IVF_RE = re.compile(r"^IVF(\d+)(?:_(.+))?$")
+_IVF_PAREN_RE = re.compile(r"^IVF(\d+)\((.+)\)$")
 _PQ_RE = re.compile(r"^PQ(\d+)(?:x(\d+))?$")
 _SQ_RE = re.compile(r"^SQ(8|4|6|fp16)$")
 _LSH_RE = re.compile(r"^LSH(\d*)(r?)(t?)$")
@@ -67,10 +69,32 @@ def _parse_error(desc: str, detail: str = "") -> InvalidInputError:
     return InvalidInputError(f"could not parse index string {desc}{extra}")
 
 
+def _split_components(desc: str) -> list[str]:
+    """Split a factory description on top-level commas, respecting the
+    parenthesized coarse-quantizer form (``IVF4096(IVF256,Flat),PQ8``)."""
+    parts, depth, cur = [], 0, []
+    for ch in desc:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                raise _parse_error(desc, "unbalanced parentheses")
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if depth != 0:
+        raise _parse_error(desc, "unbalanced parentheses")
+    parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
 def build_index(d: int, desc: str, metric: Metric,
                 metric_arg: float = 0.0) -> Index:
     """Build the index graph for a factory description."""
-    parts = [p.strip() for p in desc.split(",") if p.strip()]
+    parts = _split_components(desc)
     if not parts:
         raise _parse_error(desc, "empty description")
 
@@ -137,7 +161,7 @@ def _build_component(d, parts, metric, metric_arg, desc) -> Index:
             raise _parse_error(desc, f"unsupported HNSW storage {rest[0]}")
         return HNSWIndex(d, metric, metric_arg, M=M, storage=storage)
 
-    m = _IVF_RE.match(head)
+    m = _IVF_PAREN_RE.match(head) or _IVF_RE.match(head)
     if m:
         from .models.ivf import IVFIndex
 

@@ -145,6 +145,11 @@ class IVFIndex(Index):
                                   balance=getattr(self, "train_balance", 0.0))
         self._centroids = np.asarray(centroids, dtype=np.float32)
         if self.quantizer.ntotal == 0:
+            # A quantizer that itself needs training (nested IVF, e.g.
+            # ``IVF1024(IVF32,Flat)``) is trained on the centroid table
+            # first, mirroring faiss Level1Quantizer::train_q1.
+            if not self.quantizer.is_trained:
+                self.quantizer.train(self._centroids)
             self.quantizer.add(self._centroids)
         if self.pq_m is not None:
             # Residual PQ (faiss IndexIVFPQ by_residual): codebooks trained

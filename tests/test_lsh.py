@@ -88,3 +88,23 @@ def test_lsh_k_gt_ntotal(catalog):
     assert res["label"].shape == (2, 8)
     assert (res["label"][:, 3:] == -1).all()
     assert np.isinf(res["distance"][:, 3:]).all()
+
+
+def test_factory_paren_quantizer(catalog):
+    """faiss's parenthesized coarse-quantizer grammar: IVFn(desc) equals
+    IVFn_desc; nested commas inside parens don't split components."""
+    rng = np.random.default_rng(2)
+    xb = rng.standard_normal((500, 16)).astype(np.float32)
+    for desc in ("IVF8(Flat)", "IVF8(HNSW4)", "IVF8(IVF4,Flat)",
+                 "IVF8(Flat),PQ4", "IDMap,IVF8(Flat),SQ8"):
+        dfx.faiss_create("pa", 16, desc, metric_type="L2", catalog=catalog)
+        data = ((np.arange(500, dtype=np.int64), xb)
+                if desc.startswith("IDMap") else xb)
+        dfx.faiss_add(data, "pa", catalog=catalog)
+        res = dfx.faiss_search("pa", 3, xb[:4], {"nprobe": "8"},
+                               catalog=catalog)
+        assert res["label"].shape == (4, 3), desc
+        assert (res["label"][:, 0] == np.arange(4)).all(), desc  # self-hit
+        dfx.faiss_destroy("pa", catalog=catalog)
+    with pytest.raises(errors.InvalidInputError):
+        dfx.faiss_create("bad", 16, "IVF8(Flat", catalog=catalog)
