@@ -23,11 +23,29 @@ from ..utils.config import pad_rows
 
 def default_mesh(devices=None) -> Mesh:
     """2-axis (shard × batch=1) mesh: every sharded search path (flat and
-    IVF) expects both axis names to exist."""
+    IVF) expects both axis names to exist.  ``devices`` may be None (all
+    local devices), an int device index (the reference's
+    ``faiss_to_gpu(name, device)`` form, src/gpu/gpu.cpp:34-63), a
+    jax.Device, or an iterable of either."""
     import numpy as np
 
-    devices = list(devices if devices is not None else jax.devices())
-    return Mesh(np.array(devices).reshape(len(devices), 1),
+    if devices is None:
+        devices = jax.devices()
+    elif isinstance(devices, int) or hasattr(devices, "platform"):
+        devices = [devices]
+    local = jax.devices()
+    resolved = []
+    for dev in devices:
+        if isinstance(dev, int):
+            if not 0 <= dev < len(local):
+                # Bad-device error mirroring "Invalid GPU index"
+                # (src/gpu/gpu.cpp:57).
+                raise InvalidInputError(
+                    f"Invalid device index: {dev} "
+                    f"({len(local)} devices available)")
+            dev = local[dev]
+        resolved.append(dev)
+    return Mesh(np.array(resolved).reshape(len(resolved), 1),
                 ("shard", "batch"))
 
 

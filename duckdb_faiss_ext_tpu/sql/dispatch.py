@@ -207,7 +207,11 @@ class Connection:
             return api.faiss_destroy(_parse_literal(pos[0]),
                                      catalog=self.catalog)
         if fn in ("faiss_to_gpu", "faiss_move_gpu", "faiss_to_device"):
+            # Optional 2nd arg: device index (faiss_to_gpu(name, device),
+            # src/faiss_extension.cpp:1042-1048).
+            devices = _parse_literal(pos[1]) if len(pos) > 1 else None
             return api.faiss_to_device(_parse_literal(pos[0]),
+                                       devices=devices,
                                        catalog=self.catalog)
         if fn == "__faiss_create_mask":
             # CALL __faiss_create_mask((SELECT flag, id FROM t), 'key')

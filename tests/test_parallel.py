@@ -2,6 +2,10 @@
 
 import numpy as np
 import jax
+import pytest
+
+import duckdb_faiss_ext_tpu as dfx
+from duckdb_faiss_ext_tpu import errors
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -240,3 +244,18 @@ def test_faiss_to_device_ivfpq_filtered(catalog):
                              catalog=catalog, selector=sel)
     np.testing.assert_array_equal(before["label"], after["label"])
     assert np.all(before["label"] % 2 == 0)
+
+
+def test_to_device_integer_index(catalog):
+    """The reference's faiss_to_gpu(name, device) integer-device form:
+    index 0 reshards onto that device; out-of-range mirrors the
+    Invalid-GPU-index error (src/gpu/gpu.cpp:57)."""
+    rng = np.random.default_rng(0)
+    xb = rng.standard_normal((64, 8)).astype(np.float32)
+    dfx.faiss_create("dev0", 8, "Flat", metric_type="L2", catalog=catalog)
+    dfx.faiss_add(xb, "dev0", catalog=catalog)
+    dfx.faiss_to_device("dev0", 0, catalog=catalog)
+    res = dfx.faiss_search("dev0", 3, xb[:4], catalog=catalog)
+    assert (res["label"][:, 0] == np.arange(4)).all()
+    with pytest.raises(errors.InvalidInputError, match="Invalid device"):
+        dfx.faiss_to_device("dev0", 99, catalog=catalog)
