@@ -16,7 +16,8 @@ graph of TPU-native index models:
                    | "IVF"nlist"("quantizer-desc")"   (parenthesized form)
                    | "PQ"M["x"nbits] | "LSH"[nbits]["r"]["t"]
     quantizer   := "Flat" | "HNSW"[M] | "PQ"M
-    encoding    := "Flat" | "PQ"M["x"nbits] | "SQ8" | "SQ4" | "SQ6" | "SQfp16"
+    encoding    := "Flat" | "PQ"M["x"nbits] | "SQ8" | "SQ4" | "SQ6"
+                   | "SQfp16" | "SQbf16"
                    (PQ and SQ encodings valid both standalone and as IVF storage)
     suffix      := "RFlat"  (exact re-rank wrapper, IndexRefineFlat)
 
@@ -38,7 +39,7 @@ _HNSW_RE = re.compile(r"^HNSW(\d*)$")
 _IVF_RE = re.compile(r"^IVF(\d+)(?:_(.+))?$")
 _IVF_PAREN_RE = re.compile(r"^IVF(\d+)\((.+)\)$")
 _PQ_RE = re.compile(r"^PQ(\d+)(?:x(\d+))?$")
-_SQ_RE = re.compile(r"^SQ(8|4|6|fp16)$")
+_SQ_RE = re.compile(r"^SQ(8|4|6|fp16|bf16)$")
 _LSH_RE = re.compile(r"^LSH(\d*)(r?)(t?)$")
 _PCA_RE = re.compile(r"^PCA(R|W)?(\d+)$")
 _OPQ_RE = re.compile(r"^OPQ(\d+)(?:_(\d+))?$")
@@ -195,7 +196,7 @@ def _build_component(d, parts, metric, metric_arg, desc) -> Index:
                         rotate=bool(m.group(2)),
                         train_thresholds=bool(m.group(3)))
 
-    if head in ("SQ8", "SQ4", "SQ6", "SQfp16"):
+    if head in ("SQ8", "SQ4", "SQ6", "SQfp16", "SQbf16"):
         from .models.sq import SQIndex
 
         if rest:

@@ -39,6 +39,14 @@ from ..utils.config import (config, next_capacity, next_pow2,
 from .base import Index, SearchResult, as_matrix
 
 
+def _sq_float_dtype(sq_type: str):
+    if sq_type == "bf16":
+        import ml_dtypes
+
+        return ml_dtypes.bfloat16
+    return np.float16
+
+
 class IVFIndex(Index):
     def __init__(self, d: int, metric: Metric, metric_arg: float,
                  nlist: int, quantizer: Index, encoding: str = "Flat"):
@@ -57,15 +65,16 @@ class IVFIndex(Index):
                         f"The dimension of the vector ({d}) must be a "
                         f"multiple of the number of subquantizers "
                         f"({self.pq_m})")
-            elif encoding in ("SQ8", "SQ4", "SQ6", "SQfp16"):
+            elif encoding in ("SQ8", "SQ4", "SQ6", "SQfp16", "SQbf16"):
                 # faiss IndexIVFScalarQuantizer (by_residual=false, the
                 # index_factory default): raw rows SQ-encoded per list.
-                self.sq_type = ("fp16" if encoding == "SQfp16"
+                self.sq_type = (encoding[2:]
+                                if encoding in ("SQfp16", "SQbf16")
                                 else encoding.lower())
             else:
                 raise errors.InvalidInputError(
                     f"IVF encoding {encoding} is not supported (use Flat, "
-                    f"PQm, SQ8, SQ4, SQ6 or SQfp16)")
+                    f"PQm, SQ8, SQ4, SQ6, SQfp16 or SQbf16)")
             if metric.name not in ("L2", "INNER_PRODUCT"):
                 raise errors.InvalidInputError(
                     f"{encoding} indexes support only L2 and INNER_PRODUCT "
@@ -75,8 +84,8 @@ class IVFIndex(Index):
         self._sq_scale: np.ndarray | None = None
         if self.pq_m:
             self._codes = np.empty((0, self.pq_m), dtype=np.uint8)
-        elif self.sq_type == "fp16":
-            self._codes = np.empty((0, d), dtype=np.float16)
+        elif self.sq_type in ("fp16", "bf16"):
+            self._codes = np.empty((0, d), dtype=_sq_float_dtype(self.sq_type))
         elif self.sq_type:
             from ..ops.sq import sq_code_width
 
@@ -112,7 +121,7 @@ class IVFIndex(Index):
             return False
         if self.pq_m is not None:
             return self._pq_codebooks is not None
-        if self.sq_type is not None and self.sq_type != "fp16":
+        if self.sq_type is not None and self.sq_type not in ("fp16", "bf16"):
             return self._sq_vmin is not None
         return True
 
@@ -165,7 +174,7 @@ class IVFIndex(Index):
             self._pq_codebooks = np.asarray(
                 pq_train(resid, self.pq_m, ksub, seed=self.train_seed,
                          precision=config.precision), dtype=np.float32)
-        if self.sq_type is not None and self.sq_type != "fp16":
+        if self.sq_type is not None and self.sq_type not in ("fp16", "bf16"):
             from ..ops.sq import SQ_LEVELS, sq_train
 
             vmin, scale = sq_train(x, SQ_LEVELS[self.sq_type])
@@ -241,8 +250,8 @@ class IVFIndex(Index):
     def _sq_encode(self, x: np.ndarray) -> np.ndarray:
         from ..ops.sq import SQ_LEVELS, sq4_pack, sq6_pack, sq_quantize
 
-        if self.sq_type == "fp16":
-            return x.astype(np.float16)
+        if self.sq_type in ("fp16", "bf16"):
+            return x.astype(_sq_float_dtype(self.sq_type))
         q = np.asarray(sq_quantize(jnp.asarray(x),
                                    jnp.asarray(self._sq_vmin),
                                    jnp.asarray(self._sq_scale),
@@ -254,7 +263,7 @@ class IVFIndex(Index):
         return q
 
     def _sq_ranges(self):
-        if self.sq_type == "fp16" or self._sq_vmin is None:
+        if self.sq_type in ("fp16", "bf16") or self._sq_vmin is None:
             z = np.zeros((self.d,), np.float32)
             return jnp.asarray(z), jnp.asarray(z)
         return jnp.asarray(self._sq_vmin), jnp.asarray(self._sq_scale)
@@ -736,7 +745,8 @@ class IVFIndex(Index):
                 state["pq_codebooks"] = self._pq_codebooks
         if self.sq_type is not None:
             state["codes"] = (self._codes.view(np.uint8)
-                              if self.sq_type == "fp16" else self._codes)
+                              if self.sq_type in ("fp16", "bf16")
+                              else self._codes)
             if self._sq_vmin is not None:
                 state["sq_vmin"] = self._sq_vmin
                 state["sq_scale"] = self._sq_scale
@@ -759,8 +769,9 @@ class IVFIndex(Index):
             from ..ops.sq import sq_code_width
 
             codes = np.asarray(state["codes"])
-            if self.sq_type == "fp16":
-                self._codes = codes.view(np.float16).reshape(-1, self.d)
+            if self.sq_type in ("fp16", "bf16"):
+                self._codes = codes.view(
+                    _sq_float_dtype(self.sq_type)).reshape(-1, self.d)
             else:
                 self._codes = codes.astype(np.uint8).reshape(
                     -1, sq_code_width(self.d, self.sq_type))

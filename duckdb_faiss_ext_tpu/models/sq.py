@@ -1,8 +1,9 @@
-"""Scalar-quantizer index models: SQ8, SQ4, SQ6 and SQfp16.
+"""Scalar-quantizer index models: SQ8, SQ4, SQ6, SQfp16 and SQbf16.
 
 Equivalent of faiss::IndexScalarQuantizer (factory ``SQ8`` / ``SQ4`` /
-``SQ6`` / ``SQfp16``).  The quantized types require training (per-dim
-ranges); SQfp16 is training-free.  Codes are the only storage — SQ4/SQ6 are
+``SQ6`` / ``SQfp16`` / ``SQbf16``).  The quantized types require training
+(per-dim ranges); the float codecs (fp16, and bf16 — the MXU-native type,
+an engine extension matching faiss QT_bf16) are training-free.  Codes are the only storage — SQ4/SQ6 are
 bit-packed (ops/sq.py packing layouts), true compression matching the FAISS
 memory profile; search decodes chunks on the fly into the MXU distance tile
 (ops/sq.py).
@@ -25,21 +26,32 @@ from ..utils.config import (config, next_capacity, next_pow2,
                             pad_rows)
 from .base import Index, SearchResult, as_matrix
 
+#: training-free float codecs; bf16 is the MXU-native storage type.
+FLOAT_SQ_TYPES = ("SQfp16", "SQbf16")
+
+
+def _float_dtype(qtype: str):
+    if qtype == "SQbf16":
+        import ml_dtypes
+
+        return ml_dtypes.bfloat16
+    return np.float16
+
 
 class SQIndex(Index):
     def __init__(self, d: int, metric: Metric, metric_arg: float = 0.0,
                  qtype: str = "SQ8"):
         super().__init__(d, metric, metric_arg)
-        if qtype not in ("SQ8", "SQ4", "SQ6", "SQfp16"):
+        if qtype not in ("SQ8", "SQ4", "SQ6", "SQfp16", "SQbf16"):
             raise errors.InvalidInputError(
                 f"Scalar quantizer type {qtype} is not supported "
-                f"(use SQ8, SQ4, SQ6 or SQfp16)")
+                f"(use SQ8, SQ4, SQ6, SQfp16 or SQbf16)")
         self.qtype = qtype
-        self.codec = "fp16" if qtype == "SQfp16" else qtype.lower()
+        self.codec = qtype[2:] if qtype in FLOAT_SQ_TYPES else qtype.lower()
         self._vmin: np.ndarray | None = None
         self._scale: np.ndarray | None = None
-        if qtype == "SQfp16":
-            self._codes = np.empty((0, d), dtype=np.float16)
+        if qtype in FLOAT_SQ_TYPES:
+            self._codes = np.empty((0, d), dtype=_float_dtype(qtype))
         else:
             self._codes = np.empty((0, sq_code_width(d, self.codec)),
                                    dtype=np.uint8)
@@ -53,11 +65,11 @@ class SQIndex(Index):
 
     @property
     def is_trained(self) -> bool:
-        return self.qtype == "SQfp16" or self._vmin is not None
+        return self.qtype in FLOAT_SQ_TYPES or self._vmin is not None
 
     @property
     def requires_training(self) -> bool:
-        return self.qtype != "SQfp16"
+        return self.qtype not in FLOAT_SQ_TYPES
 
     def train(self, x) -> None:
         if self.is_trained:
@@ -78,8 +90,8 @@ class SQIndex(Index):
         x = as_matrix(x, self.d)
         if x.shape[0] == 0:
             return
-        if self.qtype == "SQfp16":
-            codes = x.astype(np.float16)
+        if self.qtype in FLOAT_SQ_TYPES:
+            codes = x.astype(_float_dtype(self.qtype))
         else:
             q = np.asarray(sq_quantize(jnp.asarray(x),
                                        jnp.asarray(self._vmin),
@@ -95,7 +107,7 @@ class SQIndex(Index):
         self._invalidate()
 
     def reconstruct(self, key: int) -> np.ndarray:
-        if self.qtype == "SQfp16":
+        if self.qtype in FLOAT_SQ_TYPES:
             return self._codes[key].astype(np.float32)
         return np.asarray(sq_decode(jnp.asarray(self._codes[key:key + 1]),
                                     jnp.asarray(self._vmin),
@@ -112,7 +124,7 @@ class SQIndex(Index):
     def _device_state(self):
         if self._device is None:
             cap = self._capacity()
-            if self.qtype != "SQfp16":
+            if self.qtype not in FLOAT_SQ_TYPES:
                 vmin = jnp.asarray(self._vmin)
                 scale = jnp.asarray(self._scale)
             else:
@@ -162,7 +174,7 @@ class SQIndex(Index):
 
     def state_dict(self) -> dict:
         state = {"codes": self._codes.view(np.uint8)
-                 if self.qtype == "SQfp16" else self._codes}
+                 if self.qtype in FLOAT_SQ_TYPES else self._codes}
         if self._vmin is not None:
             state["vmin"] = self._vmin
             state["scale"] = self._scale
@@ -170,8 +182,9 @@ class SQIndex(Index):
 
     def load_state(self, state: dict) -> None:
         codes = np.asarray(state["codes"])
-        if self.qtype == "SQfp16":
-            self._codes = codes.view(np.float16).reshape(-1, self.d)
+        if self.qtype in FLOAT_SQ_TYPES:
+            self._codes = codes.view(
+                _float_dtype(self.qtype)).reshape(-1, self.d)
         else:
             self._codes = codes.astype(np.uint8).reshape(
                 -1, sq_code_width(self.d, self.codec))

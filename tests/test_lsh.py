@@ -108,3 +108,22 @@ def test_factory_paren_quantizer(catalog):
         dfx.faiss_destroy("pa", catalog=catalog)
     with pytest.raises(errors.InvalidInputError):
         dfx.faiss_create("bad", 16, "IVF8(Flat", catalog=catalog)
+
+
+def test_sqbf16_codec(catalog):
+    """SQbf16 — MXU-native bf16 storage (engine extension matching faiss
+    QT_bf16): training-free, half the HBM of fp32, small quantization
+    error, exact self-hits."""
+    rng = np.random.default_rng(12)
+    xb = rng.standard_normal((400, 16)).astype(np.float32)
+    dfx.faiss_create("bf", 16, "SQbf16", metric_type="L2", catalog=catalog)
+    idx = catalog.get("bf").index
+    assert not idx.requires_training and idx.is_trained
+    dfx.faiss_add(xb, "bf", catalog=catalog)
+    res = dfx.faiss_search("bf", 5, xb[:8], catalog=catalog)
+    assert (res["label"][:, 0] == np.arange(8)).all()
+    # bf16 has ~3 decimal digits: distances near the fp32 exact ones.
+    exact = np.sort(((xb[:8, None] - xb[None]) ** 2).sum(-1), 1)[:, :5]
+    np.testing.assert_allclose(res["distance"], exact, rtol=0.15, atol=0.15)
+    rec = idx.reconstruct(3)
+    np.testing.assert_allclose(rec, xb[3], rtol=0.02, atol=0.02)

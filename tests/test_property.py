@@ -97,7 +97,8 @@ def test_save_load_roundtrip_all_factories(catalog, tmp_path):
                  "PCA8,Flat", "PCAR8,Flat", "PCAW8,Flat", "L2norm,Flat",
                  "OPQ4,PQ4", "OPQ4_8,IVF4,PQ4", "PCA8,SQ8",
                  "IDMap,OPQ4,IVF4,PQ4",
-                 "LSH", "LSHr", "LSHt", "LSHrt", "LSH24r", "IDMap,LSH"]
+                 "LSH", "LSHr", "LSHt", "LSHrt", "LSH24r", "IDMap,LSH",
+                 "SQbf16", "IVF4,SQbf16"]
     for i, desc in enumerate(factories):
         name = f"rt{i}"
         dfx.faiss_create(name, d, desc, metric_type="L2", catalog=catalog)
