@@ -813,10 +813,6 @@ def _ivf_shard_over(self, mesh) -> None:
         raise errors.InvalidInputError(
             f"IVF indexes with metric {self.metric.name} cannot be sharded "
             f"over devices (only L2 and INNER_PRODUCT)")
-    if self.sq_type is not None:
-        raise errors.InvalidInputError(
-            "IVF with SQ encoding cannot be sharded over devices yet "
-            "(use Flat or PQ storage)")
     if "batch" not in mesh.shape or "shard" not in mesh.shape:
         raise errors.InvalidInputError(
             "IVF sharding needs a mesh with 'shard' and 'batch' axes "
@@ -855,6 +851,8 @@ def _ivf_build_sharded(self):
     )
     if self.pq_m is not None:
         arrays += (jnp.asarray(self._pq_codebooks),)
+    elif self.sq_type is not None:
+        arrays += self._sq_ranges()   # (vmin, scale), replicated
     self._device_sharded = (self._version, arrays)
     return arrays
 
@@ -886,8 +884,9 @@ def _ivf_search_sharded(self, xq_pad, k_eff, nprobe_eff, selector):
     arrays = self._build_sharded()
     payload, counts, row_pos, centroids = arrays[:4]
     pq = self.pq_m is not None
+    sq = self.sq_type
     has_mask = selector is not None
-    key = (k_eff, nprobe_eff, self.metric.name, xq_pad.shape[0], pq,
+    key = (k_eff, nprobe_eff, self.metric.name, xq_pad.shape[0], pq, sq,
            has_mask)
     cache = getattr(self, "_sharded_fn_cache", None)
     if cache is None:
@@ -898,8 +897,8 @@ def _ivf_search_sharded(self, xq_pad, k_eff, nprobe_eff, selector):
             self._shard_mesh, k=k_eff, nprobe=nprobe_eff,
             metric=self.metric.name,
             q_chunk=min(8, xq_pad.shape[0]),
-            precision=config.precision, pq=pq, has_mask=has_mask)
-    extras = arrays[4:]  # codebooks when PQ-encoded
+            precision=config.precision, pq=pq, sq=sq, has_mask=has_mask)
+    extras = arrays[4:]  # codebooks (PQ) or vmin/scale (SQ)
     if has_mask:
         extras += (self._ivf_sharded_mask(selector),)
     return fn(payload, counts, row_pos, centroids, xq_pad,

@@ -201,7 +201,8 @@ def multichip_dryrun(n_devices: int) -> None:
 def sharded_ivf_search_fn(mesh: Mesh, *, k: int, nprobe: int, metric: str,
                           q_chunk: int = 8,
                           precision=lax.Precision.DEFAULT,
-                          pq: bool = False, has_mask: bool = False):
+                          pq: bool = False, sq: str | None = None,
+                          has_mask: bool = False):
     """Sharded IVF search: inverted lists partitioned over ``shard`` (padded
     (nlist, lmax, w) layout, nlist divisible by the shard count), queries
     sharded over ``batch``, centroids replicated.
@@ -220,15 +221,19 @@ def sharded_ivf_search_fn(mesh: Mesh, *, k: int, nprobe: int, metric: str,
 
     ``pq=True``: payload holds residual PQ byte codes; candidates are
     reconstructed as centroid[list] + decode(code) on-device (the IVFPQ
-    by_residual path).  ``has_mask=True``: a per-(list, slot) selector mask
-    sharded alongside the lists is fused into validity (filtered search on a
-    device-sharded index).
+    by_residual path).  ``sq=<codec>``: payload holds scalar-quantized codes
+    (sq8/sq4/sq6 packed bytes, or fp16/bf16 rows), decoded in-shard with the
+    replicated (vmin, scale) ranges before scoring (IndexIVFScalarQuantizer).
+    ``has_mask=True``: a per-(list, slot) selector mask sharded alongside the
+    lists is fused into validity (filtered search on a device-sharded index).
     """
     sim = metric in SIMILARITY_METRICS
     nshards = int(mesh.shape["shard"])
     extra_specs = ()
     if pq:
         extra_specs += (P(None, None, None),)
+    if sq:
+        extra_specs += (P(None), P(None))   # vmin, scale (replicated)
     if has_mask:
         extra_specs += (P("shard", None),)
 
@@ -240,6 +245,7 @@ def sharded_ivf_search_fn(mesh: Mesh, *, k: int, nprobe: int, metric: str,
 
         rest = list(rest)
         codebooks = rest.pop(0) if pq else None
+        sq_vmin, sq_scale = (rest.pop(0), rest.pop(0)) if sq else (None, None)
         sel_mask = rest.pop(0) if has_mask else None
         nlist_l, lmax = payload.shape[:2]
         d = centroids.shape[1]
@@ -274,6 +280,13 @@ def sharded_ivf_search_fn(mesh: Mesh, *, k: int, nprobe: int, metric: str,
                 resid = pq_decode(codes_c, codebooks).reshape(
                     qc, npb, lmax, d)
                 xc = resid + centroids[probe_c][:, :, None, :]
+            elif sq:
+                from ..ops.sq import sq_decode
+
+                w = payload.shape[2]
+                codes_c = payload[lp_c].reshape(-1, w)
+                xc = sq_decode(codes_c, sq_vmin, sq_scale, sq).reshape(
+                    qc, npb, lmax, d)
             else:
                 xc = payload[lp_c]                         # (qc,npb,lmax,d)
             if metric == "INNER_PRODUCT":
