@@ -11,9 +11,11 @@ graph of TPU-native index models:
     desc        := [prefix ","]* [transform ","]* component ["," encoding]
                    ["," suffix]
     prefix      := "IDMap" | "IDMap2"
-    transform   := "PCA"[R|W]n | "OPQ"m["_"dout] | "L2norm"
-    component   := "Flat" | "HNSW"[M] | "IVF"nlist["_" quantizer]
+    transform   := "PCA"[R|W]n | "OPQ"m["_"dout] | "RR"[n] | "ITQ"[n]
+                   | "L2norm"
+    component   := "Flat" | "HNSW"[M] | "NSG"[R] | "IVF"nlist["_" quantizer]
                    | "IVF"nlist"("quantizer-desc")"   (parenthesized form)
+                   | "IMI2x"nbits (product coarse quantizer, nlist=4^nbits)
                    | "PQ"M["x"nbits] | "LSH"[nbits]["r"]["t"]
     quantizer   := "Flat" | "HNSW"[M] | "PQ"M
     encoding    := "Flat" | "PQ"M["x"nbits] | "SQ8" | "SQ4" | "SQ6"
@@ -43,13 +45,18 @@ _SQ_RE = re.compile(r"^SQ(8|4|6|fp16|bf16)$")
 _LSH_RE = re.compile(r"^LSH(\d*)(r?)(t?)$")
 _PCA_RE = re.compile(r"^PCA(R|W)?(\d+)$")
 _OPQ_RE = re.compile(r"^OPQ(\d+)(?:_(\d+))?$")
+_RR_RE = re.compile(r"^RR(\d*)$")
+_ITQ_RE = re.compile(r"^ITQ(\d*)$")
+_NSG_RE = re.compile(r"^NSG(\d*)$")
+_IMI_RE = re.compile(r"^IMI2x(\d+)$")
 
 
 def _parse_transform(tok: str, d: int):
     """Transform-prefix tokens (faiss VectorTransform grammar subset):
-    PCAn / PCARn / PCAWn, OPQm[_dout], L2norm.  Returns None for
-    non-transform tokens."""
-    from .transforms import L2NormTransform, OPQMatrix, PCAMatrix
+    PCAn / PCARn / PCAWn, OPQm[_dout], RR[n], ITQ[n], L2norm.  Returns None
+    for non-transform tokens."""
+    from .transforms import (ITQTransform, L2NormTransform, OPQMatrix,
+                             PCAMatrix, RandomRotationMatrix)
 
     if tok == "L2norm":
         return L2NormTransform(d)
@@ -62,6 +69,13 @@ def _parse_transform(tok: str, d: int):
     if m:
         d_out = int(m.group(2)) if m.group(2) else None
         return OPQMatrix(d, int(m.group(1)), d_out)
+    m = _RR_RE.match(tok)
+    if m:
+        return RandomRotationMatrix(d, int(m.group(1)) if m.group(1)
+                                    else None)
+    m = _ITQ_RE.match(tok)
+    if m:
+        return ITQTransform(d, int(m.group(1)) if m.group(1) else None)
     return None
 
 
@@ -162,6 +176,17 @@ def _build_component(d, parts, metric, metric_arg, desc) -> Index:
             raise _parse_error(desc, f"unsupported HNSW storage {rest[0]}")
         return HNSWIndex(d, metric, metric_arg, M=M, storage=storage)
 
+    m = _NSG_RE.match(head)
+    if m:
+        from .models.hnsw import NSGIndex
+
+        R = int(m.group(1)) if m.group(1) else 32
+        storage = rest[0] if rest else "Flat"
+        if rest and rest[0] not in ("Flat",) and not _PQ_RE.match(rest[0]) \
+                and not _SQ_RE.match(rest[0]):
+            raise _parse_error(desc, f"unsupported NSG storage {rest[0]}")
+        return NSGIndex(d, metric, metric_arg, M=R, storage=storage)
+
     m = _IVF_PAREN_RE.match(head) or _IVF_RE.match(head)
     if m:
         from .models.ivf import IVFIndex
@@ -173,6 +198,18 @@ def _build_component(d, parts, metric, metric_arg, desc) -> Index:
         if len(rest) > 1:
             raise _parse_error(desc, f"unexpected trailing components {rest[1:]}")
         return IVFIndex(d, metric, metric_arg, nlist=nlist,
+                        quantizer=quantizer, encoding=encoding)
+
+    m = _IMI_RE.match(head)
+    if m:
+        from .models.ivf import IMIIndex
+
+        nbits = int(m.group(1))
+        quantizer = FlatIndex(d, metric, metric_arg)
+        encoding = rest[0] if rest else "Flat"
+        if len(rest) > 1:
+            raise _parse_error(desc, f"unexpected trailing components {rest[1:]}")
+        return IMIIndex(d, metric, metric_arg, nbits=nbits,
                         quantizer=quantizer, encoding=encoding)
 
     m = _PQ_RE.match(head)

@@ -232,3 +232,30 @@ class _ShiftedSelector:
 
     def cache_key(self):
         return ("shift", self._start, self._inner.cache_key())
+
+
+class NSGIndex(HNSWIndex):
+    """faiss::IndexNSG surface (``NSG[R]`` factory strings, e.g. ``NSG32`` /
+    ``NSG64,SQ8``).  NSG is a monotonic-graph ANN — pointer-chasing like
+    HNSW and equally TPU-hostile — so it lowers to the same exact-scan /
+    internal-IVF-partition execution as HNSWIndex (documented deviation,
+    SURVEY.md §7 step 8).  Knob mapping: the graph degree R plays M's role
+    at build time; the search pool ``search_L`` (faiss IndexNSG default 16)
+    maps to the candidate-pool size exactly like efSearch."""
+
+    def __init__(self, d: int, metric: Metric, metric_arg: float = 0.0,
+                 M: int = 32, storage: str = "Flat"):
+        super().__init__(d, metric, metric_arg, M=M, storage=storage)
+        self.ef_search = 16  # faiss::IndexNSG::search_L default
+
+    def search(self, xq, k, params=EMPTY, selector=None) -> SearchResult:
+        L = params.get_int("search_L")
+        if L is not None:
+            self.ef_search = L
+        return super().search(xq, k, params, selector)
+
+    def apply_create_params(self, params) -> None:
+        super().apply_create_params(params)
+        R = params.get_int("R")
+        if R is not None:
+            self.M = R

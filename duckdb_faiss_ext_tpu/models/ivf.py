@@ -133,26 +133,7 @@ class IVFIndex(Index):
         if self.is_trained:
             return  # FAISS skips retraining a trained quantizer
         x = as_matrix(x, self.d)
-        n = x.shape[0]
-        if n < self.nlist:
-            raise errors.TrainingTooSmallError(n, self.nlist)
-        nsub = subsample_for_training(n, self.nlist)
-        if nsub < n:
-            rng = np.random.default_rng(self.train_seed)
-            sel = rng.choice(n, size=nsub, replace=False)
-            x = x[np.sort(sel)]
-        # Training and assignment always run at full precision: with many
-        # lists the distance differences between competing centroids fall
-        # below bf16 resolution and assignment collapses into a few giant
-        # lists (observed at nlist=16k on 96-d data — the padded layout then
-        # explodes).  Search-time coarse probing keeps config precision.
-        import jax as _jax
-
-        centroids, _ = kmeans_fit(x, self.nlist, niter=self.train_niter,
-                                  seed=self.train_seed,
-                                  precision=_jax.lax.Precision.HIGHEST,
-                                  balance=getattr(self, "train_balance", 0.0))
-        self._centroids = np.asarray(centroids, dtype=np.float32)
+        self._centroids, x = self._train_coarse(x)
         if self.quantizer.ntotal == 0:
             # A quantizer that itself needs training (nested IVF, e.g.
             # ``IVF1024(IVF32,Flat)``) is trained on the centroid table
@@ -181,6 +162,31 @@ class IVFIndex(Index):
             self._sq_vmin = np.asarray(vmin)
             self._sq_scale = np.asarray(scale)
         self._invalidate()
+
+    def _train_coarse(self, x):
+        """Fit the coarse quantizer; returns (centroid table (nlist, d),
+        training subsample for the encoding stages).  IMIIndex overrides
+        this with the product (multi-index) quantizer."""
+        n = x.shape[0]
+        if n < self.nlist:
+            raise errors.TrainingTooSmallError(n, self.nlist)
+        nsub = subsample_for_training(n, self.nlist)
+        if nsub < n:
+            rng = np.random.default_rng(self.train_seed)
+            sel = rng.choice(n, size=nsub, replace=False)
+            x = x[np.sort(sel)]
+        # Training and assignment always run at full precision: with many
+        # lists the distance differences between competing centroids fall
+        # below bf16 resolution and assignment collapses into a few giant
+        # lists (observed at nlist=16k on 96-d data — the padded layout then
+        # explodes).  Search-time coarse probing keeps config precision.
+        import jax as _jax
+
+        centroids, _ = kmeans_fit(x, self.nlist, niter=self.train_niter,
+                                  seed=self.train_seed,
+                                  precision=_jax.lax.Precision.HIGHEST,
+                                  balance=getattr(self, "train_balance", 0.0))
+        return np.asarray(centroids, dtype=np.float32), x
 
     def _require_trained(self):
         if not self.is_trained:
@@ -1009,3 +1015,106 @@ def _ivf_range_search(self, xq, radius, params=EMPTY, selector=None):
 import jax  # noqa: E402
 
 IVFIndex.range_search = _ivf_range_search
+
+
+class IMIIndex(IVFIndex):
+    """IVF over a product (multi-index) coarse quantizer — the factory's
+    ``IMI2x{nbits}[,encoding]`` heads (faiss::MultiIndexQuantizer feeding
+    IndexIVF*, reachable through the reference's pass-through factory call,
+    src/faiss_extension.cpp:154-155).
+
+    The coarse space is the cross product of two codebooks of K = 2^nbits
+    centroids fitted independently on the two halves of the vector, giving
+    nlist = K^2 cells while training only needs n >= K points (the IMI
+    advantage: 65536 cells from 256-way k-means).  TPU design: the (K^2, d)
+    cell-center table is materialized once at train time so every shared
+    scan/layout/sharding path works unchanged (a 64-query probe against
+    65536 cells is one small MXU tile); assignment stays factored per half
+    — exact for L2/INNER_PRODUCT because both metrics decompose over
+    disjoint coordinate blocks."""
+
+    #: materialized cell-center table cap (bytes): 4^nbits * d * 4.
+    MAX_TABLE_BYTES = 1 << 30
+
+    def __init__(self, d: int, metric: Metric, metric_arg: float,
+                 nbits: int, quantizer: Index, encoding: str = "Flat"):
+        nbits = int(nbits)
+        if nbits < 1:
+            raise errors.InvalidInputError(
+                f"IMI needs at least 1 bit per sub-quantizer, got {nbits}")
+        if d % 2:
+            raise errors.InvalidInputError(
+                f"The dimension of the vector ({d}) must be even for an "
+                f"IMI2x coarse quantizer")
+        table_bytes = (1 << (2 * nbits)) * d * 4
+        if table_bytes > self.MAX_TABLE_BYTES:
+            raise errors.InvalidInputError(
+                f"IMI2x{nbits} at dimension {d} needs a "
+                f"{table_bytes >> 20} MiB cell table (cap "
+                f"{self.MAX_TABLE_BYTES >> 20} MiB); use fewer bits")
+        super().__init__(d, metric, metric_arg, nlist=1 << (2 * nbits),
+                         quantizer=quantizer, encoding=encoding)
+        if metric.name not in ("L2", "INNER_PRODUCT"):
+            raise errors.InvalidInputError(
+                f"IMI indexes support only L2 and INNER_PRODUCT metrics, "
+                f"got {metric.name}")
+        self.imi_nbits = nbits
+
+    def _train_coarse(self, x):
+        K = 1 << self.imi_nbits
+        n = x.shape[0]
+        if n < K:
+            raise errors.TrainingTooSmallError(n, K)
+        nsub = subsample_for_training(n, K)
+        if nsub < n:
+            rng = np.random.default_rng(self.train_seed)
+            sel = rng.choice(n, size=nsub, replace=False)
+            x = x[np.sort(sel)]
+        h = self.d // 2
+        hp = jax.lax.Precision.HIGHEST
+        bal = getattr(self, "train_balance", 0.0)
+        cb1, _ = kmeans_fit(x[:, :h], K, niter=self.train_niter,
+                            seed=self.train_seed, precision=hp, balance=bal)
+        cb2, _ = kmeans_fit(x[:, h:], K, niter=self.train_niter,
+                            seed=self.train_seed + 1, precision=hp,
+                            balance=bal)
+        cb1 = np.asarray(cb1, np.float32)
+        cb2 = np.asarray(cb2, np.float32)
+        # Cell (i, j) → list i*K + j, center = concat(cb1[i], cb2[j]).
+        table = np.concatenate([np.repeat(cb1, K, axis=0),
+                                np.tile(cb2, (K, 1))], axis=1)
+        return np.ascontiguousarray(table), x
+
+    def _imi_codebooks(self):
+        """Factored sub-codebooks recovered from the materialized table
+        (no separate serialized state needed)."""
+        K = 1 << self.imi_nbits
+        h = self.d // 2
+        return self._centroids[::K, :h], self._centroids[:K, h:]
+
+    def _assign_lists(self, x: np.ndarray) -> np.ndarray:
+        """Exact factored assignment: per-half nearest sub-centroid.  For
+        L2/IP the cell score is the sum of the two half scores over disjoint
+        coordinates, so the per-half argbest minimizes over all K^2 cells
+        without forming them."""
+        from ..ops.distance import pairwise_tile
+
+        if x.shape[0] == 0:
+            return np.empty((0,), dtype=np.int32)
+        K = 1 << self.imi_nbits
+        h = self.d // 2
+        cb1, cb2 = self._imi_codebooks()
+        sim = self.metric.name in SIMILARITY_METRICS
+        hp = jax.lax.Precision.HIGHEST
+        chunk = max(1024, min(65536, (1 << 27) // K))
+        parts = []
+        for i in range(0, x.shape[0], chunk):
+            xc = jnp.asarray(x[i:i + chunk])
+            t1 = pairwise_tile(xc[:, :h], jnp.asarray(cb1),
+                               self.metric.name, self.metric_arg, hp)
+            t2 = pairwise_tile(xc[:, h:], jnp.asarray(cb2),
+                               self.metric.name, self.metric_arg, hp)
+            a1 = (jnp.argmax(t1, 1) if sim else jnp.argmin(t1, 1))
+            a2 = (jnp.argmax(t2, 1) if sim else jnp.argmin(t2, 1))
+            parts.append((a1 * K + a2).astype(jnp.int32))
+        return np.asarray(jnp.concatenate(parts), dtype=np.int32)

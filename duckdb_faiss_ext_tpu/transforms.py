@@ -152,6 +152,83 @@ class PCAMatrix(LinearTransform):
         self.mean = np.asarray(mean, np.float32)
 
 
+class RandomRotationMatrix(LinearTransform):
+    """faiss::RandomRotationMatrix (``RR[n]`` factory prefix): a fixed
+    seeded random orthogonal map.  d_out <= d_in takes the leading columns
+    of a (d_in, d_in) rotation; d_out > d_in embeds into the leading rows
+    of a (d_out, d_out) rotation (norms preserved either way because rows
+    stay orthonormal)."""
+
+    def __init__(self, d_in: int, d_out: int | None = None, *,
+                 seed: int = DEFAULT_SEED):
+        d_out = d_in if d_out is None else int(d_out)
+        super().__init__(d_in, d_out)
+        self.seed = int(seed)
+        dim = max(self.d_in, self.d_out)
+        rng = np.random.default_rng(self.seed)
+        q, _ = np.linalg.qr(
+            rng.standard_normal((dim, dim)).astype(np.float64))
+        self.A = np.ascontiguousarray(
+            q[: self.d_in, : self.d_out], dtype=np.float32)
+        self.mean = np.zeros((self.d_in,), np.float32)
+
+
+class ITQTransform(LinearTransform):
+    """faiss::ITQTransform (``ITQ[n]`` factory prefix): centering, optional
+    PCA to d_out, then the ITQ rotation (Gong & Lazebnik) that minimizes
+    binarization error — alternate B = sign(V R) with the procrustes update
+    R ← U Wᵀ from svd(Vᵀ B).  Output is the rotated real-valued projection;
+    a downstream LSH index does the sign binarization (``ITQ64,LSH``)."""
+
+    def __init__(self, d_in: int, d_out: int | None = None,
+                 do_pca: bool | None = None, *, niter: int = 50,
+                 seed: int = DEFAULT_SEED):
+        d_out = d_in if d_out is None else int(d_out)
+        if d_out > d_in:
+            raise errors.InvalidInputError(
+                f"ITQ output dimension {d_out} exceeds input {d_in}")
+        super().__init__(d_in, d_out)
+        # index_factory passes do_pca = (d_out != d) for ITQTransform.
+        self.do_pca = (d_out != d_in) if do_pca is None else bool(do_pca)
+        self.niter = int(niter)
+        self.seed = int(seed)
+
+    def train(self, x: np.ndarray) -> None:
+        if self.is_trained:
+            return
+        x = np.asarray(x, np.float32)
+        if x.shape[0] < self.d_out:
+            raise errors.InvalidInputError(
+                f"ITQ training needs at least d_out={self.d_out} points, "
+                f"got {x.shape[0]}")
+        hp = jax.lax.Precision.HIGHEST
+        xd = jnp.asarray(x)
+        mean = jnp.mean(xd, axis=0)
+        xc = xd - mean[None, :]
+        if self.do_pca:
+            pca = PCAMatrix(self.d_in, self.d_out, seed=self.seed)
+            pca.train(x)
+            A0 = jnp.asarray(pca.A)
+            v = jnp.dot(xc, A0, precision=hp,
+                        preferred_element_type=jnp.float32)
+        else:
+            A0 = jnp.eye(self.d_in, self.d_out, dtype=jnp.float32)
+            v = xc
+        rng = np.random.default_rng(self.seed)
+        q, _ = np.linalg.qr(rng.standard_normal(
+            (self.d_out, self.d_out)).astype(np.float32))
+        R = jnp.asarray(q)
+        for _ in range(self.niter):
+            b = jnp.sign(jnp.dot(v, R, precision=hp,
+                                 preferred_element_type=jnp.float32))
+            mm = jnp.dot(v.T, b, precision=hp,
+                         preferred_element_type=jnp.float32)
+            u, _, wt = jnp.linalg.svd(mm, full_matrices=False)
+            R = jnp.dot(u, wt, precision=hp)
+        self.A = np.asarray(jnp.dot(A0, R, precision=hp), np.float32)
+        self.mean = np.asarray(mean, np.float32)
+
+
 class OPQMatrix(LinearTransform):
     """faiss::OPQMatrix: rotation minimizing PQ reconstruction error
     (OPQ-NP: alternate PQ fit on rotated data with the procrustes rotation

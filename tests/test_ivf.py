@@ -429,3 +429,98 @@ def test_ivf_spill_k_beyond_capped_layout(catalog):
     np.testing.assert_allclose(np.sort(got["distance"], axis=1),
                                np.sort(ref["distance"], axis=1),
                                rtol=1e-4, atol=1e-4)
+
+
+# --- IMI (product / multi-index coarse quantizer) -------------------------
+
+def _imi_clustered(n, d, ncent=16, seed=11, spread=0.3):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((ncent, d)).astype(np.float32) * 4
+    return (centers[rng.integers(0, ncent, n)]
+            + rng.standard_normal((n, d)).astype(np.float32) * spread)
+
+
+def test_imi_full_probe_matches_flat(catalog):
+    """IMI2x3 (64 cells) probed fully is exact — parity with Flat."""
+    d, n = 16, 1500
+    xb = _imi_clustered(n, d)
+    dfx.faiss_create("imif", d, "IMI2x3,Flat", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_create("imioracle", d, "Flat", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_add(xb, "imif", catalog=catalog)
+    dfx.faiss_add(xb, "imioracle", catalog=catalog)
+    a = dfx.faiss_search("imif", 6, xb[:10], {"nprobe": "64"},
+                         catalog=catalog)
+    b = dfx.faiss_search("imioracle", 6, xb[:10], catalog=catalog)
+    np.testing.assert_array_equal(a["label"], b["label"])
+    np.testing.assert_allclose(a["distance"], b["distance"],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_imi_trains_below_nlist(catalog):
+    """The IMI advantage: 256 cells (2x4) train from only >= 16 points per
+    half codebook — a plain IVF256 would refuse this corpus."""
+    d = 8
+    xb = _imi_clustered(120, d, ncent=8, seed=12)
+    dfx.faiss_create("imismall", d, "IMI2x4,Flat", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_add(xb, "imismall", catalog=catalog)   # n=120 < nlist=256
+    res = dfx.faiss_search("imismall", 3, xb[:5], {"nprobe": "256"},
+                           catalog=catalog)
+    assert (res["label"][:, 0] == np.arange(5)).all()
+
+
+def test_imi_too_few_points(catalog):
+    d = 8
+    dfx.faiss_create("imitiny", d, "IMI2x4,Flat", metric_type="L2",
+                     catalog=catalog)
+    with pytest.raises(dfx.errors.InvalidInputError,
+                       match="too small"):
+        dfx.faiss_add(np.random.default_rng(0).standard_normal(
+            (10, d)).astype(np.float32), "imitiny", catalog=catalog)
+
+
+def test_imi_partial_probe_recall(catalog):
+    d, n = 16, 4000
+    xb = _imi_clustered(n, d, ncent=32, seed=13)
+    dfx.faiss_create("imir", d, "IMI2x4,Flat", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_create("imiro", d, "Flat", metric_type="L2", catalog=catalog)
+    dfx.faiss_add(xb, "imir", catalog=catalog)
+    dfx.faiss_add(xb, "imiro", catalog=catalog)
+    xq = xb[:64]
+    truth = dfx.faiss_search("imiro", 10, xq, catalog=catalog)["label"]
+    got = dfx.faiss_search("imir", 10, xq, {"nprobe": "32"},
+                           catalog=catalog)["label"]
+    hits = sum(len(set(g) & set(t)) for g, t in zip(got, truth))
+    assert hits / truth.size > 0.8, hits / truth.size
+
+
+def test_imi_pq_encoding_and_roundtrip(catalog, tmp_path):
+    d, n = 16, 3000
+    xb = _imi_clustered(n, d, ncent=16, seed=14)
+    dfx.faiss_create("imipq", d, "IMI2x3,PQ8", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_add(xb, "imipq", catalog=catalog)
+    before = dfx.faiss_search("imipq", 5, xb[:8], {"nprobe": "64"},
+                              catalog=catalog)
+    assert (before["label"][:, 0] == np.arange(8)).sum() >= 6
+    path = str(tmp_path / "imi.idx")
+    dfx.faiss_save("imipq", path, catalog=catalog)
+    dfx.faiss_load("imipq2", path, catalog=catalog)
+    after = dfx.faiss_search("imipq2", 5, xb[:8], {"nprobe": "64"},
+                             catalog=catalog)
+    np.testing.assert_array_equal(before["label"], after["label"])
+    np.testing.assert_allclose(before["distance"], after["distance"],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_imi_guards(catalog):
+    with pytest.raises(dfx.errors.InvalidInputError, match="even"):
+        dfx.faiss_create("imiodd", 15, "IMI2x4,Flat", catalog=catalog)
+    with pytest.raises(dfx.errors.InvalidInputError, match="cell table"):
+        dfx.faiss_create("imibig", 1536, "IMI2x12,Flat", catalog=catalog)
+    with pytest.raises(dfx.errors.InvalidInputError, match="metric"):
+        dfx.faiss_create("imil1", 16, "IMI2x4,Flat", metric_type="L1",
+                         catalog=catalog)

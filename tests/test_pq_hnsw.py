@@ -296,3 +296,37 @@ def test_pq_decode_onehot_chunked_exact():
     ref = np.asarray(pq_decode(codes, codebooks))
     got = np.asarray(pq_decode_onehot(codes, codebooks))
     np.testing.assert_array_equal(ref, got)
+
+
+def test_nsg_surface(catalog):
+    """NSG factory strings (NSG / NSG64 / NSG64,SQ8) execute with the same
+    TPU lowering as HNSW; search_L is the pool knob (faiss IndexNSG)."""
+    d, n = 8, 400
+    xb = _clustered(n, d)
+    xq = _clustered(4, d)
+    dfx.faiss_create("nsg", d, "NSG32", metric_type="L2", catalog=catalog)
+    dfx.faiss_add(xb, "nsg", catalog=catalog)
+    dfx.faiss_create("nsgf", d, "Flat", metric_type="L2", catalog=catalog)
+    dfx.faiss_add(xb, "nsgf", catalog=catalog)
+    rn = dfx.faiss_search("nsg", 5, xq, {"search_L": "64"}, catalog=catalog)
+    rf = dfx.faiss_search("nsgf", 5, xq, catalog=catalog)
+    np.testing.assert_array_equal(rn["label"], rf["label"])
+    from duckdb_faiss_ext_tpu.models.hnsw import NSGIndex
+
+    ix = catalog.get("nsg").index
+    assert isinstance(ix, NSGIndex)
+    assert ix.ef_search == 64  # search_L latched
+
+
+def test_nsg_save_load(catalog, tmp_path):
+    d, n = 8, 300
+    xb = _clustered(n, d)
+    dfx.faiss_create("nsgsv", d, "NSG64,SQ8", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_add(xb, "nsgsv", catalog=catalog)
+    before = dfx.faiss_search("nsgsv", 3, xb[:5], catalog=catalog)
+    path = str(tmp_path / "nsg.idx")
+    dfx.faiss_save("nsgsv", path, catalog=catalog)
+    dfx.faiss_load("nsgsv2", path, catalog=catalog)
+    after = dfx.faiss_search("nsgsv2", 3, xb[:5], catalog=catalog)
+    np.testing.assert_array_equal(before["label"], after["label"])

@@ -98,7 +98,10 @@ def test_save_load_roundtrip_all_factories(catalog, tmp_path):
                  "OPQ4,PQ4", "OPQ4_8,IVF4,PQ4", "PCA8,SQ8",
                  "IDMap,OPQ4,IVF4,PQ4",
                  "LSH", "LSHr", "LSHt", "LSHrt", "LSH24r", "IDMap,LSH",
-                 "SQbf16", "IVF4,SQbf16"]
+                 "SQbf16", "IVF4,SQbf16",
+                 "RR,Flat", "RR8,Flat", "ITQ,Flat", "ITQ8,LSH16",
+                 "NSG16", "NSG16,SQ8", "IMI2x2,Flat", "IMI2x2,PQ4",
+                 "IDMap,IMI2x2,Flat"]
     for i, desc in enumerate(factories):
         name = f"rt{i}"
         dfx.faiss_create(name, d, desc, metric_type="L2", catalog=catalog)

@@ -132,3 +132,93 @@ def test_pcaw_reverse_roundtrip():
     y = t.apply(x[:50])
     back = t.reverse(y)
     np.testing.assert_allclose(back, x[:50], rtol=1e-2, atol=1e-3)
+
+
+def test_rr_preserves_l2_distances(catalog):
+    """RR (d_out = d_in) is orthogonal: search distances equal the plain
+    Flat index's bit-for-bit up to fp accumulation."""
+    d, n = 16, 800
+    xb = _data(n, d, seed=4)
+    dfx.faiss_create("rrflat", d, "RR,Flat", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_create("plain", d, "Flat", metric_type="L2", catalog=catalog)
+    dfx.faiss_add(xb, "rrflat", catalog=catalog)
+    dfx.faiss_add(xb, "plain", catalog=catalog)
+    a = dfx.faiss_search("rrflat", 5, xb[:8], catalog=catalog)
+    b = dfx.faiss_search("plain", 5, xb[:8], catalog=catalog)
+    np.testing.assert_array_equal(a["label"], b["label"])
+    np.testing.assert_allclose(a["distance"], b["distance"],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_rr_dim_expand_and_reduce():
+    from duckdb_faiss_ext_tpu.transforms import RandomRotationMatrix
+
+    x = _data(200, 12, seed=5)
+    up = RandomRotationMatrix(12, 24)
+    y = up.apply(x)
+    assert y.shape == (200, 24)
+    # Rows of A orthonormal → norms preserved on expansion.
+    np.testing.assert_allclose(np.linalg.norm(y, axis=1),
+                               np.linalg.norm(x, axis=1), rtol=1e-4)
+    down = RandomRotationMatrix(12, 6)
+    assert down.apply(x).shape == (200, 6)
+
+
+def test_itq_preserves_l2_distances(catalog):
+    """ITQ with d_out = d_in is centering + orthogonal rotation: pairwise
+    L2 distances are unchanged, so search matches plain Flat."""
+    d, n = 12, 600
+    xb = _data(n, d, seed=6)
+    dfx.faiss_create("itqf", d, "ITQ,Flat", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_create("plain2", d, "Flat", metric_type="L2", catalog=catalog)
+    dfx.faiss_add(xb, "itqf", catalog=catalog)
+    dfx.faiss_add(xb, "plain2", catalog=catalog)
+    a = dfx.faiss_search("itqf", 5, xb[:8], catalog=catalog)
+    b = dfx.faiss_search("plain2", 5, xb[:8], catalog=catalog)
+    np.testing.assert_array_equal(a["label"], b["label"])
+    np.testing.assert_allclose(a["distance"], b["distance"],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_itq_lsh_recall_beats_plain_lsh(catalog):
+    """The point of ITQ: rotating to minimize binarization error improves
+    Hamming-space recall vs the same LSH without the learned rotation."""
+    rng = np.random.default_rng(7)
+    d, n = 32, 4000
+    xb = rng.standard_normal((n, d)).astype(np.float32)
+    xb *= np.linspace(4.0, 0.25, d).astype(np.float32)[None, :]
+    xq = xb[:64] + rng.standard_normal((64, d)).astype(np.float32) * 0.05
+    # Exact oracle
+    dfx.faiss_create("oracle", d, "Flat", metric_type="L2", catalog=catalog)
+    dfx.faiss_add(xb, "oracle", catalog=catalog)
+    truth = dfx.faiss_search("oracle", 10, xq, catalog=catalog)["label"]
+
+    def recall(name, desc):
+        dfx.faiss_create(name, d, desc, metric_type="L2", catalog=catalog)
+        dfx.faiss_add(xb, name, catalog=catalog)
+        got = dfx.faiss_search(name, 10, xq, catalog=catalog)["label"]
+        hits = sum(len(set(g) & set(t)) for g, t in zip(got, truth))
+        return hits / truth.size
+
+    r_itq = recall("itqlsh", "ITQ,LSH32")
+    r_lsh = recall("lshp", "LSH32")
+    assert r_itq >= r_lsh - 0.02, (r_itq, r_lsh)
+    assert r_itq > 0.15, r_itq  # well above chance (10/4000)
+
+
+def test_rr_itq_save_load_roundtrip(catalog, tmp_path):
+    d, n = 16, 500
+    xb = _data(n, d, seed=8)
+    for name, desc in [("rrsv", "RR8,Flat"), ("itqsv", "ITQ8,LSH16")]:
+        dfx.faiss_create(name, d, desc, metric_type="L2", catalog=catalog)
+        dfx.faiss_add(xb, name, catalog=catalog)
+        before = dfx.faiss_search(name, 4, xb[:5], catalog=catalog)
+        path = str(tmp_path / f"{name}.idx")
+        dfx.faiss_save(name, path, catalog=catalog)
+        dfx.faiss_load(name + "2", path, catalog=catalog)
+        after = dfx.faiss_search(name + "2", 4, xb[:5], catalog=catalog)
+        np.testing.assert_array_equal(before["label"], after["label"])
+        np.testing.assert_allclose(before["distance"], after["distance"],
+                                   rtol=1e-5, atol=1e-5)
