@@ -174,6 +174,9 @@ def _build_component(d, parts, metric, metric_arg, desc) -> Index:
         if rest and rest[0] not in ("Flat",) and not _PQ_RE.match(rest[0]) \
                 and not _SQ_RE.match(rest[0]):
             raise _parse_error(desc, f"unsupported HNSW storage {rest[0]}")
+        if len(rest) > 1:
+            raise _parse_error(desc,
+                               f"unexpected trailing components {rest[1:]}")
         return HNSWIndex(d, metric, metric_arg, M=M, storage=storage)
 
     m = _NSG_RE.match(head)
@@ -185,6 +188,9 @@ def _build_component(d, parts, metric, metric_arg, desc) -> Index:
         if rest and rest[0] not in ("Flat",) and not _PQ_RE.match(rest[0]) \
                 and not _SQ_RE.match(rest[0]):
             raise _parse_error(desc, f"unsupported NSG storage {rest[0]}")
+        if len(rest) > 1:
+            raise _parse_error(desc,
+                               f"unexpected trailing components {rest[1:]}")
         return NSGIndex(d, metric, metric_arg, M=R, storage=storage)
 
     m = _IVF_PAREN_RE.match(head) or _IVF_RE.match(head)

@@ -39,12 +39,8 @@ from ..utils.config import (config, next_capacity, next_pow2,
 from .base import Index, SearchResult, as_matrix
 
 
-def _sq_float_dtype(sq_type: str):
-    if sq_type == "bf16":
-        import ml_dtypes
-
-        return ml_dtypes.bfloat16
-    return np.float16
+from ..ops.sq import FLOAT_CODECS as _FLOAT_SQ
+from ..ops.sq import float_codec_dtype as _sq_float_dtype
 
 
 class IVFIndex(Index):
@@ -84,7 +80,7 @@ class IVFIndex(Index):
         self._sq_scale: np.ndarray | None = None
         if self.pq_m:
             self._codes = np.empty((0, self.pq_m), dtype=np.uint8)
-        elif self.sq_type in ("fp16", "bf16"):
+        elif self.sq_type in _FLOAT_SQ:
             self._codes = np.empty((0, d), dtype=_sq_float_dtype(self.sq_type))
         elif self.sq_type:
             from ..ops.sq import sq_code_width
@@ -121,7 +117,7 @@ class IVFIndex(Index):
             return False
         if self.pq_m is not None:
             return self._pq_codebooks is not None
-        if self.sq_type is not None and self.sq_type not in ("fp16", "bf16"):
+        if self.sq_type is not None and self.sq_type not in _FLOAT_SQ:
             return self._sq_vmin is not None
         return True
 
@@ -134,13 +130,7 @@ class IVFIndex(Index):
             return  # FAISS skips retraining a trained quantizer
         x = as_matrix(x, self.d)
         self._centroids, x = self._train_coarse(x)
-        if self.quantizer.ntotal == 0:
-            # A quantizer that itself needs training (nested IVF, e.g.
-            # ``IVF1024(IVF32,Flat)``) is trained on the centroid table
-            # first, mirroring faiss Level1Quantizer::train_q1.
-            if not self.quantizer.is_trained:
-                self.quantizer.train(self._centroids)
-            self.quantizer.add(self._centroids)
+        self._populate_quantizer()
         if self.pq_m is not None:
             # Residual PQ (faiss IndexIVFPQ by_residual): codebooks trained
             # on x − centroid[assign(x)].
@@ -155,7 +145,7 @@ class IVFIndex(Index):
             self._pq_codebooks = np.asarray(
                 pq_train(resid, self.pq_m, ksub, seed=self.train_seed,
                          precision=config.precision), dtype=np.float32)
-        if self.sq_type is not None and self.sq_type not in ("fp16", "bf16"):
+        if self.sq_type is not None and self.sq_type not in _FLOAT_SQ:
             from ..ops.sq import SQ_LEVELS, sq_train
 
             vmin, scale = sq_train(x, SQ_LEVELS[self.sq_type])
@@ -163,18 +153,40 @@ class IVFIndex(Index):
             self._sq_scale = np.asarray(scale)
         self._invalidate()
 
-    def _train_coarse(self, x):
-        """Fit the coarse quantizer; returns (centroid table (nlist, d),
-        training subsample for the encoding stages).  IMIIndex overrides
-        this with the product (multi-index) quantizer."""
+    #: IMIIndex sets this False — its mirror quantizer is never consulted
+    #: and copying the materialized cell table into it would double memory.
+    _mirror_quantizer = True
+
+    def _populate_quantizer(self) -> None:
+        """Mirror the centroid table into the quantizer index object
+        (faiss graph shape; used again after load_state rebuilds the
+        quantizer untrained).  A quantizer that itself needs training
+        (nested IVF, e.g. ``IVF1024(IVF32,Flat)``) is trained on the
+        centroid table first, mirroring faiss Level1Quantizer::train_q1."""
+        if not self._mirror_quantizer or self.quantizer.ntotal != 0:
+            return
+        if not self.quantizer.is_trained:
+            self.quantizer.train(self._centroids)
+        self.quantizer.add(self._centroids)
+
+    def _subsample_train(self, x, k: int):
+        """Too-few-points check + FAISS's seeded per-centroid subsample,
+        for a coarse stage with ``k`` centroids."""
         n = x.shape[0]
-        if n < self.nlist:
-            raise errors.TrainingTooSmallError(n, self.nlist)
-        nsub = subsample_for_training(n, self.nlist)
+        if n < k:
+            raise errors.TrainingTooSmallError(n, k)
+        nsub = subsample_for_training(n, k)
         if nsub < n:
             rng = np.random.default_rng(self.train_seed)
             sel = rng.choice(n, size=nsub, replace=False)
             x = x[np.sort(sel)]
+        return x
+
+    def _train_coarse(self, x):
+        """Fit the coarse quantizer; returns (centroid table (nlist, d),
+        training subsample for the encoding stages).  IMIIndex overrides
+        this with the product (multi-index) quantizer."""
+        x = self._subsample_train(x, self.nlist)
         # Training and assignment always run at full precision: with many
         # lists the distance differences between competing centroids fall
         # below bf16 resolution and assignment collapses into a few giant
@@ -256,7 +268,7 @@ class IVFIndex(Index):
     def _sq_encode(self, x: np.ndarray) -> np.ndarray:
         from ..ops.sq import SQ_LEVELS, sq4_pack, sq6_pack, sq_quantize
 
-        if self.sq_type in ("fp16", "bf16"):
+        if self.sq_type in _FLOAT_SQ:
             return x.astype(_sq_float_dtype(self.sq_type))
         q = np.asarray(sq_quantize(jnp.asarray(x),
                                    jnp.asarray(self._sq_vmin),
@@ -269,7 +281,7 @@ class IVFIndex(Index):
         return q
 
     def _sq_ranges(self):
-        if self.sq_type in ("fp16", "bf16") or self._sq_vmin is None:
+        if self.sq_type in _FLOAT_SQ or self._sq_vmin is None:
             z = np.zeros((self.d,), np.float32)
             return jnp.asarray(z), jnp.asarray(z)
         return jnp.asarray(self._sq_vmin), jnp.asarray(self._sq_scale)
@@ -751,7 +763,7 @@ class IVFIndex(Index):
                 state["pq_codebooks"] = self._pq_codebooks
         if self.sq_type is not None:
             state["codes"] = (self._codes.view(np.uint8)
-                              if self.sq_type in ("fp16", "bf16")
+                              if self.sq_type in _FLOAT_SQ
                               else self._codes)
             if self._sq_vmin is not None:
                 state["sq_vmin"] = self._sq_vmin
@@ -775,7 +787,7 @@ class IVFIndex(Index):
             from ..ops.sq import sq_code_width
 
             codes = np.asarray(state["codes"])
-            if self.sq_type in ("fp16", "bf16"):
+            if self.sq_type in _FLOAT_SQ:
                 self._codes = codes.view(
                     _sq_float_dtype(self.sq_type)).reshape(-1, self.d)
             else:
@@ -785,8 +797,11 @@ class IVFIndex(Index):
             if vmin is not None:
                 self._sq_vmin = np.asarray(vmin, np.float32)
                 self._sq_scale = np.asarray(state["sq_scale"], np.float32)
-        if self._centroids is not None and self.quantizer.ntotal == 0:
-            self.quantizer.add(self._centroids)
+        if self._centroids is not None:
+            # Rebuilt-by-factory quantizer is untrained; _populate_quantizer
+            # retrains it on the centroid table when needed (a bare .add
+            # crashed loading IVFn(IVFm,...) composites).
+            self._populate_quantizer()
         self._invalidate()
 
 
@@ -838,6 +853,12 @@ def _ivf_shard_over(self, mesh) -> None:
                      ("shard", "batch"))
     self._shard_mesh = mesh
     self._device_pallas = None  # rebuilt sharded on next search
+    # Re-sharding onto a different mesh must drop the old placement: the
+    # array cache is keyed only on _version and the shard_map fn cache
+    # doesn't include the mesh, so stale entries would silently keep the
+    # index on the previous device set.
+    self._device_sharded = None
+    self._sharded_fn_cache = None
 
 
 def _ivf_build_sharded(self):
@@ -1035,6 +1056,10 @@ class IMIIndex(IVFIndex):
 
     #: materialized cell-center table cap (bytes): 4^nbits * d * 4.
     MAX_TABLE_BYTES = 1 << 30
+    #: the mirror quantizer is never consulted for IMI (assignment is
+    #: factored, probing uses the cell table directly); copying the table
+    #: into it would double host memory.
+    _mirror_quantizer = False
 
     def __init__(self, d: int, metric: Metric, metric_arg: float,
                  nbits: int, quantizer: Index, encoding: str = "Flat"):
@@ -1062,14 +1087,7 @@ class IMIIndex(IVFIndex):
 
     def _train_coarse(self, x):
         K = 1 << self.imi_nbits
-        n = x.shape[0]
-        if n < K:
-            raise errors.TrainingTooSmallError(n, K)
-        nsub = subsample_for_training(n, K)
-        if nsub < n:
-            rng = np.random.default_rng(self.train_seed)
-            sel = rng.choice(n, size=nsub, replace=False)
-            x = x[np.sort(sel)]
+        x = self._subsample_train(x, K)
         h = self.d // 2
         hp = jax.lax.Precision.HIGHEST
         bal = getattr(self, "train_balance", 0.0)

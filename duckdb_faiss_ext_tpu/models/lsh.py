@@ -45,7 +45,7 @@ class LSHIndex(Index):
         # the create-time metric (the reference's default is INNER_PRODUCT,
         # which would invert the ranking).
         super().__init__(d, resolve_metric("L2"), metric_arg)
-        self.nbits = int(nbits) if nbits else int(d)
+        self.nbits = int(d) if nbits is None else int(nbits)
         if self.nbits <= 0:
             raise errors.InvalidInputError(
                 f"LSH bit count must be positive, got {self.nbits}")
@@ -53,12 +53,10 @@ class LSHIndex(Index):
         self.train_thresholds = bool(train_thresholds)
         self._thresholds: np.ndarray | None = None
         if self.rotate or self.nbits != d:
-            rng = np.random.default_rng(ROTATION_SEED)
-            g = rng.standard_normal((max(d, self.nbits),
-                                     self.nbits)).astype(np.float64)
-            q, _ = np.linalg.qr(g)
-            self._rot = np.ascontiguousarray(q[:d, :self.nbits]
-                                             ).astype(np.float32)
+            from ..transforms import RandomRotationMatrix
+
+            self._rot = RandomRotationMatrix(d, self.nbits,
+                                             seed=ROTATION_SEED).A
         else:
             self._rot = None
         #: ±1 float32 code rows; INNER_PRODUCT so max dot == min Hamming.

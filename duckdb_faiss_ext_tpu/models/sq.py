@@ -31,11 +31,9 @@ FLOAT_SQ_TYPES = ("SQfp16", "SQbf16")
 
 
 def _float_dtype(qtype: str):
-    if qtype == "SQbf16":
-        import ml_dtypes
+    from ..ops.sq import float_codec_dtype
 
-        return ml_dtypes.bfloat16
-    return np.float16
+    return float_codec_dtype(qtype[2:])
 
 
 class SQIndex(Index):

@@ -31,6 +31,19 @@ from .flat_search import _NEG_INF, SIMILARITY_METRICS
 #: quantization levels per codec (code range [0, levels])
 SQ_LEVELS = {"sq8": 255, "sq4": 15, "sq6": 63}
 
+#: training-free float codecs (stored as raw half-width rows);
+#: bf16 is the MXU-native storage type.
+FLOAT_CODECS = ("fp16", "bf16")
+
+
+def float_codec_dtype(codec: str):
+    """numpy dtype for a float codec name ('fp16' | 'bf16')."""
+    if codec == "bf16":
+        import ml_dtypes
+
+        return ml_dtypes.bfloat16
+    return np.float16
+
 
 def sq_train(x, levels: int) -> tuple[jax.Array, jax.Array]:
     """Per-dim (vmin (d,), scale (d,)) from training data."""

@@ -156,3 +156,74 @@ def test_idmap_reconstruct_ivf_inner(catalog):
                                xb[5], rtol=1e-6)
     with pytest.raises(dfx.InvalidInputError, match="out of range"):
         catalog.get("rci").index.inner.reconstruct(64)
+
+
+def test_nested_quantizer_save_load(catalog, tmp_path):
+    """Loading an IVFn(IVFm,...) composite retrains the rebuilt (untrained)
+    mirror quantizer on the centroid table instead of crashing with
+    'Index is not trained' (review finding on the paren grammar)."""
+    xb = RNG.random((400, 8), dtype=np.float32)
+    dfx.faiss_create("nq", 8, "IVF8(IVF4,Flat)", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_add(xb, "nq", catalog=catalog)
+    before = dfx.faiss_search("nq", 3, xb[:5], {"nprobe": "8"},
+                              catalog=catalog)
+    path = str(tmp_path / "nested.idx")
+    dfx.faiss_save("nq", path, catalog=catalog)
+    dfx.faiss_load("nq2", path, catalog=catalog)
+    after = dfx.faiss_search("nq2", 3, xb[:5], {"nprobe": "8"},
+                             catalog=catalog)
+    np.testing.assert_array_equal(before["label"], after["label"])
+    np.testing.assert_allclose(before["distance"], after["distance"],
+                               rtol=1e-6)
+
+
+def test_lsh0_rejected(catalog):
+    """LSH0 must hit the positive-bit-count guard, not silently become
+    LSH<d> (review finding: the falsy-0 fallback made the guard dead)."""
+    with pytest.raises(dfx.InvalidInputError, match="positive"):
+        dfx.faiss_create("lsh0", 16, "LSH0", catalog=catalog)
+
+
+def test_factory_trailing_junk_rejected(catalog):
+    for desc in ("NSG16,SQ8,JUNK", "HNSW16,Flat,JUNK"):
+        with pytest.raises(dfx.InvalidInputError, match="could not parse"):
+            dfx.faiss_create("junk", 16, desc, catalog=catalog)
+
+
+def test_ivf_reshard_moves_index(catalog):
+    """Re-invoking faiss_to_device with a different mesh must rebuild the
+    sharded placement (review finding: caches keyed only on _version made
+    re-sharding a silent no-op)."""
+    from duckdb_faiss_ext_tpu.parallel.sharded import make_mesh
+
+    xb = RNG.random((600, 8), dtype=np.float32)
+    dfx.faiss_create("rs", 8, "IVF8,Flat", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_add(xb, "rs", catalog=catalog)
+    dfx.faiss_to_device("rs", make_mesh(4, batch_axis=1), catalog=catalog)
+    r1 = dfx.faiss_search("rs", 3, xb[:4], {"nprobe": "8"},
+                          catalog=catalog)
+    ix = catalog.get("rs").index
+    old_mesh = ix._shard_mesh
+    arrays_before = ix._build_sharded()
+    dfx.faiss_to_device("rs", make_mesh(8, batch_axis=1), catalog=catalog)
+    assert ix._shard_mesh is not old_mesh
+    arrays_after = ix._build_sharded()
+    assert arrays_after[0] is not arrays_before[0]
+    assert len(arrays_after[0].sharding.mesh.devices.reshape(-1)) == 8
+    r2 = dfx.faiss_search("rs", 3, xb[:4], {"nprobe": "8"},
+                          catalog=catalog)
+    np.testing.assert_array_equal(r1["label"], r2["label"])
+
+
+def test_imi_quantizer_mirror_not_duplicated(catalog):
+    """IMI leaves the mirror quantizer empty — the cell table would
+    otherwise be held twice (review finding)."""
+    xb = RNG.random((300, 8), dtype=np.float32)
+    dfx.faiss_create("imim", 8, "IMI2x3,Flat", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_add(xb, "imim", catalog=catalog)
+    ix = catalog.get("imim").index
+    assert ix.quantizer.ntotal == 0
+    assert ix._centroids.shape == (64, 8)
