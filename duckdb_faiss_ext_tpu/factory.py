@@ -11,7 +11,7 @@ graph of TPU-native index models:
     desc        := [prefix ","]* [transform ","]* component ["," encoding]
                    ["," suffix]
     prefix      := "IDMap" | "IDMap2"
-    transform   := "PCA"[R|W]n | "OPQ"m["_"dout] | "RR"[n] | "ITQ"[n]
+    transform   := "PCA"[R|W]n | "OPQ"m["_"dout] | "RR"[n] | "ITQ"[n] | "Pad"n
                    | "L2norm"
     component   := "Flat" | "HNSW"[M] | "NSG"[R] | "IVF"nlist["_" quantizer]
                    | "IVF"nlist"("quantizer-desc")"   (parenthesized form)
@@ -47,13 +47,14 @@ _PCA_RE = re.compile(r"^PCA(R|W)?(\d+)$")
 _OPQ_RE = re.compile(r"^OPQ(\d+)(?:_(\d+))?$")
 _RR_RE = re.compile(r"^RR(\d*)$")
 _ITQ_RE = re.compile(r"^ITQ(\d*)$")
+_PAD_RE = re.compile(r"^Pad(\d+)$")
 _NSG_RE = re.compile(r"^NSG(\d*)$")
 _IMI_RE = re.compile(r"^IMI2x(\d+)$")
 
 
 def _parse_transform(tok: str, d: int):
     """Transform-prefix tokens (faiss VectorTransform grammar subset):
-    PCAn / PCARn / PCAWn, OPQm[_dout], RR[n], ITQ[n], L2norm.  Returns None
+    PCAn / PCARn / PCAWn, OPQm[_dout], RR[n], ITQ[n], Padn, L2norm.  Returns None
     for non-transform tokens."""
     from .transforms import (ITQTransform, L2NormTransform, OPQMatrix,
                              PCAMatrix, RandomRotationMatrix)
@@ -76,6 +77,11 @@ def _parse_transform(tok: str, d: int):
     m = _ITQ_RE.match(tok)
     if m:
         return ITQTransform(d, int(m.group(1)) if m.group(1) else None)
+    m = _PAD_RE.match(tok)
+    if m:
+        from .transforms import PadTransform
+
+        return PadTransform(d, int(m.group(1)))
     return None
 
 

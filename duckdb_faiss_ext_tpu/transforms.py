@@ -152,6 +152,29 @@ class PCAMatrix(LinearTransform):
         self.mean = np.asarray(mean, np.float32)
 
 
+class PadTransform(VectorTransform):
+    """faiss::RemapDimensionsTransform as the factory exposes it
+    (``Pad{n}`` prefix): pad vectors with zero dimensions up to d_out
+    (e.g. to reach a multiple of a PQ sub-quantizer count).  Distances are
+    preserved exactly; reverse truncates the padding."""
+
+    def __init__(self, d_in: int, d_out: int):
+        if d_out < d_in:
+            raise errors.InvalidInputError(
+                f"Pad output dimension {d_out} is below input {d_in}")
+        super().__init__(d_in, d_out)
+
+    def apply(self, x: np.ndarray) -> np.ndarray:
+        x = np.asarray(x, np.float32)
+        out = np.zeros((x.shape[0], self.d_out), np.float32)
+        out[:, : self.d_in] = x
+        return out
+
+    def reverse(self, y: np.ndarray) -> np.ndarray:
+        return np.ascontiguousarray(np.asarray(y, np.float32)
+                                    [:, : self.d_in])
+
+
 class RandomRotationMatrix(LinearTransform):
     """faiss::RandomRotationMatrix (``RR[n]`` factory prefix): a fixed
     seeded random orthogonal map.  d_out <= d_in takes the leading columns

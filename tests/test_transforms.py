@@ -222,3 +222,28 @@ def test_rr_itq_save_load_roundtrip(catalog, tmp_path):
         np.testing.assert_array_equal(before["label"], after["label"])
         np.testing.assert_allclose(before["distance"], after["distance"],
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_pad_transform(catalog):
+    """Padn (RemapDimensionsTransform): zero-pad to d_out; distances exact
+    vs unpadded Flat; enables PQ on non-divisible dims."""
+    d, n = 10, 400
+    xb = _data(n, d, seed=9)
+    dfx.faiss_create("padf", d, "Pad16,Flat", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_create("plain3", d, "Flat", metric_type="L2", catalog=catalog)
+    dfx.faiss_add(xb, "padf", catalog=catalog)
+    dfx.faiss_add(xb, "plain3", catalog=catalog)
+    a = dfx.faiss_search("padf", 5, xb[:6], catalog=catalog)
+    b = dfx.faiss_search("plain3", 5, xb[:6], catalog=catalog)
+    np.testing.assert_array_equal(a["label"], b["label"])
+    np.testing.assert_allclose(a["distance"], b["distance"],
+                               rtol=1e-5, atol=1e-5)
+    # PQ needs d % m == 0: Pad makes d=10 usable with m=4.
+    dfx.faiss_create("padpq", d, "Pad16,PQ4", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_add(xb, "padpq", catalog=catalog)
+    res = dfx.faiss_search("padpq", 3, xb[:5], catalog=catalog)
+    assert (res["label"][:, 0] == np.arange(5)).sum() >= 4
+    with pytest.raises(dfx.errors.InvalidInputError, match="below input"):
+        dfx.faiss_create("padbad", d, "Pad8,Flat", catalog=catalog)
