@@ -16,7 +16,7 @@ graph of TPU-native index models:
     component   := "Flat" | "HNSW"[M] | "NSG"[R] | "IVF"nlist["_" quantizer]
                    | "IVF"nlist"("quantizer-desc")"   (parenthesized form)
                    | "IMI2x"nbits (product coarse quantizer, nlist=4^nbits)
-                   | "PQ"M["x"nbits] | "LSH"[nbits]["r"]["t"]
+                   | "PQ"M["x"nbits] | "RQ"M"x"nbits | "LSH"[nbits]["r"]["t"]
     quantizer   := "Flat" | "HNSW"[M] | "PQ"M
     encoding    := "Flat" | "PQ"M["x"nbits] | "SQ8" | "SQ4" | "SQ6"
                    | "SQfp16" | "SQbf16"
@@ -50,6 +50,7 @@ _ITQ_RE = re.compile(r"^ITQ(\d*)$")
 _PAD_RE = re.compile(r"^Pad(\d+)$")
 _NSG_RE = re.compile(r"^NSG(\d*)$")
 _IMI_RE = re.compile(r"^IMI2x(\d+)$")
+_RQ_RE = re.compile(r"^RQ(\d+)x(\d+)$")
 
 
 def _parse_transform(tok: str, d: int):
@@ -233,6 +234,15 @@ def _build_component(d, parts, metric, metric_arg, desc) -> Index:
         M = int(m.group(1))
         nbits = int(m.group(2)) if m.group(2) else 8
         return PQIndex(d, metric, metric_arg, M=M, nbits=nbits)
+
+    m = _RQ_RE.match(head)
+    if m:
+        from .models.rq import RQIndex
+
+        if rest:
+            raise _parse_error(desc, f"unexpected trailing components {rest}")
+        return RQIndex(d, metric, metric_arg, M=int(m.group(1)),
+                       nbits=int(m.group(2)))
 
     m = _LSH_RE.match(head)
     if m:

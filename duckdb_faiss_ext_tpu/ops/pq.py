@@ -129,22 +129,28 @@ def pq_decode_onehot(codes, codebooks):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "metric", "chunk", "precision"))
+    jax.jit, static_argnames=("k", "metric", "chunk", "precision", "codec"))
 def pq_search(codes, nvalid, codebooks, xq, mask, metric_arg, *, k, metric,
-              chunk, precision):
-    """Fused decode+distance+top-k scan over PQ codes.
+              chunk, precision, codec="pq"):
+    """Fused decode+distance+top-k scan over quantized codes.
 
     codes: (cap, m) uint8 (cap multiple of chunk); returns (distances,
-    positions) with the same conventions as flat_search."""
+    positions) with the same conventions as flat_search.  ``codec`` picks
+    the decoder: "pq" (subspace concat) or "rq" (additive sum,
+    ops/rq.rq_decode)."""
     cap, m = codes.shape
     nq = xq.shape[0]
     sim = metric in SIMILARITY_METRICS
+    if codec == "rq":
+        from .rq import rq_decode as decode
+    else:
+        decode = pq_decode
 
     def body(i, carry):
         best_s, best_p = carry
         start = i * chunk
         cchunk = lax.dynamic_slice(codes, (start, 0), (chunk, m))
-        xc = pq_decode(cchunk, codebooks)
+        xc = decode(cchunk, codebooks)
         dist = pairwise_tile(xq, xc, metric, metric_arg, precision)
         rowid = start + lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
         valid = rowid < nvalid

@@ -57,12 +57,16 @@ def _range_tile_sq(codes_c, vmin, scale, xq, metric_arg, *, metric,
                          metric_arg, precision)
 
 
-@functools.partial(jax.jit, static_argnames=("metric", "precision"))
-def _range_tile_pq(codes_c, codebooks, xq, metric_arg, *, metric, precision):
-    """PQ corpus chunk: decode codes, then the pairwise tile."""
-    from .pq import pq_decode
+@functools.partial(jax.jit, static_argnames=("metric", "precision", "codec"))
+def _range_tile_pq(codes_c, codebooks, xq, metric_arg, *, metric, precision,
+                   codec="pq"):
+    """Quantized corpus chunk: decode codes, then the pairwise tile."""
+    if codec == "rq":
+        from .rq import rq_decode as decode
+    else:
+        from .pq import pq_decode as decode
 
-    return pairwise_tile(xq, pq_decode(codes_c, codebooks), metric,
+    return pairwise_tile(xq, decode(codes_c, codebooks), metric,
                          metric_arg, precision)
 
 
