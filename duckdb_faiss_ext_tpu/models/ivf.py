@@ -48,11 +48,13 @@ class IVFIndex(Index):
                  nlist: int, quantizer: Index, encoding: str = "Flat"):
         super().__init__(d, metric, metric_arg)
         self.pq_m = self.pq_nbits = None
+        self.pq_codec = "pq"              # "pq" | "rq" (additive residual)
         self.sq_type: str | None = None   # "sq8"|"sq4"|"sq6"|"fp16"
         if encoding != "Flat":
             import re
 
             m = re.match(r"^PQ(\d+)(?:x(\d+))?$", encoding)
+            mrq = re.match(r"^RQ(\d+)x(\d+)$", encoding)
             if m:
                 self.pq_m = int(m.group(1))
                 self.pq_nbits = int(m.group(2)) if m.group(2) else 8
@@ -61,6 +63,13 @@ class IVFIndex(Index):
                         f"The dimension of the vector ({d}) must be a "
                         f"multiple of the number of subquantizers "
                         f"({self.pq_m})")
+            elif mrq:
+                # faiss IndexIVFResidualQuantizer: additive full-dim stage
+                # codebooks on the residuals (same storage shape as IVFPQ,
+                # different decoder — ops/rq.py).
+                self.pq_m = int(mrq.group(1))
+                self.pq_nbits = int(mrq.group(2))
+                self.pq_codec = "rq"
             elif encoding in ("SQ8", "SQ4", "SQ6", "SQfp16", "SQbf16"):
                 # faiss IndexIVFScalarQuantizer (by_residual=false, the
                 # index_factory default): raw rows SQ-encoded per list.
@@ -70,7 +79,7 @@ class IVFIndex(Index):
             else:
                 raise errors.InvalidInputError(
                     f"IVF encoding {encoding} is not supported (use Flat, "
-                    f"PQm, SQ8, SQ4, SQ6, SQfp16 or SQbf16)")
+                    f"PQm, RQMxb, SQ8, SQ4, SQ6, SQfp16 or SQbf16)")
             if metric.name not in ("L2", "INNER_PRODUCT"):
                 raise errors.InvalidInputError(
                     f"{encoding} indexes support only L2 and INNER_PRODUCT "
@@ -134,7 +143,7 @@ class IVFIndex(Index):
         if self.pq_m is not None:
             # Residual PQ (faiss IndexIVFPQ by_residual): codebooks trained
             # on x − centroid[assign(x)].
-            from ..ops.pq import pq_train
+            from ..ops.pq import codec_train
 
             ksub = 1 << self.pq_nbits
             if x.shape[0] < ksub:
@@ -143,8 +152,9 @@ class IVFIndex(Index):
             assign = self._assign_lists(x)
             resid = x - self._centroids[assign]
             self._pq_codebooks = np.asarray(
-                pq_train(resid, self.pq_m, ksub, seed=self.train_seed,
-                         precision=config.precision), dtype=np.float32)
+                codec_train(resid, self.pq_m, ksub, self.pq_codec,
+                            seed=self.train_seed,
+                            precision=config.precision), dtype=np.float32)
         if self.sq_type is not None and self.sq_type not in _FLOAT_SQ:
             from ..ops.sq import SQ_LEVELS, sq_train
 
@@ -226,12 +236,13 @@ class IVFIndex(Index):
         assign = self._assign_lists(x)
         if self.pq_m is not None:
             # Store byte codes only (FAISS IVFPQ memory profile).
-            from ..ops.pq import pq_encode
+            from ..ops.pq import codec_encode
 
             resid = x - self._centroids[assign]
-            codes = np.asarray(pq_encode(jnp.asarray(resid),
-                                         jnp.asarray(self._pq_codebooks),
-                                         precision=config.precision))
+            codes = np.asarray(codec_encode(jnp.asarray(resid),
+                                            jnp.asarray(self._pq_codebooks),
+                                            self.pq_codec,
+                                            precision=config.precision))
             self._codes = np.concatenate([self._codes, codes], axis=0)
         elif self.sq_type is not None:
             self._codes = np.concatenate(
@@ -250,11 +261,11 @@ class IVFIndex(Index):
             raise errors.InvalidInputError(
                 f"Position {key} is out of range (ntotal={self.ntotal})")
         if self.pq_m is not None:
-            from ..ops.pq import pq_decode
+            from ..ops.pq import codec_decode
 
-            resid = np.asarray(pq_decode(
+            resid = np.asarray(codec_decode(
                 jnp.asarray(self._codes[key:key + 1]),
-                jnp.asarray(self._pq_codebooks)))[0]
+                jnp.asarray(self._pq_codebooks), self.pq_codec))[0]
             return resid + self._centroids[self._assign[key]]
         if self.sq_type is not None:
             from ..ops.sq import sq_decode
@@ -651,7 +662,7 @@ class IVFIndex(Index):
                         k=k_kernel, nprobe=nprobe_eff,
                         metric=self.metric.name,
                         q_chunk=qc, precision=config.precision,
-                        interpret=not on_tpu())
+                        interpret=not on_tpu(), codec=self.pq_codec)
                 return pallas_ivf_search(
                     payload, counts, row_pos, probe_b, xq_b, mask_b,
                     k=k_kernel, nprobe=nprobe_eff, metric=self.metric.name,
@@ -678,7 +689,8 @@ class IVFIndex(Index):
                     probe_ids, xq_pad, sp_mask,
                     jnp.asarray(self.metric_arg, jnp.float32),
                     k=min(k_eff, sp_pos.shape[0]), metric=self.metric.name,
-                    precision=config.precision, pq=self.pq_m is not None)
+                    precision=config.precision, pq=self.pq_m is not None,
+                    codec=self.pq_codec)
                 scores, pos = merge_topk(scores, pos, sp_scores,
                                          sp_positions, k_eff)
             dist, pos = finalize_scores(scores, pos, self.metric.name)
@@ -698,7 +710,8 @@ class IVFIndex(Index):
                 jnp.int32(self.ntotal), list_table, centroids,
                 xq_pad, mask, jnp.asarray(self.metric_arg, jnp.float32),
                 k=k_eff, nprobe=nprobe_eff, metric=self.metric.name,
-                q_chunk=q_chunk, precision=config.precision)
+                q_chunk=q_chunk, precision=config.precision,
+                codec=self.pq_codec)
         elif self.sq_type is not None:
             from ..ops.ivf_scan import ivf_sq_search
 
@@ -913,8 +926,8 @@ def _ivf_search_sharded(self, xq_pad, k_eff, nprobe_eff, selector):
     pq = self.pq_m is not None
     sq = self.sq_type
     has_mask = selector is not None
-    key = (k_eff, nprobe_eff, self.metric.name, xq_pad.shape[0], pq, sq,
-           has_mask)
+    key = (k_eff, nprobe_eff, self.metric.name, xq_pad.shape[0], pq,
+           self.pq_codec, sq, has_mask)
     cache = getattr(self, "_sharded_fn_cache", None)
     if cache is None:
         cache = self._sharded_fn_cache = {}
@@ -924,7 +937,8 @@ def _ivf_search_sharded(self, xq_pad, k_eff, nprobe_eff, selector):
             self._shard_mesh, k=k_eff, nprobe=nprobe_eff,
             metric=self.metric.name,
             q_chunk=min(8, xq_pad.shape[0]),
-            precision=config.precision, pq=pq, sq=sq, has_mask=has_mask)
+            precision=config.precision, pq=pq, pq_codec=self.pq_codec,
+            sq=sq, has_mask=has_mask)
     extras = arrays[4:]  # codebooks (PQ) or vmin/scale (SQ)
     if has_mask:
         extras += (self._ivf_sharded_mask(selector),)
@@ -966,12 +980,12 @@ def _ivf_range_search(self, xq, radius, params=EMPTY, selector=None):
         # codes inside the chunk fn is not wired here; decode the probed
         # candidates via the dense sorted codes path instead.
         codes_sorted, assign_sorted, codebooks = storage
-        from ..ops.pq import pq_decode
+        from ..ops.pq import codec_decode
 
         # Materialize decoded rows chunk-wise would defeat compression;
         # for range search (non-hot path) decode the full sorted corpus
         # once on device.
-        resid = pq_decode(codes_sorted, codebooks)
+        resid = codec_decode(codes_sorted, codebooks, self.pq_codec)
         xb_sorted = resid + centroids[assign_sorted]
     elif self.sq_type is not None:
         from ..ops.sq import sq_decode

@@ -114,7 +114,8 @@ def ivf_search(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "nprobe", "metric", "q_chunk", "precision"),
+    static_argnames=("k", "nprobe", "metric", "q_chunk", "precision",
+                     "codec"),
 )
 def ivf_pq_search(
     codes_sorted,   # (cap, m) uint8, rows grouped by list
@@ -132,12 +133,14 @@ def ivf_pq_search(
     metric: str,
     q_chunk: int,
     precision,
+    codec: str = "pq",
 ):
-    """IVF with PQ-encoded residuals (faiss IndexIVFPQ analogue, by_residual):
-    candidate reconstruction = centroid[list] + decode(code), then the same
-    MXU distance tile as the Flat scan — identical results to residual
+    """IVF with PQ- or RQ-encoded residuals (faiss IndexIVFPQ /
+    IndexIVFResidualQuantizer analogue, by_residual): candidate
+    reconstruction = centroid[list] + decode(code), then the same MXU
+    distance tile as the Flat scan — identical results to residual
     LUT-ADC for L2/IP with only byte codes read from HBM."""
-    from .pq import pq_decode
+    from .pq import codec_decode
 
     nq, d = xq.shape
     nlist, lmax = list_table.shape
@@ -160,7 +163,7 @@ def ivf_pq_search(
         valid = cand < nvalid
         cand_safe = jnp.where(valid, cand, 0)
         codes_c = codes_sorted[cand_safe.reshape(-1)]       # (qc*ncand, m)
-        resid = pq_decode(codes_c, codebooks)               # (qc*ncand, d)
+        resid = codec_decode(codes_c, codebooks, codec)    # (qc*ncand, d)
         cent_c = centroids[assign_sorted[cand_safe.reshape(-1)]]
         xc = (resid + cent_c).reshape(q_chunk, ncand, d)
         if metric == "INNER_PRODUCT":
@@ -200,10 +203,10 @@ def choose_q_chunk(nq: int, ncand: int, d: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "metric", "precision", "pq"))
+    jax.jit, static_argnames=("k", "metric", "precision", "pq", "codec"))
 def ivf_spill_scan(spill_payload, spill_assign, spill_pos, centroids,
                    codebooks, probe_ids, xq, mask, metric_arg, *,
-                   k, metric, precision, pq=False):
+                   k, metric, precision, pq=False, codec="pq"):
     """Scan the IVF overflow-spill region: rows whose list exceeded the
     capped padded layout (models/ivf.py quantile-lmax plan).
 
@@ -230,9 +233,10 @@ def ivf_spill_scan(spill_payload, spill_assign, spill_pos, centroids,
     probed = jnp.take(onehot, spill_assign, axis=1)        # (nq, s_pad)
 
     if pq:
-        from .pq import pq_decode
+        from .pq import codec_decode
 
-        xc = pq_decode(spill_payload, codebooks) + centroids[spill_assign]
+        xc = codec_decode(spill_payload, codebooks, codec) \
+            + centroids[spill_assign]
     else:
         xc = spill_payload
     dist = pairwise_tile(xq, xc, metric, metric_arg, precision)

@@ -223,7 +223,7 @@ def pallas_gather_lists(lists, probe_ids, *, nprobe: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "nprobe", "metric", "q_chunk", "precision",
+    static_argnames=("k", "nprobe", "metric", "q_chunk", "precision", "codec",
                      "interpret"),
 )
 def pallas_ivf_pq_search(
@@ -242,12 +242,13 @@ def pallas_ivf_pq_search(
     q_chunk: int,
     precision,
     interpret: bool = False,
+    codec: str = "pq",
 ):
-    """IVFPQ scan: Pallas compacts the probed byte-code blocks, XLA decodes
-    residuals (+ list centroid) and scores on the MXU in query chunks —
-    identical results to residual LUT-ADC for L2/IP."""
+    """IVF-PQ/RQ scan: Pallas compacts the probed byte-code blocks, XLA
+    decodes residuals (+ list centroid) and scores on the MXU in query
+    chunks — identical results to residual LUT-ADC for L2/IP."""
     from .flat_search import _NEG_INF, exact_topk
-    from .pq import pq_decode
+    from .pq import codec_decode
 
     nlist, lmax, m = codes_lists.shape
     nq, d = xq.shape
@@ -264,7 +265,7 @@ def pallas_ivf_pq_search(
         pids_c = lax.dynamic_slice(probe_ids, (q0, 0), (q_chunk, nprobe))
         codes_c = lax.dynamic_slice(
             gathered, (q0, 0, 0, 0), (q_chunk, nprobe, lmax, m))
-        resid = pq_decode(codes_c.reshape(-1, m), codebooks)
+        resid = codec_decode(codes_c.reshape(-1, m), codebooks, codec)
         cents = centroids[pids_c]                       # (qc, np, d)
         xc = (resid.reshape(q_chunk, nprobe, lmax, d)
               + cents[:, :, None, :])

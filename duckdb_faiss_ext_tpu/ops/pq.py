@@ -128,6 +128,36 @@ def pq_decode_onehot(codes, codebooks):
     return dec.reshape(-1, m * dsub)[:c]
 
 
+def codec_decode(codes, codebooks, codec: str = "pq"):
+    """Decode byte codes with the named codec: "pq" (subspace concat,
+    pq_decode) or "rq" (additive sum, ops/rq.rq_decode).  The shared switch
+    for every scan that stores quantized payloads."""
+    if codec == "rq":
+        from .rq import rq_decode
+
+        return rq_decode(codes, codebooks)
+    return pq_decode(codes, codebooks)
+
+
+def codec_encode(x, codebooks, codec: str = "pq", *,
+                 precision=lax.Precision.DEFAULT):
+    if codec == "rq":
+        from .rq import rq_encode
+
+        return rq_encode(x, codebooks, precision=precision)
+    return pq_encode(x, codebooks, precision=precision)
+
+
+def codec_train(x, m: int, ksub: int, codec: str = "pq", *, niter: int = 25,
+                seed: int = DEFAULT_SEED, precision=lax.Precision.DEFAULT):
+    if codec == "rq":
+        from .rq import rq_train
+
+        return rq_train(x, m, ksub, niter=niter, seed=seed,
+                        precision=precision)
+    return pq_train(x, m, ksub, niter=niter, seed=seed, precision=precision)
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "metric", "chunk", "precision", "codec"))
 def pq_search(codes, nvalid, codebooks, xq, mask, metric_arg, *, k, metric,

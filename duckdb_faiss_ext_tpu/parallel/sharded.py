@@ -201,7 +201,8 @@ def multichip_dryrun(n_devices: int) -> None:
 def sharded_ivf_search_fn(mesh: Mesh, *, k: int, nprobe: int, metric: str,
                           q_chunk: int = 8,
                           precision=lax.Precision.DEFAULT,
-                          pq: bool = False, sq: str | None = None,
+                          pq: bool = False, pq_codec: str = "pq",
+                          sq: str | None = None,
                           has_mask: bool = False):
     """Sharded IVF search: inverted lists partitioned over ``shard`` (padded
     (nlist, lmax, w) layout, nlist divisible by the shard count), queries
@@ -272,13 +273,13 @@ def sharded_ivf_search_fn(mesh: Mesh, *, k: int, nprobe: int, metric: str,
             lp_c = lax.dynamic_slice(lp, (q0, 0), (qc, npb))
             own_c = lax.dynamic_slice(owned, (q0, 0), (qc, npb))
             if pq:
-                from ..ops.pq import pq_decode
+                from ..ops.pq import codec_decode
 
                 probe_c = lax.dynamic_slice(probe, (q0, 0), (qc, npb))
                 m = payload.shape[2]
                 codes_c = payload[lp_c].reshape(-1, m)     # (qc*npb*lmax, m)
-                resid = pq_decode(codes_c, codebooks).reshape(
-                    qc, npb, lmax, d)
+                resid = codec_decode(codes_c, codebooks,
+                                     pq_codec).reshape(qc, npb, lmax, d)
                 xc = resid + centroids[probe_c][:, :, None, :]
             elif sq:
                 from ..ops.sq import sq_decode

@@ -285,3 +285,26 @@ def test_faiss_to_device_ivfsq(catalog, storage):
                                   err_msg=storage)
     np.testing.assert_allclose(before["distance"], after["distance"],
                                rtol=3e-4, atol=3e-4, err_msg=storage)
+
+
+def test_faiss_to_device_ivfrq(catalog):
+    """faiss_to_device on IVFn,RQMxb: residual byte codes sharded with the
+    lists, decoded additively in-shard (codec switch in
+    sharded_ivf_search_fn)."""
+    rng = np.random.default_rng(23)
+    d, n = 16, 3000
+    centers = rng.standard_normal((8, d)).astype(np.float32) * 4
+    xb = centers[rng.integers(0, 8, n)] + \
+        rng.standard_normal((n, d)).astype(np.float32) * 0.2
+    dfx.faiss_create("shivfrq", d, "IVF8,RQ4x4", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_add(xb, "shivfrq", catalog=catalog)
+    before = dfx.faiss_search("shivfrq", 5, xb[:6], {"nprobe": "8"},
+                              catalog=catalog)
+    mesh = make_mesh(8, batch_axis=1)
+    dfx.faiss_to_device("shivfrq", mesh, catalog=catalog)
+    after = dfx.faiss_search("shivfrq", 5, xb[:6], {"nprobe": "8"},
+                             catalog=catalog)
+    np.testing.assert_array_equal(before["label"], after["label"])
+    np.testing.assert_allclose(before["distance"], after["distance"],
+                               rtol=3e-4, atol=3e-4)

@@ -101,7 +101,7 @@ def test_save_load_roundtrip_all_factories(catalog, tmp_path):
                  "SQbf16", "IVF4,SQbf16",
                  "RR,Flat", "RR8,Flat", "ITQ,Flat", "ITQ8,LSH16",
                  "NSG16", "NSG16,SQ8", "IMI2x2,Flat", "IMI2x2,PQ4",
-                 "IDMap,IMI2x2,Flat", "IVF4(IVF2,Flat)", "Pad24,Flat", "RQ2x4", "IDMap,RQ2x4", "RQ2x4,RFlat",
+                 "IDMap,IMI2x2,Flat", "IVF4(IVF2,Flat)", "Pad24,Flat", "RQ2x4", "IDMap,RQ2x4", "RQ2x4,RFlat", "IVF4,RQ2x4",
                  "IVF4(IVF2,Flat),PQ4"]
     for i, desc in enumerate(factories):
         name = f"rt{i}"

@@ -115,3 +115,42 @@ def test_rq_errors(catalog):
     with pytest.raises(dfx.errors.InvalidInputError, match="too small"):
         dfx.faiss_add(np.random.default_rng(0).standard_normal(
             (20, 8)).astype(np.float32), "rqt", catalog=catalog)
+
+
+def test_ivf_rq_storage(catalog, tmp_path):
+    """IVFn,RQMxb (IndexIVFResidualQuantizer analogue): residual codes in
+    the inverted lists, decoded additively in every scan path."""
+    d, n = 16, 3000
+    xb = _clustered(n, d, ncent=16, seed=8, spread=0.2)
+    dfx.faiss_create("ivfrq", d, "IVF8,RQ4x4", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_add(xb, "ivfrq", catalog=catalog)
+    res = dfx.faiss_search("ivfrq", 5, xb[:10], {"nprobe": "8"},
+                           catalog=catalog)
+    assert (res["label"][:, 0] == np.arange(10)).sum() >= 9
+    # roundtrip
+    path = str(tmp_path / "ivfrq.idx")
+    dfx.faiss_save("ivfrq", path, catalog=catalog)
+    dfx.faiss_load("ivfrq2", path, catalog=catalog)
+    after = dfx.faiss_search("ivfrq2", 5, xb[:10], {"nprobe": "8"},
+                             catalog=catalog)
+    np.testing.assert_array_equal(res["label"], after["label"])
+    # reconstruct decodes through the additive codec
+    ix = catalog.get("ivfrq").index
+    rec = ix.reconstruct(3)
+    assert np.linalg.norm(rec - xb[3]) / np.linalg.norm(xb[3]) < 0.3
+
+
+def test_ivf_rq_filtered(catalog):
+    d, n = 16, 2000
+    xb = _clustered(n, d, ncent=8, seed=9, spread=0.2)
+    ids = np.arange(n, dtype=np.int64)
+    dfx.faiss_create("ivfrqf", d, "IVF4,RQ2x6", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_add((ids, xb), "ivfrqf", catalog=catalog)
+    dfx.register_table("rqt", {"id": ids})
+    res = dfx.faiss_search_filter("ivfrqf", 4, xb[:6], "id % 2 == 0",
+                                  "id", "rqt", {"nprobe": "4"},
+                                  catalog=catalog)
+    got = res["label"]
+    assert (got[got >= 0] % 2 == 0).all()

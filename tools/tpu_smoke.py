@@ -49,6 +49,7 @@ def main() -> None:
                 "HNSW16", "PQ4,RFlat", "IDMap,Flat", "IDMap,IVF8,Flat",
                 "IDMap2,PQ4", "IVF8(IVF4,Flat)", "SQbf16", "IVF8,SQbf16",
                 "RR,Flat", "ITQ,LSH16", "NSG16", "IMI2x2,Flat", "RQ2x4",
+                "IVF8,RQ2x4",
                 "IMI2x2,PQ4"]
     for desc in families:
         dfx.faiss_create("f", 16, desc, metric_type="L2")
