@@ -30,6 +30,32 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def device_alive(timeout_s=120, attempts=3) -> bool:
+    """Bounded-wait device probe.  The tunneled runtime occasionally goes
+    unresponsive for stretches (observed: a 256² matmul round-trip hanging
+    >120 s); a raw device call then blocks forever and would eat the whole
+    bench budget.  Probe in a daemon thread so a hang is detected and the
+    bench exits with a clear error instead."""
+    import threading
+
+    ok: list[float] = []
+
+    def probe():
+        import jax.numpy as jnp
+
+        ok.append(float(np.asarray(jnp.ones((8, 8)) @ jnp.ones((8, 8)))[0][0]))
+
+    for i in range(attempts):
+        t = threading.Thread(target=probe, daemon=True)
+        t.start()
+        t.join(timeout_s)
+        if ok:
+            return True
+        log(f"device probe attempt {i + 1}/{attempts} timed out "
+            f"({timeout_s}s)")
+    return False
+
+
 def bench_api(dfx, cat, name, queries, params=None, iters=10, groups=3):
     """Best-of-N measurement groups: the tunneled runtime's round-trip
     latency drifts between runs, so a single group under-reports."""
@@ -135,6 +161,10 @@ def measure_cpu_baseline():
 
 
 def main():
+    if not device_alive():
+        log("device unresponsive after retries; aborting bench "
+            "(no JSON line — rerun when the relay recovers)")
+        return 1
     rng = np.random.default_rng(42)
     xb = rng.standard_normal((N, D), dtype=np.float32)
     xq = rng.standard_normal((BATCH, D), dtype=np.float32)
