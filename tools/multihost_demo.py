@@ -26,8 +26,8 @@ REPO = __file__.rsplit("/", 2)[0]
 sys.path.insert(0, REPO)
 
 PORT = int(os.environ.get("DFX_DEMO_PORT", "12357"))
-NPROC = 2
-DEV_PER_PROC = 2
+NPROC = int(os.environ.get("DFX_DEMO_NPROC", "2"))
+DEV_PER_PROC = int(os.environ.get("DFX_DEMO_DEV_PER_PROC", "2"))
 
 
 def worker(pid: int) -> int:
@@ -77,8 +77,8 @@ def worker(pid: int) -> int:
                                    "L2")
         np.testing.assert_allclose(dist_local.reshape(nq, k),
                                    np.asarray(ref_d), rtol=1e-5, atol=1e-6)
-        print("MULTIHOST OK: 2 processes × 2 devices, sharded search "
-              "matches the single-process oracle")
+        print(f"MULTIHOST OK: {NPROC} processes × {DEV_PER_PROC} devices, "
+              f"sharded search matches the single-process oracle")
 
     # --- sharded IVFPQ with a selector mask across the processes ----------
     from duckdb_faiss_ext_tpu.ops.pq import pq_decode, pq_encode, pq_train
