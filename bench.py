@@ -39,11 +39,16 @@ def device_alive(timeout_s=120, attempts=3) -> bool:
     import threading
 
     ok: list[float] = []
+    err: list[BaseException] = []
 
     def probe():
-        import jax.numpy as jnp
+        try:
+            import jax.numpy as jnp
 
-        ok.append(float(np.asarray(jnp.ones((8, 8)) @ jnp.ones((8, 8)))[0][0]))
+            ok.append(float(np.asarray(
+                jnp.ones((8, 8)) @ jnp.ones((8, 8)))[0][0]))
+        except BaseException as e:  # noqa: BLE001 — reported, not hidden
+            err.append(e)
 
     for i in range(attempts):
         t = threading.Thread(target=probe, daemon=True)
@@ -51,8 +56,13 @@ def device_alive(timeout_s=120, attempts=3) -> bool:
         t.join(timeout_s)
         if ok:
             return True
-        log(f"device probe attempt {i + 1}/{attempts} timed out "
-            f"({timeout_s}s)")
+        if err:
+            log(f"device probe attempt {i + 1}/{attempts} failed: "
+                f"{type(err[-1]).__name__}: {err[-1]}")
+            err.clear()
+        else:
+            log(f"device probe attempt {i + 1}/{attempts} timed out "
+                f"({timeout_s}s): relay unresponsive")
     return False
 
 

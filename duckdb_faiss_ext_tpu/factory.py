@@ -18,8 +18,8 @@ graph of TPU-native index models:
                    | "IMI2x"nbits (product coarse quantizer, nlist=4^nbits)
                    | "PQ"M["x"nbits] | "RQ"M"x"nbits | "LSH"[nbits]["r"]["t"]
     quantizer   := "Flat" | "HNSW"[M] | "PQ"M
-    encoding    := "Flat" | "PQ"M["x"nbits] | "SQ8" | "SQ4" | "SQ6"
-                   | "SQfp16" | "SQbf16"
+    encoding    := "Flat" | "PQ"M["x"nbits] | "RQ"M"x"nbits | "SQ8"
+                   | "SQ4" | "SQ6" | "SQfp16" | "SQbf16"
                    (PQ and SQ encodings valid both standalone and as IVF storage)
     suffix      := "RFlat"  (exact re-rank wrapper, IndexRefineFlat)
 

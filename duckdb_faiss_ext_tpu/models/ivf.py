@@ -70,6 +70,11 @@ class IVFIndex(Index):
                 self.pq_m = int(mrq.group(1))
                 self.pq_nbits = int(mrq.group(2))
                 self.pq_codec = "rq"
+                if not 1 <= self.pq_nbits <= 8:
+                    # uint8 code storage; >8 bits would wrap mod 256.
+                    raise errors.InvalidInputError(
+                        f"RQ supports 1-8 bits per stage (uint8 code "
+                        f"storage), got {self.pq_nbits}")
             elif encoding in ("SQ8", "SQ4", "SQ6", "SQfp16", "SQbf16"):
                 # faiss IndexIVFScalarQuantizer (by_residual=false, the
                 # index_factory default): raw rows SQ-encoded per list.
@@ -239,10 +244,10 @@ class IVFIndex(Index):
             from ..ops.pq import codec_encode
 
             resid = x - self._centroids[assign]
-            codes = np.asarray(codec_encode(jnp.asarray(resid),
-                                            jnp.asarray(self._pq_codebooks),
-                                            self.pq_codec,
-                                            precision=config.precision))
+            codes = np.asarray(codec_encode(
+                jnp.asarray(resid), jnp.asarray(self._pq_codebooks),
+                self.pq_codec, precision=config.precision,
+                beam=getattr(self, "rq_beam", None)))
             self._codes = np.concatenate([self._codes, codes], axis=0)
         elif self.sq_type is not None:
             self._codes = np.concatenate(
@@ -759,6 +764,10 @@ class IVFIndex(Index):
         self.train_seed = params.get_int("train_seed", self.train_seed)
         self.train_niter = params.get_int("train_niter", self.train_niter)
         self.train_balance = params.get_float("kmeans_balance", 0.0)
+        beam = params.get_int("beam")
+        if beam is not None:
+            # RQ-storage encode beam (models/rq.DEFAULT_BEAM otherwise).
+            self.rq_beam = max(1, beam)
         self.quantizer.apply_create_params(params.scoped("ivf."))
 
     # --- serialization ----------------------------------------------------

@@ -25,6 +25,11 @@ from .base import Index, SearchResult, as_matrix
 
 
 class PQIndex(Index):
+    #: decoder for the stored byte codes — "pq" (subspace concat) or "rq"
+    #: (additive sum; RQIndex overrides).  Consumed by the shared
+    #: search/range paths via ops/pq.codec_* switches.
+    codec = "pq"
+
     def __init__(self, d: int, metric: Metric, metric_arg: float = 0.0,
                  M: int = 8, nbits: int = 8):
         super().__init__(d, metric, metric_arg)
@@ -137,7 +142,7 @@ class PQIndex(Index):
             codes_dev, jnp.int32(self.ntotal), cb_dev, xq_pad, mask,
             jnp.asarray(self.metric_arg, jnp.float32),
             k=k_eff, metric=self.metric.name, chunk=chunk,
-            precision=config.precision)
+            precision=config.precision, codec=self.codec)
         dist, pos = finalize_scores(scores, pos, self.metric.name)
         return dist, pos, nq, k_eff
 
@@ -179,7 +184,7 @@ def _pq_range_search(self, xq, radius, params=None, selector=None):
     def get_tile(i):
         return _range_tile_pq(codes_dev[i * chunk:(i + 1) * chunk], cb_dev,
                               xq_dev, marg, metric=self.metric.name,
-                              precision=config.precision)
+                              precision=config.precision, codec=self.codec)
 
     return range_scan_dense(get_tile, range_num_chunks(cap, chunk), chunk, self.ntotal, nq,
                             float(radius), self.metric.name, passing)

@@ -3,9 +3,10 @@
 Factory strings ``RQ{M}x{b}`` reach faiss's additive residual quantizer
 through the reference's verbatim index_factory pass-through
 (src/faiss_extension.cpp:154-155).  Shares PQIndex's whole execution
-shape — uint8 codes on device, fused decode+distance+top-k scan — only
-the codec differs: full-dimension stage codebooks whose codewords SUM to
-the reconstruction (ops/rq.py), encoded with batched beam search.
+shape — uint8 codes on device, fused decode+distance+top-k scan (the
+``codec`` switch in ops/pq.py selects the additive decoder) — only the
+codec training/encoding differ: full-dimension stage codebooks whose
+codewords SUM to the reconstruction, encoded with batched beam search.
 """
 
 from __future__ import annotations
@@ -16,10 +17,8 @@ import jax.numpy as jnp
 
 from .. import errors
 from ..metrics import Metric
-from ..ops.flat_search import choose_chunk, finalize_scores
 from ..ops.rq import rq_decode, rq_encode, rq_train
-from ..params import EMPTY
-from ..utils.config import config, next_pow2, pad_rows
+from ..utils.config import config
 from .base import as_matrix
 from .pq import PQIndex
 
@@ -30,6 +29,8 @@ DEFAULT_BEAM = 4
 
 
 class RQIndex(PQIndex):
+    codec = "rq"
+
     def __init__(self, d: int, metric: Metric, metric_arg: float = 0.0,
                  M: int = 8, nbits: int = 8):
         # Skip PQIndex.__init__'s d % M requirement: RQ stages are
@@ -38,6 +39,12 @@ class RQIndex(PQIndex):
             raise errors.InvalidInputError(
                 f"RQ indexes support only L2 and INNER_PRODUCT metrics, "
                 f"got {metric.name}")
+        if not 1 <= int(nbits) <= 8:
+            # Codes are stored one uint8 per stage; >8 bits would silently
+            # wrap the beam-search picks mod 256.
+            raise errors.InvalidInputError(
+                f"RQ supports 1-8 bits per stage (uint8 code storage), "
+                f"got {nbits}")
         super(PQIndex, self).__init__(d, metric, metric_arg)
         from ..ops.kmeans import DEFAULT_SEED
 
@@ -88,40 +95,8 @@ class RQIndex(PQIndex):
         return np.asarray(rq_decode(jnp.asarray(self._codes[key:key + 1]),
                                     jnp.asarray(self._codebooks)))[0]
 
-    def search_dispatch(self, xq, k, params=EMPTY, selector=None):
-        """Same fused scan as PQ with the additive decoder."""
-        from ..ops.pq import pq_search
-
-        if not self.is_trained:
-            raise errors.InvalidInputError(
-                "Index is not trained; call train (or faiss_manual_train) "
-                "before adding or searching")
-        xq = as_matrix(xq, self.d)
-        nq = xq.shape[0]
-        k = int(k)
-        if nq == 0 or k <= 0:
-            return None
-        codes_dev, cb_dev = self._device_state()
-        cap = codes_dev.shape[0]
-        k_eff = min(k, cap)
-        nq_pad = max(config.min_query_bucket, next_pow2(nq))
-        xq_pad = jnp.asarray(pad_rows(xq, nq_pad))
-        mask = None
-        if selector is not None:
-            key = (selector.cache_key(), self._version)
-            mask = self._mask_cache.get(key)
-            if mask is None:
-                rows = selector.contains(self.row_labels())
-                mask = jnp.asarray(pad_rows(rows, cap, fill=False))
-                self._mask_cache = {key: mask}
-        chunk = choose_chunk(cap, nq_pad, self.d, self.metric.name)
-        scores, pos = pq_search(
-            codes_dev, jnp.int32(self.ntotal), cb_dev, xq_pad, mask,
-            jnp.asarray(self.metric_arg, jnp.float32),
-            k=k_eff, metric=self.metric.name, chunk=chunk,
-            precision=config.precision, codec="rq")
-        dist, pos = finalize_scores(scores, pos, self.metric.name)
-        return dist, pos, nq, k_eff
+    # search_dispatch / range_search are inherited from PQIndex — the
+    # codec class attribute routes them through the additive decoder.
 
     def state_dict(self) -> dict:
         state = super().state_dict()
@@ -132,44 +107,4 @@ class RQIndex(PQIndex):
         meta = state.pop("rq_meta", None)
         if meta is not None:
             self.beam = int(meta[0])
-        self._codes = np.asarray(state["codes"],
-                                 np.uint8).reshape(-1, self.M)
-        cb = state.get("codebooks")
-        self._codebooks = (np.asarray(cb, np.float32)
-                           if cb is not None else None)
-        self._invalidate()
-
-
-def _rq_range_search(self, xq, radius, params=None, selector=None):
-    from ..ops.range import (_range_tile_pq, choose_range_chunk,
-                             empty_range_result, range_num_chunks,
-                             range_scan_dense)
-
-    if not self.is_trained:
-        raise errors.InvalidInputError(
-            "Index is not trained; call train (or faiss_manual_train) "
-            "before adding or searching")
-    xq = as_matrix(xq, self.d)
-    nq = xq.shape[0]
-    if nq == 0 or self.ntotal == 0:
-        return empty_range_result(nq)
-    codes_dev, cb_dev = self._device_state()
-    cap = codes_dev.shape[0]
-    chunk = choose_range_chunk(cap)
-    nq_pad = max(config.min_query_bucket, next_pow2(nq))
-    xq_dev = jnp.asarray(pad_rows(xq, nq_pad))
-    marg = jnp.asarray(self.metric_arg, jnp.float32)
-    passing = (selector.contains(self.row_labels())
-               if selector is not None else None)
-
-    def get_tile(i):
-        return _range_tile_pq(codes_dev[i * chunk:(i + 1) * chunk], cb_dev,
-                              xq_dev, marg, metric=self.metric.name,
-                              precision=config.precision, codec="rq")
-
-    return range_scan_dense(get_tile, range_num_chunks(cap, chunk), chunk,
-                            self.ntotal, nq, float(radius),
-                            self.metric.name, passing)
-
-
-RQIndex.range_search = _rq_range_search
+        super().load_state(state)

@@ -140,11 +140,13 @@ def codec_decode(codes, codebooks, codec: str = "pq"):
 
 
 def codec_encode(x, codebooks, codec: str = "pq", *,
-                 precision=lax.Precision.DEFAULT):
+                 precision=lax.Precision.DEFAULT, beam=None):
+    """``beam`` applies to the RQ encoder only (None → its default)."""
     if codec == "rq":
         from .rq import rq_encode
 
-        return rq_encode(x, codebooks, precision=precision)
+        kw = {} if beam is None else {"beam": beam}
+        return rq_encode(x, codebooks, precision=precision, **kw)
     return pq_encode(x, codebooks, precision=precision)
 
 

@@ -103,7 +103,7 @@ def _rq_encode(x, codebooks, *, m, beam, precision):
     cn0 = jnp.sum(cb0 * cb0, 1)[None, :]
     d0 = xn - 2.0 * jnp.dot(x, cb0.T, precision=precision,
                             preferred_element_type=jnp.float32) + cn0
-    err, pick = lax.top_k(-d0, beam)                       # (n, B)
+    _, pick = lax.top_k(-d0, beam)                         # (n, B)
     resid = x[:, None, :] - _onehot_decode_stage(
         pick.reshape(-1), cb0).reshape(n, beam, d)
     codes = pick[:, :, None].astype(jnp.int32)             # (n, B, 1)

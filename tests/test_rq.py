@@ -154,3 +154,28 @@ def test_ivf_rq_filtered(catalog):
                                   catalog=catalog)
     got = res["label"]
     assert (got[got >= 0] % 2 == 0).all()
+
+
+def test_rq_nbits_cap(catalog):
+    """Codes are stored one uint8 per stage: >8 bits must be rejected, not
+    silently wrapped mod 256 (review finding)."""
+    with pytest.raises(dfx.errors.InvalidInputError, match="1-8 bits"):
+        dfx.faiss_create("rq9", 8, "RQ2x9", catalog=catalog)
+    with pytest.raises(dfx.errors.InvalidInputError, match="1-8 bits"):
+        dfx.faiss_create("ivfrq9", 8, "IVF4,RQ2x9", catalog=catalog)
+
+
+def test_ivf_rq_beam_param(catalog):
+    """The beam create param reaches the IVF,RQ encoder (review finding:
+    it was silently dropped)."""
+    d, n = 8, 600
+    xb = _clustered(n, d, seed=10)
+    dfx.faiss_create_params("ivfrqb", d, "IVF4,RQ2x4", {"beam": "7"},
+                            metric_type="L2", catalog=catalog)
+    ix = catalog.get("ivfrqb").index
+    assert ix.rq_beam == 7
+    dfx.faiss_add(xb, "ivfrqb", catalog=catalog)   # encodes with beam=7
+    res = dfx.faiss_search("ivfrqb", 3, xb[:5], {"nprobe": "4"},
+                           catalog=catalog)
+    # Coarse 2x4-bit codec: most self-hits survive.
+    assert (res["label"][:, 0] == np.arange(5)).sum() >= 4

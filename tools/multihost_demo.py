@@ -48,6 +48,11 @@ def worker(pid: int) -> int:
 
     n_dev = NPROC * DEV_PER_PROC
     d, cap, n, nq, k = 16, 256, 250, 8, 5
+    if cap % n_dev:
+        raise SystemExit(
+            f"NPROC×DEV_PER_PROC = {n_dev} must divide the demo corpus "
+            f"capacity ({cap}) so every device gets an equal row shard — "
+            f"use 1, 2, 4, 8, ... total devices")
     rng = np.random.default_rng(0)  # same seed everywhere → shared "corpus"
     xb = np.zeros((cap, d), np.float32)
     xb[:n] = rng.standard_normal((n, d)).astype(np.float32)
