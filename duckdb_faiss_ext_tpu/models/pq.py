@@ -29,6 +29,9 @@ class PQIndex(Index):
     #: (additive sum; RQIndex overrides).  Consumed by the shared
     #: search/range paths via ops/pq.codec_* switches.
     codec = "pq"
+    #: class default so subclasses that bypass __init__ (RQIndex) still
+    #: serialize cleanly.
+    aniso_eta = 1.0
 
     def __init__(self, d: int, metric: Metric, metric_arg: float = 0.0,
                  M: int = 8, nbits: int = 8):
@@ -44,6 +47,10 @@ class PQIndex(Index):
         self.M = int(M)
         self.nbits = int(nbits)
         self.ksub = 1 << int(nbits)
+        #: ScaNN-style score-aware loss weight (anisotropic_eta create
+        #: param): > 1 penalises the score-shifting parallel residual more
+        #: during training AND encoding; 1.0 is plain k-means/nearest.
+        self.aniso_eta = 1.0
         self.train_seed = DEFAULT_SEED
         self._codebooks: np.ndarray | None = None   # (M, ksub, dsub)
         self._codes = np.empty((0, M), dtype=np.uint8)
@@ -63,15 +70,31 @@ class PQIndex(Index):
     def requires_training(self) -> bool:
         return True
 
+    def apply_create_params(self, params) -> None:
+        super().apply_create_params(params)
+        eta = params.get_float("anisotropic_eta")
+        if eta is not None:
+            if eta < 1.0:
+                raise errors.InvalidInputError(
+                    f"anisotropic_eta must be >= 1.0, got {eta}")
+            self.aniso_eta = eta
+
     def train(self, x) -> None:
         if self.is_trained:
             return
         x = as_matrix(x, self.d)
         if x.shape[0] < self.ksub:
             raise errors.TrainingTooSmallError(x.shape[0], self.ksub)
-        self._codebooks = np.asarray(
-            pq_train(x, self.M, self.ksub, seed=self.train_seed,
-                     precision=config.precision), dtype=np.float32)
+        if self.aniso_eta > 1.0:
+            from ..ops.pq import pq_train_anisotropic
+
+            cb = pq_train_anisotropic(x, self.M, self.ksub, self.aniso_eta,
+                                      seed=self.train_seed,
+                                      precision=config.precision)
+        else:
+            cb = pq_train(x, self.M, self.ksub, seed=self.train_seed,
+                          precision=config.precision)
+        self._codebooks = np.asarray(cb, dtype=np.float32)
         self._invalidate()
 
     def add(self, x) -> None:
@@ -82,9 +105,16 @@ class PQIndex(Index):
         x = as_matrix(x, self.d)
         if x.shape[0] == 0:
             return
-        codes = np.asarray(pq_encode(jnp.asarray(x),
-                                     jnp.asarray(self._codebooks),
-                                     precision=config.precision))
+        if self.aniso_eta > 1.0:
+            from ..ops.pq import pq_encode_anisotropic
+
+            codes = np.asarray(pq_encode_anisotropic(
+                jnp.asarray(x), jnp.asarray(self._codebooks),
+                jnp.float32(self.aniso_eta), precision=config.precision))
+        else:
+            codes = np.asarray(pq_encode(jnp.asarray(x),
+                                         jnp.asarray(self._codebooks),
+                                         precision=config.precision))
         self._codes = np.concatenate([self._codes, codes], axis=0)
         self._invalidate()
 
@@ -150,9 +180,14 @@ class PQIndex(Index):
         state = {"codes": self._codes}
         if self._codebooks is not None:
             state["codebooks"] = self._codebooks
+        if self.aniso_eta > 1.0:
+            state["aniso_eta"] = np.float32(self.aniso_eta)
         return state
 
     def load_state(self, state: dict) -> None:
+        eta = state.pop("aniso_eta", None)
+        if eta is not None:
+            self.aniso_eta = float(eta)
         self._codes = np.asarray(state["codes"], np.uint8).reshape(-1, self.M)
         cb = state.get("codebooks")
         self._codebooks = (np.asarray(cb, np.float32)

@@ -60,6 +60,10 @@ class RQIndex(PQIndex):
         self._mask_cache: dict = {}
 
     def apply_create_params(self, params) -> None:
+        if params.get_float("anisotropic_eta") is not None:
+            raise errors.InvalidInputError(
+                "anisotropic_eta applies to PQ codebooks only (the RQ "
+                "encoder has no score-aware variant yet)")
         super().apply_create_params(params)
         b = params.get_int("beam")
         if b is not None:

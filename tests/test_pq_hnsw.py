@@ -330,3 +330,68 @@ def test_nsg_save_load(catalog, tmp_path):
     dfx.faiss_load("nsgsv2", path, catalog=catalog)
     after = dfx.faiss_search("nsgsv2", 3, xb[:5], catalog=catalog)
     np.testing.assert_array_equal(before["label"], after["label"])
+
+
+def test_pq_anisotropic_eta_one_is_kmeans():
+    """eta=1 reduces the score-aware loss exactly to k-means: same
+    codebooks as the plain trainer."""
+    from duckdb_faiss_ext_tpu.ops.pq import pq_train, pq_train_anisotropic
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((3000, 16)).astype(np.float32)
+    cb0 = np.asarray(pq_train(x, 4, 16))
+    cb1 = np.asarray(pq_train_anisotropic(x, 4, 16, eta=1.0))
+    np.testing.assert_allclose(cb0, cb1, rtol=1e-5, atol=1e-5)
+
+
+def test_pq_anisotropic_improves_ip_recall(catalog):
+    """ScaNN-style score-aware quantization: eta>1 yields higher
+    inner-product recall@10 than plain k-means PQ at the same code budget
+    (training AND encoding both use the weighted loss)."""
+    rng = np.random.default_rng(1)
+    ncl, d, n, nq = 64, 32, 12000, 128
+    centers = rng.standard_normal((ncl, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    xb = (centers[rng.integers(0, ncl, n)] * 2.0
+          + rng.standard_normal((n, d)).astype(np.float32) * 0.35)
+    xq = (centers[rng.integers(0, ncl, nq)] * 2.0
+          + rng.standard_normal((nq, d)).astype(np.float32) * 0.35)
+    truth = np.argsort(-(xq @ xb.T), axis=1)[:, :10]
+
+    def recall(name, params):
+        dfx.faiss_create_params(name, d, "PQ8", params,
+                                metric_type="INNER_PRODUCT",
+                                catalog=catalog)
+        dfx.faiss_add(xb, name, catalog=catalog)
+        got = dfx.faiss_search(name, 10, xq, catalog=catalog)["label"]
+        return np.mean([len(set(g) & set(t)) / 10
+                        for g, t in zip(got, truth)])
+
+    r_plain = recall("pqplain", {})
+    r_aniso = recall("pqaniso", {"anisotropic_eta": "4.0"})
+    assert r_aniso > r_plain, (r_aniso, r_plain)
+
+
+def test_pq_anisotropic_save_load(catalog, tmp_path):
+    rng = np.random.default_rng(4)
+    d, n = 16, 2000
+    xb = rng.standard_normal((n, d)).astype(np.float32)
+    dfx.faiss_create_params("pqan", d, "PQ4", {"anisotropic_eta": "3.0"},
+                            metric_type="INNER_PRODUCT", catalog=catalog)
+    dfx.faiss_add(xb, "pqan", catalog=catalog)
+    before = dfx.faiss_search("pqan", 4, xb[:5], catalog=catalog)
+    path = str(tmp_path / "pqan.idx")
+    dfx.faiss_save("pqan", path, catalog=catalog)
+    dfx.faiss_load("pqan2", path, catalog=catalog)
+    ix = catalog.get("pqan2").index
+    assert ix.aniso_eta == 3.0
+    after = dfx.faiss_search("pqan2", 4, xb[:5], catalog=catalog)
+    np.testing.assert_array_equal(before["label"], after["label"])
+    with pytest.raises(dfx.errors.InvalidInputError, match=">= 1.0"):
+        dfx.faiss_create_params("pqbad", d, "PQ4",
+                                {"anisotropic_eta": "0.5"},
+                                catalog=catalog)
+    with pytest.raises(dfx.errors.InvalidInputError, match="PQ codebooks"):
+        dfx.faiss_create_params("rqbad", d, "RQ2x4",
+                                {"anisotropic_eta": "2.0"},
+                                catalog=catalog)
