@@ -156,10 +156,19 @@ class IVFIndex(Index):
                 raise errors.TrainingTooSmallError(x.shape[0], ksub)
             assign = self._assign_lists(x)
             resid = x - self._centroids[assign]
-            self._pq_codebooks = np.asarray(
-                codec_train(resid, self.pq_m, ksub, self.pq_codec,
-                            seed=self.train_seed,
-                            precision=config.precision), dtype=np.float32)
+            eta = getattr(self, "aniso_eta", 1.0)
+            if eta > 1.0:
+                from ..ops.pq import pq_train_anisotropic
+
+                cb = pq_train_anisotropic(resid, self.pq_m, ksub, eta,
+                                          seed=self.train_seed,
+                                          precision=config.precision,
+                                          dirs=x)
+            else:
+                cb = codec_train(resid, self.pq_m, ksub, self.pq_codec,
+                                 seed=self.train_seed,
+                                 precision=config.precision)
+            self._pq_codebooks = np.asarray(cb, dtype=np.float32)
         if self.sq_type is not None and self.sq_type not in _FLOAT_SQ:
             from ..ops.sq import SQ_LEVELS, sq_train
 
@@ -244,10 +253,19 @@ class IVFIndex(Index):
             from ..ops.pq import codec_encode
 
             resid = x - self._centroids[assign]
-            codes = np.asarray(codec_encode(
-                jnp.asarray(resid), jnp.asarray(self._pq_codebooks),
-                self.pq_codec, precision=config.precision,
-                beam=getattr(self, "rq_beam", None)))
+            eta = getattr(self, "aniso_eta", 1.0)
+            if eta > 1.0:
+                from ..ops.pq import pq_encode_anisotropic
+
+                codes = np.asarray(pq_encode_anisotropic(
+                    jnp.asarray(resid), jnp.asarray(self._pq_codebooks),
+                    jnp.float32(eta), precision=config.precision,
+                    dirs=jnp.asarray(x)))
+            else:
+                codes = np.asarray(codec_encode(
+                    jnp.asarray(resid), jnp.asarray(self._pq_codebooks),
+                    self.pq_codec, precision=config.precision,
+                    beam=getattr(self, "rq_beam", None)))
             self._codes = np.concatenate([self._codes, codes], axis=0)
         elif self.sq_type is not None:
             self._codes = np.concatenate(
@@ -768,6 +786,17 @@ class IVFIndex(Index):
         if beam is not None:
             # RQ-storage encode beam (models/rq.DEFAULT_BEAM otherwise).
             self.rq_beam = max(1, beam)
+        eta = params.get_float("anisotropic_eta")
+        if eta is not None:
+            # ScaNN-style score-aware residual quantization (PQ storage
+            # only); anisotropy axis = the ORIGINAL datapoint direction.
+            if eta < 1.0:
+                raise errors.InvalidInputError(
+                    f"anisotropic_eta must be >= 1.0, got {eta}")
+            if self.pq_m is None or self.pq_codec != "pq":
+                raise errors.InvalidInputError(
+                    "anisotropic_eta applies to PQ storage (IVFn,PQm)")
+            self.aniso_eta = eta
         self.quantizer.apply_create_params(params.scoped("ivf."))
 
     # --- serialization ----------------------------------------------------

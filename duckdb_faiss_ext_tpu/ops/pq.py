@@ -216,30 +216,46 @@ def pq_search(codes, nvalid, codebooks, xq, mask, metric_arg, *, k, metric,
 # over the ksub clusters — all MXU work.  eta > 1 biases codebooks toward
 # score accuracy; eta = 1 reduces exactly to k-means.
 
-def _aniso_step(xs, xhat, norm2, centroids, eta, precision):
-    n, dsub = xs.shape
-    ksub = centroids.shape[0]
-    hp = lax.Precision.HIGHEST
-    # Assignment: ||x-c||^2 + (eta-1) ((x-c)·x)^2 / ||x||^2.
+def _unit(v):
+    return v / jnp.sqrt(jnp.maximum(
+        jnp.sum(v * v, 1, keepdims=True), 1e-20))
+
+
+def _aniso_cost(xs, xhat, centroids, eta, precision):
+    """(n, ksub) score-aware cost ||x-c||^2 + (eta-1)((x-c)·x̂)^2."""
     xn = jnp.sum(xs * xs, 1, keepdims=True)
     cn = jnp.sum(centroids * centroids, 1)[None, :]
     xc = jnp.dot(xs, centroids.T, precision=precision,
                  preferred_element_type=jnp.float32)
     sqdist = xn - 2.0 * xc + cn
-    rpar = (xn - xc) / jnp.sqrt(jnp.maximum(norm2, 1e-20))  # (x-c)·x/||x||
-    cost = sqdist + (eta - 1.0) * rpar * rpar
+    proj_x = jnp.sum(xs * xhat, 1, keepdims=True)           # xs·x̂
+    proj_c = jnp.dot(xhat, centroids.T, precision=precision,
+                     preferred_element_type=jnp.float32)     # x̂·c
+    rpar = proj_x - proj_c
+    return sqdist + (eta - 1.0) * rpar * rpar
+
+
+def _aniso_step(xs, xhat, centroids, eta, precision):
+    n, dsub = xs.shape
+    ksub = centroids.shape[0]
+    hp = lax.Precision.HIGHEST
+    cost = _aniso_cost(xs, xhat, centroids, eta, precision)
     labels = jnp.argmin(cost, axis=1).astype(jnp.int32)
     onehot = (labels[:, None] ==
               jnp.arange(ksub, dtype=jnp.int32)[None, :]).astype(jnp.float32)
     counts = jnp.sum(onehot, axis=0)                         # (ksub,)
     sum_x = jnp.dot(onehot.T, xs, precision=hp,
                     preferred_element_type=jnp.float32)      # (ksub, dsub)
+    # b = Σ x + (eta-1) Σ x̂ (x̂·x)  (reduces to eta·Σx when x̂ ∥ x).
+    proj_x = jnp.sum(xs * xhat, 1, keepdims=True)
+    sum_xw = jnp.dot(onehot.T, xhat * proj_x, precision=hp,
+                     preferred_element_type=jnp.float32)
     # sum of outer products x_hat x_hat^T per cluster: einsum over members.
     outer = jnp.einsum("nk,nd,ne->kde", onehot, xhat, xhat,
                        precision=hp, preferred_element_type=jnp.float32)
     eye = jnp.eye(dsub, dtype=jnp.float32)
     A = counts[:, None, None] * eye[None] + (eta - 1.0) * outer
-    b = eta * sum_x
+    b = sum_x + (eta - 1.0) * sum_xw
     # Guard empty clusters: identity system keeps the old centroid.
     empty = counts < 0.5
     A = jnp.where(empty[:, None, None], eye[None], A)
@@ -250,11 +266,10 @@ def _aniso_step(xs, xhat, norm2, centroids, eta, precision):
 
 @functools.partial(jax.jit, static_argnames=("m", "ksub", "niter",
                                              "precision"))
-def _pq_train_aniso(xsub, seed, eta, *, m, ksub, niter, precision):
-    def fit_sub(xs, s):
+def _pq_train_aniso(xsub, dirsub, seed, eta, *, m, ksub, niter, precision):
+    def fit_sub(xs, ds, s):
         n, dsub = xs.shape
-        norm2 = jnp.sum(xs * xs, 1, keepdims=True)
-        xhat = xs / jnp.sqrt(jnp.maximum(norm2, 1e-20))
+        xhat = _unit(ds)
         # Seeded init on distinct points (same scheme as _kmeans_fit).
         key = jax.random.PRNGKey(s)
         _, init_idx = lax.top_k(jax.random.gumbel(key, (n,)), ksub)
@@ -262,7 +277,7 @@ def _pq_train_aniso(xsub, seed, eta, *, m, ksub, niter, precision):
 
         def body(carry, _):
             c, _ = carry
-            c2, lab = _aniso_step(xs, xhat, norm2, c, eta, precision)
+            c2, lab = _aniso_step(xs, xhat, c, eta, precision)
             return (c2, lab), None
 
         (cents, _), _ = lax.scan(
@@ -270,43 +285,50 @@ def _pq_train_aniso(xsub, seed, eta, *, m, ksub, niter, precision):
         return cents
 
     seeds = seed + jnp.arange(m, dtype=jnp.int32)
-    return jax.vmap(fit_sub)(xsub, seeds)
+    return jax.vmap(fit_sub)(xsub, dirsub, seeds)
+
+
+def _subspace(x, m):
+    n, d = x.shape
+    return x.reshape(n, m, d // m).transpose(1, 0, 2)
 
 
 def pq_train_anisotropic(x, m: int, ksub: int, eta: float, niter: int = 25,
                          seed: int = DEFAULT_SEED,
-                         precision=lax.Precision.DEFAULT):
+                         precision=lax.Precision.DEFAULT, dirs=None):
     """Anisotropic PQ codebooks: k-means under the score-aware loss
     eta*||r_par||^2 + ||r_orth||^2 (eta=1 == plain k-means).  Use with
     INNER_PRODUCT search: parallel residual error shifts scores, so
-    penalising it more yields higher recall at the same code budget."""
+    penalising it more yields higher recall at the same code budget.
+
+    ``dirs`` (n, d) sets the anisotropy axis per point — defaults to the
+    points themselves; for IVF by_residual storage pass the ORIGINAL
+    datapoints (the score error lives along x, not the residual)."""
     x = jnp.asarray(x, jnp.float32)
-    n, d = x.shape
-    dsub = d // m
-    xsub = x.reshape(n, m, dsub).transpose(1, 0, 2)
-    return _pq_train_aniso(xsub, jnp.int32(seed),
-                           jnp.float32(eta), m=m, ksub=ksub,
-                           niter=niter, precision=precision)
+    dirs = x if dirs is None else jnp.asarray(dirs, jnp.float32)
+    return _pq_train_aniso(_subspace(x, m), _subspace(dirs, m),
+                           jnp.int32(seed), jnp.float32(eta), m=m,
+                           ksub=ksub, niter=niter, precision=precision)
 
 
 @functools.partial(jax.jit, static_argnames=("precision",))
+def _pq_encode_aniso(xsub, dirsub, codebooks, eta, *, precision):
+    def sub_assign(xs, ds, cb):
+        return jnp.argmin(
+            _aniso_cost(xs, _unit(ds), cb, eta, precision), axis=1)
+
+    codes = jax.vmap(sub_assign)(xsub, dirsub, codebooks)
+    return codes.T.astype(jnp.uint8)
+
+
 def pq_encode_anisotropic(x, codebooks, eta, *,
-                          precision=lax.Precision.DEFAULT):
+                          precision=lax.Precision.DEFAULT, dirs=None):
     """Score-aware encoding matching pq_train_anisotropic's loss: pick the
     sub-codeword minimizing ||x-c||^2 + (eta-1)((x-c)·x̂)^2 instead of the
     plain nearest (measured +2pp recall@10 on top of aniso training)."""
-    n, d = x.shape
-    m, ksub, dsub = codebooks.shape
-    xsub = x.reshape(n, m, dsub).transpose(1, 0, 2)
-
-    def sub_assign(xs, cb):
-        xn = jnp.sum(xs * xs, 1, keepdims=True)
-        cn = jnp.sum(cb * cb, 1)[None, :]
-        xc = jnp.dot(xs, cb.T, precision=precision,
-                     preferred_element_type=jnp.float32)
-        sqdist = xn - 2.0 * xc + cn
-        rpar = (xn - xc) / jnp.sqrt(jnp.maximum(xn, 1e-20))
-        return jnp.argmin(sqdist + (eta - 1.0) * rpar * rpar, axis=1)
-
-    codes = jax.vmap(sub_assign)(xsub, codebooks)
-    return codes.T.astype(jnp.uint8)
+    x = jnp.asarray(x, jnp.float32)
+    m = int(codebooks.shape[0])
+    dirs = x if dirs is None else jnp.asarray(dirs, jnp.float32)
+    return _pq_encode_aniso(_subspace(x, m), _subspace(dirs, m),
+                            jnp.asarray(codebooks), jnp.float32(eta),
+                            precision=precision)

@@ -395,3 +395,35 @@ def test_pq_anisotropic_save_load(catalog, tmp_path):
         dfx.faiss_create_params("rqbad", d, "RQ2x4",
                                 {"anisotropic_eta": "2.0"},
                                 catalog=catalog)
+
+
+def test_ivfpq_anisotropic_improves_ip_recall(catalog):
+    """anisotropic_eta on IVFn,PQm: residual codebooks trained/encoded with
+    the ORIGINAL datapoint as the anisotropy axis (ScaNN residual AVQ)."""
+    rng = np.random.default_rng(2)
+    ncl, d, n, nq = 64, 32, 12000, 128
+    centers = rng.standard_normal((ncl, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    xb = (centers[rng.integers(0, ncl, n)] * 2.0
+          + rng.standard_normal((n, d)).astype(np.float32) * 0.35)
+    xq = (centers[rng.integers(0, ncl, nq)] * 2.0
+          + rng.standard_normal((nq, d)).astype(np.float32) * 0.35)
+    truth = np.argsort(-(xq @ xb.T), axis=1)[:, :10]
+
+    def recall(name, params):
+        dfx.faiss_create_params(name, d, "IVF16,PQ8", params,
+                                metric_type="INNER_PRODUCT",
+                                catalog=catalog)
+        dfx.faiss_add(xb, name, catalog=catalog)
+        got = dfx.faiss_search(name, 10, xq, {"nprobe": "16"},
+                               catalog=catalog)["label"]
+        return np.mean([len(set(g) & set(t)) / 10
+                        for g, t in zip(got, truth)])
+
+    r_plain = recall("ivfplain", {})
+    r_aniso = recall("ivfaniso", {"anisotropic_eta": "4.0"})
+    assert r_aniso > r_plain - 0.005, (r_aniso, r_plain)
+    with pytest.raises(dfx.errors.InvalidInputError, match="PQ storage"):
+        dfx.faiss_create_params("ivfsqan", d, "IVF4,SQ8",
+                                {"anisotropic_eta": "2.0"},
+                                catalog=catalog)
