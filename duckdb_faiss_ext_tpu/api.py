@@ -437,11 +437,17 @@ def faiss_search_batched(name: str, k: int, queries,
             dist_dev, _, nqb, k_eff = disp[:4]
             to_labels = (disp[4] if len(disp) > 4
                          else entry.index._positions_to_labels)
+            post = disp[5] if len(disp) > 5 else None
             rows = dist_dev.shape[0]
             dist = big_d[row:row + nqb]
             pos = big_p[row:row + nqb].astype(np.int64)
             row += rows
             labels = to_labels(pos)
+            if post is not None:
+                # Host postprocess (e.g. SOAR duplicate removal); may
+                # change the result width.
+                dist, labels = post(dist, labels)
+                k_eff = dist.shape[1]
             if k_eff < k:
                 dist = np.concatenate(
                     [dist, np.full((nqb, k - k_eff), sentinel, np.float32)],

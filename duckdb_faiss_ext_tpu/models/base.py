@@ -122,8 +122,11 @@ class Index(abc.ABC):
     def _finish_dispatch(self, disp, xq, k: int) -> "SearchResult":
         """Shared search epilogue over a ``search_dispatch`` tuple: one
         packed device→host fetch, position→label mapping, sentinel padding
-        to k.  ``disp`` is (dist_dev, pos_dev, nq, k_eff[, mapper]) or None
-        for no device work (empty queries, k≤0, empty index)."""
+        to k.  ``disp`` is (dist_dev, pos_dev, nq, k_eff[, mapper
+        [, postprocess]]) or None for no device work (empty queries, k≤0,
+        empty index).  ``postprocess(dist, labels) -> (dist, labels)`` runs
+        host-side after label mapping (e.g. SOAR duplicate removal) and may
+        change the result width."""
         from ..ops.flat_search import SIMILARITY_METRICS
         from ..utils.transfer import fetch_results
 
@@ -138,9 +141,13 @@ class Index(abc.ABC):
                 np.full((nq, max(k, 0)), -1, np.int64))
         dist_dev, pos_dev, nq, k_eff = disp[:4]
         to_labels = disp[4] if len(disp) > 4 else self._positions_to_labels
+        post = disp[5] if len(disp) > 5 else None
         dist, pos = fetch_results(dist_dev, pos_dev)
         dist = dist[:nq]
         labels = to_labels(pos[:nq].astype(np.int64))
+        if post is not None:
+            dist, labels = post(dist, labels)
+            k_eff = dist.shape[1]
         return self._pad_result(dist, labels, nq, k, k_eff, sentinel)
 
     # --- create-time parameters (setIndexParameters recursion,
@@ -176,3 +183,27 @@ def as_matrix(x, d: int, *, name: str = "vectors") -> np.ndarray:
     if arr.shape[1] != d:
         raise errors.bad_vector_length(d, arr.shape[1], 0)
     return np.ascontiguousarray(arr)
+
+
+def dedup_by_label(dist, labels, k: int, sentinel: float):
+    """Keep the best-ranked entry per label and repack to width k.
+
+    SOAR stores every row in two inverted lists, so a 2k-candidate fetch
+    can contain each label twice (at identical distance).  Rows arrive
+    ranked best-first; duplicate suppression keeps the first occurrence,
+    masks the rest to (sentinel, -1), and stable-compacts survivors left.
+    Fully vectorized over the query batch."""
+    nq, w = labels.shape
+    order = np.argsort(labels, axis=1, kind="stable")
+    l_sorted = np.take_along_axis(labels, order, 1)
+    dup_sorted = np.zeros((nq, w), bool)
+    dup_sorted[:, 1:] = (l_sorted[:, 1:] == l_sorted[:, :-1]) \
+        & (l_sorted[:, 1:] >= 0)
+    dup = np.zeros((nq, w), bool)
+    np.put_along_axis(dup, order, dup_sorted, 1)
+    dist = np.where(dup, sentinel, dist).astype(np.float32)
+    labels = np.where(dup, -1, labels)
+    # Stable-compact kept entries to the front, then cut to k.
+    compact = np.argsort(dup, axis=1, kind="stable")[:, :k]
+    return (np.take_along_axis(dist, compact, 1),
+            np.take_along_axis(labels, compact, 1))

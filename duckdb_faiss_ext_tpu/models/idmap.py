@@ -95,9 +95,11 @@ class IDMapIndex(Index):
             return disp
         # Inner dispatch carries its own positions→ids mapper (IVF); its
         # ids are storage positions here, so compose with the label table.
+        # Keep any trailing elements (host postprocess, e.g. SOAR dedup).
         inner_labels = disp[4]
         return disp[:4] + (
-            lambda pos: self._positions_to_labels(inner_labels(pos)),)
+            lambda pos: self._positions_to_labels(inner_labels(pos)),
+        ) + tuple(disp[5:])
 
     def _positions_to_labels(self, pos: np.ndarray) -> np.ndarray:
         return np.where(pos >= 0, self._labels[np.clip(pos, 0, None)]

@@ -37,6 +37,7 @@ from ..params import EMPTY
 from ..utils.config import (config, next_capacity, next_pow2,
                             pad_rows)
 from .base import Index, SearchResult, as_matrix
+from .base import dedup_by_label as _dedup_by_label
 
 
 from ..ops.sq import FLOAT_CODECS as _FLOAT_SQ
@@ -248,6 +249,18 @@ class IVFIndex(Index):
         if x.shape[0] == 0:
             return
         assign = self._assign_lists(x)
+        if getattr(self, "soar_lambda", 0.0) > 0.0:
+            # SOAR (Sun et al., 2023): every vector also joins a SECOND
+            # list chosen so its residual there is near-orthogonal to the
+            # primary residual — when the primary list is mis-ranked by
+            # query-residual alignment, the spilled copy is likely probed.
+            # Materialized as duplicated rows, so every layout / shard /
+            # spill / codec path works unchanged; search fetches 2k and
+            # dedups by label (see search_dispatch).
+            assign2 = self._assign_soar(x, assign)
+            x = np.concatenate([x, x], axis=0)
+            ids = np.concatenate([ids, ids])
+            assign = np.concatenate([assign, assign2])
         if self.pq_m is not None:
             # Store byte codes only (FAISS IVFPQ memory profile).
             from ..ops.pq import codec_encode
@@ -343,6 +356,43 @@ class IVFIndex(Index):
                                  _jax.lax.Precision.HIGHEST)
             best = jnp.argmax(tile, 1) if sim else jnp.argmin(tile, 1)
             parts.append(best.astype(jnp.int32))
+        if not parts:
+            return np.empty((0,), dtype=np.int32)
+        return np.asarray(jnp.concatenate(parts), dtype=np.int32)
+
+    def _assign_soar(self, x: np.ndarray, assign: np.ndarray) -> np.ndarray:
+        """Secondary SOAR assignment: argmin over lists l != primary of
+        ||x - c_l||^2 + lambda * ((x - c_l) · r1_hat)^2, where r1 is the
+        primary residual — spills each point toward a list whose residual
+        is orthogonal to the primary one.  L2 geometry (SOAR's derivation);
+        one extra matmul per chunk on top of the plain assignment tile."""
+        import jax as _jax
+
+        lam = jnp.float32(self.soar_lambda)
+        cents = jnp.asarray(self._centroids)
+        hp = _jax.lax.Precision.HIGHEST
+        chunk = max(1024, min(65536, (1 << 27) // max(self.nlist, 1)))
+        parts = []
+        for i in range(0, x.shape[0], chunk):
+            xc = jnp.asarray(x[i:i + chunk])
+            a1 = jnp.asarray(assign[i:i + chunk])
+            r1 = xc - cents[a1]
+            r1h = r1 / jnp.sqrt(jnp.maximum(
+                jnp.sum(r1 * r1, 1, keepdims=True), 1e-20))
+            xn = jnp.sum(xc * xc, 1, keepdims=True)
+            cn = jnp.sum(cents * cents, 1)[None, :]
+            xdc = jnp.dot(xc, cents.T, precision=hp,
+                          preferred_element_type=jnp.float32)
+            sqdist = xn - 2.0 * xdc + cn
+            # (x - c_l)·r1_hat = x·r1_hat − c_l·r1_hat
+            proj = (jnp.sum(xc * r1h, 1, keepdims=True)
+                    - jnp.dot(r1h, cents.T, precision=hp,
+                              preferred_element_type=jnp.float32))
+            cost = sqdist + lam * proj * proj
+            # Exclude the primary list.
+            rows = jnp.arange(a1.shape[0])
+            cost = cost.at[rows, a1].set(jnp.inf)
+            parts.append(jnp.argmin(cost, 1).astype(jnp.int32))
         if not parts:
             return np.empty((0,), dtype=np.int32)
         return np.asarray(jnp.concatenate(parts), dtype=np.int32)
@@ -613,7 +663,27 @@ class IVFIndex(Index):
     def search_dispatch(self, xq, k, params=EMPTY, selector=None):
         """Raw device dispatch for the single-fetch serving tier
         (api.faiss_search_batched): (dist_dev, pos_dev, nq, k_eff,
-        positions→labels fn) or None when no device work applies."""
+        positions→labels fn[, host postprocess]) or None when no device
+        work applies.
+
+        With SOAR enabled every row is stored twice (two lists), so the
+        kernel fetches 2k candidates and a host postprocess drops the
+        same-label duplicates before padding back to k."""
+        if getattr(self, "soar_lambda", 0.0) > 0.0 and int(k) > 0:
+            disp = self._dispatch_inner(xq, 2 * int(k), params, selector)
+            if disp is None:
+                return None
+            dist, pos, nq, _, labels_fn = disp
+            sim = self.metric.name in SIMILARITY_METRICS
+            sentinel = float("-inf") if sim else float("inf")
+
+            def post(d, lab, k=int(k), sentinel=sentinel):
+                return _dedup_by_label(d, lab, k, sentinel)
+
+            return dist, pos, nq, int(k), labels_fn, post
+        return self._dispatch_inner(xq, k, params, selector)
+
+    def _dispatch_inner(self, xq, k, params=EMPTY, selector=None):
         self._require_trained()
         xq = as_matrix(xq, self.d)
         nq = xq.shape[0]
@@ -786,6 +856,17 @@ class IVFIndex(Index):
         if beam is not None:
             # RQ-storage encode beam (models/rq.DEFAULT_BEAM otherwise).
             self.rq_beam = max(1, beam)
+        lam = params.get_float("soar_lambda")
+        if lam is not None:
+            # SOAR dual assignment (see add_with_ids); lambda weights the
+            # orthogonality-amplified term, ~1.0 is the paper's sweet spot.
+            if lam < 0.0:
+                raise errors.InvalidInputError(
+                    f"soar_lambda must be >= 0, got {lam}")
+            if self.nlist < 2 and lam > 0.0:
+                raise errors.InvalidInputError(
+                    "SOAR needs at least 2 inverted lists")
+            self.soar_lambda = lam
         eta = params.get_float("anisotropic_eta")
         if eta is not None:
             # ScaNN-style score-aware residual quantization (PQ storage
@@ -806,6 +887,9 @@ class IVFIndex(Index):
             "ids": self._ids,
             "assign": self._assign,
         }
+        if getattr(self, "soar_lambda", 0.0) > 0.0:
+            # Needed after load: search must keep fetching 2k + deduping.
+            state["soar_lambda"] = np.float32(self.soar_lambda)
         if self._centroids is not None:
             state["centroids"] = self._centroids
         if self.pq_m is not None:
@@ -822,6 +906,9 @@ class IVFIndex(Index):
         return state
 
     def load_state(self, state: dict) -> None:
+        lam = state.pop("soar_lambda", None)
+        if lam is not None:
+            self.soar_lambda = float(lam)
         self._xb = np.asarray(state["xb"], np.float32).reshape(-1, self.d)
         self._ids = np.asarray(state["ids"], np.int64).reshape(-1)
         self._assign = np.asarray(state["assign"], np.int32).reshape(-1)
@@ -1087,7 +1174,30 @@ def _ivf_range_search(self, xq, radius, params=EMPTY, selector=None):
 
 import jax  # noqa: E402
 
-IVFIndex.range_search = _ivf_range_search
+def _ivf_range_search_outer(self, xq, radius, params=EMPTY, selector=None):
+    res = _ivf_range_search(self, xq, radius, params, selector)
+    if getattr(self, "soar_lambda", 0.0) <= 0.0:
+        return res
+    # SOAR duplicates rows across two lists: a label can appear twice in a
+    # query's CSR segment when both its lists were probed — keep one.
+    from ..ops.range import RangeSearchResult
+
+    nq = res.lims.shape[0] - 1
+    lims = [0]
+    labs, dists = [], []
+    for q in range(nq):
+        seg = slice(res.lims[q], res.lims[q + 1])
+        lab, idx = np.unique(res.labels[seg], return_index=True)
+        labs.append(lab)
+        dists.append(res.distances[seg][idx])
+        lims.append(lims[-1] + lab.shape[0])
+    return RangeSearchResult(
+        np.asarray(lims, np.int64),
+        np.concatenate(labs) if labs else res.labels[:0],
+        np.concatenate(dists) if dists else res.distances[:0])
+
+
+IVFIndex.range_search = _ivf_range_search_outer
 
 
 class IMIIndex(IVFIndex):

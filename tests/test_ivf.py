@@ -524,3 +524,106 @@ def test_imi_guards(catalog):
     with pytest.raises(dfx.errors.InvalidInputError, match="metric"):
         dfx.faiss_create("imil1", 16, "IMI2x4,Flat", metric_type="L1",
                          catalog=catalog)
+
+
+# --- SOAR (spilled orthogonality-amplified residual assignment) -----------
+
+def _soar_data(n, d, ncent, seed, spread=0.45):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((ncent, d)).astype(np.float32) * 3
+    return (centers[rng.integers(0, ncent, n)]
+            + rng.standard_normal((n, d)).astype(np.float32) * spread)
+
+
+def test_soar_improves_recall_at_fixed_nprobe(catalog):
+    """SOAR dual assignment: each row also joins a second list with
+    near-orthogonal residual, so low-nprobe recall rises vs plain IVF."""
+    d, n, nq = 24, 8000, 96
+    xb = _soar_data(n, d, ncent=64, seed=31)
+    xq = _soar_data(nq, d, ncent=64, seed=32)
+    dfx.faiss_create("soar_oracle", d, "Flat", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_add(xb, "soar_oracle", catalog=catalog)
+    truth = dfx.faiss_search("soar_oracle", 10, xq,
+                             catalog=catalog)["label"]
+
+    def recall(name, params):
+        dfx.faiss_create_params(name, d, "IVF64,Flat", params,
+                                metric_type="L2", catalog=catalog)
+        dfx.faiss_add(xb, name, catalog=catalog)
+        got = dfx.faiss_search(name, 10, xq, {"nprobe": "4"},
+                               catalog=catalog)["label"]
+        return np.mean([len(set(g) & set(t)) / 10
+                        for g, t in zip(got, truth)])
+
+    r_plain = recall("ivfplainq", {})
+    r_soar = recall("ivfsoarq", {"soar_lambda": "1.0"})
+    assert r_soar > r_plain, (r_soar, r_plain)
+    # No duplicate labels in any result row.
+    got = dfx.faiss_search("ivfsoarq", 10, xq, {"nprobe": "8"},
+                           catalog=catalog)["label"]
+    for row in got:
+        live = row[row >= 0]
+        assert len(set(live)) == len(live)
+
+
+def test_soar_full_probe_matches_flat(catalog):
+    """Probing every list with SOAR still returns the exact top-k (the
+    duplicate copies dedup away)."""
+    d, n = 16, 1000
+    xb = _soar_data(n, d, ncent=8, seed=33)
+    dfx.faiss_create_params("soarx", d, "IVF8,Flat",
+                            {"soar_lambda": "1.5"}, metric_type="L2",
+                            catalog=catalog)
+    dfx.faiss_add(xb, "soarx", catalog=catalog)
+    dfx.faiss_create("soarf", d, "Flat", metric_type="L2", catalog=catalog)
+    dfx.faiss_add(xb, "soarf", catalog=catalog)
+    a = dfx.faiss_search("soarx", 5, xb[:8], {"nprobe": "8"},
+                         catalog=catalog)
+    b = dfx.faiss_search("soarf", 5, xb[:8], catalog=catalog)
+    np.testing.assert_array_equal(a["label"], b["label"])
+    np.testing.assert_allclose(a["distance"], b["distance"],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_soar_batched_and_roundtrip(catalog, tmp_path):
+    d, n = 16, 2000
+    xb = _soar_data(n, d, ncent=16, seed=34)
+    ids = np.arange(n, dtype=np.int64) + 100
+    dfx.faiss_create_params("soarb", d, "IDMap,IVF16,Flat",
+                            {"soar_lambda": "1.0"}, metric_type="L2",
+                            catalog=catalog)
+    dfx.faiss_add((ids, xb), "soarb", catalog=catalog)
+    seq = dfx.faiss_search("soarb", 5, xb[:12], {"nprobe": "4"},
+                           catalog=catalog)
+    bat = dfx.faiss_search_batched("soarb", 5, xb[:12], {"nprobe": "4"},
+                                   batch_size=4, catalog=catalog)
+    np.testing.assert_array_equal(seq["label"], bat["label"])
+    np.testing.assert_allclose(seq["distance"], bat["distance"],
+                               rtol=1e-5, atol=1e-6)
+    path = str(tmp_path / "soar.idx")
+    dfx.faiss_save("soarb", path, catalog=catalog)
+    dfx.faiss_load("soarb2", path, catalog=catalog)
+    after = dfx.faiss_search("soarb2", 5, xb[:12], {"nprobe": "4"},
+                             catalog=catalog)
+    np.testing.assert_array_equal(seq["label"], after["label"])
+    # Loaded index still dedups (soar_lambda persisted).
+    for row in after["label"]:
+        live = row[row >= 0]
+        assert len(set(live)) == len(live)
+
+
+def test_soar_range_dedup(catalog):
+    d, n = 8, 600
+    xb = _soar_data(n, d, ncent=8, seed=35, spread=0.3)
+    dfx.faiss_create_params("soarr", d, "IVF8,Flat",
+                            {"soar_lambda": "1.0"}, metric_type="L2",
+                            catalog=catalog)
+    dfx.faiss_add(xb, "soarr", catalog=catalog)
+    res = dfx.faiss_range_search("soarr", 1.0, xb[:4], {"nprobe": "8"},
+                                 catalog=catalog)
+    lims, labels = res["lims"], res["label"]
+    for q in range(4):
+        seg = labels[lims[q]:lims[q + 1]]
+        assert len(set(seg)) == len(seg)
+        assert q in seg
