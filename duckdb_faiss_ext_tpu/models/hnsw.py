@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from .. import errors
 from ..metrics import Metric
 from ..params import EMPTY
 from .base import SearchResult
@@ -59,6 +60,14 @@ class HNSWIndex(FlatIndex):
         at = params.get_int("ann_threshold")
         if at is not None:
             self.ann_threshold = at
+        lam = params.get_float("soar_lambda")
+        if lam is not None:
+            # SOAR in the internal IVF partition: ~2x effective candidate
+            # pool per efSearch at 2x partition storage (models/ivf.py).
+            if lam < 0.0:
+                raise errors.InvalidInputError(
+                    f"soar_lambda must be >= 0, got {lam}")
+            self.soar_lambda = lam
 
     # --- IVF acceleration --------------------------------------------------
     def _accel_ready(self):
@@ -87,6 +96,9 @@ class HNSWIndex(FlatIndex):
         # efConstruction scales build effort in HNSW; here it maps to
         # k-means iterations (more effort → better partition).
         accel.train_niter = max(4, min(25, self.ef_construction // 8))
+        lam = getattr(self, "soar_lambda", 0.0)
+        if lam > 0.0:
+            accel.soar_lambda = lam
         accel.train(self._xb)
         accel.add(self._xb)   # ids = positions 0..n-1
         self._accel = (accel, n)
@@ -161,7 +173,10 @@ class HNSWIndex(FlatIndex):
     def state_dict(self) -> dict:
         state = super().state_dict()
         state["hnsw_meta"] = np.array(
-            [self.M, self.ef_construction, self.ef_search])
+            [self.M, self.ef_construction, self.ef_search,
+             self.ann_threshold])
+        if getattr(self, "soar_lambda", 0.0) > 0.0:
+            state["hnsw_soar"] = np.float32(self.soar_lambda)
         if self._accel is not None:
             # Persist the partition (the analogue of FAISS serializing the
             # HNSW graph): k-means + full-corpus assignment cost minutes at
@@ -176,7 +191,14 @@ class HNSWIndex(FlatIndex):
         meta = state.pop("hnsw_meta", None)
         if meta is not None:
             m = [int(v) for v in meta]
-            self.M, self.ef_construction, self.ef_search = m
+            self.M, self.ef_construction, self.ef_search = m[:3]
+            if len(m) > 3:
+                # Persisted since SOAR landed; older saves keep the class
+                # default (the regime choice would otherwise flip on load).
+                self.ann_threshold = m[3]
+        lam = state.pop("hnsw_soar", None)
+        if lam is not None:
+            self.soar_lambda = float(lam)
         cents = state.pop("accel_centroids", None)
         assign = state.pop("accel_assign", None)
         ameta = state.pop("accel_meta", None)
@@ -192,8 +214,18 @@ class HNSWIndex(FlatIndex):
                              nlist=nlist, quantizer=quant)
             accel._centroids = np.asarray(cents, np.float32)
             quant.add(accel._centroids)
-            accel._xb = np.ascontiguousarray(self._xb[:indexed])
-            accel._ids = np.arange(indexed, dtype=np.int64)
+            xb_prefix = np.ascontiguousarray(self._xb[:indexed])
+            ids_prefix = np.arange(indexed, dtype=np.int64)
+            lam = getattr(self, "soar_lambda", 0.0)
+            if lam > 0.0:
+                # SOAR partition stores every row twice (two lists); the
+                # persisted assignment array is 2×indexed long.
+                accel.soar_lambda = lam
+                accel._xb = np.concatenate([xb_prefix, xb_prefix])
+                accel._ids = np.concatenate([ids_prefix, ids_prefix])
+            else:
+                accel._xb = xb_prefix
+                accel._ids = ids_prefix
             accel._assign = np.asarray(assign, np.int32).reshape(-1)
             self._accel = (accel, indexed)
 

@@ -427,3 +427,43 @@ def test_ivfpq_anisotropic_improves_ip_recall(catalog):
         dfx.faiss_create_params("ivfsqan", d, "IVF4,SQ8",
                                 {"anisotropic_eta": "2.0"},
                                 catalog=catalog)
+
+
+def test_hnsw_accel_soar(catalog, tmp_path):
+    """soar_lambda on the HNSW surface: the internal IVF partition uses
+    SOAR dual assignment — higher recall per efSearch at 2x partition
+    storage; persists through save/load."""
+    rng = np.random.default_rng(41)
+    d, n = 24, 30000
+    xb = rng.standard_normal((n, d)).astype(np.float32)
+    xq = rng.standard_normal((64, d)).astype(np.float32)
+    dfx.faiss_create("hso_oracle", d, "Flat", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_add(xb, "hso_oracle", catalog=catalog)
+    truth = dfx.faiss_search("hso_oracle", 10, xq, catalog=catalog)["label"]
+
+    def recall(name, params):
+        params = dict(params, ann_threshold="10000")
+        dfx.faiss_create_params(name, d, "HNSW32", params,
+                                metric_type="L2", catalog=catalog)
+        dfx.faiss_add(xb, name, catalog=catalog)
+        got = dfx.faiss_search(name, 10, xq, {"efSearch": "32"},
+                               catalog=catalog)["label"]
+        for row in got:
+            live = row[row >= 0]
+            assert len(set(live)) == len(live)
+        return np.mean([len(set(g) & set(t)) / 10
+                        for g, t in zip(got, truth)])
+
+    r_plain = recall("hsoplain", {})
+    r_soar = recall("hsosoar", {"soar_lambda": "1.0"})
+    assert r_soar > r_plain, (r_soar, r_plain)
+
+    path = str(tmp_path / "hso.idx")
+    before = dfx.faiss_search("hsosoar", 5, xq[:6], {"efSearch": "32"},
+                              catalog=catalog)
+    dfx.faiss_save("hsosoar", path, catalog=catalog)
+    dfx.faiss_load("hsosoar2", path, catalog=catalog)
+    after = dfx.faiss_search("hsosoar2", 5, xq[:6], {"efSearch": "32"},
+                             catalog=catalog)
+    np.testing.assert_array_equal(before["label"], after["label"])
