@@ -446,7 +446,7 @@ def faiss_search_batched(name: str, k: int, queries,
             if post is not None:
                 # Host postprocess (e.g. SOAR duplicate removal); may
                 # change the result width.
-                dist, labels = post(dist, labels)
+                dist, labels = post(dist, labels, pos)
                 k_eff = dist.shape[1]
             if k_eff < k:
                 dist = np.concatenate(

@@ -124,7 +124,7 @@ class Index(abc.ABC):
         packed device→host fetch, position→label mapping, sentinel padding
         to k.  ``disp`` is (dist_dev, pos_dev, nq, k_eff[, mapper
         [, postprocess]]) or None for no device work (empty queries, k≤0,
-        empty index).  ``postprocess(dist, labels) -> (dist, labels)`` runs
+        empty index).  ``postprocess(dist, labels, pos) -> (dist, labels)`` runs
         host-side after label mapping (e.g. SOAR duplicate removal) and may
         change the result width."""
         from ..ops.flat_search import SIMILARITY_METRICS
@@ -146,7 +146,7 @@ class Index(abc.ABC):
         dist = dist[:nq]
         labels = to_labels(pos[:nq].astype(np.int64))
         if post is not None:
-            dist, labels = post(dist, labels)
+            dist, labels = post(dist, labels, pos[:nq].astype(np.int64))
             k_eff = dist.shape[1]
         return self._pad_result(dist, labels, nq, k, k_eff, sentinel)
 
@@ -185,20 +185,22 @@ def as_matrix(x, d: int, *, name: str = "vectors") -> np.ndarray:
     return np.ascontiguousarray(arr)
 
 
-def dedup_by_label(dist, labels, k: int, sentinel: float):
-    """Keep the best-ranked entry per label and repack to width k.
+def dedup_by_key(dist, labels, keys, k: int, sentinel: float):
+    """Keep the best-ranked entry per key and repack to width k.
 
-    SOAR stores every row in two inverted lists, so a 2k-candidate fetch
-    can contain each label twice (at identical distance).  Rows arrive
-    ranked best-first; duplicate suppression keeps the first occurrence,
-    masks the rest to (sentinel, -1), and stable-compacts survivors left.
-    Fully vectorized over the query batch."""
+    SOAR stores every datapoint in two inverted lists, so a 2k-candidate
+    fetch can contain each source row twice (at identical distance).
+    ``keys`` identifies duplicates — the logical source row where the
+    mapper provides one, else the label.  Rows arrive ranked best-first;
+    duplicate suppression keeps the first occurrence, masks the rest to
+    (sentinel, -1), and stable-compacts survivors left.  Fully vectorized
+    over the query batch."""
     nq, w = labels.shape
-    order = np.argsort(labels, axis=1, kind="stable")
-    l_sorted = np.take_along_axis(labels, order, 1)
+    order = np.argsort(keys, axis=1, kind="stable")
+    k_sorted = np.take_along_axis(keys, order, 1)
     dup_sorted = np.zeros((nq, w), bool)
-    dup_sorted[:, 1:] = (l_sorted[:, 1:] == l_sorted[:, :-1]) \
-        & (l_sorted[:, 1:] >= 0)
+    dup_sorted[:, 1:] = (k_sorted[:, 1:] == k_sorted[:, :-1]) \
+        & (k_sorted[:, 1:] >= 0)
     dup = np.zeros((nq, w), bool)
     np.put_along_axis(dup, order, dup_sorted, 1)
     dist = np.where(dup, sentinel, dist).astype(np.float32)

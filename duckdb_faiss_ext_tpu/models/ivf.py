@@ -37,7 +37,7 @@ from ..params import EMPTY
 from ..utils.config import (config, next_capacity, next_pow2,
                             pad_rows)
 from .base import Index, SearchResult, as_matrix
-from .base import dedup_by_label as _dedup_by_label
+from .base import dedup_by_key as _dedup_by_key
 
 
 from ..ops.sq import FLOAT_CODECS as _FLOAT_SQ
@@ -112,6 +112,10 @@ class IVFIndex(Index):
         self.train_niter = DEFAULT_NITER
         self.train_balance = 0.0
         self._centroids: np.ndarray | None = None
+        #: SOAR bookkeeping (None when SOAR is off): storage row → logical
+        #: datapoint, and logical position → original storage row.
+        self._srcrow: np.ndarray | None = None
+        self._logical_rows: np.ndarray | None = None
         self._xb = np.empty((0, d), dtype=np.float32)
         self._ids = np.empty((0,), dtype=np.int64)
         self._assign = np.empty((0,), dtype=np.int32)
@@ -124,6 +128,15 @@ class IVFIndex(Index):
     # --- lifecycle -------------------------------------------------------
     @property
     def ntotal(self) -> int:
+        """Logical datapoint count (user view).  With SOAR every datapoint
+        occupies two storage rows (_nstored == 2 * ntotal)."""
+        n = self._ids.shape[0]
+        return n // 2 if getattr(self, "soar_lambda", 0.0) > 0.0 else n
+
+    @property
+    def _nstored(self) -> int:
+        """Storage rows (inverted-list entries); kernels/masks/layouts use
+        this, the public count is ``ntotal``."""
         return self._ids.shape[0]
 
     @property
@@ -256,8 +269,23 @@ class IVFIndex(Index):
             # query-residual alignment, the spilled copy is likely probed.
             # Materialized as duplicated rows, so every layout / shard /
             # spill / codec path works unchanged; search fetches 2k and
-            # dedups by label (see search_dispatch).
+            # dedups by SOURCE row (see search_dispatch).  Bookkeeping:
+            # _srcrow maps every storage row to its logical datapoint,
+            # _logical_rows maps logical position -> original storage row.
             assign2 = self._assign_soar(x, assign)
+            nb = x.shape[0]
+            start_store = self._nstored
+            start_logical = self.ntotal
+            logical = np.arange(start_logical, start_logical + nb,
+                                dtype=np.int64)
+            if self._srcrow is None:
+                self._srcrow = np.empty((0,), np.int64)
+                self._logical_rows = np.empty((0,), np.int64)
+            self._srcrow = np.concatenate(
+                [self._srcrow, logical, logical])
+            self._logical_rows = np.concatenate(
+                [self._logical_rows,
+                 np.arange(start_store, start_store + nb, dtype=np.int64)])
             x = np.concatenate([x, x], axis=0)
             ids = np.concatenate([ids, ids])
             assign = np.concatenate([assign, assign2])
@@ -296,6 +324,9 @@ class IVFIndex(Index):
         if key < 0 or key >= self.ntotal:
             raise errors.InvalidInputError(
                 f"Position {key} is out of range (ntotal={self.ntotal})")
+        if self._logical_rows is not None:
+            # SOAR: logical positions indirect to the original storage row.
+            key = int(self._logical_rows[key])
         if self.pq_m is not None:
             from ..ops.pq import codec_decode
 
@@ -403,6 +434,7 @@ class IVFIndex(Index):
         self._device_pallas = None
         self._device_spill = None
         self._ids_sorted = None
+        self._srcrow_sorted = None
         self._mask_cache.clear()
 
     # --- Pallas list-scan layout (padded 3-D lists) ------------------------
@@ -474,7 +506,7 @@ class IVFIndex(Index):
                 counts = self._counts()
                 nspill = int(np.maximum(counts - lmax, 0).sum())
                 plan = (("spill", lmax)
-                        if nspill <= self.SPILL_FRACTION_MAX * self.ntotal
+                        if nspill <= self.SPILL_FRACTION_MAX * self._nstored
                         else None)
         self._pallas_plan_cache = (self._version, plan)
         return plan
@@ -492,7 +524,7 @@ class IVFIndex(Index):
         members in the padded layout; the overflow rows come back in
         ``spill`` = (payload (s, w), assign (s,), pos (s,) original-row
         positions), unpadded.  spill is None otherwise."""
-        n = self.ntotal
+        n = self._nstored
         counts = self._counts()
         if lmax_cap is None and n and \
                 counts.max() > max(32 * n / self.nlist, 4096):
@@ -588,7 +620,7 @@ class IVFIndex(Index):
     def _build_device(self):
         if self._device is not None:
             return self._device
-        n = self.ntotal
+        n = self._nstored
         order = np.argsort(self._assign, kind="stable")
         sorted_assign = self._assign[order]
         counts = np.bincount(sorted_assign, minlength=self.nlist)
@@ -666,9 +698,11 @@ class IVFIndex(Index):
         positions→labels fn[, host postprocess]) or None when no device
         work applies.
 
-        With SOAR enabled every row is stored twice (two lists), so the
-        kernel fetches 2k candidates and a host postprocess drops the
-        same-label duplicates before padding back to k."""
+        With SOAR enabled every datapoint is stored twice (two lists), so
+        the kernel fetches 2k candidates and a host postprocess drops the
+        same-SOURCE-row duplicates (labels_fn.src_of maps kernel positions
+        to logical datapoints — genuinely duplicated user labels are NOT
+        collapsed) before padding back to k."""
         if getattr(self, "soar_lambda", 0.0) > 0.0 and int(k) > 0:
             disp = self._dispatch_inner(xq, 2 * int(k), params, selector)
             if disp is None:
@@ -676,9 +710,12 @@ class IVFIndex(Index):
             dist, pos, nq, _, labels_fn = disp
             sim = self.metric.name in SIMILARITY_METRICS
             sentinel = float("-inf") if sim else float("inf")
+            src_of = getattr(labels_fn, "src_of", None)
 
-            def post(d, lab, k=int(k), sentinel=sentinel):
-                return _dedup_by_label(d, lab, k, sentinel)
+            def post(d, lab, pos_host, k=int(k), sentinel=sentinel,
+                     src_of=src_of):
+                keys = src_of(pos_host) if src_of is not None else lab
+                return _dedup_by_key(d, lab, keys, k, sentinel)
 
             return dist, pos, nq, int(k), labels_fn, post
         return self._dispatch_inner(xq, k, params, selector)
@@ -705,6 +742,12 @@ class IVFIndex(Index):
         def ids_labels(pos, ids=self._ids):
             return np.where(pos >= 0, ids[np.clip(pos, 0, None)]
                             if ids.size else pos, -1)
+
+        if self._srcrow is not None:
+            # Storage-row positions → logical datapoint (SOAR dedup key).
+            ids_labels.src_of = (
+                lambda pos, src=self._srcrow:
+                np.where(pos >= 0, src[np.clip(pos, 0, None)], -1))
 
         if getattr(self, "_shard_mesh", None) is not None:
             # Device-sharded placement (faiss_to_device): lists partitioned
@@ -800,7 +843,7 @@ class IVFIndex(Index):
             codes_sorted, assign_sorted, codebooks = storage
             scores, pos = ivf_pq_search(
                 codes_sorted, assign_sorted, codebooks,
-                jnp.int32(self.ntotal), list_table, centroids,
+                jnp.int32(self._nstored), list_table, centroids,
                 xq_pad, mask, jnp.asarray(self.metric_arg, jnp.float32),
                 k=k_eff, nprobe=nprobe_eff, metric=self.metric.name,
                 q_chunk=q_chunk, precision=config.precision,
@@ -811,14 +854,14 @@ class IVFIndex(Index):
             codes_sorted, vmin, scale = storage
             scores, pos = ivf_sq_search(
                 codes_sorted, vmin, scale,
-                jnp.int32(self.ntotal), list_table, centroids,
+                jnp.int32(self._nstored), list_table, centroids,
                 xq_pad, mask, jnp.asarray(self.metric_arg, jnp.float32),
                 k=k_eff, nprobe=nprobe_eff, metric=self.metric.name,
                 q_chunk=q_chunk, precision=config.precision,
                 codec=self.sq_type)
         else:
             scores, pos = ivf_search(
-                storage, jnp.int32(self.ntotal), list_table, centroids,
+                storage, jnp.int32(self._nstored), list_table, centroids,
                 xq_pad, mask, jnp.asarray(self.metric_arg, jnp.float32),
                 k=k_eff, nprobe=nprobe_eff, metric=self.metric.name,
                 q_chunk=q_chunk, precision=config.precision)
@@ -829,7 +872,21 @@ class IVFIndex(Index):
                             ids_sorted[np.clip(pos_host, 0, None)]
                             if ids_sorted.size else pos_host, -1)
 
+        if self._srcrow is not None:
+            sorted_labels.src_of = (
+                lambda pos, src=self._sorted_srcrow(order):
+                np.where(pos >= 0, src[np.clip(pos, 0, None)], -1))
+
         return dist, pos, nq, k_eff, sorted_labels
+
+    def _sorted_srcrow(self, order) -> np.ndarray:
+        """_srcrow permuted into sorted layout, cached per build like
+        _sorted_ids (same O(_nstored)-per-dispatch concern)."""
+        cached = getattr(self, "_srcrow_sorted", None)
+        if cached is None or cached[0] is not order:
+            cached = (order, self._srcrow[order])
+            self._srcrow_sorted = cached
+        return cached[1]
 
     def _sorted_ids(self, order) -> np.ndarray:
         """ids permuted into the sorted storage layout, cached per layout
@@ -855,6 +912,9 @@ class IVFIndex(Index):
         beam = params.get_int("beam")
         if beam is not None:
             # RQ-storage encode beam (models/rq.DEFAULT_BEAM otherwise).
+            if self.pq_codec != "rq":
+                raise errors.InvalidInputError(
+                    "beam applies to RQ storage (IVFn,RQMxb)")
             self.rq_beam = max(1, beam)
         lam = params.get_float("soar_lambda")
         if lam is not None:
@@ -890,6 +950,13 @@ class IVFIndex(Index):
         if getattr(self, "soar_lambda", 0.0) > 0.0:
             # Needed after load: search must keep fetching 2k + deduping.
             state["soar_lambda"] = np.float32(self.soar_lambda)
+            if self._srcrow is not None:
+                state["soar_srcrow"] = self._srcrow
+                state["soar_rows"] = self._logical_rows
+        if getattr(self, "aniso_eta", 1.0) > 1.0:
+            state["aniso_eta"] = np.float32(self.aniso_eta)
+        if getattr(self, "rq_beam", None) is not None:
+            state["rq_beam"] = np.int64(self.rq_beam)
         if self._centroids is not None:
             state["centroids"] = self._centroids
         if self.pq_m is not None:
@@ -909,6 +976,17 @@ class IVFIndex(Index):
         lam = state.pop("soar_lambda", None)
         if lam is not None:
             self.soar_lambda = float(lam)
+        srcrow = state.pop("soar_srcrow", None)
+        if srcrow is not None:
+            self._srcrow = np.asarray(srcrow, np.int64).reshape(-1)
+            self._logical_rows = np.asarray(
+                state.pop("soar_rows"), np.int64).reshape(-1)
+        eta = state.pop("aniso_eta", None)
+        if eta is not None:
+            self.aniso_eta = float(eta)
+        beam = state.pop("rq_beam", None)
+        if beam is not None:
+            self.rq_beam = int(beam)
         self._xb = np.asarray(state["xb"], np.float32).reshape(-1, self.d)
         self._ids = np.asarray(state["ids"], np.int64).reshape(-1)
         self._assign = np.asarray(state["assign"], np.int32).reshape(-1)
@@ -1142,7 +1220,7 @@ def _ivf_range_search(self, xq, radius, params=EMPTY, selector=None):
         pr_c = jax.lax.dynamic_slice(
             probe_ids, (min(q0, nq_pad - qc), 0), (qc, nprobe_eff))
         dist, cand = _ivf_range_chunk(
-            xb_sorted, jnp.int32(self.ntotal), list_table, pr_c, xq_c,
+            xb_sorted, jnp.int32(self._nstored), list_table, pr_c, xq_c,
             marg, metric=self.metric.name, precision=config.precision)
         dist = np.asarray(dist)
         cand = np.asarray(cand)
@@ -1179,22 +1257,30 @@ def _ivf_range_search_outer(self, xq, radius, params=EMPTY, selector=None):
     if getattr(self, "soar_lambda", 0.0) <= 0.0:
         return res
     # SOAR duplicates rows across two lists: a label can appear twice in a
-    # query's CSR segment when both its lists were probed — keep one.
+    # query's CSR segment when both its lists were probed.  Keep the BEST
+    # duplicate (codec storages encode the two copies against different
+    # centroids, so their decoded distances differ).  One vectorized
+    # lexsort over the whole CSR; result order within a segment is
+    # unspecified, matching faiss::RangeSearchResult.
     from ..ops.range import RangeSearchResult
 
     nq = res.lims.shape[0] - 1
-    lims = [0]
-    labs, dists = [], []
-    for q in range(nq):
-        seg = slice(res.lims[q], res.lims[q + 1])
-        lab, idx = np.unique(res.labels[seg], return_index=True)
-        labs.append(lab)
-        dists.append(res.distances[seg][idx])
-        lims.append(lims[-1] + lab.shape[0])
-    return RangeSearchResult(
-        np.asarray(lims, np.int64),
-        np.concatenate(labs) if labs else res.labels[:0],
-        np.concatenate(dists) if dists else res.distances[:0])
+    nres = res.labels.shape[0]
+    if nres == 0:
+        return res
+    qid = np.repeat(np.arange(nq, dtype=np.int64), np.diff(res.lims))
+    sim = self.metric.name in SIMILARITY_METRICS
+    dkey = -res.distances if sim else res.distances
+    order = np.lexsort((dkey, res.labels, qid))
+    q_s, l_s = qid[order], res.labels[order]
+    first = np.ones((nres,), bool)
+    first[1:] = (q_s[1:] != q_s[:-1]) | (l_s[1:] != l_s[:-1])
+    keep = order[first]
+    keep.sort()  # restore per-query grouping
+    counts = np.bincount(qid[keep], minlength=nq)
+    lims = np.zeros((nq + 1,), np.int64)
+    np.cumsum(counts, out=lims[1:])
+    return RangeSearchResult(lims, res.labels[keep], res.distances[keep])
 
 
 IVFIndex.range_search = _ivf_range_search_outer

@@ -260,8 +260,7 @@ def _aniso_step(xs, xhat, centroids, eta, precision):
     empty = counts < 0.5
     A = jnp.where(empty[:, None, None], eye[None], A)
     b = jnp.where(empty[:, None], centroids, b)
-    new = jax.vmap(jnp.linalg.solve)(A, b[:, :, None])[:, :, 0]
-    return new, labels
+    return jax.vmap(jnp.linalg.solve)(A, b[:, :, None])[:, :, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("m", "ksub", "niter",
@@ -275,13 +274,10 @@ def _pq_train_aniso(xsub, dirsub, seed, eta, *, m, ksub, niter, precision):
         _, init_idx = lax.top_k(jax.random.gumbel(key, (n,)), ksub)
         cents = xs[init_idx]
 
-        def body(carry, _):
-            c, _ = carry
-            c2, lab = _aniso_step(xs, xhat, c, eta, precision)
-            return (c2, lab), None
+        def body(c, _):
+            return _aniso_step(xs, xhat, c, eta, precision), None
 
-        (cents, _), _ = lax.scan(
-            body, (cents, jnp.zeros((n,), jnp.int32)), None, length=niter)
+        cents, _ = lax.scan(body, cents, None, length=niter)
         return cents
 
     seeds = seed + jnp.arange(m, dtype=jnp.int32)

@@ -627,3 +627,67 @@ def test_soar_range_dedup(catalog):
         seg = labels[lims[q]:lims[q + 1]]
         assert len(set(seg)) == len(seg)
         assert q in seg
+
+
+def test_soar_sequential_labels_across_adds(catalog):
+    """Review finding (confirmed): the duplicated storage rows must not
+    leak into the sequential label space — the second faiss_add's labels
+    continue at n, not 2n, and ntotal reports logical datapoints."""
+    d = 8
+    xb1 = _soar_data(200, d, ncent=4, seed=36)
+    xb2 = _soar_data(200, d, ncent=4, seed=37)
+    dfx.faiss_create_params("soarseq", d, "IVF4,Flat",
+                            {"soar_lambda": "1.0"}, metric_type="L2",
+                            catalog=catalog)
+    dfx.faiss_add(xb1, "soarseq", catalog=catalog)
+    dfx.faiss_add(xb2, "soarseq", catalog=catalog)
+    ix = catalog.get("soarseq").index
+    assert ix.ntotal == 400
+    # Searching for a row of the second batch returns its logical label.
+    res = dfx.faiss_search("soarseq", 1, xb2[:5], {"nprobe": "4"},
+                           catalog=catalog)
+    np.testing.assert_array_equal(res["label"][:, 0],
+                                  np.arange(200, 205))
+    # reconstruct uses logical positions through the indirection.
+    np.testing.assert_allclose(ix.reconstruct(200), xb2[0], rtol=1e-6)
+    np.testing.assert_allclose(ix.reconstruct(0), xb1[0], rtol=1e-6)
+
+
+def test_soar_keeps_genuine_duplicate_labels(catalog):
+    """Review finding: dedup keys on the SOURCE row, so two DISTINCT
+    vectors sharing a user label both stay in the results."""
+    d = 8
+    rng = np.random.default_rng(38)
+    xb = rng.standard_normal((64, d)).astype(np.float32) * 3
+    ids = np.arange(64, dtype=np.int64)
+    ids[1] = ids[0]  # two distinct vectors, same label
+    dfx.faiss_create_params("soardup", d, "IVF4,Flat",
+                            {"soar_lambda": "1.0"}, metric_type="L2",
+                            catalog=catalog)
+    dfx.faiss_add((ids, xb), "soardup", catalog=catalog)
+    q = ((xb[0] + xb[1]) / 2)[None, :]
+    res = dfx.faiss_search("soardup", 64, q, {"nprobe": "4"},
+                           catalog=catalog)
+    labels = res["label"][0]
+    assert (labels == ids[0]).sum() == 2  # both survivors
+    assert (labels >= 0).sum() == 64
+
+
+def test_soar_aniso_beam_persist_before_training(catalog, tmp_path):
+    """Review finding: create params must survive an untrained save/load
+    (the loaded-untrained index is still mutable and will train later)."""
+    dfx.faiss_create_params("persisted", 16, "IVF4,PQ4",
+                            {"anisotropic_eta": "3.0"}, catalog=catalog)
+    path = str(tmp_path / "p1.idx")
+    dfx.faiss_save("persisted", path, catalog=catalog)
+    dfx.faiss_load("persisted2", path, catalog=catalog)
+    assert catalog.get("persisted2").index.aniso_eta == 3.0
+    dfx.faiss_create_params("persistedb", 16, "IVF4,RQ2x4",
+                            {"beam": "7"}, catalog=catalog)
+    path2 = str(tmp_path / "p2.idx")
+    dfx.faiss_save("persistedb", path2, catalog=catalog)
+    dfx.faiss_load("persistedb2", path2, catalog=catalog)
+    assert catalog.get("persistedb2").index.rq_beam == 7
+    with pytest.raises(dfx.errors.InvalidInputError, match="RQ storage"):
+        dfx.faiss_create_params("beambad", 16, "IVF4,PQ4", {"beam": "7"},
+                                catalog=catalog)

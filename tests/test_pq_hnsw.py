@@ -422,7 +422,8 @@ def test_ivfpq_anisotropic_improves_ip_recall(catalog):
 
     r_plain = recall("ivfplain", {})
     r_aniso = recall("ivfaniso", {"anisotropic_eta": "4.0"})
-    assert r_aniso > r_plain - 0.005, (r_aniso, r_plain)
+    # Deterministic seeds: measured 0.616 -> 0.639 on this setup.
+    assert r_aniso > r_plain, (r_aniso, r_plain)
     with pytest.raises(dfx.errors.InvalidInputError, match="PQ storage"):
         dfx.faiss_create_params("ivfsqan", d, "IVF4,SQ8",
                                 {"anisotropic_eta": "2.0"},
