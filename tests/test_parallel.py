@@ -308,3 +308,27 @@ def test_faiss_to_device_ivfrq(catalog):
     np.testing.assert_array_equal(before["label"], after["label"])
     np.testing.assert_allclose(before["distance"], after["distance"],
                                rtol=3e-4, atol=3e-4)
+
+
+def test_faiss_to_device_soar(catalog):
+    """SOAR's duplicated rows ride the sharded list layout unchanged; the
+    host dedup applies after the all-gather merge."""
+    rng = np.random.default_rng(29)
+    d, n = 16, 3000
+    xb = rng.standard_normal((n, d)).astype(np.float32)
+    dfx.faiss_create_params("shsoar", d, "IVF8,Flat",
+                            {"soar_lambda": "1.0"}, metric_type="L2",
+                            catalog=catalog)
+    dfx.faiss_add(xb, "shsoar", catalog=catalog)
+    before = dfx.faiss_search("shsoar", 5, xb[:6], {"nprobe": "8"},
+                              catalog=catalog)
+    mesh = make_mesh(8, batch_axis=1)
+    dfx.faiss_to_device("shsoar", mesh, catalog=catalog)
+    after = dfx.faiss_search("shsoar", 5, xb[:6], {"nprobe": "8"},
+                             catalog=catalog)
+    np.testing.assert_array_equal(before["label"], after["label"])
+    np.testing.assert_allclose(before["distance"], after["distance"],
+                               rtol=3e-4, atol=3e-4)
+    for row in after["label"]:
+        live = row[row >= 0]
+        assert len(set(live)) == len(live)
