@@ -332,3 +332,23 @@ def test_faiss_to_device_soar(catalog):
     for row in after["label"]:
         live = row[row >= 0]
         assert len(set(live)) == len(live)
+
+
+def test_faiss_to_device_imi(catalog):
+    """IMI's materialized cell table rides the standard sharded-IVF path
+    (nlist = 4^b lists partitioned over the mesh)."""
+    rng = np.random.default_rng(30)
+    d, n = 16, 2500
+    xb = rng.standard_normal((n, d)).astype(np.float32)
+    dfx.faiss_create("shimi", d, "IMI2x2,Flat", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_add(xb, "shimi", catalog=catalog)
+    before = dfx.faiss_search("shimi", 5, xb[:6], {"nprobe": "16"},
+                              catalog=catalog)
+    mesh = make_mesh(8, batch_axis=1)
+    dfx.faiss_to_device("shimi", mesh, catalog=catalog)
+    after = dfx.faiss_search("shimi", 5, xb[:6], {"nprobe": "16"},
+                             catalog=catalog)
+    np.testing.assert_array_equal(before["label"], after["label"])
+    np.testing.assert_allclose(before["distance"], after["distance"],
+                               rtol=3e-4, atol=3e-4)
