@@ -34,6 +34,12 @@ from .dispatch import _parse_literal as _dispatch_literal
 from .dispatch import _split_args
 
 
+class UnsupportedStatement(Exception):
+    """Raised when a statement/expression is outside the runner's grammar.
+    Never counted as an engine error — a statement_error block that trips
+    this is a runner bug, not a pass."""
+
+
 def _parse_literal(tok):
     """dispatch's literal parser plus DuckDB bracket-list vectors."""
     tok = tok.strip()
@@ -83,9 +89,14 @@ def parse_file(path: str) -> list[Block]:
         elif line.startswith("query"):
             i += 1
             sql_lines = []
-            while i < len(lines) and lines[i].strip() != "----":
+            while i < len(lines) and lines[i].strip() \
+                    and lines[i].strip() != "----":
                 sql_lines.append(lines[i])
                 i += 1
+            if i >= len(lines) or lines[i].strip() != "----":
+                raise UnsupportedStatement(
+                    f"{path}:{start + 1}: query block without ---- "
+                    f"separator")
             i += 1  # skip ----
             expected = []
             while i < len(lines) and lines[i].strip():
@@ -94,7 +105,7 @@ def parse_file(path: str) -> list[Block]:
             blocks.append(Block("query", "\n".join(sql_lines).strip(),
                                 expected, start + 1))
         else:
-            raise InvalidInputError(
+            raise UnsupportedStatement(
                 f"{path}:{i + 1}: unsupported sqllogictest line: {line}")
     return blocks
 
@@ -144,13 +155,11 @@ class Runner:
         import os
 
         path = relpath
-        for base in (self.root, os.path.dirname(self.root),
-                     os.path.join(self.root, "..", "..")):
-            cand = os.path.join(base, os.path.basename(relpath))
-            if os.path.exists(cand):
-                path = cand
-                break
-            cand = os.path.join(base, relpath)
+        bases = (self.root, os.path.dirname(self.root),
+                 os.path.join(self.root, "..", ".."))
+        candidates = [os.path.join(b, relpath) for b in bases] + [
+            os.path.join(b, os.path.basename(relpath)) for b in bases]
+        for cand in candidates:
             if os.path.exists(cand):
                 path = cand
                 break
@@ -177,8 +186,14 @@ class Runner:
             return self._load_csv(m.group(1))
         m = _VALUES_RE.match(tok)
         if m:
+            if "),(" in m.group(1).replace(" ", ""):
+                raise UnsupportedStatement(
+                    f"multi-row VALUES is not supported: {tok[:80]}")
             vals = _split_args(m.group(1))
             names = [c.strip() for c in m.group(3).split(",")]
+            if len(vals) != len(names):
+                raise UnsupportedStatement(
+                    f"VALUES arity {len(vals)} != columns {len(names)}")
             cols = {}
             for name, v in zip(names, vals):
                 lit = _parse_literal(v.strip())
@@ -193,17 +208,15 @@ class Runner:
             return self.eval_select(tok[1:-1].strip(), {})
         if tok in self.tables:
             return self.tables[tok]
-        raise InvalidInputError(f"unknown table source: {tok}")
+        raise UnsupportedStatement(f"unknown table source: {tok}")
 
     # -- faiss function expressions ------------------------------------------
     def _faiss_call(self, fn: str, argstr: str, env_table: Table | None,
-                    recursive: bool, fieldname: str | None) -> Table:
-        """Evaluate UNNEST(FAISS_SEARCH*(...)) over the rows of env_table."""
-        args = _split_args(argstr)
-        recursive = recursive or any(
-            re.match(r"recursive\s*:=", a.strip(), re.IGNORECASE)
-            for a in args)
-        args = [a for a in args
+                    fieldname: str | None) -> Table:
+        """Evaluate UNNEST(FAISS_SEARCH*(...)) over the rows of env_table.
+        ``recursive:=true`` and plain struct UNNEST both surface the three
+        (rank, label, distance) columns, so the flag is dropped here."""
+        args = [a for a in _split_args(argstr)
                 if not re.match(r"recursive\s*:=", a.strip(), re.IGNORECASE)]
         name = _parse_literal(args[0].strip())
         k = int(_parse_literal(args[1].strip()))
@@ -221,17 +234,13 @@ class Runner:
             res = call(name, k, queries, filt, idsel, tab,
                        catalog=self.catalog, database=self.db)
         else:
-            raise InvalidInputError(f"unsupported faiss function {fn}")
+            raise UnsupportedStatement(f"unsupported faiss function {fn}")
         rank = np.tile(np.arange(k), queries.shape[0])
         label = res["label"].reshape(-1)
         dist = res["distance"].reshape(-1)
         if fieldname:
             return Table({fieldname: {"rank": rank, "label": label,
                                       "distance": dist}[fieldname]})
-        if recursive:
-            return Table({"rank": rank, "label": label, "distance": dist})
-        # Non-recursive UNNEST yields the struct; project all three fields
-        # (the reference's faiss7 SELECT * over it).
         return Table({"rank": rank, "label": label, "distance": dist})
 
     def _vector_expr(self, tok: str, env: Table | None) -> np.ndarray:
@@ -248,7 +257,7 @@ class Runner:
             if col.dtype == object:
                 return np.stack([np.asarray(v, np.float32) for v in col])
             return np.asarray(col, np.float32)
-        raise InvalidInputError(f"unsupported vector expression: {tok}")
+        raise UnsupportedStatement(f"unsupported vector expression: {tok}")
 
     # -- SELECT evaluation ----------------------------------------------------
     def eval_select(self, sql: str, ctes: dict) -> Table:
@@ -286,7 +295,7 @@ class Runner:
             r"(?:\s+WHERE\s+(.+?))?\s*$",
             sql, re.IGNORECASE | re.DOTALL)
         if not m:
-            raise InvalidInputError(f"unsupported SELECT: {sql[:100]}")
+            raise UnsupportedStatement(f"unsupported SELECT: {sql[:100]}")
         projs, src, join_tab, join_col, where = m.groups()
 
         # FROM source (CTE name, registered table, CSV, subquery, UNNEST)
@@ -294,7 +303,7 @@ class Runner:
         um = _UNNEST_RE.match(src)
         if um:
             base = self._faiss_call(um.group(1), um.group(2), None,
-                                    False, um.group(3))
+                                    um.group(3))
         elif src in ctes:
             base = ctes[src]
         else:
@@ -316,7 +325,7 @@ class Runner:
             um = _UNNEST_RE.match(item)
             if um:
                 sub = self._faiss_call(um.group(1), um.group(2), base,
-                                       False, um.group(3))
+                                       um.group(3))
                 alias = um.group(4)
                 for cname, col in sub.cols.items():
                     out[alias or cname] = col
@@ -346,7 +355,7 @@ class Runner:
             elif colname in out:
                 out[alias] = out.pop(colname)
             else:
-                raise InvalidInputError(
+                raise UnsupportedStatement(
                     f"unsupported projection: {item}")
         return Table(out)
 
@@ -362,13 +371,13 @@ class Runner:
             return self._execute_insert(sql)
         if low.startswith("select") or low.startswith("with"):
             return self.eval_select(sql, {})
-        raise InvalidInputError(f"unsupported statement: {sql[:100]}")
+        raise UnsupportedStatement(f"unsupported statement: {sql[:100]}")
 
     def _execute_call(self, sql: str):
         m = re.match(r"^CALL\s+(\w+)\s*\((.*)\)$", sql,
                      re.IGNORECASE | re.DOTALL)
         if not m:
-            raise InvalidInputError(f"cannot parse CALL: {sql[:100]}")
+            raise UnsupportedStatement(f"cannot parse CALL: {sql[:100]}")
         fn = m.group(1).lower()
         args = _split_args(m.group(2))
         named, pos = {}, []
@@ -380,6 +389,12 @@ class Runner:
             else:
                 pos.append(a)
         if fn == "faiss_create":
+            if len(pos) != 3:
+                # Match sql/dispatch.py: extra positionals are an error,
+                # not silently dropped.
+                raise InvalidInputError(
+                    "faiss_create takes 3 positional arguments; use "
+                    "faiss_create_params for a parameter map")
             api.faiss_create(_parse_literal(pos[0]), int(pos[1]),
                              _parse_literal(pos[2]), catalog=self.catalog,
                              **named)
@@ -401,7 +416,7 @@ class Runner:
             api.faiss_load(_parse_literal(pos[0]), _parse_literal(pos[1]),
                            catalog=self.catalog)
         else:
-            raise InvalidInputError(f"unsupported CALL {fn}")
+            raise UnsupportedStatement(f"unsupported CALL {fn}")
 
     def _table_arg(self, tok: str):
         """'(SELECT [id,] vectors FROM src)' → ndarray or (ids, ndarray)."""
@@ -434,14 +449,14 @@ class Runner:
                 cols[cname] = np.empty((0,), object)
             self._register(m.group(1), Table(cols))
             return
-        raise InvalidInputError(f"unsupported CREATE TABLE: {sql[:100]}")
+        raise UnsupportedStatement(f"unsupported CREATE TABLE: {sql[:100]}")
 
     def _execute_insert(self, sql: str):
         m = re.match(
             r"^INSERT\s+INTO\s+(\w+)\s*\(([^)]*)\)\s*VALUES\s*\((.*)\)$",
             sql, re.IGNORECASE | re.DOTALL)
         if not m:
-            raise InvalidInputError(f"unsupported INSERT: {sql[:100]}")
+            raise UnsupportedStatement(f"unsupported INSERT: {sql[:100]}")
         tab = self.tables[m.group(1)]
         names = [c.strip() for c in m.group(2).split(",")]
         vals = [_parse_literal(v.strip())
@@ -506,7 +521,7 @@ _WHERE_OPS = {
 def _apply_where(table: Table, cond: str) -> Table:
     m = _WHERE_RE.match(cond)
     if not m:
-        raise InvalidInputError(f"unsupported WHERE: {cond}")
+        raise UnsupportedStatement(f"unsupported WHERE: {cond}")
     colname, op, rhs = m.groups()
     mask = _WHERE_OPS[op](np.asarray(table.cols[colname], np.float64),
                           float(rhs))
@@ -553,7 +568,8 @@ def _cells_match(a, b, rtol=2e-5, atol=2e-5) -> bool:
     return a == b
 
 
-def compare_rows(actual: list[list], expected_lines: list[str]) -> str | None:
+def compare_rows(actual: list[list], expected_lines: list[str],
+                 allow_unordered: bool = False) -> str | None:
     expected = [_canon_row(line) for line in expected_lines]
     if len(actual) != len(expected):
         return f"row count {len(actual)} != expected {len(expected)}"
@@ -566,12 +582,13 @@ def compare_rows(actual: list[list], expected_lines: list[str]) -> str | None:
 
     if rows_equal(arows, expected):
         return None
-    # Order-insensitive retry: several golden files capture DuckDB's
-    # hash-join output order, an engine artifact (sqllogictest would use
-    # rowsort for this; the reference relies on DuckDB determinism).
-    key = repr
-    if rows_equal(sorted(arows, key=key), sorted(expected, key=key)):
-        return None
+    if allow_unordered:
+        # JOIN goldens capture DuckDB's hash-join output order, an engine
+        # artifact (sqllogictest would use rowsort); every other block is
+        # compared strictly so ordering regressions fail.
+        key = repr
+        if rows_equal(sorted(arows, key=key), sorted(expected, key=key)):
+            return None
     for i, (arow, erow) in enumerate(zip(arows, expected)):
         if not rows_equal([arow], [erow]):
             return f"row {i}: got {arow}, expected {erow}"
@@ -593,6 +610,11 @@ def run_file(path: str, root: str) -> list[tuple[int, str, str | None]]:
             try:
                 runner.execute(block.sql)
                 failure = "expected an error, statement succeeded"
+            except UnsupportedStatement as e:
+                # The runner could not even evaluate the statement — the
+                # engine was never exercised, so this cannot count as the
+                # expected error.
+                failure = f"runner cannot evaluate statement: {e}"
             except Exception as e:  # noqa: BLE001
                 if block.expected:
                     want = "\n".join(block.expected)
@@ -605,7 +627,10 @@ def run_file(path: str, root: str) -> list[tuple[int, str, str | None]]:
         else:  # query
             try:
                 table = runner.execute(block.sql)
-                failure = compare_rows(list(table.rows()), block.expected)
+                failure = compare_rows(
+                    list(table.rows()), block.expected,
+                    allow_unordered=bool(
+                        re.search(r"\bJOIN\b", block.sql, re.IGNORECASE)))
             except Exception as e:  # noqa: BLE001
                 failure = f"unexpected error: {type(e).__name__}: {e}"
         results.append((block.line, block.kind, failure))

@@ -15,9 +15,13 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 def main(root: str) -> int:
     from duckdb_faiss_ext_tpu.sql.logictest import run_file
 
+    files = sorted(glob.glob(os.path.join(root, "*.test")))
+    if not files:
+        print(f"no .test files found under {root}", file=sys.stderr)
+        return 2
     total = passed = 0
     rc = 0
-    for path in sorted(glob.glob(os.path.join(root, "*.test"))):
+    for path in files:
         results = run_file(path, root)
         fails = [(line, kind, f) for line, kind, f in results if f]
         total += len(results)
