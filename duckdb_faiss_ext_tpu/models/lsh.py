@@ -62,6 +62,14 @@ class LSHIndex(Index):
         #: ±1 float32 code rows; INNER_PRODUCT so max dot == min Hamming.
         self._codes = FlatIndex(self.nbits, resolve_metric("INNER_PRODUCT"))
 
+    def shard_over(self, mesh) -> None:
+        """faiss_to_gpu analogue: the ±1 code corpus (an inner IP Flat
+        index) is row-sharded like any Flat placement."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self._codes.set_placement(NamedSharding(mesh, P("shard", None)))
+        self._codes.device_vectors()
+
     # --- lifecycle -------------------------------------------------------
     @property
     def ntotal(self) -> int:

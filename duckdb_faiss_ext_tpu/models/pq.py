@@ -29,9 +29,10 @@ class PQIndex(Index):
     #: (additive sum; RQIndex overrides).  Consumed by the shared
     #: search/range paths via ops/pq.codec_* switches.
     codec = "pq"
-    #: class default so subclasses that bypass __init__ (RQIndex) still
-    #: serialize cleanly.
+    #: class defaults so subclasses that bypass __init__ (RQIndex) still
+    #: behave (serialization / placement).
     aniso_eta = 1.0
+    _placement = None
 
     def __init__(self, d: int, metric: Metric, metric_arg: float = 0.0,
                  M: int = 8, nbits: int = 8):
@@ -56,6 +57,7 @@ class PQIndex(Index):
         self._codes = np.empty((0, M), dtype=np.uint8)
         self._version = 0
         self._device = None
+        self._placement = None
         self._mask_cache: dict = {}
 
     @property
@@ -128,14 +130,39 @@ class PQIndex(Index):
         self._mask_cache.clear()
 
     def _capacity(self) -> int:
-        return max(config.min_capacity, next_capacity(max(self.ntotal, 1)))
+        cap = max(config.min_capacity, next_capacity(max(self.ntotal, 1)))
+        if self._placement is not None:
+            n_dev = len(self._placement.mesh.devices.reshape(-1))
+            cap = n_dev * -(-cap // n_dev)
+        return cap
 
     def _device_state(self):
         if self._device is None:
             cap = self._capacity()
-            self._device = (jnp.asarray(pad_rows(self._codes, cap)),
-                            jnp.asarray(self._codebooks))
+            codes = pad_rows(self._codes, cap)
+            if self._placement is not None:
+                import jax
+
+                codes_dev = jax.device_put(codes, self._placement)
+            else:
+                codes_dev = jnp.asarray(codes)
+            self._device = (codes_dev, jnp.asarray(self._codebooks))
         return self._device
+
+    def shard_over(self, mesh) -> None:
+        """faiss_to_gpu analogue: byte codes row-sharded over the mesh,
+        codebooks replicated; the fused decode+scan partitions under
+        GSPMD like the Flat path (models/flat.py _dispatch_search)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if "shard" not in mesh.shape:
+            raise errors.InvalidInputError(
+                "sharding needs a mesh with a 'shard' axis "
+                "(parallel.placement.default_mesh builds one)")
+        self._placement = NamedSharding(mesh, P("shard", None))
+        self._device = None
+        self._mask_cache.clear()
+        self._device_state()
 
     def search(self, xq, k, params=EMPTY, selector=None) -> SearchResult:
         return self._finish_dispatch(

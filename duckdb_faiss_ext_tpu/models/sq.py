@@ -117,7 +117,11 @@ class SQIndex(Index):
         self._mask_cache.clear()
 
     def _capacity(self) -> int:
-        return max(config.min_capacity, next_capacity(max(self.ntotal, 1)))
+        cap = max(config.min_capacity, next_capacity(max(self.ntotal, 1)))
+        if getattr(self, "_placement", None) is not None:
+            n_dev = len(self._placement.mesh.devices.reshape(-1))
+            cap = n_dev * -(-cap // n_dev)
+        return cap
 
     def _device_state(self):
         if self._device is None:
@@ -127,9 +131,30 @@ class SQIndex(Index):
                 scale = jnp.asarray(self._scale)
             else:
                 vmin = scale = jnp.zeros((self.d,), jnp.float32)
-            self._device = (jnp.asarray(pad_rows(self._codes, cap)),
-                            vmin, scale)
+            codes = pad_rows(self._codes, cap)
+            if getattr(self, "_placement", None) is not None:
+                import jax
+
+                codes_dev = jax.device_put(codes, self._placement)
+            else:
+                codes_dev = jnp.asarray(codes)
+            self._device = (codes_dev, vmin, scale)
         return self._device
+
+    def shard_over(self, mesh) -> None:
+        """faiss_to_gpu analogue: packed codes row-sharded over the mesh,
+        (vmin, scale) replicated; the decode+scan partitions under GSPMD
+        like the Flat path."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if "shard" not in mesh.shape:
+            raise errors.InvalidInputError(
+                "sharding needs a mesh with a 'shard' axis "
+                "(parallel.placement.default_mesh builds one)")
+        self._placement = NamedSharding(mesh, P("shard", None))
+        self._device = None
+        self._mask_cache.clear()
+        self._device_state()
 
     def search(self, xq, k, params=EMPTY, selector=None) -> SearchResult:
         return self._finish_dispatch(

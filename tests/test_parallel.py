@@ -352,3 +352,23 @@ def test_faiss_to_device_imi(catalog):
     np.testing.assert_array_equal(before["label"], after["label"])
     np.testing.assert_allclose(before["distance"], after["distance"],
                                rtol=3e-4, atol=3e-4)
+
+
+@pytest.mark.parametrize("desc", ["PQ4", "SQ8", "SQ4", "SQfp16", "RQ2x4",
+                                  "LSH16"])
+def test_faiss_to_device_codec_families(catalog, desc):
+    """Standalone codec families shard their byte-code corpus over the
+    mesh (row placement under GSPMD, like Flat); search parity holds."""
+    rng = np.random.default_rng(33)
+    d, n = 16, 900
+    xb = rng.standard_normal((n, d)).astype(np.float32)
+    name = f"shc_{desc.replace(',', '_')}"
+    dfx.faiss_create(name, d, desc, metric_type="L2", catalog=catalog)
+    dfx.faiss_add(xb, name, catalog=catalog)
+    before = dfx.faiss_search(name, 4, xb[:5], catalog=catalog)
+    dfx.faiss_to_device(name, make_mesh(8, batch_axis=1), catalog=catalog)
+    after = dfx.faiss_search(name, 4, xb[:5], catalog=catalog)
+    np.testing.assert_array_equal(before["label"], after["label"],
+                                  err_msg=desc)
+    np.testing.assert_allclose(before["distance"], after["distance"],
+                               rtol=3e-4, atol=3e-4, err_msg=desc)
