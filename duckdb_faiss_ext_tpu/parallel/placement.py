@@ -53,7 +53,20 @@ def shard_entry(entry: IndexEntry, devices=None) -> None:
     """Reshard an index's storage over a device mesh (rows over 'shard')."""
     mesh = devices if isinstance(devices, Mesh) else default_mesh(devices)
     index = entry.index
-    inner = index.inner if isinstance(index, IDMapIndex) else index
+    # Unwrap composition wrappers down to the storage-owning index:
+    # IDMap/PreTransform delegate wholly; RefineFlat shards its BASE (the
+    # candidate generator dominates; the exact re-rank stage stays
+    # replicated — its gathers are tiny, k_factor·k rows per query).
+    inner = index
+    while True:
+        if isinstance(inner, IDMapIndex):
+            inner = inner.inner
+        elif type(inner).__name__ == "PreTransformIndex":
+            inner = inner.inner
+        elif type(inner).__name__ == "RefineFlatIndex":
+            inner = inner.base
+        else:
+            break
     if isinstance(inner, FlatIndex):
         _shard_flat(inner, mesh)
         return

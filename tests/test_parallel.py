@@ -372,3 +372,28 @@ def test_faiss_to_device_codec_families(catalog, desc):
                                   err_msg=desc)
     np.testing.assert_allclose(before["distance"], after["distance"],
                                rtol=3e-4, atol=3e-4, err_msg=desc)
+
+
+@pytest.mark.parametrize("desc", ["PCA8,Flat", "PQ4,RFlat",
+                                  "ITQ8,LSH16", "IDMap2,OPQ4,IVF4,PQ4"])
+def test_faiss_to_device_wrapped_composites(catalog, desc):
+    """shard_entry unwraps IDMap/PreTransform/RefineFlat wrappers down to
+    the storage-owning index (RefineFlat shards its base; the re-rank
+    stage's per-query gathers stay replicated)."""
+    rng = np.random.default_rng(34)
+    d, n = 16, 800
+    xb = rng.standard_normal((n, d)).astype(np.float32)
+    name = f"shw_{abs(hash(desc)) % 10000}"
+    dfx.faiss_create(name, d, desc, metric_type="L2", catalog=catalog)
+    data = ((np.arange(n, dtype=np.int64), xb)
+            if desc.startswith("IDMap") else xb)
+    dfx.faiss_add(data, name, catalog=catalog)
+    before = dfx.faiss_search(name, 4, xb[:5], {"nprobe": "4"},
+                              catalog=catalog)
+    dfx.faiss_to_device(name, make_mesh(8, batch_axis=1), catalog=catalog)
+    after = dfx.faiss_search(name, 4, xb[:5], {"nprobe": "4"},
+                             catalog=catalog)
+    np.testing.assert_array_equal(before["label"], after["label"],
+                                  err_msg=desc)
+    np.testing.assert_allclose(before["distance"], after["distance"],
+                               rtol=3e-4, atol=3e-4, err_msg=desc)
