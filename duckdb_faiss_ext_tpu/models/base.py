@@ -209,3 +209,24 @@ def dedup_by_key(dist, labels, keys, k: int, sentinel: float):
     compact = np.argsort(dup, axis=1, kind="stable")[:, :k]
     return (np.take_along_axis(dist, compact, 1),
             np.take_along_axis(labels, compact, 1))
+
+
+def row_placement(mesh):
+    """NamedSharding for row-sharded storage (shared by every codec
+    family's shard_over); validates the mesh shape once."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if "shard" not in mesh.shape:
+        raise errors.InvalidInputError(
+            "sharding needs a mesh with a 'shard' axis "
+            "(parallel.placement.default_mesh builds one)")
+    return NamedSharding(mesh, P("shard", None))
+
+
+def placement_capacity(cap: int, placement) -> int:
+    """Round a capacity bucket up to a multiple of the placement's device
+    count (row-sharded buffers need equal shards)."""
+    if placement is None:
+        return cap
+    n_dev = len(placement.mesh.devices.reshape(-1))
+    return n_dev * -(-cap // n_dev)

@@ -73,13 +73,11 @@ class FlatIndex(Index):
         return self._xb[key]
 
     def _capacity(self) -> int:
-        cap = max(config.min_capacity, next_capacity(max(self.ntotal, 1)))
-        if self._placement is not None:
-            # Row-sharded buffers need the capacity divisible by the number
-            # of shard devices.
-            n_dev = len(self._placement.mesh.devices.reshape(-1))
-            cap = n_dev * -(-cap // n_dev)
-        return cap
+        from .base import placement_capacity
+
+        return placement_capacity(
+            max(config.min_capacity, next_capacity(max(self.ntotal, 1))),
+            self._placement)
 
     def device_vectors(self) -> jax.Array:
         """Padded (cap, d) device buffer; re-uploaded only when the capacity

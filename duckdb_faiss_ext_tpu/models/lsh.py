@@ -65,9 +65,9 @@ class LSHIndex(Index):
     def shard_over(self, mesh) -> None:
         """faiss_to_gpu analogue: the ±1 code corpus (an inner IP Flat
         index) is row-sharded like any Flat placement."""
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from .base import row_placement
 
-        self._codes.set_placement(NamedSharding(mesh, P("shard", None)))
+        self._codes.set_placement(row_placement(mesh))
         self._codes.device_vectors()
 
     # --- lifecycle -------------------------------------------------------

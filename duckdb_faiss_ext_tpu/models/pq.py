@@ -130,11 +130,11 @@ class PQIndex(Index):
         self._mask_cache.clear()
 
     def _capacity(self) -> int:
-        cap = max(config.min_capacity, next_capacity(max(self.ntotal, 1)))
-        if self._placement is not None:
-            n_dev = len(self._placement.mesh.devices.reshape(-1))
-            cap = n_dev * -(-cap // n_dev)
-        return cap
+        from .base import placement_capacity
+
+        return placement_capacity(
+            max(config.min_capacity, next_capacity(max(self.ntotal, 1))),
+            self._placement)
 
     def _device_state(self):
         if self._device is None:
@@ -153,16 +153,16 @@ class PQIndex(Index):
         """faiss_to_gpu analogue: byte codes row-sharded over the mesh,
         codebooks replicated; the fused decode+scan partitions under
         GSPMD like the Flat path (models/flat.py _dispatch_search)."""
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from .base import row_placement
 
-        if "shard" not in mesh.shape:
-            raise errors.InvalidInputError(
-                "sharding needs a mesh with a 'shard' axis "
-                "(parallel.placement.default_mesh builds one)")
-        self._placement = NamedSharding(mesh, P("shard", None))
+        self._placement = row_placement(mesh)
         self._device = None
         self._mask_cache.clear()
-        self._device_state()
+        if self.is_trained:
+            # Untrained indexes have no codebooks yet; the placement is
+            # sticky, materialization happens on the first post-train use
+            # (faiss_to_gpu before training is a standard FAISS flow).
+            self._device_state()
 
     def search(self, xq, k, params=EMPTY, selector=None) -> SearchResult:
         return self._finish_dispatch(

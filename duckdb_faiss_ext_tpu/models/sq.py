@@ -55,6 +55,7 @@ class SQIndex(Index):
                                    dtype=np.uint8)
         self._version = 0
         self._device = None
+        self._placement = None
         self._mask_cache: dict = {}
 
     @property
@@ -117,11 +118,11 @@ class SQIndex(Index):
         self._mask_cache.clear()
 
     def _capacity(self) -> int:
-        cap = max(config.min_capacity, next_capacity(max(self.ntotal, 1)))
-        if getattr(self, "_placement", None) is not None:
-            n_dev = len(self._placement.mesh.devices.reshape(-1))
-            cap = n_dev * -(-cap // n_dev)
-        return cap
+        from .base import placement_capacity
+
+        return placement_capacity(
+            max(config.min_capacity, next_capacity(max(self.ntotal, 1))),
+            self._placement)
 
     def _device_state(self):
         if self._device is None:
@@ -132,7 +133,7 @@ class SQIndex(Index):
             else:
                 vmin = scale = jnp.zeros((self.d,), jnp.float32)
             codes = pad_rows(self._codes, cap)
-            if getattr(self, "_placement", None) is not None:
+            if self._placement is not None:
                 import jax
 
                 codes_dev = jax.device_put(codes, self._placement)
@@ -145,16 +146,13 @@ class SQIndex(Index):
         """faiss_to_gpu analogue: packed codes row-sharded over the mesh,
         (vmin, scale) replicated; the decode+scan partitions under GSPMD
         like the Flat path."""
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from .base import row_placement
 
-        if "shard" not in mesh.shape:
-            raise errors.InvalidInputError(
-                "sharding needs a mesh with a 'shard' axis "
-                "(parallel.placement.default_mesh builds one)")
-        self._placement = NamedSharding(mesh, P("shard", None))
+        self._placement = row_placement(mesh)
         self._device = None
         self._mask_cache.clear()
-        self._device_state()
+        if self.is_trained:
+            self._device_state()
 
     def search(self, xq, k, params=EMPTY, selector=None) -> SearchResult:
         return self._finish_dispatch(

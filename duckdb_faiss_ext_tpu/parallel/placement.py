@@ -54,9 +54,10 @@ def shard_entry(entry: IndexEntry, devices=None) -> None:
     mesh = devices if isinstance(devices, Mesh) else default_mesh(devices)
     index = entry.index
     # Unwrap composition wrappers down to the storage-owning index:
-    # IDMap/PreTransform delegate wholly; RefineFlat shards its BASE (the
-    # candidate generator dominates; the exact re-rank stage stays
-    # replicated — its gathers are tiny, k_factor·k rows per query).
+    # IDMap/PreTransform delegate wholly; RefineFlat shards BOTH parts —
+    # the compressed base (candidate generation) and the raw fp32 refine
+    # store, which otherwise dominates per-device memory (its per-query
+    # gathers of k_factor·k rows partition fine under GSPMD).
     inner = index
     while True:
         if isinstance(inner, IDMapIndex):
@@ -64,6 +65,7 @@ def shard_entry(entry: IndexEntry, devices=None) -> None:
         elif type(inner).__name__ == "PreTransformIndex":
             inner = inner.inner
         elif type(inner).__name__ == "RefineFlatIndex":
+            _shard_flat(inner.refine, mesh)
             inner = inner.base
         else:
             break

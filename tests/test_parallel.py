@@ -383,7 +383,9 @@ def test_faiss_to_device_wrapped_composites(catalog, desc):
     rng = np.random.default_rng(34)
     d, n = 16, 800
     xb = rng.standard_normal((n, d)).astype(np.float32)
-    name = f"shw_{abs(hash(desc)) % 10000}"
+    import re as _re
+
+    name = "shw_" + _re.sub(r"\\W", "_", desc)
     dfx.faiss_create(name, d, desc, metric_type="L2", catalog=catalog)
     data = ((np.arange(n, dtype=np.int64), xb)
             if desc.startswith("IDMap") else xb)
@@ -397,3 +399,38 @@ def test_faiss_to_device_wrapped_composites(catalog, desc):
                                   err_msg=desc)
     np.testing.assert_allclose(before["distance"], after["distance"],
                                rtol=3e-4, atol=3e-4, err_msg=desc)
+
+
+def test_untrained_shard_then_train(catalog):
+    """faiss_to_device BEFORE training (the FAISS create→to_gpu→train
+    flow): the placement is sticky, materialization deferred to the first
+    post-train use (review finding: eager _device_state crashed on the
+    None codebooks)."""
+    rng = np.random.default_rng(35)
+    xb = rng.standard_normal((500, 16)).astype(np.float32)
+    mesh = make_mesh(8, batch_axis=1)
+    for desc in ("PQ4", "SQ8", "RQ2x4"):
+        name = f"ut_{desc}"
+        dfx.faiss_create(name, 16, desc, metric_type="L2", catalog=catalog)
+        dfx.faiss_to_device(name, mesh, catalog=catalog)
+        dfx.faiss_add(xb, name, catalog=catalog)
+        res = dfx.faiss_search(name, 3, xb[:4], catalog=catalog)
+        assert (res["label"][:, 0] == np.arange(4)).sum() >= 3, desc
+
+
+def test_refine_store_sharded(catalog):
+    """RefineFlat sharding covers BOTH parts: the compressed base and the
+    raw refine store (review finding: the fp32 store dominated per-device
+    memory when left unsharded)."""
+    rng = np.random.default_rng(36)
+    xb = rng.standard_normal((640, 16)).astype(np.float32)
+    dfx.faiss_create("rfsh", 16, "PQ4,RFlat", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_add(xb, "rfsh", catalog=catalog)
+    dfx.faiss_to_device("rfsh", make_mesh(8, batch_axis=1),
+                        catalog=catalog)
+    ix = catalog.get("rfsh").index
+    refine_buf = ix.refine.device_vectors()
+    assert len(refine_buf.sharding.mesh.devices.reshape(-1)) == 8
+    res = dfx.faiss_search("rfsh", 3, xb[:4], catalog=catalog)
+    assert (res["label"][:, 0] == np.arange(4)).all()

@@ -22,7 +22,13 @@ def main(root: str) -> int:
     total = passed = 0
     rc = 0
     for path in files:
-        results = run_file(path, root)
+        try:
+            results = run_file(path, root)
+        except Exception as e:  # noqa: BLE001 — per-file isolation
+            print(f"FAIL {os.path.basename(path)}: runner error: "
+                  f"{type(e).__name__}: {e}")
+            rc = 1
+            continue
         fails = [(line, kind, f) for line, kind, f in results if f]
         total += len(results)
         passed += len(results) - len(fails)
