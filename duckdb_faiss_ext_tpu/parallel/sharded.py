@@ -197,6 +197,20 @@ def multichip_dryrun(n_devices: int) -> None:
     jax.block_until_ready((dq, pq_))
     assert dq.shape == (nq, k)
 
+    # Row-sharded codec placement (faiss_to_device on standalone PQ):
+    # GSPMD partitions the fused decode+scan over the placed byte codes.
+    from ..ops.pq import pq_search, pq_train
+
+    pq_codes = rng.integers(0, ksub, (cap, m)).astype(np.uint8)
+    cbs = jnp.asarray(rng.standard_normal((m, ksub, dsub)).astype(np.float32))
+    codes_s = jax.device_put(pq_codes, NamedSharding(mesh, P("shard", None)))
+    ds, ps = pq_search(codes_s, jnp.int32(cap - 3), cbs, xq_s, None,
+                       jnp.float32(0.0), k=k, metric="L2",
+                       chunk=cap // n_shard,
+                       precision=lax.Precision.DEFAULT)
+    jax.block_until_ready((ds, ps))
+    assert ds.shape == (nq, k)
+
 
 def sharded_ivf_search_fn(mesh: Mesh, *, k: int, nprobe: int, metric: str,
                           q_chunk: int = 8,
