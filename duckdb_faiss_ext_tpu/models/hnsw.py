@@ -5,21 +5,30 @@ The reference builds faiss::IndexHNSW via factory strings (``HNSW16``,
 ``efConstruction`` at create time and ``efSearch`` at search time
 (src/faiss_extension.cpp:133-141, 691-702).
 
-Graph-walking ANN is TPU-hostile (pointer chasing, data-dependent control
-flow — SURVEY.md §2.2), so this index accepts the full HNSW surface but
-executes TPU-shaped searches — the "lower to TPU-friendly exact/IVF scan"
-decision of SURVEY.md §7 step 8.  Two regimes:
+Sequential graph-walking ANN is TPU-hostile (pointer chasing,
+data-dependent control flow — SURVEY.md §2.2), so this index accepts the
+full HNSW surface but executes TPU-shaped searches — the "lower to
+TPU-friendly" decision of SURVEY.md §7 step 8.  Three regimes:
 
 * small corpora (< ``ann_threshold`` rows): the fused exact MXU scan
-  (FlatIndex) — recall 1.0, still faster than a graph walk at these sizes;
-* at scale: a lazily-built internal IVF partition (nlist ≈ √n k-means over
-  a training subsample) searched with nprobe mapped from efSearch
-  (nprobe = max(1, efSearch/4), matching HNSW's candidate-pool scaling),
-  plus an exact scan of the "tail" rows added after the partition was
-  built, merged per query.  Adds stay O(batch); the partition rebuilds only
-  when the tail outgrows 20% of the corpus.  Approximate like real HNSW,
-  with the knobs meaning the same thing (bigger efSearch → more candidates
-  → higher recall); ``{"exact": "true"}`` forces the exact path.
+  (FlatIndex) — recall 1.0, still faster than any ANN at these sizes;
+* at scale (default): a *batched graph walk* over a CAGRA-style
+  fixed-degree neighbour graph (ops/graph.py) — true graph-algorithm
+  parity with HNSW, reshaped for the MXU: static-shape frontier expansion,
+  wide top-k merges, no pointer chasing.  efSearch maps to the candidate
+  pool (CAGRA itopk) exactly like HNSW's candidate heap; the graph degree
+  comes from M (HNSW's layer-0 degree 2M, capped at 64).  Graph build is
+  an exact kNN scan (one jitted device program) + reverse-edge
+  augmentation; rows added after the build are exact-scanned ("tail") and
+  merged until the tail outgrows 20% of the corpus, which triggers a
+  rebuild.
+* ``accel=ivf`` create param, SOAR (``soar_lambda``), corpora past
+  ``graph_max`` (where the O(n²) graph build stops paying), or legacy
+  saves: an internal IVF partition (nlist ≈ √n) searched with nprobe
+  mapped from efSearch (nprobe = max(1, efSearch/4)), same tail-merge
+  policy.
+
+``{"exact": "true"}`` always forces the exact path.
 """
 
 from __future__ import annotations
@@ -42,6 +51,11 @@ class HNSWIndex(FlatIndex):
     #: fraction of the corpus (until then they are scanned exactly).
     tail_rebuild_fraction = 0.2
 
+    #: corpus size past which the graph regime yields to the IVF partition
+    #: (the exact-kNN graph build is O(n²) MXU flops — ~seconds at 1M,
+    #: prohibitive well past this).
+    graph_max = 2_000_000
+
     def __init__(self, d: int, metric: Metric, metric_arg: float = 0.0,
                  M: int = 32, storage: str = "Flat"):
         super().__init__(d, metric, metric_arg)
@@ -50,6 +64,9 @@ class HNSWIndex(FlatIndex):
         self.ef_construction = 40  # faiss::HNSW default
         self.ef_search = 16        # faiss::HNSW default
         self._accel = None         # (IVFIndex, rows_indexed)
+        self.accel_mode = "graph"  # "graph" (default) | "ivf"
+        self._graph = None         # (adjacency np (indexed, deg) int32, indexed)
+        self._graph_dev = None     # ((indexed, cap) key, padded device adj)
 
     def apply_create_params(self, params) -> None:
         # The only create-time knob the reference implements
@@ -60,6 +77,12 @@ class HNSWIndex(FlatIndex):
         at = params.get_int("ann_threshold")
         if at is not None:
             self.ann_threshold = at
+        mode = params.get_str("accel")
+        if mode is not None:
+            if mode not in ("graph", "ivf"):
+                raise errors.InvalidInputError(
+                    f"accel must be 'graph' or 'ivf', got {mode!r}")
+            self.accel_mode = mode
         lam = params.get_float("soar_lambda")
         if lam is not None:
             # SOAR in the internal IVF partition: ~2x effective candidate
@@ -68,6 +91,106 @@ class HNSWIndex(FlatIndex):
                 raise errors.InvalidInputError(
                     f"soar_lambda must be >= 0, got {lam}")
             self.soar_lambda = lam
+
+    # --- regime selection ---------------------------------------------------
+    def _ann_supported(self) -> bool:
+        return (self.ntotal >= self.ann_threshold
+                and self.metric.name in ("L2", "INNER_PRODUCT")
+                and self._placement is None)
+
+    def _effective_mode(self) -> str:
+        """'graph' | 'ivf' | 'exact' for the current corpus/knobs.  SOAR is
+        an IVF-partition concept; legacy saves carrying an IVF partition (and
+        no graph) keep using it rather than paying a surprise rebuild."""
+        if not self._ann_supported():
+            return "exact"
+        if (self.accel_mode == "ivf"
+                or getattr(self, "soar_lambda", 0.0) > 0.0
+                or self.ntotal > self.graph_max
+                or (self._graph is None and self._accel is not None)):
+            return "ivf"
+        return "graph"
+
+    # --- graph (CAGRA-style) acceleration ------------------------------------
+    def _graph_degree(self) -> int:
+        # HNSW's layer-0 degree is 2M; CAGRA-class walks saturate by ~64.
+        return min(64, max(16, 2 * self.M))
+
+    def _graph_ready(self):
+        """(adjacency, indexed) covering a prefix of the corpus, rebuilt when
+        the exact-scanned tail outgrows the rebuild fraction."""
+        n = self.ntotal
+        if self._graph is not None:
+            adj, indexed = self._graph
+            if n - indexed <= self.tail_rebuild_fraction * n:
+                return self._graph
+        from ..ops.graph import build_graph
+        from ..utils.config import config
+
+        deg = self._graph_degree()
+        # efConstruction scales build effort, like HNSW: a wider
+        # intermediate kNN graph before the prune/reverse step.
+        inter = min(max(2 * deg, self.ef_construction), max(1, n - 1), 192)
+        adj = build_graph(self._xb, deg, self.metric.name, self.metric_arg,
+                          intermediate=inter, precision=config.precision)
+        self._graph = (adj, n)
+        self._graph_dev = None
+        return self._graph
+
+    def _graph_device(self, cap: int):
+        """Adjacency padded to the corpus capacity bucket (rows of -1 past
+        the indexed prefix), cached like the corpus buffer."""
+        import jax.numpy as jnp
+
+        adj, indexed = self._graph
+        key = (indexed, cap)
+        if self._graph_dev is not None and self._graph_dev[0] == key:
+            return self._graph_dev[1]
+        host = np.full((cap, adj.shape[1]), -1, np.int32)
+        host[:indexed] = adj
+        dev = jnp.asarray(host)
+        self._graph_dev = (key, dev)
+        return dev
+
+    def _graph_search(self, xq, k, params, selector) -> SearchResult:
+        import jax.numpy as jnp
+
+        from ..ops.flat_search import finalize_scores
+        from ..ops.graph import graph_search
+        from ..utils.config import config, next_pow2, pad_rows
+
+        adj, indexed = self._graph
+        xq = np.asarray(xq, np.float32)
+        nq = xq.shape[0]
+        nq_pad = max(config.min_query_bucket, next_pow2(nq))
+        xq_pad = jnp.asarray(pad_rows(xq, nq_pad))
+        xb_dev = self.device_vectors()
+        gdev = self._graph_device(xb_dev.shape[0])
+        pool = next_pow2(max(k, self.ef_search))
+        mask = None
+        if selector is not None:
+            # Traversal is unfiltered (FAISS HNSW selector semantics);
+            # ineligible entries occupy pool slots, so inflate.
+            mask = self._selector_mask(selector)
+            pool = next_pow2(max(4 * k, pool))
+        pool = min(max(pool, 16), 1024)
+        width = params.get_int("graph_width", 8)
+        iters = params.get_int("graph_iters")
+        scores, pos = graph_search(
+            xb_dev, gdev, xq_pad, indexed, min(k, indexed),
+            self.metric.name, self.metric_arg,
+            pool=pool, width=width, iters=iters, mask=mask,
+            precision=config.precision)
+        dist, pos = finalize_scores(scores, pos, self.metric.name)
+        dist = np.asarray(dist)[:nq]
+        pos = np.asarray(pos)[:nq]
+        if k > dist.shape[1]:  # k exceeded indexed rows: pad out
+            padd = np.full((nq, k - dist.shape[1]),
+                           _sentinel(self.metric.name), np.float32)
+            dist = np.concatenate([dist, padd], axis=1)
+            pos = np.concatenate(
+                [pos, np.full((nq, k - pos.shape[1]), -1, np.int64)], axis=1)
+        return SearchResult(dist, pos.astype(np.int64))
 
     # --- IVF acceleration --------------------------------------------------
     def _accel_ready(self):
@@ -117,13 +240,19 @@ class HNSWIndex(FlatIndex):
             self.ef_search = ef
         if (params.get_str("exact") or "").lower() in ("true", "1"):
             return super().search(xq, k, params, selector)
-        accel_state = self._accel_ready()
-        if accel_state is None:
-            return super().search(xq, k, params, selector)
-        accel, indexed = accel_state
-        nprobe = params.get_int("nprobe",
-                                max(1, round(self.ef_search / 4)))
-        res = accel.search(xq, k, _with_nprobe(params, nprobe), selector)
+        mode = self._effective_mode()
+        if mode == "graph":
+            self._graph_ready()
+            res = self._graph_search(xq, k, params, selector)
+            indexed = self._graph[1]
+        else:
+            accel_state = self._accel_ready()
+            if accel_state is None:
+                return super().search(xq, k, params, selector)
+            accel, indexed = accel_state
+            nprobe = params.get_int("nprobe",
+                                    max(1, round(self.ef_search / 4)))
+            res = accel.search(xq, k, _with_nprobe(params, nprobe), selector)
         n = self.ntotal
         if indexed == n:
             return res
@@ -155,16 +284,16 @@ class HNSWIndex(FlatIndex):
         return (params.get_str("exact") or "").lower() in ("true", "1")
 
     def search_dispatch(self, xq, k, params=None, selector=None):
-        """No raw dispatch in the accel regime — the batched serving tier
+        """No raw dispatch in the ANN regimes — the batched serving tier
         would otherwise silently run the full exact scan (10-20× slower at
         scale and ignoring efSearch); returning None makes it fall back to
         per-batch accelerated searches."""
-        if self._exact_requested(params) or self._accel_ready() is None:
+        if self._exact_requested(params) or self._effective_mode() == "exact":
             return super().search_dispatch(xq, k, params, selector)
         return None
 
     def search_async(self, xq, k, params=None, selector=None):
-        if self._exact_requested(params) or self._accel_ready() is None:
+        if self._exact_requested(params) or self._effective_mode() == "exact":
             return super().search_async(xq, k, params, selector)
         res = self.search(xq, k, params if params is not None else EMPTY,
                           selector)
@@ -174,7 +303,14 @@ class HNSWIndex(FlatIndex):
         state = super().state_dict()
         state["hnsw_meta"] = np.array(
             [self.M, self.ef_construction, self.ef_search,
-             self.ann_threshold])
+             self.ann_threshold, 1 if self.accel_mode == "ivf" else 0])
+        if self._graph is not None:
+            # Persist the neighbour graph — the direct analogue of FAISS
+            # serializing the HNSW adjacency: deterministic built state
+            # whose rebuild costs an O(n²) scan.
+            adj, indexed = self._graph
+            state["graph_adj"] = adj
+            state["graph_meta"] = np.array([indexed])
         if getattr(self, "soar_lambda", 0.0) > 0.0:
             state["hnsw_soar"] = np.float32(self.soar_lambda)
         if self._accel is not None:
@@ -196,6 +332,14 @@ class HNSWIndex(FlatIndex):
                 # Persisted since SOAR landed; older saves keep the class
                 # default (the regime choice would otherwise flip on load).
                 self.ann_threshold = m[3]
+            if len(m) > 4:
+                self.accel_mode = "ivf" if m[4] else "graph"
+        gadj = state.pop("graph_adj", None)
+        gmeta = state.pop("graph_meta", None)
+        self._graph = None
+        self._graph_dev = None
+        if gadj is not None and gmeta is not None:
+            self._graph = (np.asarray(gadj, np.int32), int(gmeta[0]))
         lam = state.pop("hnsw_soar", None)
         if lam is not None:
             self.soar_lambda = float(lam)
@@ -231,6 +375,10 @@ class HNSWIndex(FlatIndex):
 
 
 from ..ops.flat_search import SIMILARITY_METRICS as _SIMILARITY  # noqa: E402
+
+
+def _sentinel(metric_name: str) -> float:
+    return float("-inf") if metric_name in _SIMILARITY else float("inf")
 
 
 def _with_nprobe(params, nprobe: int):

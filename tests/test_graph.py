@@ -1,0 +1,212 @@
+"""CAGRA-style graph ANN: build + batched walk (ops/graph.py) and the
+default HNSW/NSG graph regime (models/hnsw.py).
+
+The reference's HNSW surface is src/faiss_extension.cpp:133-141 (create,
+efConstruction) and :691-702 (efSearch).  These tests cover the TPU-native
+graph-algorithm execution of that surface: exact-kNN build + reverse-edge
+augmentation, fixed-shape greedy walk, selector semantics (traverse
+unfiltered, collect filtered), tail merge, and persistence of the adjacency.
+"""
+
+import numpy as np
+import pytest
+
+import duckdb_faiss_ext_tpu as dfx
+
+
+def _clustered(n, d, seed=0, ncenters=32, spread=0.3):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((ncenters, d)).astype(np.float32) * 4
+    return (centers[rng.integers(0, ncenters, n)] +
+            rng.standard_normal((n, d)).astype(np.float32) * spread)
+
+
+# ---------------------------------------------------------------------------
+# ops level
+# ---------------------------------------------------------------------------
+
+def test_build_graph_properties():
+    from duckdb_faiss_ext_tpu.ops.graph import build_graph, build_knn_graph
+
+    xb = _clustered(2000, 16, seed=1)
+    knn = build_knn_graph(xb, 8, "L2")
+    assert knn.shape == (2000, 8) and knn.dtype == np.int32
+    assert not (knn == np.arange(2000)[:, None]).any()       # no self edges
+    assert knn.min() >= 0 and knn.max() < 2000
+    # kNN rows match a brute-force oracle (set-wise; ties may reorder).
+    d2 = ((xb[:5, None, :] - xb[None, :, :]) ** 2).sum(-1)
+    d2[np.arange(5), np.arange(5)] = np.inf
+    oracle = np.argsort(d2, axis=1)[:, :8]
+    for i in range(5):
+        assert len(set(knn[i]) & set(oracle[i])) >= 7  # ties allowed
+
+    g = build_graph(xb, 8, "L2")
+    assert g.shape == (2000, 8)
+    assert not (g == np.arange(2000)[:, None]).any()
+    # No duplicate neighbours within a row.
+    for row in g[:50]:
+        ids = row[row >= 0]
+        assert len(set(ids.tolist())) == len(ids)
+
+
+def test_build_graph_tiny_corpus():
+    from duckdb_faiss_ext_tpu.ops.graph import build_graph
+
+    xb = np.random.default_rng(2).standard_normal((5, 4)).astype(np.float32)
+    g = build_graph(xb, 8, "L2")
+    assert g.shape == (5, 8)
+    # Only 4 possible neighbours per node: the rest must be -1.
+    assert ((g >= 0).sum(axis=1) <= 4).all()
+
+
+def test_graph_walk_recall_and_determinism():
+    import jax.numpy as jnp
+
+    from duckdb_faiss_ext_tpu.ops.flat_search import finalize_scores
+    from duckdb_faiss_ext_tpu.ops.graph import build_graph, graph_search
+    from duckdb_faiss_ext_tpu.utils.config import next_pow2, pad_rows
+
+    n, d, k = 8000, 16, 10
+    xb = _clustered(n, d, seed=3)
+    xq = _clustered(64, d, seed=4)
+    g = build_graph(xb, 16, "L2")
+    cap = next_pow2(n)
+    xb_dev = jnp.asarray(pad_rows(xb, cap))
+    g_dev = jnp.asarray(np.concatenate(
+        [g, np.full((cap - n, 16), -1, np.int32)]))
+
+    s, p = graph_search(xb_dev, g_dev, jnp.asarray(xq), n, k, "L2",
+                        pool=64, width=8)
+    dist, pos = finalize_scores(s, p, "L2")
+    dist, pos = np.asarray(dist), np.asarray(pos)
+
+    d2 = ((xq[:, None, :] - xb[None, :, :]) ** 2).sum(-1)
+    oracle = np.argsort(d2, axis=1)[:, :k]
+    recall = np.mean([len(set(pos[i]) & set(oracle[i])) / k
+                      for i in range(len(xq))])
+    assert recall > 0.95
+    # Distances are true squared-L2 values of the returned rows, sorted.
+    dd = np.take_along_axis(d2, np.maximum(pos, 0), axis=1)
+    assert np.allclose(dd, dist, rtol=1e-4, atol=1e-4)
+    assert (np.diff(dist, axis=1) >= -1e-6).all()
+
+    s2, p2 = graph_search(xb_dev, g_dev, jnp.asarray(xq), n, k, "L2",
+                          pool=64, width=8)
+    np.testing.assert_array_equal(np.asarray(p2), np.asarray(p))  # determinism
+
+
+# ---------------------------------------------------------------------------
+# HNSW surface (graph = default regime at scale)
+# ---------------------------------------------------------------------------
+
+def test_hnsw_graph_regime_default(catalog):
+    rng = np.random.default_rng(60)
+    d, n = 16, 6000
+    xb = _clustered(n, d, seed=60)
+    xq = xb[:10]
+    dfx.faiss_create("hg", d, "HNSW32", metric_type="L2", catalog=catalog)
+    idx = catalog.get("hg").index
+    idx.ann_threshold = 1000
+    dfx.faiss_add(xb, "hg", catalog=catalog)
+
+    exact = dfx.faiss_search("hg", 5, xq, {"exact": "true"}, catalog=catalog)
+    approx = dfx.faiss_search("hg", 5, xq, {"efSearch": "64"},
+                              catalog=catalog)
+    assert idx._graph is not None      # graph was built (default mode)
+    assert idx._accel is None          # not the IVF partition
+    assert np.all(approx["label"][:, 0] == np.arange(10))
+    recall = np.mean([len(set(approx["label"][q]) & set(exact["label"][q]))
+                      for q in range(10)]) / 5
+    assert recall > 0.9
+
+    # Tail rows merge without a rebuild; big tail triggers one.  (The tail
+    # points sit far from the corpus so their self-hit is unambiguous —
+    # near-duplicates of corpus rows tie at fp32 and either side may win.)
+    extra = rng.standard_normal((10, d)).astype(np.float32) * 20
+    dfx.faiss_add(extra, "hg", catalog=catalog)
+    graph_before = idx._graph
+    res = dfx.faiss_search("hg", 3, extra, {"efSearch": "64"},
+                           catalog=catalog)
+    assert idx._graph is graph_before
+    assert np.all(res["label"][:, 0] >= n)
+    more = _clustered(3000, d, seed=61)
+    dfx.faiss_add(more, "hg", catalog=catalog)
+    dfx.faiss_search("hg", 3, xq[:2], catalog=catalog)
+    assert idx._graph is not graph_before
+    assert idx._graph[1] == idx.ntotal
+
+
+def test_hnsw_graph_selector(catalog):
+    rng = np.random.default_rng(61)
+    d, n = 8, 3000
+    xb = _clustered(n, d, seed=62)
+    dfx.faiss_create("hgsel", d, "HNSW16", metric_type="L2", catalog=catalog)
+    idx = catalog.get("hgsel").index
+    idx.ann_threshold = 1000
+    dfx.faiss_add(xb, "hgsel", catalog=catalog)
+    sel = dfx.SetSelector(np.arange(0, n, 3, dtype=np.int64))
+    res = dfx.faiss_search("hgsel", 5, xb[:6], {"efSearch": "128"},
+                           catalog=catalog, selector=sel)
+    assert idx._graph is not None
+    assert np.all(res["label"] % 3 == 0)
+    # Filtered results match the exact filtered scan on clustered data with
+    # an inflated pool (recall, not equality: the walk is approximate).
+    ex = dfx.faiss_search("hgsel", 5, xb[:6], {"exact": "true"},
+                          catalog=catalog, selector=sel)
+    hits = np.mean([len(set(res["label"][q]) & set(ex["label"][q]))
+                    for q in range(6)]) / 5
+    assert hits > 0.8
+
+
+def test_hnsw_graph_save_load(catalog, tmp_path):
+    """The adjacency persists through save/load (no O(n²) rebuild)."""
+    d, n = 8, 3000
+    xb = _clustered(n, d, seed=63)
+    dfx.faiss_create("hgsl", d, "HNSW16", metric_type="L2", catalog=catalog)
+    idx = catalog.get("hgsl").index
+    idx.ann_threshold = 1000
+    dfx.faiss_add(xb, "hgsl", catalog=catalog)
+    before = dfx.faiss_search("hgsl", 5, xb[:6], {"efSearch": "256"},
+                              catalog=catalog)
+    assert idx._graph is not None
+    path = str(tmp_path / "hnsw_graph.idx")
+    dfx.faiss_save("hgsl", path, catalog=catalog)
+    dfx.faiss_load("hgsl2", path, catalog=catalog)
+    idx2 = catalog.get("hgsl2").index
+    assert idx2._graph is not None
+    np.testing.assert_array_equal(idx2._graph[0], idx._graph[0])
+    assert idx2.accel_mode == "graph"
+    idx2.ann_threshold = 1000
+    after = dfx.faiss_search("hgsl2", 5, xb[:6], {"efSearch": "256"},
+                             catalog=catalog)
+    np.testing.assert_array_equal(before["label"], after["label"])
+    np.testing.assert_allclose(before["distance"], after["distance"],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_hnsw_soar_forces_ivf_partition(catalog):
+    """soar_lambda is an IVF-partition feature: it must keep selecting the
+    IVF regime even though graph is the default."""
+    d, n = 8, 2000
+    xb = _clustered(n, d, seed=64)
+    dfx.faiss_create_params("hsoar", d, "HNSW16", {"soar_lambda": "1.0"},
+                            metric_type="L2", catalog=catalog)
+    idx = catalog.get("hsoar").index
+    idx.ann_threshold = 1000
+    dfx.faiss_add(xb, "hsoar", catalog=catalog)
+    dfx.faiss_search("hsoar", 3, xb[:4], {"efSearch": "64"}, catalog=catalog)
+    assert idx._accel is not None and idx._graph is None
+
+
+def test_nsg_graph_regime(catalog):
+    """NSG at scale rides the same graph walk; search_L maps to the pool."""
+    d, n = 8, 3000
+    xb = _clustered(n, d, seed=65)
+    dfx.faiss_create("nsgg", d, "NSG32", metric_type="L2", catalog=catalog)
+    idx = catalog.get("nsgg").index
+    idx.ann_threshold = 1000
+    dfx.faiss_add(xb, "nsgg", catalog=catalog)
+    res = dfx.faiss_search("nsgg", 5, xb[:8], {"search_L": "64"},
+                           catalog=catalog)
+    assert idx._graph is not None
+    assert np.all(res["label"][:, 0] == np.arange(8))
