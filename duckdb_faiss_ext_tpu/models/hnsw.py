@@ -67,6 +67,7 @@ class HNSWIndex(FlatIndex):
         self.accel_mode = "graph"  # "graph" (default) | "ivf"
         self._graph = None         # (adjacency np (indexed, deg) int32, indexed)
         self._graph_dev = None     # ((indexed, cap) key, padded device adj)
+        self._pack_dev = None      # ((indexed, cap) key, packed neighbourhoods)
 
     def apply_create_params(self, params) -> None:
         # The only create-time knob the reference implements
@@ -112,9 +113,25 @@ class HNSWIndex(FlatIndex):
         return "graph"
 
     # --- graph (CAGRA-style) acceleration ------------------------------------
+    #: HBM budget for the packed neighbourhood tensor (bf16).  XLA's
+    #: scattered row gather costs ~16 ns/row regardless of bytes on v5e;
+    #: packing makes frontier expansion one contiguous block per node (the
+    #: whole walk was gather-bound without it).  6 GB is the empirically
+    #: safe single-tensor size on the v5e (a 6.4 GB pack hit
+    #: RESOURCE_EXHAUSTED; the 10M IVF layout runs at 6.4 GB total).
+    pack_budget_bytes = 6 << 30
+
     def _graph_degree(self) -> int:
         # HNSW's layer-0 degree is 2M; CAGRA-class walks saturate by ~64.
-        return min(64, max(16, 2 * self.M))
+        # Halve until the packed neighbourhood tensor fits the HBM budget —
+        # a degree-32 packed walk beats a degree-64 scattered one.
+        from ..utils.config import next_pow2
+
+        deg = min(64, max(16, 2 * self.M))
+        cap = max(128, next_pow2(max(1, self.ntotal)))
+        while deg > 16 and cap * deg * self.d * 2 > self.pack_budget_bytes:
+            deg //= 2
+        return deg
 
     def _graph_ready(self):
         """(adjacency, indexed) covering a prefix of the corpus, rebuilt when
@@ -135,6 +152,7 @@ class HNSWIndex(FlatIndex):
                           intermediate=inter, precision=config.precision)
         self._graph = (adj, n)
         self._graph_dev = None
+        self._pack_dev = None
         return self._graph
 
     def _graph_device(self, cap: int):
@@ -152,6 +170,22 @@ class HNSWIndex(FlatIndex):
         self._graph_dev = (key, dev)
         return dev
 
+    def _graph_pack(self, xb_dev, gdev):
+        """Packed neighbourhood tensor (bf16) when it fits the HBM budget;
+        None falls back to the scattered-gather walk."""
+        adj, indexed = self._graph
+        cap, deg = gdev.shape
+        if cap * deg * self.d * 2 > self.pack_budget_bytes:
+            return None
+        key = (indexed, cap)
+        if self._pack_dev is not None and self._pack_dev[0] == key:
+            return self._pack_dev[1]
+        from ..ops.graph import pack_neighbors
+
+        pack = pack_neighbors(xb_dev, gdev)
+        self._pack_dev = (key, pack)
+        return pack
+
     def _graph_search(self, xq, k, params, selector) -> SearchResult:
         import jax.numpy as jnp
 
@@ -166,6 +200,7 @@ class HNSWIndex(FlatIndex):
         xq_pad = jnp.asarray(pad_rows(xq, nq_pad))
         xb_dev = self.device_vectors()
         gdev = self._graph_device(xb_dev.shape[0])
+        pack = self._graph_pack(xb_dev, gdev)
         pool = next_pow2(max(k, self.ef_search))
         mask = None
         if selector is not None:
@@ -179,7 +214,7 @@ class HNSWIndex(FlatIndex):
         scores, pos = graph_search(
             xb_dev, gdev, xq_pad, indexed, min(k, indexed),
             self.metric.name, self.metric_arg,
-            pool=pool, width=width, iters=iters, mask=mask,
+            pool=pool, width=width, iters=iters, mask=mask, pack=pack,
             precision=config.precision)
         dist, pos = finalize_scores(scores, pos, self.metric.name)
         dist = np.asarray(dist)[:nq]
@@ -338,6 +373,7 @@ class HNSWIndex(FlatIndex):
         gmeta = state.pop("graph_meta", None)
         self._graph = None
         self._graph_dev = None
+        self._pack_dev = None
         if gadj is not None and gmeta is not None:
             self._graph = (np.asarray(gadj, np.int32), int(gmeta[0]))
         lam = state.pop("hnsw_soar", None)

@@ -95,6 +95,46 @@ def test_graph_walk_recall_and_determinism():
     np.testing.assert_array_equal(np.asarray(p2), np.asarray(p))  # determinism
 
 
+def test_graph_walk_packed_matches_scattered():
+    """The packed-neighbourhood walk (bf16 traversal + fp32 rerank) reaches
+    the same recall as the scattered-gather walk, and its returned distances
+    are fp32-exact (the rerank epilogue)."""
+    import jax.numpy as jnp
+
+    from duckdb_faiss_ext_tpu.ops.flat_search import finalize_scores
+    from duckdb_faiss_ext_tpu.ops.graph import (build_graph, graph_search,
+                                                pack_neighbors)
+    from duckdb_faiss_ext_tpu.utils.config import next_pow2, pad_rows
+
+    n, d, k = 8000, 16, 10
+    xb = _clustered(n, d, seed=7)
+    xq = _clustered(64, d, seed=8)
+    g = build_graph(xb, 16, "L2")
+    cap = next_pow2(n)
+    xb_dev = jnp.asarray(pad_rows(xb, cap))
+    g_dev = jnp.asarray(np.concatenate(
+        [g, np.full((cap - n, 16), -1, np.int32)]))
+    pack = pack_neighbors(xb_dev, g_dev)
+    assert pack.dtype == jnp.bfloat16 and pack.shape == (cap, 16, 16)
+
+    d2 = ((xq[:, None, :] - xb[None, :, :]) ** 2).sum(-1)
+    oracle = np.argsort(d2, axis=1)[:, :k]
+
+    recalls = {}
+    for name, pk in (("scattered", None), ("packed", pack)):
+        s, p = graph_search(xb_dev, g_dev, jnp.asarray(xq), n, k, "L2",
+                            pool=64, width=8, pack=pk)
+        dist, pos = finalize_scores(s, p, "L2")
+        dist, pos = np.asarray(dist), np.asarray(pos)
+        recalls[name] = np.mean([len(set(pos[i]) & set(oracle[i])) / k
+                                 for i in range(len(xq))])
+        # fp32-exact distances either way (rerank runs on the fp32 corpus).
+        dd = np.take_along_axis(d2, np.maximum(pos, 0), axis=1)
+        assert np.allclose(dd, dist, rtol=1e-4, atol=1e-4), name
+    assert recalls["packed"] > 0.9
+    assert abs(recalls["packed"] - recalls["scattered"]) < 0.05
+
+
 # ---------------------------------------------------------------------------
 # HNSW surface (graph = default regime at scale)
 # ---------------------------------------------------------------------------
