@@ -294,11 +294,14 @@ def _graph_walk(xb, graph, xq, nvalid, metric_arg, mask, pack, *, k, pool,
         return new_s, new_i, new_e
 
     scores, ids, _ = lax.fori_loop(0, iters, body, (scores, ids, expanded))
-    # Exact rerank of the pool: one (B, pool) fp32 gather+score pass (≈1 ms
-    # at B=1024/pool=64 — traversal cost dominates).  Gives fp32-exact
-    # output distances even when traversal scored bf16 packed blocks.
-    rvecs = jnp.take(xb, jnp.maximum(ids, 0), axis=0)
-    rscores = _batched_scores(xq, rvecs, metric, metric_arg, precision)
+    if pack is not None:
+        # Exact rerank of the pool: one (B, pool) fp32 gather+score pass
+        # (≈1 ms at B=1024/pool=64 — traversal cost dominates).  Restores
+        # exact output distances after bf16 packed traversal.  The
+        # scattered walk already scored at `precision`; no rerank there.
+        rvecs = jnp.take(xb, jnp.maximum(ids, 0), axis=0)
+        rscores = _batched_scores(xq, rvecs, metric, metric_arg, precision)
+        scores = jnp.where(ids >= 0, rscores, _NEG_INF)
     valid = ids >= 0
     if mask is not None:
         # FAISS HNSW selector semantics: traverse unfiltered, collect only
@@ -306,10 +309,15 @@ def _graph_walk(xb, graph, xq, nvalid, metric_arg, mask, pack, *, k, pool,
         # masked at extraction (callers inflate the pool to compensate).
         valid = jnp.logical_and(valid, jnp.take(mask, jnp.maximum(ids, 0),
                                                 axis=0))
-    rscores = jnp.where(valid, rscores, _NEG_INF)
-    out_s, sel = lax.top_k(rscores, k)
-    out_i = jnp.take_along_axis(ids, sel, axis=1)
-    return out_s, jnp.where(jnp.isneginf(out_s), -1, out_i)
+    if pack is not None or mask is not None:
+        scores = jnp.where(valid, scores, _NEG_INF)
+        out_s, sel = lax.top_k(scores, k)
+        out_i = jnp.take_along_axis(ids, sel, axis=1)
+        return out_s, jnp.where(jnp.isneginf(out_s), -1, out_i)
+    out_s = scores[:, :k]
+    out_i = ids[:, :k]
+    out_s = jnp.where(out_i < 0, _NEG_INF, out_s)
+    return out_s, out_i
 
 
 def graph_search(
