@@ -123,13 +123,14 @@ class HNSWIndex(FlatIndex):
 
     def _graph_degree(self) -> int:
         # HNSW's layer-0 degree is 2M; CAGRA-class walks saturate by ~64.
-        # Halve until the packed neighbourhood tensor fits the HBM budget —
-        # a degree-32 packed walk beats a degree-64 scattered one.
+        # Halve until the packed neighbourhood tensor fits the HBM budget
+        # at its smallest dtype (int8) — a lower-degree packed walk beats
+        # a higher-degree scattered one.
         from ..utils.config import next_pow2
 
         deg = min(64, max(16, 2 * self.M))
         cap = max(128, next_pow2(max(1, self.ntotal)))
-        while deg > 16 and cap * deg * self.d * 2 > self.pack_budget_bytes:
+        while deg > 16 and cap * deg * self.d > self.pack_budget_bytes:
             deg //= 2
         return deg
 
@@ -171,18 +172,26 @@ class HNSWIndex(FlatIndex):
         return dev
 
     def _graph_pack(self, xb_dev, gdev):
-        """Packed neighbourhood tensor (bf16) when it fits the HBM budget;
-        None falls back to the scattered-gather walk."""
+        """Packed neighbourhood tensor at the widest dtype fitting the HBM
+        budget (bf16, else int8 — memory-only tradeoff since the gather is
+        descriptor-bound); None falls back to the scattered-gather walk."""
+        import jax.numpy as jnp
+
         adj, indexed = self._graph
         cap, deg = gdev.shape
-        if cap * deg * self.d * 2 > self.pack_budget_bytes:
+        nelem = cap * deg * self.d
+        if nelem * 2 <= self.pack_budget_bytes:
+            dtype = jnp.bfloat16
+        elif nelem <= self.pack_budget_bytes:
+            dtype = jnp.int8
+        else:
             return None
-        key = (indexed, cap)
+        key = (indexed, cap, str(dtype))
         if self._pack_dev is not None and self._pack_dev[0] == key:
             return self._pack_dev[1]
         from ..ops.graph import pack_neighbors
 
-        pack = pack_neighbors(xb_dev, gdev)
+        pack = pack_neighbors(xb_dev, gdev, dtype=dtype)
         self._pack_dev = (key, pack)
         return pack
 

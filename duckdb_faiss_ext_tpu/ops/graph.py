@@ -164,19 +164,29 @@ def build_graph(xb: np.ndarray, degree: int, metric: str,
 # ---------------------------------------------------------------------------
 
 def pack_neighbors(xb_dev: jax.Array, graph_dev: jax.Array,
-                   dtype=jnp.bfloat16) -> jax.Array:
+                   dtype=jnp.bfloat16):
     """(N, deg, d) packed neighbour vectors: row i holds the vectors of
     node i's neighbours, contiguous.
 
     Measured on v5e: XLA's row gather costs ~16 ns per scattered row
     regardless of row bytes (descriptor-latency-bound), which makes the
     naive walk 100% gather-bound (8.2 ms of an 8.2 ms iteration at
-    B=1024).  Packing trades deg× memory (bf16) for gathering whole
-    deg×d blocks — one descriptor per frontier node instead of one per
+    B=1024).  Packing trades deg× memory for gathering whole deg×d
+    blocks — one descriptor per frontier node instead of one per
     neighbour — turning the expansion gather bandwidth-bound.  Traversal
-    scores run bf16 (the walk is approximate by construction); the final
-    pool is reranked against the fp32 corpus."""
+    scores are approximate (the walk is too); the final pool is reranked
+    against the fp32 corpus.
+
+    dtype bfloat16 → returns the packed array.  dtype int8 → returns
+    (packed int8, inv_scale fp32 scalar): symmetric max-abs quantization,
+    decoded to fp32 after the gather (int8 exists purely to halve pack
+    memory — the gather cost is per-descriptor, not per-byte)."""
     idx = jnp.maximum(graph_dev, 0)          # -1 rows: garbage, masked later
+    if dtype == jnp.int8:
+        amax = jnp.maximum(jnp.max(jnp.abs(xb_dev)), 1e-30)
+        scale = 127.0 / amax
+        q = jnp.clip(jnp.round(xb_dev * scale), -127, 127).astype(jnp.int8)
+        return jnp.take(q, idx, axis=0), (1.0 / scale).astype(jnp.float32)
     return jnp.take(xb_dev.astype(dtype), idx, axis=0)
 
 
@@ -273,11 +283,19 @@ def _graph_walk(xb, graph, xq, nvalid, metric_arg, mask, pack, *, k, pool,
             # node — descriptor-efficient (see pack_neighbors).  Blocks of
             # dead frontier entries are garbage but every such candidate id
             # is already -1, so its score is masked below.
-            cvecs = jnp.take(pack, jnp.maximum(fids, 0), axis=0)
-            cvecs = cvecs.reshape(B, width * deg, d)
-            cscores = _batched_scores(xq.astype(pack.dtype), cvecs,
-                                      metric, metric_arg,
-                                      lax.Precision.DEFAULT)
+            if isinstance(pack, tuple):      # int8: decode after gather
+                p8, inv = pack
+                blocks = jnp.take(p8, jnp.maximum(fids, 0), axis=0)
+                cvecs = blocks.astype(jnp.float32).reshape(
+                    B, width * deg, d) * inv
+                cscores = _batched_scores(xq, cvecs, metric, metric_arg,
+                                          lax.Precision.DEFAULT)
+            else:
+                cvecs = jnp.take(pack, jnp.maximum(fids, 0), axis=0)
+                cvecs = cvecs.reshape(B, width * deg, d)
+                cscores = _batched_scores(xq.astype(pack.dtype), cvecs,
+                                          metric, metric_arg,
+                                          lax.Precision.DEFAULT)
         else:
             cvecs = jnp.take(xb, jnp.maximum(cand_ids, 0), axis=0)
             cscores = _batched_scores(xq, cvecs, metric, metric_arg,
@@ -333,7 +351,8 @@ def graph_search(
     width: int = 8,
     iters: int | None = None,
     mask: jax.Array | None = None,   # (cap,) bool; True = selectable
-    pack: jax.Array | None = None,   # (cap, deg, d) packed neighbourhoods
+    pack=None,   # (cap, deg, d) packed neighbourhoods: bf16 array or
+                 # (int8 array, inv_scale) tuple from pack_neighbors
     precision=lax.Precision.HIGHEST,
     seed: int = 0,
 ):

@@ -116,12 +116,15 @@ def test_graph_walk_packed_matches_scattered():
         [g, np.full((cap - n, 16), -1, np.int32)]))
     pack = pack_neighbors(xb_dev, g_dev)
     assert pack.dtype == jnp.bfloat16 and pack.shape == (cap, 16, 16)
+    pack8 = pack_neighbors(xb_dev, g_dev, dtype=jnp.int8)
+    assert pack8[0].dtype == jnp.int8
 
     d2 = ((xq[:, None, :] - xb[None, :, :]) ** 2).sum(-1)
     oracle = np.argsort(d2, axis=1)[:, :k]
 
     recalls = {}
-    for name, pk in (("scattered", None), ("packed", pack)):
+    for name, pk in (("scattered", None), ("packed", pack),
+                     ("packed8", pack8)):
         s, p = graph_search(xb_dev, g_dev, jnp.asarray(xq), n, k, "L2",
                             pool=64, width=8, pack=pk)
         dist, pos = finalize_scores(s, p, "L2")
@@ -132,6 +135,7 @@ def test_graph_walk_packed_matches_scattered():
         dd = np.take_along_axis(d2, np.maximum(pos, 0), axis=1)
         assert np.allclose(dd, dist, rtol=1e-4, atol=1e-4), name
     assert recalls["packed"] > 0.9
+    assert recalls["packed8"] > 0.9
     assert abs(recalls["packed"] - recalls["scattered"]) < 0.05
 
 
