@@ -361,8 +361,9 @@ def graph_search(
     FAISS output conventions.  ``pool`` is the itopk/efSearch analogue,
     ``width`` the per-iteration fan-out, ``iters`` the walk length
     (default: enough steps to turn the pool over twice).  ``pack``
-    (pack_neighbors) makes expansion gathers block-contiguous; the final
-    pool is always reranked fp32-exact against ``xb_dev``."""
+    (pack_neighbors) makes expansion gathers block-contiguous; packed
+    traversal is followed by an fp32-exact rerank of the pool against
+    ``xb_dev`` (the scattered walk already scores at ``precision``)."""
     pool = max(pool, k)
     if iters is None:
         deg = graph_dev.shape[1]
