@@ -242,6 +242,28 @@ def test_hnsw_soar_forces_ivf_partition(catalog):
     assert idx._accel is not None and idx._graph is None
 
 
+def test_idmap_hnsw_graph_regime_custom_labels(catalog):
+    """The reference's benchmark index string (IDMap,HNSW128,Flat,
+    go/cmd/create_index/main.go:29) in the graph regime, with custom
+    labels: results come back in label space, self-hits first."""
+    d, n = 16, 4000
+    xb = _clustered(n, d, seed=66)
+    labels = np.arange(n, dtype=np.int64) * 7 + 3
+    dfx.faiss_create("bidm", d, "IDMap,HNSW128,Flat", metric_type="L2",
+                     catalog=catalog)
+    inner = catalog.get("bidm").index.inner
+    inner.ann_threshold = 1000
+    dfx.faiss_add((labels, xb), "bidm", catalog=catalog)
+    res = dfx.faiss_search("bidm", 5, xb[:16], {"efSearch": "64"},
+                           catalog=catalog)
+    assert inner._graph is not None
+    np.testing.assert_array_equal(res["label"][:, 0], labels[:16])
+    # Batched serving path returns the same results.
+    rb = dfx.faiss_search_batched("bidm", 5, xb[:16],
+                                  {"efSearch": "64"}, catalog=catalog)
+    np.testing.assert_array_equal(rb["label"], res["label"])
+
+
 def test_nsg_graph_regime(catalog):
     """NSG at scale rides the same graph walk; search_L maps to the pool."""
     d, n = 8, 3000
