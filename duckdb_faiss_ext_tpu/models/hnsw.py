@@ -68,6 +68,7 @@ class HNSWIndex(FlatIndex):
         self._graph = None         # (adjacency np (indexed, deg) int32, indexed)
         self._graph_dev = None     # ((indexed, cap) key, padded device adj)
         self._pack_dev = None      # ((indexed, cap) key, packed neighbourhoods)
+        self._graph_sharded = None  # (key, graph_dev, nvalid_dev, indexed)
 
     def apply_create_params(self, params) -> None:
         # The only create-time knob the reference implements
@@ -96,21 +97,26 @@ class HNSWIndex(FlatIndex):
     # --- regime selection ---------------------------------------------------
     def _ann_supported(self) -> bool:
         return (self.ntotal >= self.ann_threshold
-                and self.metric.name in ("L2", "INNER_PRODUCT")
-                and self._placement is None)
+                and self.metric.name in ("L2", "INNER_PRODUCT"))
 
     def _effective_mode(self) -> str:
-        """'graph' | 'ivf' | 'exact' for the current corpus/knobs.  SOAR is
-        an IVF-partition concept; legacy saves carrying an IVF partition (and
-        no graph) keep using it rather than paying a surprise rebuild."""
+        """'graph' | 'graph_sharded' | 'ivf' | 'exact' for the current
+        corpus/knobs.  SOAR is an IVF-partition concept; legacy saves
+        carrying an IVF partition (and no graph) keep using it rather than
+        paying a surprise rebuild.  Under a placement (faiss_to_device) the
+        graph regime runs per-shard subgraph walks; the IVF partition is
+        single-device-only there, so non-graph cases use the sharded exact
+        scan."""
+        wants_ivf = (self.accel_mode == "ivf"
+                     or getattr(self, "soar_lambda", 0.0) > 0.0
+                     or self.ntotal > self.graph_max
+                     or (self._graph is None and self._graph_sharded is None
+                         and self._accel is not None))
         if not self._ann_supported():
             return "exact"
-        if (self.accel_mode == "ivf"
-                or getattr(self, "soar_lambda", 0.0) > 0.0
-                or self.ntotal > self.graph_max
-                or (self._graph is None and self._accel is not None)):
-            return "ivf"
-        return "graph"
+        if self._placement is not None:
+            return "exact" if wants_ivf else "graph_sharded"
+        return "ivf" if wants_ivf else "graph"
 
     # --- graph (CAGRA-style) acceleration ------------------------------------
     #: HBM budget for the packed neighbourhood tensor (bf16).  XLA's
@@ -210,16 +216,9 @@ class HNSWIndex(FlatIndex):
         xb_dev = self.device_vectors()
         gdev = self._graph_device(xb_dev.shape[0])
         pack = self._graph_pack(xb_dev, gdev)
-        pool = next_pow2(max(k, self.ef_search))
-        mask = None
-        if selector is not None:
-            # Traversal is unfiltered (FAISS HNSW selector semantics);
-            # ineligible entries occupy pool slots, so inflate.
-            mask = self._selector_mask(selector)
-            pool = next_pow2(max(4 * k, pool))
-        pool = min(max(pool, 16), 1024)
-        width = params.get_int("graph_width", 8)
-        iters = params.get_int("graph_iters")
+        pool, width, iters = self._walk_knobs(k, params, selector)
+        mask = (self._selector_mask(selector)
+                if selector is not None else None)
         scores, pos = graph_search(
             xb_dev, gdev, xq_pad, indexed, min(k, indexed),
             self.metric.name, self.metric_arg,
@@ -234,6 +233,108 @@ class HNSWIndex(FlatIndex):
             dist = np.concatenate([dist, padd], axis=1)
             pos = np.concatenate(
                 [pos, np.full((nq, k - pos.shape[1]), -1, np.int64)], axis=1)
+        return SearchResult(dist, pos.astype(np.int64))
+
+    def _walk_knobs(self, k: int, params, selector):
+        """(pool, width, iters) shared by the single-device and sharded
+        graph searches.  efSearch maps to the pool (CAGRA itopk); a selector
+        inflates it (traversal is unfiltered, collection filtered)."""
+        from ..utils.config import next_pow2
+
+        pool = next_pow2(max(k, self.ef_search))
+        if selector is not None:
+            pool = next_pow2(max(4 * k, pool))
+        pool = min(max(pool, 16), 1024)
+        width = params.get_int("graph_width", 8)
+        iters = params.get_int("graph_iters")
+        return pool, width, iters
+
+    # --- sharded graph regime ------------------------------------------------
+    def _graph_ready_sharded(self):
+        """Per-shard subgraphs over the placement mesh: local adjacency per
+        contiguous row block of the sharded corpus buffer, stacked row-
+        sharded alongside it.  Cache-only (placements are not persisted)."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n = self.ntotal
+        if self._graph_sharded is not None:
+            key, gdev, nvdev, indexed = self._graph_sharded
+            cap_now = self.device_vectors().shape[0]
+            if (n - indexed <= self.tail_rebuild_fraction * n
+                    and key == (indexed, cap_now)):
+                return self._graph_sharded
+        from ..ops.graph import build_graph
+        from ..utils.config import config
+
+        sharding = self._placement
+        mesh = sharding.mesh
+        n_shard = mesh.shape["shard"]
+        xb_dev = self.device_vectors()
+        cap = xb_dev.shape[0]
+        rows = cap // n_shard
+        deg = self._graph_degree()
+        inter = min(max(2 * deg, self.ef_construction), max(1, n - 1), 192)
+        blocks, nvalid = [], []
+        for s in range(n_shard):
+            lo = min(n, s * rows)
+            hi = min(n, lo + rows)
+            blk = np.ascontiguousarray(self._xb[lo:hi])
+            adj = (build_graph(blk, deg, self.metric.name, self.metric_arg,
+                               intermediate=min(inter, max(1, len(blk) - 1)),
+                               precision=config.precision)
+                   if hi > lo else np.empty((0, deg), np.int32))
+            pad = np.full((rows - adj.shape[0], deg), -1, np.int32)
+            blocks.append(np.concatenate([adj, pad]) if pad.shape[0]
+                          else adj)
+            nvalid.append(hi - lo)
+        host = np.concatenate(blocks, axis=0)
+        gdev = jax.device_put(host, NamedSharding(mesh, P("shard", None)))
+        nvdev = jax.device_put(np.asarray(nvalid, np.int32),
+                               NamedSharding(mesh, P("shard")))
+        self._graph_sharded = ((n, cap), gdev, nvdev, n)
+        return self._graph_sharded
+
+    def _sharded_graph_search(self, xq, k, params) -> SearchResult:
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.graph import default_iters
+        from ..parallel.sharded import sharded_graph_search_fn
+        from ..utils.config import config, next_pow2, pad_rows
+
+        key, gdev, nvdev, indexed = self._graph_sharded
+        xb_dev = self.device_vectors()
+        pool, width, iters = self._walk_knobs(k, params, None)
+        if iters is None:
+            iters = default_iters(max(pool, k), width, gdev.shape[1])
+        xq = np.asarray(xq, np.float32)
+        nq = xq.shape[0]
+        nq_pad = max(config.min_query_bucket, next_pow2(nq))
+        mesh = self._placement.mesh
+        batch = mesh.shape["batch"]
+        if nq_pad % batch:
+            nq_pad = ((nq_pad + batch - 1) // batch) * batch
+        fn = sharded_graph_search_fn(
+            mesh, k=min(k, max(1, indexed)), pool=max(pool, k), width=width,
+            iters=iters, metric=self.metric.name,
+            precision=config.precision)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        xq_dev = jax.device_put(pad_rows(xq, nq_pad),
+                                NamedSharding(mesh, P("batch", None)))
+        dist, pos = fn(xb_dev, gdev, nvdev, xq_dev,
+                       jnp.float32(self.metric_arg))
+        dist = np.asarray(dist)[:nq]
+        pos = np.asarray(pos)[:nq]
+        k_eff = dist.shape[1]
+        if k > k_eff:
+            dist = np.concatenate(
+                [dist, np.full((nq, k - k_eff),
+                               _sentinel(self.metric.name), np.float32)],
+                axis=1)
+            pos = np.concatenate(
+                [pos, np.full((nq, k - k_eff), -1, pos.dtype)], axis=1)
         return SearchResult(dist, pos.astype(np.int64))
 
     # --- IVF acceleration --------------------------------------------------
@@ -273,8 +374,23 @@ class HNSWIndex(FlatIndex):
 
     def add(self, x) -> None:
         super().add(x)
-        # The partition goes stale but stays valid for its prefix; new rows
-        # are tail-scanned exactly until the rebuild threshold.
+        # The partition/graph goes stale but stays valid for its prefix; new
+        # rows are tail-scanned exactly until the rebuild threshold.
+
+    def set_placement(self, sharding) -> None:
+        super().set_placement(sharding)
+        # Re-placement changes the shard row blocks: the per-shard
+        # subgraphs (local indices) no longer align.
+        self._graph_sharded = None
+
+    def _exact_search(self, xq, k, params, selector) -> SearchResult:
+        # Exact fallback that bypasses this class's polymorphic
+        # search_async/search_dispatch overrides (FlatIndex.search delegates
+        # through them; re-entering would recurse — or return the override's
+        # None dispatch — when the fallback fires in a non-exact regime,
+        # e.g. selector under graph_sharded).
+        disp = FlatIndex.search_dispatch(self, xq, k, params, selector)
+        return self._finish_dispatch(disp, xq, k)
 
     def search(self, xq, k, params=EMPTY, selector=None) -> SearchResult:
         # efSearch accepted per the reference (src/faiss_extension.cpp:
@@ -283,16 +399,24 @@ class HNSWIndex(FlatIndex):
         if ef is not None:
             self.ef_search = ef
         if (params.get_str("exact") or "").lower() in ("true", "1"):
-            return super().search(xq, k, params, selector)
+            return self._exact_search(xq, k, params, selector)
         mode = self._effective_mode()
-        if mode == "graph":
+        if mode == "graph_sharded":
+            if selector is not None:
+                # Filtered sharded search: the exact sharded scan fuses the
+                # mask (flat path) — correct and fast, no pool inflation.
+                return self._exact_search(xq, k, params, selector)
+            self._graph_ready_sharded()
+            res = self._sharded_graph_search(xq, k, params)
+            indexed = self._graph_sharded[3]
+        elif mode == "graph":
             self._graph_ready()
             res = self._graph_search(xq, k, params, selector)
             indexed = self._graph[1]
         else:
             accel_state = self._accel_ready()
             if accel_state is None:
-                return super().search(xq, k, params, selector)
+                return self._exact_search(xq, k, params, selector)
             accel, indexed = accel_state
             nprobe = params.get_int("nprobe",
                                     max(1, round(self.ef_search / 4)))

@@ -194,6 +194,12 @@ def pack_neighbors(xb_dev: jax.Array, graph_dev: jax.Array,
 # Search: batched greedy walk
 # ---------------------------------------------------------------------------
 
+def default_iters(pool: int, width: int, deg: int) -> int:
+    """Walk length: enough steps to turn the pool over twice, plus slack
+    for the greedy descent to reach the query's neighbourhood."""
+    return max(4, int(np.ceil(2 * pool / max(width * deg, 1))) + 8)
+
+
 def _batched_scores(xq, vecs, metric, metric_arg, precision):
     """(B, d) queries vs (B, M, d) gathered candidates → (B, M) scores,
     max-oriented (negated distances for min metrics)."""
@@ -214,16 +220,13 @@ def _batched_scores(xq, vecs, metric, metric_arg, precision):
     return -jnp.maximum(qn - 2.0 * xy + vn, 0.0)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("k", "pool", "width", "iters", "metric", "precision",
-                     "seed"),
-)
-def _graph_walk(xb, graph, xq, nvalid, metric_arg, mask, pack, *, k, pool,
-                width, iters, metric, precision, seed):
-    """Batched greedy walk.  Returns (scores (B, k) max-oriented with -inf
-    missing, positions (B, k) int32 with -1 missing) — the search_scan
-    convention, so callers share finalize_scores.
+def walk_scan(xb, graph, xq, nvalid, metric_arg, mask, pack, *, k, pool,
+              width, iters, metric, precision):
+    """Batched greedy walk (traceable body — jitted via graph_search, or
+    called under shard_map for per-shard subgraph walks).  Returns (scores
+    (B, k) max-oriented with -inf missing, positions (B, k) int32 with -1
+    missing) — the search_scan convention, so callers share
+    finalize_scores.
 
     State per query: a pool of ``pool`` (score, id, expanded) entries kept
     best-first.  Each iteration expands the best ``width`` unexpanded
@@ -255,7 +258,6 @@ def _graph_walk(xb, graph, xq, nvalid, metric_arg, mask, pack, *, k, pool,
     scores, sel = lax.top_k(sscore, pool)
     ids = jnp.where(jnp.isneginf(scores), -1, sids[sel])
     expanded = jnp.zeros((B, pool), bool)
-    del seed  # deterministic init; kept in the signature for compatibility
 
     def body(_, state):
         scores, ids, expanded = state
@@ -338,6 +340,19 @@ def _graph_walk(xb, graph, xq, nvalid, metric_arg, mask, pack, *, k, pool,
     return out_s, out_i
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "pool", "width", "iters", "metric", "precision",
+                     "seed"),
+)
+def _graph_walk(xb, graph, xq, nvalid, metric_arg, mask, pack, *, k, pool,
+                width, iters, metric, precision, seed):
+    del seed  # deterministic init; kept in the signature for compatibility
+    return walk_scan(xb, graph, xq, nvalid, metric_arg, mask, pack,
+                     k=k, pool=pool, width=width, iters=iters,
+                     metric=metric, precision=precision)
+
+
 def graph_search(
     xb_dev: jax.Array,       # (cap, d) fp32 padded corpus (device)
     graph_dev: jax.Array,    # (n_graph_pad, degree) int32 (device)
@@ -366,8 +381,7 @@ def graph_search(
     ``xb_dev`` (the scattered walk already scores at ``precision``)."""
     pool = max(pool, k)
     if iters is None:
-        deg = graph_dev.shape[1]
-        iters = max(4, int(np.ceil(2 * pool / max(width * deg, 1))) + 8)
+        iters = default_iters(pool, width, graph_dev.shape[1])
     return _graph_walk(
         xb_dev, graph_dev, xq_pad,
         jnp.int32(nvalid), jnp.float32(metric_arg), mask, pack,

@@ -97,6 +97,52 @@ def sharded_flat_search_fn(mesh: Mesh, *, k: int, metric: str, chunk: int,
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=64)
+def sharded_graph_search_fn(mesh: Mesh, *, k: int, pool: int, width: int,
+                            iters: int, metric: str,
+                            precision=lax.Precision.DEFAULT):
+    """Sharded CAGRA-style walk: corpus rows P('shard', None), per-shard
+    adjacency in LOCAL row indices P('shard', None), per-shard valid-row
+    counts P('shard'), queries P('batch', None).  Each device walks its own
+    subgraph (ops/graph.walk_scan) and contributes k candidates per query;
+    the merge is the same all_gather + one top-k as the sharded flat scan —
+    k·S values per query over the interconnect, never vectors.
+
+    Per-shard subgraphs (vs one global graph) keep every expansion gather
+    device-local: a global graph's edges cross shards, which under GSPMD
+    would all-gather corpus rows.  The union of per-shard walks is at least
+    as complete as a single-graph walk of the same pool."""
+    from ..ops.graph import walk_scan
+
+    def local(xb, graph, nvalid_loc, xq, metric_arg):
+        shard_idx = lax.axis_index("shard")
+        cap_local = xb.shape[0]
+        offset = (shard_idx * cap_local).astype(jnp.int32)
+        scores, pos = walk_scan(
+            xb, graph, xq, nvalid_loc[0], metric_arg, None, None,
+            k=k, pool=pool, width=width, iters=iters, metric=metric,
+            precision=precision)
+        pos = jnp.where(pos >= 0, pos + offset, -1)
+        all_scores = lax.all_gather(scores, "shard")   # (S, nq_l, k)
+        all_pos = lax.all_gather(pos, "shard")
+        s, nq_l, _ = all_scores.shape
+        cat_s = jnp.transpose(all_scores, (1, 0, 2)).reshape(nq_l, s * k)
+        cat_p = jnp.transpose(all_pos, (1, 0, 2)).reshape(nq_l, s * k)
+        merged_s, sel = lax.top_k(cat_s, k)
+        merged_p = jnp.take_along_axis(cat_p, sel, axis=1)
+        return finalize_scores(merged_s, merged_p, metric)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("shard", None), P("shard", None), P("shard"),
+                  P("batch", None), P()),
+        out_specs=(P("batch", None), P("batch", None)),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def sharded_kmeans_step_fn(mesh: Mesh, *, k: int,
                            precision=lax.Precision.DEFAULT):
     """One distributed Lloyd iteration: data sharded over (shard, batch),
@@ -196,6 +242,27 @@ def multichip_dryrun(n_devices: int) -> None:
         jax.device_put(sel_mask, NamedSharding(mesh, P("shard", None))))
     jax.block_until_ready((dq, pq_))
     assert dq.shape == (nq, k)
+
+    # Sharded graph walk (HNSW/NSG graph regime under a placement):
+    # per-shard CAGRA subgraphs in local indices, all_gather top-k merge.
+    from ..ops.graph import build_graph
+
+    rows = cap // n_shard
+    gdeg = 8
+    gblocks = []
+    for s in range(n_shard):
+        adj = build_graph(xb[s * rows:(s + 1) * rows], gdeg, "L2")
+        gblocks.append(adj)
+    gdev = jax.device_put(np.concatenate(gblocks, axis=0),
+                          NamedSharding(mesh, P("shard", None)))
+    nvdev = jax.device_put(np.full((n_shard,), rows, np.int32),
+                           NamedSharding(mesh, P("shard")))
+    walk = sharded_graph_search_fn(mesh, k=k, pool=16, width=4, iters=6,
+                                   metric="L2")
+    dg, pg = walk(xb_s, gdev, nvdev, xq_s, jnp.float32(0.0))
+    jax.block_until_ready((dg, pg))
+    assert dg.shape == (nq, k) and pg.shape == (nq, k)
+    assert np.asarray(pg).max() < cap
 
     # Row-sharded codec placement (faiss_to_device on standalone PQ):
     # GSPMD partitions the fused decode+scan over the placed byte codes.

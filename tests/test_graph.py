@@ -264,6 +264,48 @@ def test_idmap_hnsw_graph_regime_custom_labels(catalog):
     np.testing.assert_array_equal(rb["label"], res["label"])
 
 
+def test_hnsw_graph_sharded_placement(catalog):
+    """faiss_to_device on HNSW in the graph regime: per-shard subgraph
+    walks under shard_map, merged top-k matches the exact oracle on
+    clustered data; a selector falls back to the sharded exact scan; tail
+    rows merge."""
+    from duckdb_faiss_ext_tpu.parallel.sharded import make_mesh
+
+    d, n = 16, 6000
+    xb = _clustered(n, d, seed=70)
+    xq = xb[:12]
+    dfx.faiss_create("hgs", d, "HNSW32", metric_type="L2", catalog=catalog)
+    idx = catalog.get("hgs").index
+    idx.ann_threshold = 1000
+    dfx.faiss_add(xb, "hgs", catalog=catalog)
+    mesh = make_mesh(8, batch_axis=2)
+    dfx.faiss_to_device("hgs", mesh, catalog=catalog)
+    assert idx._effective_mode() == "graph_sharded"
+
+    exact = dfx.faiss_search("hgs", 5, xq, {"exact": "true"},
+                             catalog=catalog)
+    res = dfx.faiss_search("hgs", 5, xq, {"efSearch": "64"},
+                           catalog=catalog)
+    assert idx._graph_sharded is not None
+    np.testing.assert_array_equal(res["label"][:, 0], np.arange(12))
+    recall = np.mean([len(set(res["label"][q]) & set(exact["label"][q]))
+                      for q in range(12)]) / 5
+    assert recall > 0.9
+
+    # Selector: falls back to the sharded exact filtered scan.
+    sel = dfx.SetSelector(np.arange(0, n, 3, dtype=np.int64))
+    rs = dfx.faiss_search("hgs", 5, xq[:4], catalog=catalog, selector=sel)
+    assert np.all(rs["label"] % 3 == 0)
+
+    # Tail rows (no rebuild) still found via the exact tail merge.
+    rng = np.random.default_rng(71)
+    extra = rng.standard_normal((8, d)).astype(np.float32) * 20
+    dfx.faiss_add(extra, "hgs", catalog=catalog)
+    rt = dfx.faiss_search("hgs", 3, extra, {"efSearch": "64"},
+                          catalog=catalog)
+    assert np.all(rt["label"][:, 0] >= n)
+
+
 def test_nsg_graph_regime(catalog):
     """NSG at scale rides the same graph walk; search_L maps to the pool."""
     d, n = 8, 3000
