@@ -201,7 +201,10 @@ class HNSWIndex(FlatIndex):
         self._pack_dev = (key, pack)
         return pack
 
-    def _graph_search(self, xq, k, params, selector) -> SearchResult:
+    def _graph_dispatch(self, xq, k, params, selector):
+        """Device dispatch for the graph walk (the search_dispatch tuple
+        contract): the walk is one jitted program, so batched serving can
+        concatenate many walks and fetch ONCE (api.faiss_search_batched)."""
         import jax.numpy as jnp
 
         from ..ops.flat_search import finalize_scores
@@ -211,6 +214,8 @@ class HNSWIndex(FlatIndex):
         adj, indexed = self._graph
         xq = np.asarray(xq, np.float32)
         nq = xq.shape[0]
+        if nq == 0 or k <= 0 or indexed == 0:
+            return None
         nq_pad = max(config.min_query_bucket, next_pow2(nq))
         xq_pad = jnp.asarray(pad_rows(xq, nq_pad))
         xb_dev = self.device_vectors()
@@ -219,21 +224,18 @@ class HNSWIndex(FlatIndex):
         pool, width, iters = self._walk_knobs(k, params, selector)
         mask = (self._selector_mask(selector)
                 if selector is not None else None)
+        k_eff = min(k, indexed)
         scores, pos = graph_search(
-            xb_dev, gdev, xq_pad, indexed, min(k, indexed),
+            xb_dev, gdev, xq_pad, indexed, k_eff,
             self.metric.name, self.metric_arg,
             pool=pool, width=width, iters=iters, mask=mask, pack=pack,
             precision=config.precision)
-        dist, pos = finalize_scores(scores, pos, self.metric.name)
-        dist = np.asarray(dist)[:nq]
-        pos = np.asarray(pos)[:nq]
-        if k > dist.shape[1]:  # k exceeded indexed rows: pad out
-            padd = np.full((nq, k - dist.shape[1]),
-                           _sentinel(self.metric.name), np.float32)
-            dist = np.concatenate([dist, padd], axis=1)
-            pos = np.concatenate(
-                [pos, np.full((nq, k - pos.shape[1]), -1, np.int64)], axis=1)
-        return SearchResult(dist, pos.astype(np.int64))
+        dist_dev, pos_dev = finalize_scores(scores, pos, self.metric.name)
+        return dist_dev, pos_dev, nq, k_eff
+
+    def _graph_search(self, xq, k, params, selector) -> SearchResult:
+        return self._finish_dispatch(
+            self._graph_dispatch(xq, k, params, selector), xq, k)
 
     def _walk_knobs(self, k: int, params, selector):
         """(pool, width, iters) shared by the single-device and sharded
@@ -392,12 +394,15 @@ class HNSWIndex(FlatIndex):
         disp = FlatIndex.search_dispatch(self, xq, k, params, selector)
         return self._finish_dispatch(disp, xq, k)
 
-    def search(self, xq, k, params=EMPTY, selector=None) -> SearchResult:
+    def _latch(self, params) -> None:
         # efSearch accepted per the reference (src/faiss_extension.cpp:
-        # 691-702); at scale it maps to the candidate-pool size (nprobe).
+        # 691-702); at scale it maps to the candidate-pool size.
         ef = params.get_int("efSearch")
         if ef is not None:
             self.ef_search = ef
+
+    def search(self, xq, k, params=EMPTY, selector=None) -> SearchResult:
+        self._latch(params)
         if (params.get_str("exact") or "").lower() in ("true", "1"):
             return self._exact_search(xq, k, params, selector)
         mode = self._effective_mode()
@@ -452,19 +457,32 @@ class HNSWIndex(FlatIndex):
         return (params.get_str("exact") or "").lower() in ("true", "1")
 
     def search_dispatch(self, xq, k, params=None, selector=None):
-        """No raw dispatch in the ANN regimes — the batched serving tier
-        would otherwise silently run the full exact scan (10-20× slower at
-        scale and ignoring efSearch); returning None makes it fall back to
-        per-batch accelerated searches."""
-        if self._exact_requested(params) or self._effective_mode() == "exact":
-            return super().search_dispatch(xq, k, params, selector)
+        """Raw dispatch: exact regime delegates to the flat dispatch; the
+        graph regime dispatches the jitted walk (single-fetch batched
+        serving) when no exact-scanned tail exists.  Other ANN regimes
+        return None — the batched tier would otherwise silently run the
+        full exact scan (10-20× slower at scale and ignoring efSearch)."""
+        p = params if params is not None else EMPTY
+        self._latch(p)
+        if self._exact_requested(p) or self._effective_mode() == "exact":
+            return super().search_dispatch(xq, k, p, selector)
+        if self._effective_mode() == "graph":
+            self._graph_ready()
+            if self._graph[1] == self.ntotal:  # no tail to host-merge
+                return self._graph_dispatch(xq, k, p, selector)
         return None
 
     def search_async(self, xq, k, params=None, selector=None):
-        if self._exact_requested(params) or self._effective_mode() == "exact":
-            return super().search_async(xq, k, params, selector)
-        res = self.search(xq, k, params if params is not None else EMPTY,
-                          selector)
+        p = params if params is not None else EMPTY
+        self._latch(p)
+        if self._exact_requested(p) or self._effective_mode() == "exact":
+            return super().search_async(xq, k, p, selector)
+        if self._effective_mode() == "graph":
+            self._graph_ready()
+            if self._graph[1] == self.ntotal:
+                disp = self._graph_dispatch(xq, k, p, selector)
+                return lambda: self._finish_dispatch(disp, xq, k)
+        res = self.search(xq, k, p, selector)
         return lambda: res
 
     def state_dict(self) -> dict:
@@ -597,11 +615,11 @@ class NSGIndex(HNSWIndex):
         super().__init__(d, metric, metric_arg, M=M, storage=storage)
         self.ef_search = 16  # faiss::IndexNSG::search_L default
 
-    def search(self, xq, k, params=EMPTY, selector=None) -> SearchResult:
+    def _latch(self, params) -> None:
+        super()._latch(params)
         L = params.get_int("search_L")
         if L is not None:
             self.ef_search = L
-        return super().search(xq, k, params, selector)
 
     def apply_create_params(self, params) -> None:
         super().apply_create_params(params)

@@ -264,6 +264,41 @@ def test_idmap_hnsw_graph_regime_custom_labels(catalog):
     np.testing.assert_array_equal(rb["label"], res["label"])
 
 
+def test_hnsw_graph_batched_dispatch(catalog):
+    """The graph regime rides the single-fetch batched serving path: a raw
+    dispatch tuple exists (no tail), and batched results equal sequential
+    ones — including with a selector."""
+    d, n = 16, 4000
+    xb = _clustered(n, d, seed=69)
+    dfx.faiss_create("hgb", d, "HNSW32", metric_type="L2", catalog=catalog)
+    idx = catalog.get("hgb").index
+    idx.ann_threshold = 1000
+    dfx.faiss_add(xb, "hgb", catalog=catalog)
+    params = {"efSearch": "64"}
+    seq = dfx.faiss_search("hgb", 5, xb[:32], params, catalog=catalog)
+    from duckdb_faiss_ext_tpu.params import ParamMap
+
+    disp = idx.search_dispatch(xb[:8], 5, ParamMap(params))
+    assert disp is not None          # graph dispatch active (no tail)
+    bat = dfx.faiss_search_batched("hgb", 5, xb[:32], params, batch_size=8,
+                                   catalog=catalog)
+    np.testing.assert_array_equal(bat["label"], seq["label"])
+    np.testing.assert_allclose(bat["distance"], seq["distance"], rtol=1e-6)
+    sel = dfx.SetSelector(np.arange(0, n, 2, dtype=np.int64))
+    bsel = dfx.faiss_search_batched("hgb", 5, xb[:16], params, batch_size=8,
+                                    catalog=catalog, selector=sel)
+    assert np.all(bsel["label"] % 2 == 0)
+    # With a tail, dispatch opts out (host merge needed) but batched
+    # serving still returns correct results via the fallback.
+    rng = np.random.default_rng(72)
+    extra = rng.standard_normal((6, d)).astype(np.float32) * 20
+    dfx.faiss_add(extra, "hgb", catalog=catalog)
+    assert idx.search_dispatch(xb[:8], 5, ParamMap(params)) is None
+    bt = dfx.faiss_search_batched("hgb", 3, extra, params, batch_size=4,
+                                  catalog=catalog)
+    assert np.all(bt["label"][:, 0] >= n)
+
+
 def test_hnsw_graph_sharded_placement(catalog):
     """faiss_to_device on HNSW in the graph regime: per-shard subgraph
     walks under shard_map, merged top-k matches the exact oracle on
