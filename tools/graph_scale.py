@@ -92,22 +92,25 @@ def drive(tag, xb, xq, k=10):
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
     d = int(sys.argv[2]) if len(sys.argv) > 2 else 96
+    which = sys.argv[3] if len(sys.argv) > 3 else "both"
     nq = 1024
     dfx.set_precision("fast")
     rng = np.random.default_rng(0)
 
-    xb_u = rng.standard_normal((n, d)).astype(np.float32)
-    xq_u = rng.standard_normal((nq, d)).astype(np.float32)
-    drive("uniform", xb_u, xq_u)
-    del xb_u, xq_u
+    if which in ("uniform", "both"):
+        xb_u = rng.standard_normal((n, d)).astype(np.float32)
+        xq_u = rng.standard_normal((nq, d)).astype(np.float32)
+        drive("uniform", xb_u, xq_u)
+        del xb_u, xq_u
 
-    ncent = 1024
-    centers = rng.standard_normal((ncent, d)).astype(np.float32) * 3
-    xb_c = (centers[rng.integers(0, ncent, n)]
-            + rng.standard_normal((n, d)).astype(np.float32) * 0.5)
-    xq_c = (centers[rng.integers(0, ncent, nq)]
-            + rng.standard_normal((nq, d)).astype(np.float32) * 0.5)
-    drive("clustered", xb_c, xq_c)
+    if which in ("clustered", "both"):
+        ncent = 1024
+        centers = rng.standard_normal((ncent, d)).astype(np.float32) * 3
+        xb_c = (centers[rng.integers(0, ncent, n)]
+                + rng.standard_normal((n, d)).astype(np.float32) * 0.5)
+        xq_c = (centers[rng.integers(0, ncent, nq)]
+                + rng.standard_normal((nq, d)).astype(np.float32) * 0.5)
+        drive("clustered", xb_c, xq_c)
 
 
 if __name__ == "__main__":
