@@ -261,10 +261,13 @@ class HNSWIndex(FlatIndex):
 
         n = self.ntotal
         if self._graph_sharded is not None:
-            key, gdev, nvdev, indexed = self._graph_sharded
+            cap_key, indexed = (self._graph_sharded[0],
+                                self._graph_sharded[3])
             cap_now = self.device_vectors().shape[0]
+            # Valid while the tail is small and the capacity bucket (and
+            # hence the shard row blocks) hasn't moved.
             if (n - indexed <= self.tail_rebuild_fraction * n
-                    and key == (indexed, cap_now)):
+                    and cap_key == cap_now):
                 return self._graph_sharded
         from ..ops.graph import build_graph
         from ..utils.config import config
@@ -294,7 +297,26 @@ class HNSWIndex(FlatIndex):
         gdev = jax.device_put(host, NamedSharding(mesh, P("shard", None)))
         nvdev = jax.device_put(np.asarray(nvalid, np.int32),
                                NamedSharding(mesh, P("shard")))
-        self._graph_sharded = ((n, cap), gdev, nvdev, n)
+        # Per-shard packed neighbourhoods (each device packs only its own
+        # rows; the HBM budget applies per device).
+        from ..parallel.sharded import sharded_pack_fn
+
+        per_dev = rows * deg * self.d
+        if per_dev * 2 <= self.pack_budget_bytes:
+            kind = "bf16"
+            packops = (sharded_pack_fn(mesh, kind)(xb_dev, gdev),)
+        elif per_dev <= self.pack_budget_bytes:
+            kind = "int8"
+            import jax.numpy as jnp
+
+            amax = float(np.max(np.abs(self._xb))) if n else 1.0
+            scale = 127.0 / max(amax, 1e-30)
+            packops = (sharded_pack_fn(mesh, kind)(
+                xb_dev, gdev, jnp.float32(scale)),
+                jnp.float32(1.0 / scale))
+        else:
+            kind, packops = "none", ()
+        self._graph_sharded = (cap, gdev, nvdev, n, kind, packops)
         return self._graph_sharded
 
     def _sharded_graph_search(self, xq, k, params) -> SearchResult:
@@ -305,7 +327,7 @@ class HNSWIndex(FlatIndex):
         from ..parallel.sharded import sharded_graph_search_fn
         from ..utils.config import config, next_pow2, pad_rows
 
-        key, gdev, nvdev, indexed = self._graph_sharded
+        cap_key, gdev, nvdev, indexed, kind, packops = self._graph_sharded
         xb_dev = self.device_vectors()
         pool, width, iters = self._walk_knobs(k, params, None)
         if iters is None:
@@ -319,14 +341,14 @@ class HNSWIndex(FlatIndex):
             nq_pad = ((nq_pad + batch - 1) // batch) * batch
         fn = sharded_graph_search_fn(
             mesh, k=min(k, max(1, indexed)), pool=max(pool, k), width=width,
-            iters=iters, metric=self.metric.name,
+            iters=iters, metric=self.metric.name, pack_kind=kind,
             precision=config.precision)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         xq_dev = jax.device_put(pad_rows(xq, nq_pad),
                                 NamedSharding(mesh, P("batch", None)))
         dist, pos = fn(xb_dev, gdev, nvdev, xq_dev,
-                       jnp.float32(self.metric_arg))
+                       jnp.float32(self.metric_arg), *packops)
         dist = np.asarray(dist)[:nq]
         pos = np.asarray(pos)[:nq]
         k_eff = dist.shape[1]
@@ -382,8 +404,15 @@ class HNSWIndex(FlatIndex):
     def set_placement(self, sharding) -> None:
         super().set_placement(sharding)
         # Re-placement changes the shard row blocks: the per-shard
-        # subgraphs (local indices) no longer align.
+        # subgraphs (local indices) no longer align.  The single-device
+        # walk caches (padded adjacency + up to 6 GB of packed blocks) are
+        # unreachable in the sharded regime — free them or they pin HBM on
+        # the original device for the index's lifetime.  The host adjacency
+        # (_graph) stays: it is cheap, persisted, and reused if the
+        # placement is ever dropped.
         self._graph_sharded = None
+        self._graph_dev = None
+        self._pack_dev = None
 
     def _exact_search(self, xq, k, params, selector) -> SearchResult:
         # Exact fallback that bypasses this class's polymorphic
@@ -525,6 +554,7 @@ class HNSWIndex(FlatIndex):
         self._graph = None
         self._graph_dev = None
         self._pack_dev = None
+        self._graph_sharded = None
         if gadj is not None and gmeta is not None:
             self._graph = (np.asarray(gadj, np.int32), int(gmeta[0]))
         lam = state.pop("hnsw_soar", None)

@@ -32,6 +32,21 @@ from ..ops.flat_search import (SIMILARITY_METRICS, choose_chunk,
 from ..ops.kmeans import assign_labels, centroid_update
 
 
+def _merge_shard_topk(scores, pos, k: int, metric: str):
+    """Merge per-shard (nq_local, k) max-oriented candidates into the global
+    top-k: all_gather over 'shard' + ONE top-k — k·S scalars per query cross
+    the interconnect, never vectors.  Shared by the flat, IVF, and graph
+    sharded searches; returns finalize_scores output conventions."""
+    all_scores = lax.all_gather(scores, "shard")     # (S, nq_l, k)
+    all_pos = lax.all_gather(pos, "shard")
+    s, nq_l, kk = all_scores.shape
+    cat_s = jnp.transpose(all_scores, (1, 0, 2)).reshape(nq_l, s * kk)
+    cat_p = jnp.transpose(all_pos, (1, 0, 2)).reshape(nq_l, s * kk)
+    merged_s, sel = lax.top_k(cat_s, k)
+    merged_p = jnp.take_along_axis(cat_p, sel, axis=1)
+    return finalize_scores(merged_s, merged_p, metric)
+
+
 def make_mesh(n_devices: int | None = None, batch_axis: int = 1,
               devices=None) -> Mesh:
     """2-D mesh (shard × batch) over the first n_devices local devices."""
@@ -77,15 +92,7 @@ def sharded_flat_search_fn(mesh: Mesh, *, k: int, metric: str, chunk: int,
             xb, nvalid, xq, mask, metric_arg, offset,
             k=k, metric=metric, q_block=qb, c_block=chunk,
             precision=precision)
-        # Merge across corpus shards: k candidates per shard per query.
-        all_scores = lax.all_gather(scores, "shard")   # (S, nq_l, k)
-        all_pos = lax.all_gather(pos, "shard")
-        s, nq_l, _ = all_scores.shape
-        cat_s = jnp.transpose(all_scores, (1, 0, 2)).reshape(nq_l, s * k)
-        cat_p = jnp.transpose(all_pos, (1, 0, 2)).reshape(nq_l, s * k)
-        merged_s, sel = lax.top_k(cat_s, k)
-        merged_p = jnp.take_along_axis(cat_p, sel, axis=1)
-        return finalize_scores(merged_s, merged_p, metric)
+        return _merge_shard_topk(scores, pos, k, metric)
 
     fn = shard_map(
         local,
@@ -99,7 +106,7 @@ def sharded_flat_search_fn(mesh: Mesh, *, k: int, metric: str, chunk: int,
 
 @functools.lru_cache(maxsize=64)
 def sharded_graph_search_fn(mesh: Mesh, *, k: int, pool: int, width: int,
-                            iters: int, metric: str,
+                            iters: int, metric: str, pack_kind: str = "none",
                             precision=lax.Precision.DEFAULT):
     """Sharded CAGRA-style walk: corpus rows P('shard', None), per-shard
     adjacency in LOCAL row indices P('shard', None), per-shard valid-row
@@ -111,35 +118,61 @@ def sharded_graph_search_fn(mesh: Mesh, *, k: int, pool: int, width: int,
     Per-shard subgraphs (vs one global graph) keep every expansion gather
     device-local: a global graph's edges cross shards, which under GSPMD
     would all-gather corpus rows.  The union of per-shard walks is at least
-    as complete as a single-graph walk of the same pool."""
+    as complete as a single-graph walk of the same pool.
+
+    pack_kind 'bf16'/'int8' appends packed-neighbourhood operand(s)
+    (sharded_pack_fn) so expansion gathers stay block-contiguous — the
+    scattered gather is descriptor-bound (ops/graph.pack_neighbors)."""
     from ..ops.graph import walk_scan
 
-    def local(xb, graph, nvalid_loc, xq, metric_arg):
+    def local(xb, graph, nvalid_loc, xq, metric_arg, *packops):
+        if pack_kind == "bf16":
+            pack = packops[0]
+        elif pack_kind == "int8":
+            pack = (packops[0], packops[1])
+        else:
+            pack = None
         shard_idx = lax.axis_index("shard")
         cap_local = xb.shape[0]
         offset = (shard_idx * cap_local).astype(jnp.int32)
         scores, pos = walk_scan(
-            xb, graph, xq, nvalid_loc[0], metric_arg, None, None,
+            xb, graph, xq, nvalid_loc[0], metric_arg, None, pack,
             k=k, pool=pool, width=width, iters=iters, metric=metric,
             precision=precision)
         pos = jnp.where(pos >= 0, pos + offset, -1)
-        all_scores = lax.all_gather(scores, "shard")   # (S, nq_l, k)
-        all_pos = lax.all_gather(pos, "shard")
-        s, nq_l, _ = all_scores.shape
-        cat_s = jnp.transpose(all_scores, (1, 0, 2)).reshape(nq_l, s * k)
-        cat_p = jnp.transpose(all_pos, (1, 0, 2)).reshape(nq_l, s * k)
-        merged_s, sel = lax.top_k(cat_s, k)
-        merged_p = jnp.take_along_axis(cat_p, sel, axis=1)
-        return finalize_scores(merged_s, merged_p, metric)
+        return _merge_shard_topk(scores, pos, k, metric)
 
+    pack_specs = {"none": (), "bf16": (P("shard", None, None),),
+                  "int8": (P("shard", None, None), P())}[pack_kind]
     fn = shard_map(
         local,
         mesh=mesh,
         in_specs=(P("shard", None), P("shard", None), P("shard"),
-                  P("batch", None), P()),
+                  P("batch", None), P()) + pack_specs,
         out_specs=(P("batch", None), P("batch", None)),
         check_vma=False,
     )
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=16)
+def sharded_pack_fn(mesh: Mesh, kind: str):
+    """Build the per-shard packed neighbourhood tensor (P('shard', None,
+    None)) from the sharded corpus + local adjacency — each device packs
+    only its own rows.  'int8' also takes a replicated quantization scale."""
+
+    if kind == "bf16":
+        def local(xb, g):
+            return jnp.take(xb.astype(jnp.bfloat16), jnp.maximum(g, 0),
+                            axis=0)
+        in_specs = (P("shard", None), P("shard", None))
+    else:
+        def local(xb, g, scale):
+            q = jnp.clip(jnp.round(xb * scale), -127, 127).astype(jnp.int8)
+            return jnp.take(q, jnp.maximum(g, 0), axis=0)
+        in_specs = (P("shard", None), P("shard", None), P())
+    fn = shard_map(local, mesh=mesh, in_specs=in_specs,
+                   out_specs=P("shard", None, None), check_vma=False)
     return jax.jit(fn)
 
 
@@ -398,14 +431,7 @@ def sharded_ivf_search_fn(mesh: Mesh, *, k: int, nprobe: int, metric: str,
                 jnp.full((nq, k), -1, jnp.int32))
         scores, pos = lax.fori_loop(0, nq // qc, chunk, init)
 
-        all_s = lax.all_gather(scores, "shard")
-        all_p = lax.all_gather(pos, "shard")
-        s_ct = all_s.shape[0]
-        cat_s = jnp.transpose(all_s, (1, 0, 2)).reshape(nq, s_ct * k)
-        cat_p = jnp.transpose(all_p, (1, 0, 2)).reshape(nq, s_ct * k)
-        ms, sel = lax.top_k(cat_s, k)
-        mp = jnp.take_along_axis(cat_p, sel, axis=1)
-        return finalize_scores(ms, mp, metric)
+        return _merge_shard_topk(scores, pos, k, metric)
 
     fn = shard_map(
         local,
