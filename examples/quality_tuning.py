@@ -11,6 +11,8 @@ Compares, against the exact Flat oracle at a fixed candidate budget:
                                        codebooks (inner-product search)
     RQ8x8                            — additive residual quantizer
                                        (beam-search encode)
+    HNSW32 (graph walk)              — CAGRA-style batched graph ANN
+                                       (efSearch = candidate pool)
 
 Run: python examples/quality_tuning.py   (CPU or TPU)
 """
@@ -44,6 +46,7 @@ def run(name, desc, create_params, search_params):
                             metric_type="INNER_PRODUCT")
     t0 = time.perf_counter()
     dfx.faiss_add(xb, name)
+    dfx.faiss_search(name, 1, xq[:1], search_params)  # force lazy builds
     build = time.perf_counter() - t0
     got = dfx.faiss_search(name, K, xq, search_params)["label"]
     recall = np.mean([len(set(g) & set(t)) / K for g, t in zip(got, truth)])
@@ -59,7 +62,10 @@ pq = run("pqp", "IVF16,PQ8", {}, {"nprobe": "16"})
 aniso = run("pqa", "IVF16,PQ8", {"anisotropic_eta": "4.0"},
             {"nprobe": "16"})
 rq = run("rq", "RQ8x8", {"beam": "4"}, {})
+graph = run("hnswg", "HNSW32", {"ann_threshold": "10000"},
+            {"efSearch": "64"})
 
 assert soar >= base and aniso >= pq - 0.02
+assert graph >= base  # the graph walk beats an equal-effort IVF probe
 print("\nSOAR and anisotropic quantization lift recall at the same "
       "candidate budget; RQ trades build time for byte-code accuracy.")
