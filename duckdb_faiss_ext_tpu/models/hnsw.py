@@ -51,9 +51,10 @@ class HNSWIndex(FlatIndex):
     #: fraction of the corpus (until then they are scanned exactly).
     tail_rebuild_fraction = 0.2
 
-    #: corpus size past which the graph regime yields to the IVF partition
-    #: (the exact-kNN graph build is O(n²) MXU flops — ~seconds at 1M,
-    #: prohibitive well past this).
+    #: corpus size up to which the graph BUILD uses the exact O(n²) kNN
+    #: scan (~seconds at 1M); beyond it the clustered top-2-list build
+    #: (ops/graph.build_knn_graph_clustered, cost n²·4/nlist) takes over,
+    #: so the graph regime itself has no size ceiling.
     graph_max = 2_000_000
 
     def __init__(self, d: int, metric: Metric, metric_arg: float = 0.0,
@@ -109,7 +110,6 @@ class HNSWIndex(FlatIndex):
         scan."""
         wants_ivf = (self.accel_mode == "ivf"
                      or getattr(self, "soar_lambda", 0.0) > 0.0
-                     or self.ntotal > self.graph_max
                      or (self._graph is None and self._graph_sharded is None
                          and self._accel is not None))
         if not self._ann_supported():
@@ -156,7 +156,8 @@ class HNSWIndex(FlatIndex):
         # intermediate kNN graph before the prune/reverse step.
         inter = min(max(2 * deg, self.ef_construction), max(1, n - 1), 192)
         adj = build_graph(self._xb, deg, self.metric.name, self.metric_arg,
-                          intermediate=inter, precision=config.precision)
+                          intermediate=inter, precision=config.precision,
+                          exact_max=self.graph_max)
         self._graph = (adj, n)
         self._graph_dev = None
         self._pack_dev = None
@@ -287,7 +288,8 @@ class HNSWIndex(FlatIndex):
             blk = np.ascontiguousarray(self._xb[lo:hi])
             adj = (build_graph(blk, deg, self.metric.name, self.metric_arg,
                                intermediate=min(inter, max(1, len(blk) - 1)),
-                               precision=config.precision)
+                               precision=config.precision,
+                               exact_max=self.graph_max)
                    if hi > lo else np.empty((0, deg), np.int32))
             pad = np.full((rows - adj.shape[0], deg), -1, np.int32)
             blocks.append(np.concatenate([adj, pad]) if pad.shape[0]

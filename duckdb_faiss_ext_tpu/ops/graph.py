@@ -148,14 +148,210 @@ def augment_graph(knn: np.ndarray, degree: int) -> np.ndarray:
     return np.where(valid, out, -1).astype(np.int32)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("degree", "lmax", "nlist", "metric", "precision"),
+)
+def _clustered_knn_scan(xb, table, metric_arg, *, degree, lmax, nlist,
+                        metric, precision):
+    """Sequential scan over padded list-membership tables: each list's
+    members are exact-scanned against each other once, and each member's
+    running top-``degree`` candidate set (rows appear in two lists) is
+    merged read-modify-write.  Returns ids (n_pad, degree) int32, -1
+    missing."""
+    n_pad, d = xb.shape
+    sim = metric in SIMILARITY_METRICS
+
+    def body(l, carry):
+        vals, ids = carry
+        rows = lax.dynamic_slice(table, (l, 0), (1, lmax))[0]
+        rvalid = rows >= 0
+        V = jnp.take(xb, jnp.maximum(rows, 0), axis=0)
+        dist = pairwise_tile(V, V, metric, metric_arg, precision)
+        score = dist if sim else -dist
+        same = rows[:, None] == rows[None, :]     # self + dup membership
+        score = jnp.where(jnp.logical_or(same, ~rvalid[None, :]),
+                          _NEG_INF, score)
+        lv, li = exact_topk(score, degree)
+        cand = jnp.where(jnp.isneginf(lv), -1,
+                         jnp.take(rows, li, axis=0))
+        # Merge with each member's candidates from its other list.
+        safe = jnp.where(rvalid, rows, 0)
+        cur_v = jnp.take(vals, safe, axis=0)
+        cur_i = jnp.take(ids, safe, axis=0)
+        dup = (cand[:, :, None] == cur_i[:, None, :]).any(-1)
+        lv = jnp.where(jnp.logical_or(dup, cand < 0), _NEG_INF, lv)
+        all_v = jnp.concatenate([cur_v, lv], axis=1)
+        all_i = jnp.concatenate([cur_i, cand], axis=1)
+        mv, sel = lax.top_k(all_v, degree)
+        mi = jnp.take_along_axis(all_i, sel, axis=1)
+        mi = jnp.where(jnp.isneginf(mv), -1, mi)
+        # Scatter back; padding slots route to an out-of-range index.
+        wrows = jnp.where(rvalid, rows, n_pad)
+        vals = vals.at[wrows].set(mv, mode="drop")
+        ids = ids.at[wrows].set(mi, mode="drop")
+        return vals, ids
+
+    init = (jnp.full((n_pad, degree), _NEG_INF, jnp.float32),
+            jnp.full((n_pad, degree), -1, jnp.int32))
+    return lax.fori_loop(0, nlist, body, init)[1]
+
+
+def build_knn_graph_clustered(xb: np.ndarray, degree: int, metric: str,
+                              metric_arg: float = 0.0,
+                              nlist: int | None = None,
+                              precision=lax.Precision.DEFAULT,
+                              seed: int = 0) -> np.ndarray:
+    """Approximate kNN graph for corpora past the O(n²) exact scan:
+    k-means-cluster the rows, assign each row to its TOP-2 lists (the
+    second membership supplies the cross-boundary edges, the same idea as
+    SOAR's dual assignment), then exact-scan each list's combined
+    membership once for all its members — Σ lmax² ·d FLOPs ≈ n²·4/nlist
+    instead of n².  CAGRA-class walks tolerate approximate builds (the
+    reverse-edge augmentation and pool exploration recover the tail)."""
+    from .kmeans import kmeans_fit, subsample_for_training
+    from ..utils.config import next_pow2, pad_rows
+
+    n, d = xb.shape
+    if n == 0:
+        return np.empty((0, degree), np.int32)
+    xb = np.asarray(xb, np.float32)
+    nlist = nlist or max(16, next_pow2(max(1, int(np.sqrt(n)))))
+    # Train on a subsample (the IVF convention), assign everything top-2.
+    ntrain = min(n, max(subsample_for_training(n, nlist), 4 * nlist))
+    rng = np.random.default_rng(seed)
+    sample = xb[rng.choice(n, size=ntrain, replace=False)] \
+        if ntrain < n else xb
+    cents, _ = kmeans_fit(sample, nlist, precision=precision, seed=seed)
+    a12 = _top2_assign(xb, cents, metric, metric_arg, precision)
+
+    # Padded membership tables (host): 2 entries per row, overflow rows
+    # beyond lmax keep their other membership.
+    entries_list = a12.reshape(-1)          # row-major: [r0_l1, r0_l2, r1_l1, …]
+    entries_row = np.repeat(np.arange(n, dtype=np.int64), 2)
+    order = np.argsort(entries_list, kind="stable")
+    el, er = entries_list[order], entries_row[order]
+    grp = np.searchsorted(el, np.arange(nlist))
+    slot = np.arange(el.shape[0]) - grp[el]
+    avg = max(1, (2 * n) // nlist)
+    lmax = next_pow2(min(max(int(1.5 * avg), degree + 2), 4 * avg))
+    keep = slot < lmax
+    table = np.full((nlist, lmax), -1, np.int32)
+    table[el[keep], slot[keep]] = er[keep]
+
+    cap = max(128, next_pow2(n))
+    ids = _clustered_knn_scan(
+        jnp.asarray(pad_rows(xb, cap)), jnp.asarray(table),
+        jnp.float32(metric_arg),
+        degree=int(degree), lmax=int(lmax), nlist=int(nlist),
+        metric=metric, precision=precision)
+    return np.asarray(ids[:n])
+
+
+def _top2_assign(xb, cents, metric, metric_arg, precision,
+                 block: int = 1 << 17) -> np.ndarray:
+    """(n, 2) int32: each row's two nearest centroids (blocked device
+    matmuls; host loop keeps peak memory at block × nlist)."""
+    @functools.partial(jax.jit, static_argnames=("metric", "precision"))
+    def blk(x, c, ma, *, metric, precision):
+        dist = pairwise_tile(x, c, metric, ma, precision)
+        score = dist if metric in SIMILARITY_METRICS else -dist
+        return lax.top_k(score, 2)[1].astype(jnp.int32)
+
+    n = xb.shape[0]
+    out = np.empty((n, 2), np.int32)
+    ma = jnp.float32(metric_arg)
+    cdev = jnp.asarray(cents)
+    for s in range(0, n, block):
+        out[s:s + block] = np.asarray(
+            blk(jnp.asarray(xb[s:s + block]), cdev, ma,
+                metric=metric, precision=precision))
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sample", "q_block", "metric", "precision"),
+)
+def _nn_descent_round(xb, knn, metric_arg, *, sample, q_block, metric,
+                      precision):
+    """One synchronous NN-descent refinement: each row scores its
+    neighbours' top-``sample`` neighbours and keeps the best ``deg`` of
+    (current ∪ candidates).  Reads the input graph only (pure map over row
+    blocks) so the round is order-independent."""
+    n_pad, deg = knn.shape
+    sim = metric in SIMILARITY_METRICS
+
+    def body(bi, out):
+        q0 = bi * q_block
+        rows = q0 + lax.broadcasted_iota(jnp.int32, (q_block, 1), 0)
+        cur = lax.dynamic_slice(knn, (q0, 0), (q_block, deg))
+        xq = lax.dynamic_slice(xb, (q0, 0), (q_block, xb.shape[1]))
+        nbr2 = jnp.take(knn, jnp.maximum(cur, 0), axis=0)[:, :, :sample]
+        nbr2 = jnp.where(cur[:, :, None] < 0, -1, nbr2)
+        cand = jnp.concatenate(
+            [cur, nbr2.reshape(q_block, deg * sample)], axis=1)
+        cand = jnp.where(cand == rows, -1, cand)           # no self edges
+        # First-occurrence dedup (current entries lead, so they win ties).
+        w = cand.shape[1]
+        earlier = (cand[:, :, None] == cand[:, None, :])
+        earlier &= jnp.tril(jnp.ones((w, w), bool), k=-1)[None]
+        cand = jnp.where(earlier.any(-1), -1, cand)
+        vecs = jnp.take(xb, jnp.maximum(cand, 0), axis=0)
+        scores = _batched_scores(xq, vecs, metric, metric_arg, precision)
+        scores = jnp.where(cand < 0, _NEG_INF, scores)
+        vals, sel = lax.top_k(scores, deg)
+        new = jnp.take_along_axis(cand, sel, axis=1)
+        new = jnp.where(jnp.isneginf(vals), -1, new)
+        return lax.dynamic_update_slice(out, new, (q0, 0))
+
+    out = jnp.full_like(knn, -1)
+    return lax.fori_loop(0, n_pad // q_block, body, out)
+
+
+def refine_knn_graph(xb: np.ndarray, knn: np.ndarray, metric: str,
+                     metric_arg: float = 0.0, rounds: int = 1,
+                     sample: int = 8,
+                     precision=lax.Precision.DEFAULT) -> np.ndarray:
+    """NN-descent refinement of an approximate kNN graph (the CAGRA build
+    recipe): a few neighbour-of-neighbour rounds recover most of the true
+    kNN edges an approximate (clustered) build misses."""
+    from ..utils.config import next_pow2, pad_rows
+
+    n, deg = knn.shape
+    if n == 0 or rounds <= 0:
+        return knn
+    cap = max(128, next_pow2(n))
+    xb_dev = jnp.asarray(pad_rows(np.asarray(xb, np.float32), cap))
+    g = np.full((cap, deg), -1, np.int32)
+    g[:n] = knn
+    g_dev = jnp.asarray(g)
+    q_block = min(1024, cap)
+    for _ in range(rounds):
+        g_dev = _nn_descent_round(
+            xb_dev, g_dev, jnp.float32(metric_arg),
+            sample=int(min(sample, deg)), q_block=q_block, metric=metric,
+            precision=precision)
+    return np.asarray(g_dev[:n])
+
+
 def build_graph(xb: np.ndarray, degree: int, metric: str,
                 metric_arg: float = 0.0, intermediate: int | None = None,
-                precision=lax.Precision.DEFAULT) -> np.ndarray:
-    """Full CAGRA-style build: exact kNN at ``intermediate`` degree
-    (default 2×degree, the CAGRA default ratio) → prune+reverse to degree."""
+                precision=lax.Precision.DEFAULT,
+                exact_max: int = 2_000_000) -> np.ndarray:
+    """Full CAGRA-style build: kNN graph at ``intermediate`` degree
+    (default 2×degree, the CAGRA default ratio) → prune+reverse to degree.
+    The kNN stage is the exact MXU scan up to ``exact_max`` rows and the
+    clustered top-2-list scan beyond (build cost n²·4/nlist)."""
     n = xb.shape[0]
     inter = intermediate or min(max(degree * 2, degree + 1), max(1, n - 1))
-    knn = build_knn_graph(xb, inter, metric, metric_arg, precision)
+    if n <= exact_max:
+        knn = build_knn_graph(xb, inter, metric, metric_arg, precision)
+    else:
+        knn = build_knn_graph_clustered(xb, inter, metric, metric_arg,
+                                        precision=precision)
+        knn = refine_knn_graph(xb, knn, metric, metric_arg, rounds=2,
+                               precision=precision)
     return augment_graph(knn, degree)
 
 

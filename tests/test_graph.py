@@ -139,6 +139,60 @@ def test_graph_walk_packed_matches_scattered():
     assert abs(recalls["packed"] - recalls["scattered"]) < 0.05
 
 
+def test_clustered_build_quality():
+    """The top-2-list clustered build + NN-descent refinement approximates
+    the exact kNN graph well enough for high walk recall (the >2M-row build
+    path, forced small here)."""
+    import jax.numpy as jnp
+
+    from duckdb_faiss_ext_tpu.ops.flat_search import finalize_scores
+    from duckdb_faiss_ext_tpu.ops.graph import (augment_graph,
+                                                build_knn_graph_clustered,
+                                                graph_search,
+                                                refine_knn_graph)
+    from duckdb_faiss_ext_tpu.utils.config import next_pow2, pad_rows
+
+    n, d, k = 20000, 16, 10
+    xb = _clustered(n, d, seed=80, ncenters=128)
+    xq = _clustered(100, d, seed=81, ncenters=128)
+    knn = build_knn_graph_clustered(xb, 16, "L2")
+    assert knn.shape == (n, 16)
+    assert not (knn == np.arange(n)[:, None]).any()
+    knn = refine_knn_graph(xb, knn, "L2", rounds=1)
+    assert not (knn == np.arange(n)[:, None]).any()
+    g = augment_graph(knn, 16)
+    cap = next_pow2(n)
+    xb_dev = jnp.asarray(pad_rows(xb, cap))
+    g_dev = jnp.asarray(np.concatenate(
+        [g, np.full((cap - n, 16), -1, np.int32)]))
+    s, p = graph_search(xb_dev, g_dev, jnp.asarray(xq), n, k, "L2",
+                        pool=64, width=8)
+    _, pos = finalize_scores(s, p, "L2")
+    pos = np.asarray(pos)
+    d2 = ((xq[:, None, :] - xb[None, :, :]) ** 2).sum(-1)
+    oracle = np.argsort(d2, axis=1)[:, :k]
+    recall = np.mean([len(set(pos[i]) & set(oracle[i])) / k
+                      for i in range(len(xq))])
+    assert recall > 0.85
+
+
+def test_hnsw_clustered_build_regime(catalog):
+    """Past graph_max rows the HNSW graph regime stays graph (no IVF
+    fallback) via the clustered build."""
+    d, n = 16, 5000
+    xb = _clustered(n, d, seed=82)
+    dfx.faiss_create("hgc", d, "HNSW32", metric_type="L2", catalog=catalog)
+    idx = catalog.get("hgc").index
+    idx.ann_threshold = 1000
+    idx.graph_max = 2000          # force the clustered build at test scale
+    dfx.faiss_add(xb, "hgc", catalog=catalog)
+    res = dfx.faiss_search("hgc", 5, xb[:10], {"efSearch": "64"},
+                           catalog=catalog)
+    assert idx._effective_mode() == "graph"
+    assert idx._graph is not None and idx._accel is None
+    assert np.all(res["label"][:, 0] == np.arange(10))
+
+
 # ---------------------------------------------------------------------------
 # HNSW surface (graph = default regime at scale)
 # ---------------------------------------------------------------------------
