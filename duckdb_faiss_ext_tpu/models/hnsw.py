@@ -69,7 +69,14 @@ class HNSWIndex(FlatIndex):
         self._graph = None         # (adjacency np (indexed, deg) int32, indexed)
         self._graph_dev = None     # ((indexed, cap) key, padded device adj)
         self._pack_dev = None      # ((indexed, cap) key, packed neighbourhoods)
-        self._graph_sharded = None  # (key, graph_dev, nvalid_dev, indexed)
+        self._graph_sharded = None  # (cap, graph_dev, nvalid_dev, indexed,
+                                    #  pack_kind, packops)
+        import threading
+
+        #: serialises the lazy ANN builds (graph / partition); searches
+        #: themselves stay lock-free on the immutable built state.  Without
+        #: it two concurrent first searches each pay the O(n²) build.
+        self._build_lock = threading.Lock()
 
     def apply_create_params(self, params) -> None:
         # The only create-time knob the reference implements
@@ -140,28 +147,41 @@ class HNSWIndex(FlatIndex):
             deg //= 2
         return deg
 
+    def _graph_fresh(self):
+        n = self.ntotal
+        if self._graph is not None:
+            _, indexed = self._graph
+            if n - indexed <= self.tail_rebuild_fraction * n:
+                return self._graph
+        return None
+
     def _graph_ready(self):
         """(adjacency, indexed) covering a prefix of the corpus, rebuilt when
         the exact-scanned tail outgrows the rebuild fraction."""
-        n = self.ntotal
-        if self._graph is not None:
-            adj, indexed = self._graph
-            if n - indexed <= self.tail_rebuild_fraction * n:
-                return self._graph
-        from ..ops.graph import build_graph
-        from ..utils.config import config
+        fresh = self._graph_fresh()
+        if fresh is not None:
+            return fresh
+        with self._build_lock:
+            fresh = self._graph_fresh()   # another thread may have built
+            if fresh is not None:
+                return fresh
+            from ..ops.graph import build_graph
+            from ..utils.config import config
 
-        deg = self._graph_degree()
-        # efConstruction scales build effort, like HNSW: a wider
-        # intermediate kNN graph before the prune/reverse step.
-        inter = min(max(2 * deg, self.ef_construction), max(1, n - 1), 192)
-        adj = build_graph(self._xb, deg, self.metric.name, self.metric_arg,
-                          intermediate=inter, precision=config.precision,
-                          exact_max=self.graph_max)
-        self._graph = (adj, n)
-        self._graph_dev = None
-        self._pack_dev = None
-        return self._graph
+            n = self.ntotal
+            deg = self._graph_degree()
+            # efConstruction scales build effort, like HNSW: a wider
+            # intermediate kNN graph before the prune/reverse step.
+            inter = min(max(2 * deg, self.ef_construction),
+                        max(1, n - 1), 192)
+            adj = build_graph(self._xb, deg, self.metric.name,
+                              self.metric_arg, intermediate=inter,
+                              precision=config.precision,
+                              exact_max=self.graph_max)
+            self._graph_dev = None
+            self._pack_dev = None
+            self._graph = (adj, n)
+            return self._graph
 
     def _graph_device(self, cap: int):
         """Adjacency padded to the corpus capacity bucket (rows of -1 past
@@ -257,9 +277,16 @@ class HNSWIndex(FlatIndex):
         """Per-shard subgraphs over the placement mesh: local adjacency per
         contiguous row block of the sharded corpus buffer, stacked row-
         sharded alongside it.  Cache-only (placements are not persisted)."""
-        import jax
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        fresh = self._graph_sharded_fresh()
+        if fresh is not None:
+            return fresh
+        with self._build_lock:
+            fresh = self._graph_sharded_fresh()
+            if fresh is not None:
+                return fresh
+            return self._build_graph_sharded()
 
+    def _graph_sharded_fresh(self):
         n = self.ntotal
         if self._graph_sharded is not None:
             cap_key, indexed = (self._graph_sharded[0],
@@ -270,9 +297,16 @@ class HNSWIndex(FlatIndex):
             if (n - indexed <= self.tail_rebuild_fraction * n
                     and cap_key == cap_now):
                 return self._graph_sharded
+        return None
+
+    def _build_graph_sharded(self):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
         from ..ops.graph import build_graph
         from ..utils.config import config
 
+        n = self.ntotal
         sharding = self._placement
         mesh = sharding.mesh
         n_shard = mesh.shape["shard"]
@@ -378,6 +412,15 @@ class HNSWIndex(FlatIndex):
             accel, indexed = self._accel
             if n - indexed <= self.tail_rebuild_fraction * n:
                 return self._accel
+        with self._build_lock:
+            if self._accel is not None:    # built while we waited
+                accel, indexed = self._accel
+                if n - indexed <= self.tail_rebuild_fraction * n:
+                    return self._accel
+            return self._build_accel()
+
+    def _build_accel(self):
+        n = self.ntotal
         from .ivf import IVFIndex
 
         nlist = 1
