@@ -138,6 +138,37 @@ def worker(pid: int) -> int:
             assert all((r // lmax) in ok_lists for r in got_rows)
         print("MULTIHOST OK: sharded IVFPQ + selector mask matches the "
               "local decode oracle across processes")
+
+    # --- sharded graph walk (per-shard CAGRA subgraphs + bf16 packs) ------
+    from duckdb_faiss_ext_tpu.ops.graph import build_graph
+    from duckdb_faiss_ext_tpu.parallel.sharded import (sharded_graph_search_fn,
+                                                       sharded_pack_fn)
+
+    deg = 8
+    gblocks, nvalid = [], []
+    for s in range(n_dev):
+        lo, hi = s * rows_per_dev, min(n, (s + 1) * rows_per_dev)
+        adj = (build_graph(xb[lo:hi], deg, "L2") if hi > lo
+               else np.empty((0, deg), np.int32))
+        pad = np.full((rows_per_dev - adj.shape[0], deg), -1, np.int32)
+        gblocks.append(np.concatenate([adj, pad]) if pad.shape[0] else adj)
+        nvalid.append(max(0, hi - lo))
+    g_global = put(np.concatenate(gblocks), P("shard", None))
+    nv_global = put(np.asarray(nvalid, np.int32), P("shard"))
+    pack = sharded_pack_fn(mesh, "bf16")(xb_global, g_global)
+    wfn = sharded_graph_search_fn(mesh, k=k, pool=64, width=4, iters=4,
+                                  metric="L2", pack_kind="bf16")
+    dg, pg = wfn(xb_global, g_global, nv_global, xq_global,
+                 jnp.float32(0.0), pack)
+    dg_all = np.asarray(multihost_utils.process_allgather(dg, tiled=True))
+    if pid == 0:
+        # pool (64) covers every shard's rows (≤ rows_per_dev·DEV), so the
+        # per-shard walks are exhaustive and the merged result must equal
+        # the exact oracle (fp32 rerank restores exact distances).
+        np.testing.assert_allclose(dg_all.reshape(nq, k),
+                                   np.asarray(ref_d), rtol=1e-5, atol=1e-6)
+        print("MULTIHOST OK: sharded graph walk (per-shard subgraphs, bf16 "
+              "packs) matches the exact oracle across processes")
     return 0
 
 
