@@ -167,6 +167,7 @@ class HNSWIndex(FlatIndex):
                 return fresh
             from ..ops.graph import build_graph
             from ..utils.config import config
+            from ..utils.profiling import timed
 
             n = self.ntotal
             deg = self._graph_degree()
@@ -174,10 +175,11 @@ class HNSWIndex(FlatIndex):
             # intermediate kNN graph before the prune/reverse step.
             inter = min(max(2 * deg, self.ef_construction),
                         max(1, n - 1), 192)
-            adj = build_graph(self._xb, deg, self.metric.name,
-                              self.metric_arg, intermediate=inter,
-                              precision=config.precision,
-                              exact_max=self.graph_max)
+            with timed("hnsw_graph_build"):
+                adj = build_graph(self._xb, deg, self.metric.name,
+                                  self.metric_arg, intermediate=inter,
+                                  precision=config.precision,
+                                  exact_max=self.graph_max)
             self._graph_dev = None
             self._pack_dev = None
             self._graph = (adj, n)

@@ -17,9 +17,10 @@ and equally well-shaped for TPUs:
 * the walk runs a *static* number of iterations under ``lax.fori_loop`` so
   XLA compiles one program per (pool, width, iters) bucket.
 
-Build is the CAGRA recipe: exact k-NN graph (query-blocked MXU scan over the
-corpus inside ONE jitted loop — a single device program, not n/block host
-round-trips), then rank-based pruning to degree/2 forward edges plus
+Build is the CAGRA recipe: a k-NN graph — exact (query-blocked MXU scan
+over the corpus inside ONE jitted loop) up to ~2M rows, and past that a
+clustered top-2-list scan (n²·4/nlist FLOPs) refined by synchronous
+NN-descent rounds — then rank-based pruning to degree/2 forward edges plus
 reverse-edge augmentation filling the other half.
 
 Everything is restricted to the MXU metrics (L2 / INNER_PRODUCT), matching
