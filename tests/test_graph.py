@@ -395,6 +395,45 @@ def test_hnsw_graph_sharded_placement(catalog):
     assert np.all(rt["label"][:, 0] >= n)
 
 
+def test_graph_build_lock_single_build(catalog, monkeypatch):
+    """Concurrent first searches trigger exactly ONE graph build (the
+    per-index build lock; a duplicate build costs O(n²))."""
+    import threading
+
+    d, n = 8, 3000
+    xb = _clustered(n, d, seed=90)
+    dfx.faiss_create("hlock", d, "HNSW16", metric_type="L2",
+                     catalog=catalog)
+    idx = catalog.get("hlock").index
+    idx.ann_threshold = 1000
+    dfx.faiss_add(xb, "hlock", catalog=catalog)
+
+    calls = []
+    from duckdb_faiss_ext_tpu.ops import graph as graph_ops
+
+    orig = graph_ops.build_graph
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(graph_ops, "build_graph", counting)
+    errs = []
+
+    def run():
+        try:
+            dfx.faiss_search("hlock", 3, xb[:4], {"efSearch": "32"},
+                             catalog=catalog)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=run) for _ in range(4)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    assert not errs
+    assert len(calls) == 1
+
+
 def test_nsg_graph_regime(catalog):
     """NSG at scale rides the same graph walk; search_L maps to the pool."""
     d, n = 8, 3000
