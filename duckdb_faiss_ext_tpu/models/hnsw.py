@@ -185,28 +185,39 @@ class HNSWIndex(FlatIndex):
             self._graph = (adj, n)
             return self._graph
 
-    def _graph_device(self, cap: int):
+    def _graph_device(self, cap: int, gstate):
         """Adjacency padded to the corpus capacity bucket (rows of -1 past
-        the indexed prefix), cached like the corpus buffer."""
+        the indexed prefix), cached like the corpus buffer.  ``gstate`` is
+        the (adjacency, indexed) snapshot the caller searched with — reading
+        self._graph here could pair a newer graph with an older walk.  The
+        fill runs under the build lock (a stampede would allocate the
+        multi-GB buffers once per thread)."""
         import jax.numpy as jnp
 
-        adj, indexed = self._graph
+        adj, indexed = gstate
         key = (indexed, cap)
-        if self._graph_dev is not None and self._graph_dev[0] == key:
-            return self._graph_dev[1]
-        host = np.full((cap, adj.shape[1]), -1, np.int32)
-        host[:indexed] = adj
-        dev = jnp.asarray(host)
-        self._graph_dev = (key, dev)
-        return dev
+        hit = self._graph_dev
+        if hit is not None and hit[0] == key:
+            return hit[1]
+        with self._build_lock:
+            hit = self._graph_dev
+            if hit is not None and hit[0] == key:
+                return hit[1]
+            host = np.full((cap, adj.shape[1]), -1, np.int32)
+            host[:indexed] = adj
+            dev = jnp.asarray(host)
+            self._graph_dev = (key, dev)
+            return dev
 
-    def _graph_pack(self, xb_dev, gdev):
+    def _graph_pack(self, xb_dev, gdev, gstate):
         """Packed neighbourhood tensor at the widest dtype fitting the HBM
         budget (bf16, else int8 — memory-only tradeoff since the gather is
-        descriptor-bound); None falls back to the scattered-gather walk."""
+        descriptor-bound); None falls back to the scattered-gather walk.
+        Fill runs under the build lock: a concurrent stampede would
+        materialise several near-budget (multi-GB) tensors at once."""
         import jax.numpy as jnp
 
-        adj, indexed = self._graph
+        _, indexed = gstate
         cap, deg = gdev.shape
         nelem = cap * deg * self.d
         if nelem * 2 <= self.pack_budget_bytes:
@@ -216,25 +227,33 @@ class HNSWIndex(FlatIndex):
         else:
             return None
         key = (indexed, cap, str(dtype))
-        if self._pack_dev is not None and self._pack_dev[0] == key:
-            return self._pack_dev[1]
-        from ..ops.graph import pack_neighbors
+        hit = self._pack_dev
+        if hit is not None and hit[0] == key:
+            return hit[1]
+        with self._build_lock:
+            hit = self._pack_dev
+            if hit is not None and hit[0] == key:
+                return hit[1]
+            from ..ops.graph import pack_neighbors
 
-        pack = pack_neighbors(xb_dev, gdev, dtype=dtype)
-        self._pack_dev = (key, pack)
-        return pack
+            pack = pack_neighbors(xb_dev, gdev, dtype=dtype)
+            self._pack_dev = (key, pack)
+            return pack
 
-    def _graph_dispatch(self, xq, k, params, selector):
+    def _graph_dispatch(self, xq, k, params, selector, gstate):
         """Device dispatch for the graph walk (the search_dispatch tuple
         contract): the walk is one jitted program, so batched serving can
-        concatenate many walks and fetch ONCE (api.faiss_search_batched)."""
+        concatenate many walks and fetch ONCE (api.faiss_search_batched).
+        ``gstate`` is the (adjacency, indexed) snapshot from _graph_ready —
+        everything below derives from it so a concurrent rebuild cannot
+        pair this walk with a different graph's metadata."""
         import jax.numpy as jnp
 
         from ..ops.flat_search import finalize_scores
         from ..ops.graph import graph_search
         from ..utils.config import config, next_pow2, pad_rows
 
-        adj, indexed = self._graph
+        adj, indexed = gstate
         xq = np.asarray(xq, np.float32)
         nq = xq.shape[0]
         if nq == 0 or k <= 0 or indexed == 0:
@@ -242,8 +261,8 @@ class HNSWIndex(FlatIndex):
         nq_pad = max(config.min_query_bucket, next_pow2(nq))
         xq_pad = jnp.asarray(pad_rows(xq, nq_pad))
         xb_dev = self.device_vectors()
-        gdev = self._graph_device(xb_dev.shape[0])
-        pack = self._graph_pack(xb_dev, gdev)
+        gdev = self._graph_device(xb_dev.shape[0], gstate)
+        pack = self._graph_pack(xb_dev, gdev, gstate)
         pool, width, iters = self._walk_knobs(k, params, selector)
         mask = (self._selector_mask(selector)
                 if selector is not None else None)
@@ -256,9 +275,9 @@ class HNSWIndex(FlatIndex):
         dist_dev, pos_dev = finalize_scores(scores, pos, self.metric.name)
         return dist_dev, pos_dev, nq, k_eff
 
-    def _graph_search(self, xq, k, params, selector) -> SearchResult:
+    def _graph_search(self, xq, k, params, selector, gstate) -> SearchResult:
         return self._finish_dispatch(
-            self._graph_dispatch(xq, k, params, selector), xq, k)
+            self._graph_dispatch(xq, k, params, selector, gstate), xq, k)
 
     def _walk_knobs(self, k: int, params, selector):
         """(pool, width, iters) shared by the single-device and sharded
@@ -357,7 +376,7 @@ class HNSWIndex(FlatIndex):
         self._graph_sharded = (cap, gdev, nvdev, n, kind, packops)
         return self._graph_sharded
 
-    def _sharded_graph_search(self, xq, k, params) -> SearchResult:
+    def _sharded_graph_search(self, xq, k, params, gstate) -> SearchResult:
         import jax
         import jax.numpy as jnp
 
@@ -365,7 +384,7 @@ class HNSWIndex(FlatIndex):
         from ..parallel.sharded import sharded_graph_search_fn
         from ..utils.config import config, next_pow2, pad_rows
 
-        cap_key, gdev, nvdev, indexed, kind, packops = self._graph_sharded
+        cap_key, gdev, nvdev, indexed, kind, packops = gstate
         xb_dev = self.device_vectors()
         pool, width, iters = self._walk_knobs(k, params, None)
         if iters is None:
@@ -410,16 +429,22 @@ class HNSWIndex(FlatIndex):
             # Sharded placement (faiss_to_device) keeps the sharded exact
             # scan — the partition would run single-device.
             return None
+        fresh = self._accel_fresh()
+        if fresh is not None:
+            return fresh
+        with self._build_lock:
+            fresh = self._accel_fresh()    # built while we waited
+            if fresh is not None:
+                return fresh
+            return self._build_accel()
+
+    def _accel_fresh(self):
+        n = self.ntotal
         if self._accel is not None:
-            accel, indexed = self._accel
+            _, indexed = self._accel
             if n - indexed <= self.tail_rebuild_fraction * n:
                 return self._accel
-        with self._build_lock:
-            if self._accel is not None:    # built while we waited
-                accel, indexed = self._accel
-                if n - indexed <= self.tail_rebuild_fraction * n:
-                    return self._accel
-            return self._build_accel()
+        return None
 
     def _build_accel(self):
         n = self.ntotal
@@ -487,13 +512,13 @@ class HNSWIndex(FlatIndex):
                 # Filtered sharded search: the exact sharded scan fuses the
                 # mask (flat path) — correct and fast, no pool inflation.
                 return self._exact_search(xq, k, params, selector)
-            self._graph_ready_sharded()
-            res = self._sharded_graph_search(xq, k, params)
-            indexed = self._graph_sharded[3]
+            gstate = self._graph_ready_sharded()
+            res = self._sharded_graph_search(xq, k, params, gstate)
+            indexed = gstate[3]
         elif mode == "graph":
-            self._graph_ready()
-            res = self._graph_search(xq, k, params, selector)
-            indexed = self._graph[1]
+            gstate = self._graph_ready()
+            res = self._graph_search(xq, k, params, selector, gstate)
+            indexed = gstate[1]
         else:
             accel_state = self._accel_ready()
             if accel_state is None:
@@ -543,9 +568,9 @@ class HNSWIndex(FlatIndex):
         if self._exact_requested(p) or self._effective_mode() == "exact":
             return super().search_dispatch(xq, k, p, selector)
         if self._effective_mode() == "graph":
-            self._graph_ready()
-            if self._graph[1] == self.ntotal:  # no tail to host-merge
-                return self._graph_dispatch(xq, k, p, selector)
+            gstate = self._graph_ready()
+            if gstate[1] == self.ntotal:  # no tail to host-merge
+                return self._graph_dispatch(xq, k, p, selector, gstate)
         return None
 
     def search_async(self, xq, k, params=None, selector=None):
@@ -554,9 +579,9 @@ class HNSWIndex(FlatIndex):
         if self._exact_requested(p) or self._effective_mode() == "exact":
             return super().search_async(xq, k, p, selector)
         if self._effective_mode() == "graph":
-            self._graph_ready()
-            if self._graph[1] == self.ntotal:
-                disp = self._graph_dispatch(xq, k, p, selector)
+            gstate = self._graph_ready()
+            if gstate[1] == self.ntotal:
+                disp = self._graph_dispatch(xq, k, p, selector, gstate)
                 return lambda: self._finish_dispatch(disp, xq, k)
         res = self.search(xq, k, p, selector)
         return lambda: res

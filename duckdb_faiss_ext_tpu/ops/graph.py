@@ -211,7 +211,7 @@ def build_knn_graph_clustered(xb: np.ndarray, degree: int, metric: str,
     instead of n².  CAGRA-class walks tolerate approximate builds (the
     reverse-edge augmentation and pool exploration recover the tail)."""
     from .kmeans import kmeans_fit, subsample_for_training
-    from ..utils.config import next_pow2, pad_rows
+    from ..utils.config import next_capacity, next_pow2, pad_rows
 
     n, d = xb.shape
     if n == 0:
@@ -226,47 +226,60 @@ def build_knn_graph_clustered(xb: np.ndarray, degree: int, metric: str,
     cents, _ = kmeans_fit(sample, nlist, precision=precision, seed=seed)
     a12 = _top2_assign(xb, cents, metric, metric_arg, precision)
 
-    # Padded membership tables (host): 2 entries per row, overflow rows
-    # beyond lmax keep their other membership.
-    entries_list = a12.reshape(-1)          # row-major: [r0_l1, r0_l2, r1_l1, …]
-    entries_row = np.repeat(np.arange(n, dtype=np.int64), 2)
+    # Padded membership tables (host): 2 entries per row.  PRIMARY
+    # memberships slot first within each list (secondary entries overflow
+    # first), and lmax ≥ degree so the per-list top-k is always valid.
+    entries_list = a12.T.reshape(-1)       # primaries [0..n), then secondaries
+    entries_row = np.tile(np.arange(n, dtype=np.int64), 2)
     order = np.argsort(entries_list, kind="stable")
     el, er = entries_list[order], entries_row[order]
     grp = np.searchsorted(el, np.arange(nlist))
     slot = np.arange(el.shape[0]) - grp[el]
     avg = max(1, (2 * n) // nlist)
-    lmax = next_pow2(min(max(int(1.5 * avg), degree + 2), 4 * avg))
+    lmax = next_pow2(max(min(max(int(1.5 * avg), degree + 2), 4 * avg),
+                         degree))
     keep = slot < lmax
     table = np.full((nlist, lmax), -1, np.int32)
     table[el[keep], slot[keep]] = er[keep]
 
-    cap = max(128, next_pow2(n))
-    ids = _clustered_knn_scan(
+    cap = max(128, next_capacity(n))
+    ids = np.array(_clustered_knn_scan(
         jnp.asarray(pad_rows(xb, cap)), jnp.asarray(table),
         jnp.float32(metric_arg),
         degree=int(degree), lmax=int(lmax), nlist=int(nlist),
-        metric=metric, precision=precision)
-    return np.asarray(ids[:n])
+        metric=metric, precision=precision)[:n])
+    # A row loses its slots only when BOTH lists overflow lmax (extreme
+    # skew).  Such rows would be edge-less and unreachable; seed them with
+    # arbitrary members of their primary list so NN-descent can pull them
+    # back in.
+    missing = np.flatnonzero((ids < 0).all(axis=1))
+    if missing.size:
+        fill = table[a12[missing, 0], :min(degree, lmax)].astype(np.int32)
+        fill = np.where(fill == missing[:, None], -1, fill)
+        ids[missing, :fill.shape[1]] = fill
+    return ids
 
 
-def _top2_assign(xb, cents, metric, metric_arg, precision,
-                 block: int = 1 << 17) -> np.ndarray:
+@functools.partial(jax.jit, static_argnames=("metric", "precision"))
+def _top2_block(x, c, ma, *, metric, precision):
+    dist = pairwise_tile(x, c, metric, ma, precision)
+    score = dist if metric in SIMILARITY_METRICS else -dist
+    return lax.top_k(score, 2)[1].astype(jnp.int32)
+
+
+def _top2_assign(xb, cents, metric, metric_arg, precision) -> np.ndarray:
     """(n, 2) int32: each row's two nearest centroids (blocked device
-    matmuls; host loop keeps peak memory at block × nlist)."""
-    @functools.partial(jax.jit, static_argnames=("metric", "precision"))
-    def blk(x, c, ma, *, metric, precision):
-        dist = pairwise_tile(x, c, metric, ma, precision)
-        score = dist if metric in SIMILARITY_METRICS else -dist
-        return lax.top_k(score, 2)[1].astype(jnp.int32)
-
+    matmuls; the block bounds the (block, nlist) score tile to ~512 MB,
+    the same budget as IVF's _assign_lists)."""
     n = xb.shape[0]
+    block = max(1024, (1 << 27) // max(cents.shape[0], 1))
     out = np.empty((n, 2), np.int32)
     ma = jnp.float32(metric_arg)
     cdev = jnp.asarray(cents)
     for s in range(0, n, block):
         out[s:s + block] = np.asarray(
-            blk(jnp.asarray(xb[s:s + block]), cdev, ma,
-                metric=metric, precision=precision))
+            _top2_block(jnp.asarray(xb[s:s + block]), cdev, ma,
+                        metric=metric, precision=precision))
     return out
 
 
@@ -322,12 +335,23 @@ def refine_knn_graph(xb: np.ndarray, knn: np.ndarray, metric: str,
     n, deg = knn.shape
     if n == 0 or rounds <= 0:
         return knn
-    cap = max(128, next_pow2(n))
+    # next_capacity values are divisible by every pow2 block ≤ 2^20, so
+    # q_block always divides cap; the q_block choice bounds the two big
+    # per-block transients — the gathered candidate vectors (q_block, w, d)
+    # and the (q_block, w, w) dedup mask — to ~1 GB each
+    # (w = deg·(1+sample) candidates).
+    from ..utils.config import next_capacity
+
+    cap = max(128, next_capacity(n))
+    w = deg * (1 + min(sample, deg))
+    budget = 1 << 28
+    q_block = min(1024, cap,
+                  next_pow2(max(8, budget // max(w * xb.shape[1], w * w))
+                            // 2))
     xb_dev = jnp.asarray(pad_rows(np.asarray(xb, np.float32), cap))
     g = np.full((cap, deg), -1, np.int32)
     g[:n] = knn
     g_dev = jnp.asarray(g)
-    q_block = min(1024, cap)
     for _ in range(rounds):
         g_dev = _nn_descent_round(
             xb_dev, g_dev, jnp.float32(metric_arg),
