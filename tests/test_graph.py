@@ -434,6 +434,29 @@ def test_graph_build_lock_single_build(catalog, monkeypatch):
     assert len(calls) == 1
 
 
+def test_hnsw_graph_inner_product(catalog):
+    """Graph regime under INNER_PRODUCT: similarity ordering (descending),
+    self-hits first on normalised clustered data."""
+    d, n = 16, 3000
+    xb = _clustered(n, d, seed=91)
+    xb /= np.linalg.norm(xb, axis=1, keepdims=True)
+    dfx.faiss_create("hip", d, "HNSW32", metric_type="INNER_PRODUCT",
+                     catalog=catalog)
+    idx = catalog.get("hip").index
+    idx.ann_threshold = 1000
+    dfx.faiss_add(xb, "hip", catalog=catalog)
+    res = dfx.faiss_search("hip", 5, xb[:8], {"efSearch": "64"},
+                           catalog=catalog)
+    assert idx._graph is not None
+    np.testing.assert_array_equal(res["label"][:, 0], np.arange(8))
+    assert (np.diff(res["distance"], axis=1) <= 1e-6).all()  # descending
+    exact = dfx.faiss_search("hip", 5, xb[:8], {"exact": "true"},
+                             catalog=catalog)
+    hits = np.mean([len(set(res["label"][q]) & set(exact["label"][q]))
+                    for q in range(8)]) / 5
+    assert hits > 0.9
+
+
 def test_nsg_graph_regime(catalog):
     """NSG at scale rides the same graph walk; search_L maps to the pool."""
     d, n = 8, 3000
