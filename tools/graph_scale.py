@@ -14,6 +14,7 @@ Run on the real TPU (ONE process at a time):
     env PYTHONPATH=/root/repo:/root/.axon_site python tools/graph_scale.py
 """
 
+import os
 import sys
 import time
 
@@ -56,6 +57,11 @@ def drive(tag, xb, xq, k=10):
                                 metric_type="L2", catalog=cat)
         ix = cat.get(name).index
         ix.ann_threshold = min(ix.ann_threshold, max(1000, n // 4))
+        gmax = os.environ.get("DFX_GRAPH_MAX")
+        if gmax and mode == "graph":
+            # Force the clustered (top-2-list + NN-descent) build path at
+            # sub-threshold scale for on-chip measurement.
+            ix.graph_max = int(gmax)
         _, t_add = timed(f"{mode} add ({n/1e3:.0f}k rows)",
                          lambda: dfx.faiss_add(xb, name, catalog=cat))
         # Force the ANN build now so it isn't billed to the first search.
