@@ -434,6 +434,25 @@ def test_graph_build_lock_single_build(catalog, monkeypatch):
     assert len(calls) == 1
 
 
+def test_hnsw_sharded_clustered_build(catalog):
+    """Sharded placement + graph_max below the shard block size: each
+    shard's subgraph builds via the clustered path; results stay sane."""
+    from duckdb_faiss_ext_tpu.parallel.sharded import make_mesh
+
+    d, n = 8, 4000
+    xb = _clustered(n, d, seed=92)
+    dfx.faiss_create("hgsc", d, "HNSW16", metric_type="L2", catalog=catalog)
+    idx = catalog.get("hgsc").index
+    idx.ann_threshold = 1000
+    idx.graph_max = 400            # per-shard blocks (1000 rows) exceed it
+    dfx.faiss_add(xb, "hgsc", catalog=catalog)
+    dfx.faiss_to_device("hgsc", make_mesh(4, batch_axis=1), catalog=catalog)
+    res = dfx.faiss_search("hgsc", 5, xb[:8], {"efSearch": "64"},
+                           catalog=catalog)
+    assert idx._graph_sharded is not None
+    np.testing.assert_array_equal(res["label"][:, 0], np.arange(8))
+
+
 def test_hnsw_graph_inner_product(catalog):
     """Graph regime under INNER_PRODUCT: similarity ordering (descending),
     self-hits first on normalised clustered data."""
