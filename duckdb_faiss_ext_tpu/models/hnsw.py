@@ -282,14 +282,21 @@ class HNSWIndex(FlatIndex):
     def _walk_knobs(self, k: int, params, selector):
         """(pool, width, iters) shared by the single-device and sharded
         graph searches.  efSearch maps to the pool (CAGRA itopk); a selector
-        inflates it (traversal is unfiltered, collection filtered)."""
+        inflates it (traversal is unfiltered, collection filtered).
+
+        Default width: at one-pool-turnover iterations, wider frontiers
+        measure equal-or-better recall with proportionally fewer sequential
+        rounds (each round costs a fixed gather latency on-chip) — but the
+        per-iteration dedup mask is O((width·deg)²), so width scales down
+        with the graph degree."""
         from ..utils.config import next_pow2
 
         pool = next_pow2(max(k, self.ef_search))
         if selector is not None:
             pool = next_pow2(max(4 * k, pool))
         pool = min(max(pool, 16), 1024)
-        width = params.get_int("graph_width", 8)
+        deg = self._graph_degree()
+        width = params.get_int("graph_width", max(4, 512 // max(deg, 1)))
         iters = params.get_int("graph_iters")
         return pool, width, iters
 
