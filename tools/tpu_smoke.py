@@ -104,6 +104,28 @@ def main() -> None:
     dfx.faiss_destroy("p2")
     print("save/load + error probes OK", flush=True)
 
+    # HNSW graph regime (CAGRA walk): forced below its normal threshold so
+    # the build + packed walk + batched dispatch compile and run on-chip.
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((64, 32)).astype(np.float32) * 4
+    gxb = (centers[rng.integers(0, 64, 4000)]
+           + rng.standard_normal((4000, 32)).astype(np.float32) * 0.3)
+    dfx.faiss_create("gw", 32, "HNSW32", metric_type="L2")
+    from duckdb_faiss_ext_tpu.catalog import GLOBAL_CATALOG
+
+    gidx = GLOBAL_CATALOG.get("gw").index
+    gidx.ann_threshold = 1000
+    dfx.faiss_add(gxb, "gw")
+    gres = dfx.faiss_search("gw", 5, gxb[:16], {"efSearch": "64"})
+    assert gidx._graph is not None, "graph regime did not engage"
+    assert np.all(gres["label"][:, 0] == np.arange(16))
+    gbat = dfx.faiss_search_batched("gw", 5, gxb[:16], {"efSearch": "64"},
+                                    batch_size=8)
+    np.testing.assert_array_equal(gbat["label"], gres["label"])
+    dfx.faiss_destroy("gw")
+    print("HNSW graph walk (build + packed walk + batched dispatch) OK",
+          flush=True)
+
     print(f"TPU SMOKE PASSED in {time.time() - t0:.0f}s", flush=True)
 
 
