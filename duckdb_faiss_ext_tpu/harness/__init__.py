@@ -10,8 +10,12 @@ emission for accuracy conformance.
 from .filtered import FilteredBenchResult, required_k, run_filtered_bench
 from .datasets import load_fvecs, load_ivecs, synthetic_dataset
 from .recall import recall_at_k
+from .autotune import AutotuneResult, OperatingPoint, autotune_index
 
 __all__ = [
+    "AutotuneResult",
+    "OperatingPoint",
+    "autotune_index",
     "FilteredBenchResult",
     "required_k",
     "run_filtered_bench",

@@ -95,3 +95,49 @@ def test_catalog_churn(catalog):
                        catalog=catalog)
         dfx2.faiss_destroy("churn", catalog=catalog)
     assert "churn" not in catalog.names()
+
+
+def test_autotune_ivf(catalog):
+    """Autotune (ParameterSpace/OperatingPoints analogue): the nprobe sweep
+    on clustered data yields monotone-ish recall, a Pareto frontier, and a
+    cheapest setting reaching the target."""
+    from duckdb_faiss_ext_tpu.harness import autotune_index
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((32, 16)).astype(np.float32) * 5
+    xb = (centers[rng.integers(0, 32, 6000)]
+          + rng.standard_normal((6000, 16)).astype(np.float32) * 0.2)
+    dfx.faiss_create("tune", 16, "IVF32,Flat", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_add(xb, "tune", catalog=catalog)
+    res = autotune_index("tune", xb[:64], k=10, target_recall=0.95,
+                         catalog=catalog, repeat=1)
+    assert len(res.points) == 6                      # nprobe 1,2,...,32
+    assert res.points[-1].recall == 1.0              # exhaustive == GT
+    assert res.best is not None and res.best.recall >= 0.95
+    # the exhaustive point always survives Pareto filtering
+    assert res.points[-1].pareto
+    assert "nprobe" in str(res)
+
+
+def test_autotune_knobless_and_graph(catalog):
+    """Flat has no knob (one exhaustive point); HNSW sweeps efSearch against
+    its exact scan."""
+    from duckdb_faiss_ext_tpu.harness import autotune_index
+
+    rng = np.random.default_rng(4)
+    xb = rng.standard_normal((2000, 8)).astype(np.float32)
+    dfx.faiss_create("tflat", 8, "Flat", catalog=catalog)
+    dfx.faiss_add(xb, "tflat", catalog=catalog)
+    res = autotune_index("tflat", xb[:16], k=5, catalog=catalog, repeat=1)
+    assert len(res.points) == 1 and res.points[0].recall == 1.0
+    assert res.best is res.points[0]
+
+    dfx.faiss_create("thnsw", 8, "HNSW16", metric_type="L2", catalog=catalog)
+    idx = catalog.get("thnsw").index
+    idx.ann_threshold = 500
+    dfx.faiss_add(xb, "thnsw", catalog=catalog)
+    res = autotune_index("thnsw", xb[:16], k=5, target_recall=0.8,
+                         catalog=catalog, repeat=1)
+    assert len(res.points) == 7                      # efSearch 16..1024
+    assert res.best is not None and res.best.recall >= 0.8
