@@ -13,6 +13,31 @@ the index catalog, metric registry, factory parser, SQL filter tier, and the
 parallel placement/search APIs.
 """
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache (~/.cache/dfx_jax, override with
+    DFX_COMPILE_CACHE, disable with DFX_COMPILE_CACHE=0).
+
+    Every new jit shape costs 10-40 s of remote compilation through a
+    tunneled TPU runtime; the cache makes repeat shapes (across processes
+    and sessions) near-instant.  JAX treats the cache as best-effort —
+    serialize/deserialize failures fall back to a fresh compile."""
+    import os
+
+    path = os.environ.get("DFX_COMPILE_CACHE",
+                          os.path.expanduser("~/.cache/dfx_jax"))
+    if path == "0":
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 — cache is an optimization only
+        pass
+
+
+_enable_compile_cache()
+
 from .api import (
     register_create_parameter,
     RESULT_DTYPE,
