@@ -44,6 +44,19 @@ FAMILIES = [
     ("IVF16,PQ4,RFlat",    {"nprobe": "16", "k_factor": "4"}, 0.9),
 ]
 
+#: the same invariants under INNER_PRODUCT (similarity ordering, the
+#: metric split that flips mask fills and top-k direction everywhere)
+IP_FAMILIES = [
+    ("Flat",               {},                     1.0),
+    ("IDMap,Flat",         {},                     1.0),
+    ("SQ8",                {},                     0.9),
+    ("PQ4",                {},                     0.4),
+    ("IVF16,Flat",         {"nprobe": "16"},       1.0),
+    ("IVF16,PQ4",          {"nprobe": "16"},       0.4),
+    ("HNSW16",             {"efSearch": "128"},    1.0),
+    ("L2norm,Flat",        {},                     1.0),
+]
+
 N, D, K, NQ = 1024, 16, 10, 32
 
 
@@ -58,9 +71,23 @@ def _data(seed=11):
 @pytest.mark.parametrize("factory,params,floor", FAMILIES,
                          ids=[f[0] for f in FAMILIES])
 def test_family_conformance(catalog, tmp_path, factory, params, floor):
-    xb = _data()
+    _run_family(catalog, tmp_path, factory, params, floor, "L2", _data())
+
+
+@pytest.mark.parametrize("factory,params,floor", IP_FAMILIES,
+                         ids=[f[0] + "-IP" for f in IP_FAMILIES])
+def test_family_conformance_ip(catalog, tmp_path, factory, params, floor):
+    # normalized rows: self inner product is the max, so self-recall floors
+    # transfer from the L2 sweep
+    xb = _data(seed=12)
+    xb /= np.linalg.norm(xb, axis=1, keepdims=True)
+    _run_family(catalog, tmp_path, factory, params, floor,
+                "INNER_PRODUCT", xb)
+
+
+def _run_family(catalog, tmp_path, factory, params, floor, metric, xb):
     name = "fz"
-    dfx.faiss_create(name, D, factory, metric_type="L2", catalog=catalog)
+    dfx.faiss_create(name, D, factory, metric_type=metric, catalog=catalog)
     if "IDMap" in factory:
         ids = np.arange(N, dtype=np.int64) * 3 + 7   # non-sequential labels
         dfx.faiss_add((ids, xb), name, catalog=catalog)
