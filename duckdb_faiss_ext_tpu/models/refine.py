@@ -129,7 +129,11 @@ class RefineFlatIndex(Index):
             jnp.asarray(pad_rows(xq, nq_pad)),
             jnp.asarray(self.metric_arg, jnp.float32),
             k=min(k, k_base), metric=self.metric.name,
-            precision=config.precision)
+            # Always fp32-exact: re-ranking exists to restore exactness
+            # (faiss::IndexRefineFlat computes raw fp32 distances), and the
+            # candidate tensor is tiny — HIGHEST costs nothing even when
+            # the global mode is "fast".
+            precision=lax.Precision.HIGHEST)
         dist, pos = fetch_results(dist, pos)
         dist = dist[:nq]
         labels_out = pos[:nq].astype(np.int64)

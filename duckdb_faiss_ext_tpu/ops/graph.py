@@ -545,8 +545,12 @@ def walk_scan(xb, graph, xq, nvalid, metric_arg, mask, pack, *, k, pool,
         # (≈1 ms at B=1024/pool=64 — traversal cost dominates).  Restores
         # exact output distances after bf16 packed traversal.  The
         # scattered walk already scored at `precision`; no rerank there.
+        # HIGHEST unconditionally: the rerank exists to be exact, and in
+        # fast mode `precision` would silently downcast it to bf16 — the
+        # tensor is tiny, so fp32 accumulation costs nothing.
         rvecs = jnp.take(xb, jnp.maximum(ids, 0), axis=0)
-        rscores = _batched_scores(xq, rvecs, metric, metric_arg, precision)
+        rscores = _batched_scores(xq, rvecs, metric, metric_arg,
+                                  lax.Precision.HIGHEST)
         scores = jnp.where(ids >= 0, rscores, _NEG_INF)
     valid = ids >= 0
     if mask is not None:

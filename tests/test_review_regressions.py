@@ -227,3 +227,30 @@ def test_imi_quantizer_mirror_not_duplicated(catalog):
     ix = catalog.get("imim").index
     assert ix.quantizer.ntotal == 0
     assert ix._centroids.shape == (64, 8)
+
+
+def test_rerank_fp32_exact_in_fast_mode(catalog):
+    """RFlat re-rank (and by the same rule the graph-walk pool rerank) must
+    compute fp32-exact distances even in fast precision mode: its einsum
+    previously inherited the global precision and silently downcast to
+    bf16, defeating the wrapper's purpose."""
+    import duckdb_faiss_ext_tpu as dfx
+
+    rng = np.random.default_rng(17)
+    xb = rng.standard_normal((512, 32)).astype(np.float32)
+    xq = rng.standard_normal((8, 32)).astype(np.float32)
+    dfx.set_precision("fast")
+    try:
+        dfx.faiss_create("rrk", 32, "Flat,RFlat", metric_type="INNER_PRODUCT",
+                         catalog=catalog)
+        dfx.faiss_add(xb, "rrk", catalog=catalog)
+        res = dfx.faiss_search("rrk", 5, xq, {"k_factor": "8"},
+                               catalog=catalog)
+    finally:
+        dfx.set_precision("parity")
+    exact = xq @ xb.T
+    for q in range(8):
+        got_d = res["distance"][q]
+        want = exact[q][res["label"][q]]
+        # fp32-exact re-scores of whatever candidates the bf16 base chose
+        np.testing.assert_allclose(got_d, want, rtol=1e-6)
