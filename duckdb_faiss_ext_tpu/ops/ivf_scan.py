@@ -64,6 +64,15 @@ def ivf_search(
     _, probe_ids = lax.top_k(cscore, nprobe)              # (nq, nprobe)
 
     ncand = nprobe * lmax
+    # In-chunk exact rerank (fast mode only): the bf16 cross-term caps
+    # top-k agreement with fp32 at ~0.9, so take a slightly wider bf16
+    # top-k_scan and re-score those rows at HIGHEST from the already-
+    # gathered candidate tile — ~k_scan/ncand extra work (<1%), and the
+    # returned distances become fp32-exact.  Elementwise metrics are
+    # already exact; HIGHEST runs need nothing.
+    mxu = metric in ("INNER_PRODUCT", "L2")
+    rerank = mxu and precision != lax.Precision.HIGHEST
+    k_scan = min(ncand, max(2 * k, k + 16)) if rerank else k
 
     def scan_chunk(i, carry):
         best_s, best_p = carry
@@ -95,7 +104,22 @@ def ivf_search(
             valid = jnp.logical_and(valid, mask[cand_safe])
         score = dist if sim else -dist
         score = jnp.where(valid, score, _NEG_INF)
-        s, sel = lax.top_k(score, k)
+        s, sel = lax.top_k(score, k_scan)
+        if rerank:
+            xs = jnp.take_along_axis(
+                xc, sel[:, :, None], axis=1)            # (qc, k_scan, d)
+            xy2 = jnp.einsum("qd,qcd->qc", xq_c, xs,
+                             precision=lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32)
+            if metric == "INNER_PRODUCT":
+                s2 = xy2
+            else:
+                qn2 = jnp.sum(xq_c * xq_c, axis=1, keepdims=True)
+                bn2 = jnp.sum(xs * xs, axis=2)
+                s2 = -jnp.maximum(qn2 - 2.0 * xy2 + bn2, 0.0)
+            s2 = jnp.where(jnp.isneginf(s), _NEG_INF, s2)
+            s, sel2 = lax.top_k(s2, k)
+            sel = jnp.take_along_axis(sel, sel2, axis=1)
         p = jnp.take_along_axis(cand, sel, axis=1)
         p = jnp.where(jnp.isneginf(s), -1, p)
         best_s = lax.dynamic_update_slice(best_s, s, (q0, 0))

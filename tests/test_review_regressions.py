@@ -254,3 +254,65 @@ def test_rerank_fp32_exact_in_fast_mode(catalog):
         want = exact[q][res["label"][q]]
         # fp32-exact re-scores of whatever candidates the bf16 base chose
         np.testing.assert_allclose(got_d, want, rtol=1e-6)
+
+
+def test_ivf_fast_mode_inchunk_rerank_noharm(catalog):
+    """Fast-mode IVF gather scan widens its bf16 top-k and exact-rescores
+    in-chunk (HIGHEST).  On CPU both precisions are fp32, so this checks
+    the rerank branch executes without changing results vs parity mode;
+    the recall lift is a TPU measurement."""
+    import duckdb_faiss_ext_tpu as dfx
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((32, 32)).astype(np.float32) * 4
+    xb = (centers[rng.integers(0, 32, 4000)]
+          + rng.standard_normal((4000, 32)).astype(np.float32) * 0.3)
+    xq = xb[:32]
+    dfx.faiss_create("ivr", 32, "IVF32,Flat", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_add(xb, "ivr", catalog=catalog)
+    idx = catalog.get("ivr").index
+    idx._use_pallas_scan = lambda: False        # force the gather scan
+    ref = dfx.faiss_search("ivr", 10, xq, {"nprobe": "32"}, catalog=catalog)
+    dfx.set_precision("fast")
+    try:
+        fast = dfx.faiss_search("ivr", 10, xq, {"nprobe": "32"},
+                                catalog=catalog)
+    finally:
+        dfx.set_precision("parity")
+    np.testing.assert_array_equal(ref["label"], fast["label"])
+    np.testing.assert_allclose(ref["distance"], fast["distance"], rtol=1e-6)
+
+
+def test_flat_rerank_param(catalog):
+    """{"rerank": "true"} on Flat fast mode: widened bf16 scan + HIGHEST
+    re-score of the candidates — results match parity mode (trivially on
+    CPU; the lift is a TPU measurement), through both the plain and the
+    batched serving paths, with selectors honoured."""
+    import duckdb_faiss_ext_tpu as dfx
+    from duckdb_faiss_ext_tpu.ops.selectors import BitmapSelector
+
+    rng = np.random.default_rng(6)
+    xb = rng.standard_normal((3000, 24)).astype(np.float32)
+    xq = xb[:32]
+    dfx.faiss_create("frr", 24, "Flat", metric_type="L2", catalog=catalog)
+    dfx.faiss_add(xb, "frr", catalog=catalog)
+    ref = dfx.faiss_search("frr", 10, xq, catalog=catalog)
+    dfx.set_precision("fast")
+    try:
+        rr = dfx.faiss_search("frr", 10, xq, {"rerank": "true"},
+                              catalog=catalog)
+        rb = dfx.faiss_search_batched("frr", 10, xq, {"rerank": "true"},
+                                      batch_size=8, catalog=catalog)
+        flags = np.zeros(3000, bool)
+        flags[::3] = True
+        rs = dfx.faiss_search("frr", 10, xq, {"rerank": "true"},
+                              catalog=catalog,
+                              selector=BitmapSelector.from_bool(flags))
+    finally:
+        dfx.set_precision("parity")
+    np.testing.assert_array_equal(ref["label"], rr["label"])
+    np.testing.assert_allclose(ref["distance"], rr["distance"], rtol=1e-6)
+    np.testing.assert_array_equal(rr["label"], rb["label"])
+    got = rs["label"][rs["label"] >= 0]
+    assert np.all(flags[got])
