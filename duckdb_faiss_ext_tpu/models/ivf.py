@@ -1130,7 +1130,7 @@ def _ivf_search_sharded(self, xq_pad, k_eff, nprobe_eff, selector):
     sq = self.sq_type
     has_mask = selector is not None
     key = (k_eff, nprobe_eff, self.metric.name, xq_pad.shape[0], pq,
-           self.pq_codec, sq, has_mask)
+           self.pq_codec, sq, has_mask, config.precision)
     cache = getattr(self, "_sharded_fn_cache", None)
     if cache is None:
         cache = self._sharded_fn_cache = {}

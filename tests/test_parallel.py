@@ -434,3 +434,30 @@ def test_refine_store_sharded(catalog):
     assert len(refine_buf.sharding.mesh.devices.reshape(-1)) == 8
     res = dfx.faiss_search("rfsh", 3, xb[:4], catalog=catalog)
     assert (res["label"][:, 0] == np.arange(4)).all()
+
+
+def test_sharded_ivf_ip_fast_mode_rerank():
+    """The sharded IVF scan's fast-mode IP in-chunk rerank: results match
+    the parity-precision run exactly (CPU computes fp32 either way; this
+    exercises the widened-top-k + re-score + index-mapping branch)."""
+    import duckdb_faiss_ext_tpu as dfx
+    from duckdb_faiss_ext_tpu.catalog import Catalog
+    from duckdb_faiss_ext_tpu.parallel.sharded import make_mesh
+
+    rng = np.random.default_rng(8)
+    xb = rng.standard_normal((4096, 16)).astype(np.float32)
+    xb /= np.linalg.norm(xb, axis=1, keepdims=True)
+    cat = Catalog()
+    dfx.faiss_create("sip", 16, "IVF16,Flat", metric_type="INNER_PRODUCT",
+                     catalog=cat)
+    dfx.faiss_add(xb, "sip", catalog=cat)
+    dfx.faiss_to_device("sip", make_mesh(4, batch_axis=1), catalog=cat)
+    ref = dfx.faiss_search("sip", 10, xb[:16], {"nprobe": "16"}, catalog=cat)
+    dfx.set_precision("fast")
+    try:
+        fast = dfx.faiss_search("sip", 10, xb[:16], {"nprobe": "16"},
+                                catalog=cat)
+    finally:
+        dfx.set_precision("parity")
+    np.testing.assert_array_equal(ref["label"], fast["label"])
+    np.testing.assert_allclose(ref["distance"], fast["distance"], rtol=1e-6)
