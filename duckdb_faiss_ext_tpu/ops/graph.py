@@ -540,11 +540,12 @@ def walk_scan(xb, graph, xq, nvalid, metric_arg, mask, pack, *, k, pool,
         return new_s, new_i, new_e
 
     scores, ids, _ = lax.fori_loop(0, iters, body, (scores, ids, expanded))
-    if pack is not None:
+    rerank = pack is not None or precision != lax.Precision.HIGHEST
+    if rerank:
         # Exact rerank of the pool: one (B, pool) fp32 gather+score pass
         # (≈1 ms at B=1024/pool=64 — traversal cost dominates).  Restores
-        # exact output distances after bf16 packed traversal.  The
-        # scattered walk already scored at `precision`; no rerank there.
+        # exact output distances after bf16 packed traversal — and after a
+        # fast-mode scattered walk, whose MXU scoring is bf16 too.
         # HIGHEST unconditionally: the rerank exists to be exact, and in
         # fast mode `precision` would silently downcast it to bf16 — the
         # tensor is tiny, so fp32 accumulation costs nothing.
@@ -559,7 +560,7 @@ def walk_scan(xb, graph, xq, nvalid, metric_arg, mask, pack, *, k, pool,
         # masked at extraction (callers inflate the pool to compensate).
         valid = jnp.logical_and(valid, jnp.take(mask, jnp.maximum(ids, 0),
                                                 axis=0))
-    if pack is not None or mask is not None:
+    if rerank or mask is not None:
         scores = jnp.where(valid, scores, _NEG_INF)
         out_s, sel = lax.top_k(scores, k)
         out_i = jnp.take_along_axis(ids, sel, axis=1)
