@@ -269,7 +269,28 @@ def ivf_spill_scan(spill_payload, spill_assign, spill_pos, centroids,
         valid = jnp.logical_and(valid, mask[None, :])
     score = dist if sim else -dist
     score = jnp.where(valid, score, _NEG_INF)
-    best, sel = lax.top_k(score, k)
+    # Fast-mode exact rerank (Flat rows, MXU metrics): the spill top-k is
+    # merged against the Pallas padded scan, which scores in fp32 — a bf16
+    # spill side would mix score precisions in the merge.  Same widened
+    # top-k + HIGHEST re-score as ivf_search's in-chunk rerank.
+    mxu = metric in ("INNER_PRODUCT", "L2")
+    rerank = (not pq) and mxu and precision != lax.Precision.HIGHEST
+    k_scan = min(score.shape[1], max(2 * k, k + 16)) if rerank else k
+    best, sel = lax.top_k(score, k_scan)
+    if rerank:
+        xs = xc[sel]                                       # (nq, k_scan, d)
+        xy2 = jnp.einsum("qd,qcd->qc", xq, xs,
+                         precision=lax.Precision.HIGHEST,
+                         preferred_element_type=jnp.float32)
+        if metric == "INNER_PRODUCT":
+            s2 = xy2
+        else:
+            qn2 = jnp.sum(xq * xq, axis=1, keepdims=True)
+            bn2 = jnp.sum(xs * xs, axis=2)
+            s2 = -jnp.maximum(qn2 - 2.0 * xy2 + bn2, 0.0)
+        s2 = jnp.where(jnp.isneginf(best), _NEG_INF, s2)
+        best, sel2 = lax.top_k(s2, k)
+        sel = jnp.take_along_axis(sel, sel2, axis=1)
     pos = jnp.take(spill_pos, sel)
     pos = jnp.where(jnp.isneginf(best), -1, pos)
     return best, pos
