@@ -32,6 +32,41 @@ from .distance import pairwise_tile
 from .flat_search import SIMILARITY_METRICS, _NEG_INF, finalize_scores
 
 
+def inchunk_rerank_kscan(k: int, ncand: int, metric: str, precision) -> int:
+    """Widened candidate count for the fast-mode in-chunk exact rerank:
+    bf16 MXU scans cap top-k agreement with fp32 at ~0.9, so take a wider
+    bf16 top-k and re-score those rows at HIGHEST (< k_scan/ncand extra
+    work).  Returns k when no rerank applies (exact precisions,
+    elementwise metrics — already fp32)."""
+    if metric not in ("INNER_PRODUCT", "L2") or \
+            precision == lax.Precision.HIGHEST:
+        return k
+    return min(ncand, max(2 * k, k + 16))
+
+
+def inchunk_exact_rerank(xq_c, xc, score, *, k, k_scan, metric):
+    """Top-k_scan over bf16 ``score`` (qc, ncand), then HIGHEST re-score of
+    the selected rows from the in-scope candidate tile ``xc`` (qc, ncand,
+    d).  Returns (s (qc, k) max-oriented, sel (qc, k) candidate indices).
+    -inf (missing/masked) slots stay missing."""
+    s, sel = lax.top_k(score, k_scan)
+    if k_scan == k:
+        return s, sel
+    xs = jnp.take_along_axis(xc, sel[:, :, None], axis=1)  # (qc, k_scan, d)
+    xy2 = jnp.einsum("qd,qcd->qc", xq_c, xs,
+                     precision=lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32)
+    if metric == "INNER_PRODUCT":
+        s2 = xy2
+    else:  # L2 (max-oriented: negated)
+        qn2 = jnp.sum(xq_c * xq_c, axis=1, keepdims=True)
+        bn2 = jnp.sum(xs * xs, axis=2)
+        s2 = -jnp.maximum(qn2 - 2.0 * xy2 + bn2, 0.0)
+    s2 = jnp.where(jnp.isneginf(s), _NEG_INF, s2)
+    s, sel2 = lax.top_k(s2, k)
+    return s, jnp.take_along_axis(sel, sel2, axis=1)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "nprobe", "metric", "q_chunk", "precision"),
@@ -64,15 +99,7 @@ def ivf_search(
     _, probe_ids = lax.top_k(cscore, nprobe)              # (nq, nprobe)
 
     ncand = nprobe * lmax
-    # In-chunk exact rerank (fast mode only): the bf16 cross-term caps
-    # top-k agreement with fp32 at ~0.9, so take a slightly wider bf16
-    # top-k_scan and re-score those rows at HIGHEST from the already-
-    # gathered candidate tile — ~k_scan/ncand extra work (<1%), and the
-    # returned distances become fp32-exact.  Elementwise metrics are
-    # already exact; HIGHEST runs need nothing.
-    mxu = metric in ("INNER_PRODUCT", "L2")
-    rerank = mxu and precision != lax.Precision.HIGHEST
-    k_scan = min(ncand, max(2 * k, k + 16)) if rerank else k
+    k_scan = inchunk_rerank_kscan(k, ncand, metric, precision)
 
     def scan_chunk(i, carry):
         best_s, best_p = carry
@@ -104,22 +131,8 @@ def ivf_search(
             valid = jnp.logical_and(valid, mask[cand_safe])
         score = dist if sim else -dist
         score = jnp.where(valid, score, _NEG_INF)
-        s, sel = lax.top_k(score, k_scan)
-        if rerank:
-            xs = jnp.take_along_axis(
-                xc, sel[:, :, None], axis=1)            # (qc, k_scan, d)
-            xy2 = jnp.einsum("qd,qcd->qc", xq_c, xs,
-                             precision=lax.Precision.HIGHEST,
-                             preferred_element_type=jnp.float32)
-            if metric == "INNER_PRODUCT":
-                s2 = xy2
-            else:
-                qn2 = jnp.sum(xq_c * xq_c, axis=1, keepdims=True)
-                bn2 = jnp.sum(xs * xs, axis=2)
-                s2 = -jnp.maximum(qn2 - 2.0 * xy2 + bn2, 0.0)
-            s2 = jnp.where(jnp.isneginf(s), _NEG_INF, s2)
-            s, sel2 = lax.top_k(s2, k)
-            sel = jnp.take_along_axis(sel, sel2, axis=1)
+        s, sel = inchunk_exact_rerank(xq_c, xc, score, k=k, k_scan=k_scan,
+                                      metric=metric)
         p = jnp.take_along_axis(cand, sel, axis=1)
         p = jnp.where(jnp.isneginf(s), -1, p)
         best_s = lax.dynamic_update_slice(best_s, s, (q0, 0))
@@ -177,6 +190,10 @@ def ivf_pq_search(
 
     ncand = nprobe * lmax
     m = codes_sorted.shape[1]
+    # Fast-mode in-chunk rerank vs the DECODED rows: removes the bf16
+    # matmul noise on top of the codec error (parity with the fp32 ADC
+    # scan FAISS computes); the codec error itself is the storage choice.
+    k_scan = inchunk_rerank_kscan(k, ncand, metric, precision)
 
     def scan_chunk(i, carry):
         best_s, best_p = carry
@@ -203,7 +220,8 @@ def ivf_pq_search(
             valid = jnp.logical_and(valid, mask[cand_safe])
         score = dist if sim else -dist
         score = jnp.where(valid, score, _NEG_INF)
-        s, sel = lax.top_k(score, k)
+        s, sel = inchunk_exact_rerank(xq_c, xc, score, k=k, k_scan=k_scan,
+                                      metric=metric)
         p = jnp.take_along_axis(cand, sel, axis=1)
         p = jnp.where(jnp.isneginf(s), -1, p)
         best_s = lax.dynamic_update_slice(best_s, s, (q0, 0))
@@ -344,6 +362,8 @@ def ivf_sq_search(
 
     ncand = nprobe * lmax
     w = codes_sorted.shape[1]
+    # Rerank vs the decoded rows (see ivf_pq_search).
+    k_scan = inchunk_rerank_kscan(k, ncand, metric, precision)
 
     def scan_chunk(i, carry):
         best_s, best_p = carry
@@ -369,7 +389,8 @@ def ivf_sq_search(
             valid = jnp.logical_and(valid, mask[cand_safe])
         score = dist if sim else -dist
         score = jnp.where(valid, score, _NEG_INF)
-        s, sel = lax.top_k(score, k)
+        s, sel = inchunk_exact_rerank(xq_c, xc, score, k=k, k_scan=k_scan,
+                                      metric=metric)
         p = jnp.take_along_axis(cand, sel, axis=1)
         p = jnp.where(jnp.isneginf(s), -1, p)
         best_s = lax.dynamic_update_slice(best_s, s, (q0, 0))
