@@ -13,6 +13,17 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
 def main(root: str) -> int:
+    # Conformance golden values are platform-independent; default to the
+    # CPU backend so a dead/unreachable tunneled device can never hang the
+    # suite.  DFX_REFTEST_TPU=1 opts back into the hardware backend.
+    if os.environ.get("DFX_REFTEST_TPU") != "1":
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:  # noqa: BLE001 — backend already initialised
+            pass
+
     from duckdb_faiss_ext_tpu.sql.logictest import run_file
 
     files = sorted(glob.glob(os.path.join(root, "*.test")))
