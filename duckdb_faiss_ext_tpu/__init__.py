@@ -64,7 +64,7 @@ from .metrics import metric_names, resolve_metric
 from .ops.selectors import BitmapSelector, SetSelector
 from .params import ParamMap
 from .sql import Database, register_table
-from .utils.config import set_kernel_mode, set_precision
+from .utils.config import set_kernel_mode, set_precision, set_sq_dot
 
 __version__ = "0.1.0"
 
@@ -99,5 +99,6 @@ __all__ = [
     "register_create_parameter",
     "register_table",
     "set_kernel_mode",
+    "set_sq_dot",
     "set_precision",
 ]

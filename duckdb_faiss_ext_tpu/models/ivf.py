@@ -364,6 +364,32 @@ class IVFIndex(Index):
             return jnp.asarray(z), jnp.asarray(z)
         return jnp.asarray(self._sq_vmin), jnp.asarray(self._sq_scale)
 
+    def _ivf_int8_state(self):
+        """(sorted SQ8 codes − 128 as int8 (cap, d), per-sorted-row
+        Σ(scale·c)² fp32 (cap,)) for the int8 IVF scan
+        (ops/ivf_scan.py::ivf_sq8_int8_search); cached per version and
+        aligned with _build_device's sort order/capacity."""
+        cached = getattr(self, "_int8_cache", None)
+        if cached is not None and cached[0] == self._version:
+            return cached[1]
+        storage, _, _, order = self._build_device()
+        cap = storage[0].shape[0]
+        n = self._nstored
+        codes = self._codes[order] if n else self._codes     # (n, d) uint8
+        ci8 = np.empty_like(codes, dtype=np.int8)
+        rn = np.empty((codes.shape[0],), np.float32)
+        s2 = (self._sq_scale * self._sq_scale).astype(np.float32)
+        step = max(1, (1 << 27) // max(self.d, 1))
+        for i in range(0, codes.shape[0], step):
+            c = codes[i:i + step].astype(np.float32)
+            rn[i:i + step] = (c * c) @ s2
+            ci8[i:i + step] = (codes[i:i + step].astype(np.int16)
+                               - 128).astype(np.int8)
+        state = (jnp.asarray(pad_rows(ci8, cap)),
+                 jnp.asarray(pad_rows(rn, cap)))
+        self._int8_cache = (self._version, state)
+        return state
+
     def _assign_lists(self, x: np.ndarray) -> np.ndarray:
         """Coarse assignment of new vectors (best list by the index metric).
 
@@ -849,16 +875,36 @@ class IVFIndex(Index):
                 q_chunk=q_chunk, precision=config.precision,
                 codec=self.pq_codec)
         elif self.sq_type is not None:
-            from ..ops.ivf_scan import ivf_sq_search
+            from ..utils.config import sq_int8_active
 
             codes_sorted, vmin, scale = storage
-            scores, pos = ivf_sq_search(
-                codes_sorted, vmin, scale,
-                jnp.int32(self._nstored), list_table, centroids,
-                xq_pad, mask, jnp.asarray(self.metric_arg, jnp.float32),
-                k=k_eff, nprobe=nprobe_eff, metric=self.metric.name,
-                q_chunk=q_chunk, precision=config.precision,
-                codec=self.sq_type)
+            if (self.sq_type == "sq8"
+                    and self.metric.name in ("L2", "INNER_PRODUCT")
+                    and sq_int8_active()):
+                from ..ops.ivf_scan import ivf_sq8_int8_search
+
+                ci8, rn = self._ivf_int8_state()
+                lmax = list_table.shape[1]
+                k_scan = min(nprobe_eff * lmax,
+                             max(2 * k_eff, k_eff + 16))
+                scores, pos = ivf_sq8_int8_search(
+                    ci8, rn, jnp.int32(self._nstored), list_table,
+                    centroids, vmin, scale, xq_pad, mask,
+                    jnp.asarray(self.metric_arg, jnp.float32),
+                    k=k_eff, k_scan=k_scan, nprobe=nprobe_eff,
+                    metric=self.metric.name, q_chunk=q_chunk,
+                    precision=config.precision)
+            else:
+                from ..ops.ivf_scan import ivf_sq_search
+
+                scores, pos = ivf_sq_search(
+                    codes_sorted, vmin, scale,
+                    jnp.int32(self._nstored), list_table, centroids,
+                    xq_pad, mask,
+                    jnp.asarray(self.metric_arg, jnp.float32),
+                    k=k_eff, nprobe=nprobe_eff, metric=self.metric.name,
+                    q_chunk=q_chunk, precision=config.precision,
+                    codec=self.sq_type)
         else:
             scores, pos = ivf_search(
                 storage, jnp.int32(self._nstored), list_table, centroids,

@@ -115,7 +115,29 @@ class SQIndex(Index):
     def _invalidate(self):
         self._version += 1
         self._device = None
+        self._int8_state = None
         self._mask_cache.clear()
+
+    def _int8_device_state(self):
+        """(codes−128 as int8 (cap, d), row_norm Σ(scale·c)² (cap,)) for the
+        int8 MXU scan (SQ8 only; see ops/sq.py::sq8_int8_search)."""
+        cached = getattr(self, "_int8_state", None)
+        if cached is not None:
+            return cached
+        cap = self._capacity()
+        n = self._codes.shape[0]
+        ci8 = np.empty_like(self._codes, dtype=np.int8)
+        rn = np.empty((n,), np.float32)
+        s2 = (self._scale * self._scale).astype(np.float32)
+        step = max(1, (1 << 27) // max(self.d, 1))     # ≤512 MB fp32 staging
+        for i in range(0, n, step):
+            c = self._codes[i:i + step].astype(np.float32)
+            rn[i:i + step] = (c * c) @ s2
+            ci8[i:i + step] = (self._codes[i:i + step].astype(np.int16)
+                               - 128).astype(np.int8)
+        self._int8_state = (jnp.asarray(pad_rows(ci8, cap)),
+                            jnp.asarray(pad_rows(rn, cap)))
+        return self._int8_state
 
     def _capacity(self) -> int:
         from .base import placement_capacity
@@ -185,11 +207,27 @@ class SQIndex(Index):
                 self._mask_cache = {key: mask}
         chunk = choose_chunk(cap, nq_pad, self.d, self.metric.name)
 
-        scores, pos = sq_search(
-            codes_dev, jnp.int32(self.ntotal), vmin, scale, xq_pad, mask,
-            jnp.asarray(self.metric_arg, jnp.float32),
-            k=k_eff, metric=self.metric.name, chunk=chunk,
-            precision=config.precision, codec=self.codec)
+        from ..utils.config import sq_int8_active
+
+        if (self.codec == "sq8"
+                and self.metric.name in ("L2", "INNER_PRODUCT")
+                and self._placement is None
+                and sq_int8_active()):
+            from ..ops.sq import sq8_int8_search
+
+            ci8, rn = self._int8_device_state()
+            k_scan = min(cap, max(2 * k_eff, k_eff + 16))
+            scores, pos = sq8_int8_search(
+                ci8, rn, jnp.int32(self.ntotal), vmin, scale, xq_pad, mask,
+                jnp.asarray(self.metric_arg, jnp.float32),
+                k=k_eff, k_scan=k_scan, metric=self.metric.name,
+                chunk=min(chunk, cap))
+        else:
+            scores, pos = sq_search(
+                codes_dev, jnp.int32(self.ntotal), vmin, scale, xq_pad, mask,
+                jnp.asarray(self.metric_arg, jnp.float32),
+                k=k_eff, metric=self.metric.name, chunk=chunk,
+                precision=config.precision, codec=self.codec)
         dist, pos = finalize_scores(scores, pos, self.metric.name)
         return dist, pos, nq, k_eff
 

@@ -402,3 +402,107 @@ def ivf_sq_search(
         jnp.full((nq, k), -1, jnp.int32),
     )
     return lax.fori_loop(0, nq // q_chunk, scan_chunk, init)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "k_scan", "nprobe", "metric", "q_chunk",
+                     "precision"),
+)
+def ivf_sq8_int8_search(
+    codes_i8,      # (cap, d) int8: sorted SQ8 codes − 128
+    row_norm,      # (cap,) fp32: Σ_d (scale_d c_d)² per sorted row
+    nvalid,
+    list_table,    # (nlist, lmax) int32 indices into codes_i8
+    centroids,     # (nlist, d) fp32 (coarse assignment only)
+    vmin,          # (d,) fp32 SQ ranges
+    scale,
+    xq,            # (nq_pad, d) fp32
+    mask,          # (cap,) bool over sorted rows, or None
+    metric_arg,
+    *,
+    k: int,
+    k_scan: int,
+    nprobe: int,
+    metric: str,
+    q_chunk: int,
+    precision,
+):
+    """Int8-MXU IVF,SQ8 scan (L2 / INNER_PRODUCT): the gathered candidate
+    tile stays int8 (1 B/elem vs the decode path's fp32) and the batched
+    dot runs the MXU's int8 mode; per-query symmetric quantization is the
+    only approximation and the final decode+fp32 rerank of the widened
+    top-k removes it (see ops/sq.py::sq8_int8_search for the algebra —
+    IVF,SQ8 stores codes non-residual, so the scoring is identical)."""
+    nq, d = xq.shape
+    nlist, lmax = list_table.shape
+    sim = metric == "INNER_PRODUCT"
+    nprobe = min(nprobe, nlist)
+
+    cdist = pairwise_tile(xq, centroids, metric, metric_arg, precision)
+    cscore = cdist if sim else -cdist
+    _, probe_ids = lax.top_k(cscore, nprobe)
+
+    ncand = nprobe * lmax
+    if sim:
+        u = xq * scale[None, :]
+        base = xq @ vmin
+    else:
+        t = xq - vmin[None, :]
+        u = t * scale[None, :]
+        base = jnp.sum(t * t, axis=1)
+    su = jnp.maximum(jnp.max(jnp.abs(u), axis=1), 1e-30) / 127.0
+    ui = jnp.clip(jnp.round(u / su[:, None]), -127, 127).astype(jnp.int8)
+    sum_u = jnp.sum(u, axis=1)
+
+    def scan_chunk(i, carry):
+        best_s, best_p = carry
+        q0 = i * q_chunk
+        xq_c = lax.dynamic_slice(xq, (q0, 0), (q_chunk, d))
+        ui_c = lax.dynamic_slice(ui, (q0, 0), (q_chunk, d))
+        su_c = lax.dynamic_slice(su, (q0,), (q_chunk,))
+        sumu_c = lax.dynamic_slice(sum_u, (q0,), (q_chunk,))
+        base_c = lax.dynamic_slice(base, (q0,), (q_chunk,))
+        probes_c = lax.dynamic_slice(probe_ids, (q0, 0), (q_chunk, nprobe))
+        cand = list_table[probes_c].reshape(q_chunk, ncand)
+        valid = cand < nvalid
+        cand_safe = jnp.where(valid, cand, 0)
+        xc8 = codes_i8[cand_safe]                       # (qc, ncand, d) int8
+        dot = jnp.einsum("qd,qcd->qc", ui_c, xc8,
+                         preferred_element_type=jnp.int32)
+        uc = (su_c[:, None] * dot.astype(jnp.float32)
+              + 128.0 * sumu_c[:, None])
+        if sim:
+            score = base_c[:, None] + uc
+        else:
+            rn = row_norm[cand_safe]
+            score = -jnp.maximum(base_c[:, None] - 2.0 * uc + rn, 0.0)
+        if mask is not None:
+            valid = jnp.logical_and(valid, mask[cand_safe])
+        score = jnp.where(valid, score, _NEG_INF)
+        s, sel = lax.top_k(score, k_scan)
+        # Exact rerank: decode only the selected rows, score fp32.
+        csel = jnp.take_along_axis(cand_safe, sel, axis=1)
+        xs = ((codes_i8[csel].astype(jnp.float32) + 128.0)
+              * scale + vmin)                           # (qc, k_scan, d)
+        if sim:
+            s2 = jnp.einsum("qd,qcd->qc", xq_c, xs,
+                            precision=lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+        else:
+            diff = xs - xq_c[:, None, :]
+            s2 = -jnp.sum(diff * diff, axis=-1)
+        s2 = jnp.where(jnp.isneginf(s), _NEG_INF, s2)
+        s, sel2 = lax.top_k(s2, k)
+        sel = jnp.take_along_axis(sel, sel2, axis=1)
+        p = jnp.take_along_axis(cand, sel, axis=1)
+        p = jnp.where(jnp.isneginf(s), -1, p)
+        best_s = lax.dynamic_update_slice(best_s, s, (q0, 0))
+        best_p = lax.dynamic_update_slice(best_p, p, (q0, 0))
+        return best_s, best_p
+
+    init = (
+        jnp.full((nq, k), _NEG_INF, jnp.float32),
+        jnp.full((nq, k), -1, jnp.int32),
+    )
+    return lax.fori_loop(0, nq // q_chunk, scan_chunk, init)

@@ -175,3 +175,85 @@ def sq_search(codes, nvalid, vmin, scale, xq, mask, metric_arg, *, k, metric,
     init = (jnp.full((nq, k), _NEG_INF, jnp.float32),
             jnp.full((nq, k), -1, jnp.int32))
     return lax.fori_loop(0, cap // chunk, body, init)
+
+
+# --- int8 MXU scan (SQ8) ----------------------------------------------------
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "k_scan", "metric", "chunk"))
+def sq8_int8_search(codes_i8, row_norm, nvalid, vmin, scale, xq, mask,
+                    metric_arg, *, k, k_scan, metric, chunk):
+    """Int8-native scan for SQ8 (L2 / INNER_PRODUCT).
+
+    The dot reads shifted codes c' = c − 128 directly as int8 — no decoded
+    fp32/bf16 intermediate ever materializes (the decode path writes+reads
+    a (chunk, d) fp32 tile per step) and the MXU runs its int8 mode (2×
+    bf16 throughput on v5e).  Codes are EXACT in the int8 dot (int32
+    accumulation); the only approximation is the per-query symmetric int8
+    quantization of u (relative error ≤ 1/254, on par with a bf16 scan),
+    and a final decode+fp32 rerank of the widened top-k restores exact
+    distances and ordering.
+
+        L2: ‖q−x‖² = ‖t‖² − 2·u·c + Σscale²c²   (t = q−vmin, u = t⊙scale)
+        IP: q·x     = q·vmin + u·c               (u = q⊙scale)
+        u·c = u·c' + 128·Σu ≈ su·(ui·c') + 128·Σu
+
+    ``row_norm``: per-row Σ_d (scale_d c_d)² fp32, precomputed at ingest.
+    Returns the search_scan convention (max-oriented scores, -inf/-1
+    missing)."""
+    cap, d = codes_i8.shape
+    nq = xq.shape[0]
+    sim = metric == "INNER_PRODUCT"
+    if sim:
+        u = xq * scale[None, :]
+        base = xq @ vmin                                   # (nq,) q·vmin
+    else:
+        t = xq - vmin[None, :]
+        u = t * scale[None, :]
+        base = jnp.sum(t * t, axis=1)                      # (nq,) ‖t‖²
+    su = jnp.maximum(jnp.max(jnp.abs(u), axis=1), 1e-30) / 127.0
+    ui = jnp.clip(jnp.round(u / su[:, None]), -127, 127).astype(jnp.int8)
+    sum_u = jnp.sum(u, axis=1)
+
+    def body(i, carry):
+        best_s, best_p = carry
+        start = i * chunk
+        cchunk = lax.dynamic_slice(codes_i8, (start, 0), (chunk, d))
+        rchunk = lax.dynamic_slice(row_norm, (start,), (chunk,))
+        dot = lax.dot_general(ui, cchunk, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+        uc = su[:, None] * dot.astype(jnp.float32) + 128.0 * sum_u[:, None]
+        if sim:
+            score = base[:, None] + uc
+        else:
+            score = -jnp.maximum(base[:, None] - 2.0 * uc + rchunk[None, :],
+                                 0.0)
+        rowid = start + lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        valid = rowid < nvalid
+        if mask is not None:
+            mc = lax.dynamic_slice(mask, (start,), (chunk,))
+            valid = jnp.logical_and(valid, mc[None, :])
+        score = jnp.where(valid, score, _NEG_INF)
+        cat_s = jnp.concatenate([best_s, score], axis=1)
+        cat_p = jnp.concatenate(
+            [best_p, jnp.broadcast_to(rowid, (nq, chunk))], axis=1)
+        new_s, sel = lax.top_k(cat_s, k_scan)
+        return new_s, jnp.take_along_axis(cat_p, sel, axis=1)
+
+    init = (jnp.full((nq, k_scan), _NEG_INF, jnp.float32),
+            jnp.full((nq, k_scan), -1, jnp.int32))
+    s, pos = lax.fori_loop(0, cap // chunk, body, init)
+
+    # Exact rerank: decode only the k_scan selected rows and score fp32.
+    safe = jnp.maximum(pos, 0)
+    xs = (codes_i8[safe].astype(jnp.float32) + 128.0) * scale + vmin
+    if sim:
+        s2 = jnp.einsum("qd,qcd->qc", xq, xs,
+                        precision=lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+    else:
+        diff = xs - xq[:, None, :]
+        s2 = -jnp.sum(diff * diff, axis=-1)
+    s2 = jnp.where(pos >= 0, s2, _NEG_INF)
+    s, sel = lax.top_k(s2, k)
+    return s, jnp.take_along_axis(pos, sel, axis=1)

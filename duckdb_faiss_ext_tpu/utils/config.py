@@ -34,6 +34,11 @@ class Config:
     min_capacity: int = 128
     #: minimum padded query-batch bucket
     min_query_bucket: int = 8
+    #: SQ8 scan arithmetic: "auto" = int8 MXU dot in fast mode (codes read
+    #: as int8, no decode intermediate, 2× bf16 TOPS; query-side-only
+    #: quantization recovered by the built-in exact rerank), decode path
+    #: in parity mode; "int8" / "decode" force one path.
+    sq_dot: str = "auto"
 
     @property
     def precision(self):
@@ -53,6 +58,23 @@ def set_kernel_mode(mode: str) -> None:
     if mode not in ("auto", "xla", "pallas"):
         raise ValueError("kernel mode must be auto, xla, or pallas")
     config.kernel_mode = mode
+
+
+def set_sq_dot(mode: str) -> None:
+    if mode not in ("auto", "int8", "decode"):
+        raise ValueError("sq dot mode must be auto, int8, or decode")
+    config.sq_dot = mode
+
+
+def sq_int8_active() -> bool:
+    """Whether the SQ8 scan should take the int8 MXU path right now."""
+    from jax import lax
+
+    if config.sq_dot == "int8":
+        return True
+    if config.sq_dot == "decode":
+        return False
+    return config.precision != lax.Precision.HIGHEST
 
 
 def on_tpu() -> bool:

@@ -316,3 +316,68 @@ def test_flat_rerank_param(catalog):
     np.testing.assert_array_equal(rr["label"], rb["label"])
     got = rs["label"][rs["label"] >= 0]
     assert np.all(flags[got])
+
+
+def test_sq8_int8_scan_path(catalog, tmp_path):
+    """SQ8's fast-mode int8 MXU scan (codes stay int8 in the dot; per-query
+    symmetric quantization + decode-rerank): matches the parity decode path
+    labels exactly on clustered data, selector honoured, save/load stable."""
+    import duckdb_faiss_ext_tpu as dfx
+    from duckdb_faiss_ext_tpu.ops.selectors import BitmapSelector
+
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((32, 48)).astype(np.float32) * 3
+    xb = (centers[rng.integers(0, 32, 5000)]
+          + rng.standard_normal((5000, 48)).astype(np.float32) * 0.3)
+    xq = xb[:32]
+    dfx.faiss_create("sq8i", 48, "SQ8", metric_type="L2", catalog=catalog)
+    dfx.faiss_add(xb, "sq8i", catalog=catalog)
+    ref = dfx.faiss_search("sq8i", 10, xq, catalog=catalog)
+    flags = np.zeros(5000, bool)
+    flags[::2] = True
+    dfx.set_precision("fast")
+    try:
+        fast = dfx.faiss_search("sq8i", 10, xq, catalog=catalog)
+        fsel = dfx.faiss_search("sq8i", 10, xq, catalog=catalog,
+                                selector=BitmapSelector.from_bool(flags))
+        p = str(tmp_path / "sq8i.dfx")
+        dfx.faiss_save("sq8i", p, catalog=catalog)
+        dfx.faiss_load("sq8i2", p, catalog=catalog)
+        reload = dfx.faiss_search("sq8i2", 10, xq, catalog=catalog)
+    finally:
+        dfx.set_precision("parity")
+    np.testing.assert_array_equal(ref["label"], fast["label"])
+    got = fsel["label"][fsel["label"] >= 0]
+    assert np.all(flags[got])
+    np.testing.assert_array_equal(fast["label"], reload["label"])
+
+
+def test_ivf_sq8_int8_scan_path(catalog):
+    """IVF,SQ8's fast-mode int8 gathered scan matches the parity decode
+    path exactly on clustered data; selectors honoured."""
+    import duckdb_faiss_ext_tpu as dfx
+    from duckdb_faiss_ext_tpu.ops.selectors import BitmapSelector
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((64, 48)).astype(np.float32) * 3
+    xb = (centers[rng.integers(0, 64, 8000)]
+          + rng.standard_normal((8000, 48)).astype(np.float32) * 0.3)
+    xq = xb[:32]
+    dfx.faiss_create("iv8i", 48, "IVF64,SQ8", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_add(xb, "iv8i", catalog=catalog)
+    ref = dfx.faiss_search("iv8i", 10, xq, {"nprobe": "64"}, catalog=catalog)
+    flags = np.zeros(8000, bool)
+    flags[::2] = True
+    dfx.set_precision("fast")
+    try:
+        fast = dfx.faiss_search("iv8i", 10, xq, {"nprobe": "64"},
+                                catalog=catalog)
+        fsel = dfx.faiss_search("iv8i", 10, xq, {"nprobe": "64"},
+                                catalog=catalog,
+                                selector=BitmapSelector.from_bool(flags))
+    finally:
+        dfx.set_precision("parity")
+    np.testing.assert_array_equal(ref["label"], fast["label"])
+    got = fsel["label"][fsel["label"] >= 0]
+    assert np.all(flags[got])
