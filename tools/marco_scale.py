@@ -39,6 +39,10 @@ def main() -> None:
 
     import duckdb_faiss_ext_tpu as dfx
 
+    # Throughput mode: bf16 coarse assignment + the int8-native SQ8 scan
+    # (codes stay int8 in the dot; exact decode-rerank of the top-k).
+    dfx.set_precision("fast")
+
     name = "marco"
     desc = f"IVF{args.nlist},{args.storage}"
     print(f"corpus {args.n}x{args.d}, index {desc}, nprobe={args.nprobe}",
