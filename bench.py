@@ -170,7 +170,10 @@ def measure_cpu_baseline():
     return BATCH / per_batch
 
 
-LAST_GOOD = __file__.rsplit("/", 1)[0] + "/.bench_last.json"
+import os
+
+LAST_GOOD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_last.json")
 
 
 def main():
@@ -186,7 +189,7 @@ def main():
                 f"measurement from {line.get('measured_at')}")
             print(json.dumps(line))
             return 0
-        except OSError:
+        except (OSError, ValueError):   # missing, or corrupt partial write
             log("device unresponsive after retries and no cached "
                 "measurement; aborting bench (no JSON line)")
             return 1
@@ -208,8 +211,10 @@ def main():
     try:
         line["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                             time.gmtime())
-        with open(LAST_GOOD, "w") as f:
+        tmp = LAST_GOOD + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(line, f)
+        os.replace(tmp, LAST_GOOD)      # atomic: no partial cache files
     except OSError:
         pass
 

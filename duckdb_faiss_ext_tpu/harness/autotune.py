@@ -49,9 +49,12 @@ class AutotuneResult:
 
 
 def _unwrap(index):
-    while hasattr(index, "inner"):
-        index = index.inner
-    return index
+    # IDMap/PreTransform wrap via .inner; RefineFlat via .base.
+    while True:
+        nxt = getattr(index, "inner", None) or getattr(index, "base", None)
+        if nxt is None:
+            return index
+        index = nxt
 
 
 def _default_grid(index) -> tuple[list[dict[str, str]], dict[str, str]]:
@@ -69,7 +72,7 @@ def _default_grid(index) -> tuple[list[dict[str, str]], dict[str, str]]:
         return ([{"nprobe": str(x)} for x in vals],
                 {"nprobe": str(nlist)})
     if hasattr(inner, "ef_search"):
-        vals = [v for v in (16, 32, 64, 128, 256, 512, 1024)]
+        vals = (16, 32, 64, 128, 256, 512, 1024)
         return ([{"efSearch": str(x)} for x in vals], {"exact": "true"})
     return [{}], {}
 
@@ -88,13 +91,10 @@ def autotune_index(name: str, xq, k: int = 10, target_recall: float = 0.9,
     xq = np.asarray(xq, dtype=np.float32)
     cat = catalog if catalog is not None else api.GLOBAL_CATALOG
     entry = cat.get(name)
-    settings, gt_params = (grid, None) if grid is not None \
-        else _default_grid(entry.index)
-    if grid is not None:
-        # Explicit grid: ground truth is the most expensive setting's
-        # result only if the caller included an exhaustive point; use the
-        # index default exhaustive knob when we can infer one.
-        _, gt_params = _default_grid(entry.index)
+    # Ground truth always comes from the index's exhaustive knob setting,
+    # whether the sweep grid is the default or caller-supplied.
+    default_settings, gt_params = _default_grid(entry.index)
+    settings = grid if grid is not None else default_settings
 
     gt = api.faiss_search(name, k, xq, gt_params or None, catalog=cat)
     gt_labels = gt["label"]

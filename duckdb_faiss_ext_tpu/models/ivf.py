@@ -364,6 +364,17 @@ class IVFIndex(Index):
             return jnp.asarray(z), jnp.asarray(z)
         return jnp.asarray(self._sq_vmin), jnp.asarray(self._sq_scale)
 
+    def _sq_codes_dev(self):
+        """Device upload of the sorted uint8 SQ codes for the decode path,
+        cached per version (the int8 path never touches it)."""
+        cached = getattr(self, "_sq_dev_cache", None)
+        if cached is not None and cached[0] == self._version:
+            return cached[1]
+        storage, _, _, _ = self._build_device()
+        dev = jnp.asarray(storage[0])
+        self._sq_dev_cache = (self._version, dev)
+        return dev
+
     def _ivf_int8_state(self):
         """(sorted SQ8 codes − 128 as int8 (cap, d), per-sorted-row
         Σ(scale·c)² fp32 (cap,)) for the int8 IVF scan
@@ -461,6 +472,8 @@ class IVFIndex(Index):
         self._device_spill = None
         self._ids_sorted = None
         self._srcrow_sorted = None
+        self._sq_dev_cache = None
+        self._int8_cache = None
         self._mask_cache.clear()
 
     # --- Pallas list-scan layout (padded 3-D lists) ------------------------
@@ -678,11 +691,15 @@ class IVFIndex(Index):
                 order.astype(np.int64),
             )
         elif self.sq_type is not None:
+            # Codes stay HOST-side here: the int8 fast path and the uint8
+            # decode path each upload their own representation lazily
+            # (_ivf_int8_state / _sq_codes_dev) — uploading both would
+            # double corpus HBM (13.6 GB × 2 at the MARCO scale).
             codes_sorted = pad_rows(self._codes[order] if n else self._codes,
                                     cap)
             vmin, scale = self._sq_ranges()
             self._device = (
-                (jnp.asarray(codes_sorted), vmin, scale),
+                (codes_sorted, vmin, scale),
                 jnp.asarray(list_table),
                 jnp.asarray(self._centroids),
                 order.astype(np.int64),
@@ -877,16 +894,17 @@ class IVFIndex(Index):
         elif self.sq_type is not None:
             from ..utils.config import sq_int8_active
 
-            codes_sorted, vmin, scale = storage
+            _, vmin, scale = storage
             if (self.sq_type == "sq8"
                     and self.metric.name in ("L2", "INNER_PRODUCT")
+                    and self.d >= 16     # tiny-d margins sit at the int8 noise floor
                     and sq_int8_active()):
                 from ..ops.ivf_scan import ivf_sq8_int8_search
 
                 ci8, rn = self._ivf_int8_state()
                 lmax = list_table.shape[1]
                 k_scan = min(nprobe_eff * lmax,
-                             max(2 * k_eff, k_eff + 16))
+                             max(4 * k_eff, k_eff + 32))
                 scores, pos = ivf_sq8_int8_search(
                     ci8, rn, jnp.int32(self._nstored), list_table,
                     centroids, vmin, scale, xq_pad, mask,
@@ -898,7 +916,7 @@ class IVFIndex(Index):
                 from ..ops.ivf_scan import ivf_sq_search
 
                 scores, pos = ivf_sq_search(
-                    codes_sorted, vmin, scale,
+                    self._sq_codes_dev(), vmin, scale,
                     jnp.int32(self._nstored), list_table, centroids,
                     xq_pad, mask,
                     jnp.asarray(self.metric_arg, jnp.float32),
@@ -1239,8 +1257,9 @@ def _ivf_range_search(self, xq, radius, params=EMPTY, selector=None):
     elif self.sq_type is not None:
         from ..ops.sq import sq_decode
 
-        codes_sorted, vmin, scale = storage
-        xb_sorted = sq_decode(codes_sorted, vmin, scale, self.sq_type)
+        _, vmin, scale = storage
+        xb_sorted = sq_decode(self._sq_codes_dev(), vmin, scale,
+                              self.sq_type)
     nq_pad = max(config.min_query_bucket, next_pow2(nq))
     xq_pad = jnp.asarray(pad_rows(xq, nq_pad))
     probe_ids = _coarse_topk(xq_pad, centroids,

@@ -192,8 +192,7 @@ class SQIndex(Index):
         if nq == 0 or k <= 0:
             return None
 
-        codes_dev, vmin, scale = self._device_state()
-        cap = codes_dev.shape[0]
+        cap = self._capacity()
         k_eff = min(k, cap)
         nq_pad = max(config.min_query_bucket, next_pow2(nq))
         xq_pad = jnp.asarray(pad_rows(xq, nq_pad))
@@ -206,23 +205,33 @@ class SQIndex(Index):
                 mask = jnp.asarray(pad_rows(rows, cap, fill=False))
                 self._mask_cache = {key: mask}
         chunk = choose_chunk(cap, nq_pad, self.d, self.metric.name)
+        # The corpus-chunked loops run cap // chunk steps: clamp to the
+        # largest power-of-two divisor of cap (1M-step capacities above
+        # 2^20 rows are not powers of two) so no tail rows are skipped.
+        chunk = min(chunk, cap & -cap)
+        if cap % chunk:
+            chunk = cap
 
         from ..utils.config import sq_int8_active
 
         if (self.codec == "sq8"
                 and self.metric.name in ("L2", "INNER_PRODUCT")
+                and self.d >= 16         # tiny-d margins sit at the int8 noise floor
                 and self._placement is None
                 and sq_int8_active()):
             from ..ops.sq import sq8_int8_search
 
             ci8, rn = self._int8_device_state()
-            k_scan = min(cap, max(2 * k_eff, k_eff + 16))
+            vmin = jnp.asarray(self._vmin)
+            scale = jnp.asarray(self._scale)
+            k_scan = min(cap, max(4 * k_eff, k_eff + 32))
             scores, pos = sq8_int8_search(
                 ci8, rn, jnp.int32(self.ntotal), vmin, scale, xq_pad, mask,
                 jnp.asarray(self.metric_arg, jnp.float32),
                 k=k_eff, k_scan=k_scan, metric=self.metric.name,
-                chunk=min(chunk, cap))
+                chunk=chunk)
         else:
+            codes_dev, vmin, scale = self._device_state()
             scores, pos = sq_search(
                 codes_dev, jnp.int32(self.ntotal), vmin, scale, xq_pad, mask,
                 jnp.asarray(self.metric_arg, jnp.float32),

@@ -540,7 +540,11 @@ def walk_scan(xb, graph, xq, nvalid, metric_arg, mask, pack, *, k, pool,
         return new_s, new_i, new_e
 
     scores, ids, _ = lax.fori_loop(0, iters, body, (scores, ids, expanded))
-    rerank = pack is not None or precision != lax.Precision.HIGHEST
+    # Elementwise metrics score fp32 regardless of `precision` — only the
+    # MXU metrics need the fast-mode rerank.
+    rerank = pack is not None or (
+        precision != lax.Precision.HIGHEST
+        and metric in ("INNER_PRODUCT", "L2"))
     if rerank:
         # Exact rerank of the pool: one (B, pool) fp32 gather+score pass
         # (≈1 ms at B=1024/pool=64 — traversal cost dominates).  Restores

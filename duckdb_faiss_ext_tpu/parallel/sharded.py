@@ -421,20 +421,14 @@ def sharded_ivf_search_fn(mesh: Mesh, *, k: int, nprobe: int, metric: str,
                 valid = jnp.logical_and(valid, sel_mask[lp_c] != 0)
             s = jnp.where(valid, s, _NEG_INF)
             flat = s.reshape(qc, ncand)
-            best, sel = lax.top_k(flat, k_scan)
-            if rerank_ip:
-                # In-chunk exact rerank (fast-mode IP only — the L2 branch
-                # scores elementwise in fp32 already): re-score the widened
-                # bf16 top-k at HIGHEST from the in-scope candidate tile,
-                # mirroring ops/ivf_scan.ivf_search.
-                xs = jnp.take_along_axis(
-                    xc.reshape(qc, ncand, d), sel[:, :, None], axis=1)
-                s2 = jnp.einsum("qd,qcd->qc", xq_c, xs,
-                                precision=lax.Precision.HIGHEST,
-                                preferred_element_type=jnp.float32)
-                s2 = jnp.where(jnp.isneginf(best), _NEG_INF, s2)
-                best, sel2 = lax.top_k(s2, k)
-                sel = jnp.take_along_axis(sel, sel2, axis=1)
+            # In-chunk exact rerank (fast-mode IP only — the L2 branch
+            # scores elementwise in fp32 already); shared helper with the
+            # single-device gather scans.
+            from ..ops.ivf_scan import inchunk_exact_rerank
+
+            best, sel = inchunk_exact_rerank(
+                xq_c, xc.reshape(qc, ncand, d), flat, k=k, k_scan=k_scan,
+                metric=metric)
             slot, ln = sel // lmax, sel % lmax
             lids = jnp.take_along_axis(lp_c, slot, axis=1)
             pos = row_pos[lids, ln]
