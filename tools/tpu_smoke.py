@@ -104,6 +104,29 @@ def main() -> None:
     dfx.faiss_destroy("p2")
     print("save/load + error probes OK", flush=True)
 
+    # Int8-native SQ8 scan (fast mode): validates the int8 MXU dot +
+    # decode-rerank on real hardware (standalone and IVF,SQ8) before the
+    # corpus-scale runs rely on it.
+    rng8 = np.random.default_rng(21)
+    c8 = rng8.standard_normal((32, 32)).astype(np.float32) * 3
+    x8 = (c8[rng8.integers(0, 32, 4000)]
+          + rng8.standard_normal((4000, 32)).astype(np.float32) * 0.3)
+    for desc8 in ("SQ8", "IVF32,SQ8"):
+        dfx.faiss_create("i8", 32, desc8, metric_type="L2")
+        dfx.faiss_add(x8, "i8")
+        p8 = {"nprobe": "32"} if "IVF" in desc8 else None
+        ref8 = dfx.faiss_search("i8", 5, x8[:16], p8)
+        dfx.set_precision("fast")
+        try:
+            fast8 = dfx.faiss_search("i8", 5, x8[:16], p8)
+        finally:
+            dfx.set_precision("parity")
+        hits = np.mean([len(set(ref8["label"][q]) & set(fast8["label"][q]))
+                        for q in range(16)]) / 5
+        assert hits >= 0.95, f"{desc8} int8 path agreement {hits}"
+        dfx.faiss_destroy("i8")
+    print("int8 SQ8 scan (standalone + IVF) OK", flush=True)
+
     # HNSW graph regime (CAGRA walk): forced below its normal threshold so
     # the build + packed walk + batched dispatch compile and run on-chip.
     rng = np.random.default_rng(7)
