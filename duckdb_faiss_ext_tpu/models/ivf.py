@@ -375,29 +375,28 @@ class IVFIndex(Index):
         self._sq_dev_cache = (self._version, dev)
         return dev
 
-    def _ivf_int8_state(self):
-        """(sorted SQ8 codes − 128 as int8 (cap, d), per-sorted-row
-        Σ(scale·c)² fp32 (cap,)) for the int8 IVF scan
-        (ops/ivf_scan.py::ivf_sq8_int8_search); cached per version and
-        aligned with _build_device's sort order/capacity."""
+    def _ivf_sq_row_norm(self):
+        """Per-sorted-row Σ(scale·c)² fp32 (cap,) for the int8 IVF scan
+        (ops/ivf_scan.py::ivf_sq_int8_search), which reads the SAME packed
+        device code buffer as the decode path — this is its only extra
+        state.  Cached per version, aligned with _build_device's order."""
         cached = getattr(self, "_int8_cache", None)
         if cached is not None and cached[0] == self._version:
             return cached[1]
+        from ..ops.sq import sq_unpack_host
+
         storage, _, _, order = self._build_device()
         cap = storage[0].shape[0]
         n = self._nstored
-        codes = self._codes[order] if n else self._codes     # (n, d) uint8
-        ci8 = np.empty_like(codes, dtype=np.int8)
+        codes = self._codes[order] if n else self._codes   # (n, w) packed
         rn = np.empty((codes.shape[0],), np.float32)
         s2 = (self._sq_scale * self._sq_scale).astype(np.float32)
         step = max(1, (1 << 27) // max(self.d, 1))
         for i in range(0, codes.shape[0], step):
-            c = codes[i:i + step].astype(np.float32)
+            c = sq_unpack_host(codes[i:i + step], self.d,
+                               self.sq_type).astype(np.float32)
             rn[i:i + step] = (c * c) @ s2
-            ci8[i:i + step] = (codes[i:i + step].astype(np.int16)
-                               - 128).astype(np.int8)
-        state = (jnp.asarray(pad_rows(ci8, cap)),
-                 jnp.asarray(pad_rows(rn, cap)))
+        state = jnp.asarray(pad_rows(rn, cap))
         self._int8_cache = (self._version, state)
         return state
 
@@ -895,23 +894,23 @@ class IVFIndex(Index):
             from ..utils.config import sq_int8_active
 
             _, vmin, scale = storage
-            if (self.sq_type == "sq8"
+            if (self.sq_type in ("sq8", "sq4", "sq6")
                     and self.metric.name in ("L2", "INNER_PRODUCT")
                     and self.d >= 16     # tiny-d margins sit at the int8 noise floor
                     and sq_int8_active()):
-                from ..ops.ivf_scan import ivf_sq8_int8_search
+                from ..ops.ivf_scan import ivf_sq_int8_search
 
-                ci8, rn = self._ivf_int8_state()
+                rn = self._ivf_sq_row_norm()
                 lmax = list_table.shape[1]
                 k_scan = min(nprobe_eff * lmax,
                              max(4 * k_eff, k_eff + 32))
-                scores, pos = ivf_sq8_int8_search(
-                    ci8, rn, jnp.int32(self._nstored), list_table,
-                    centroids, vmin, scale, xq_pad, mask,
+                scores, pos = ivf_sq_int8_search(
+                    self._sq_codes_dev(), rn, jnp.int32(self._nstored),
+                    list_table, centroids, vmin, scale, xq_pad, mask,
                     jnp.asarray(self.metric_arg, jnp.float32),
                     k=k_eff, k_scan=k_scan, nprobe=nprobe_eff,
                     metric=self.metric.name, q_chunk=q_chunk,
-                    precision=config.precision)
+                    precision=config.precision, codec=self.sq_type)
             else:
                 from ..ops.ivf_scan import ivf_sq_search
 

@@ -118,25 +118,25 @@ class SQIndex(Index):
         self._int8_state = None
         self._mask_cache.clear()
 
-    def _int8_device_state(self):
-        """(codes−128 as int8 (cap, d), row_norm Σ(scale·c)² (cap,)) for the
-        int8 MXU scan (SQ8 only; see ops/sq.py::sq8_int8_search)."""
+    def _row_norm_dev(self):
+        """Per-row Σ(scale·c)² fp32 (cap,) for the int8 MXU scan, which
+        reads the SAME packed device code buffer as the decode path (see
+        ops/sq.py::sq_int8_search) — this is its only extra state."""
         cached = getattr(self, "_int8_state", None)
         if cached is not None:
             return cached
+        from ..ops.sq import sq_unpack_host
+
         cap = self._capacity()
         n = self._codes.shape[0]
-        ci8 = np.empty_like(self._codes, dtype=np.int8)
         rn = np.empty((n,), np.float32)
         s2 = (self._scale * self._scale).astype(np.float32)
         step = max(1, (1 << 27) // max(self.d, 1))     # ≤512 MB fp32 staging
         for i in range(0, n, step):
-            c = self._codes[i:i + step].astype(np.float32)
+            c = sq_unpack_host(self._codes[i:i + step], self.d,
+                               self.codec).astype(np.float32)
             rn[i:i + step] = (c * c) @ s2
-            ci8[i:i + step] = (self._codes[i:i + step].astype(np.int16)
-                               - 128).astype(np.int8)
-        self._int8_state = (jnp.asarray(pad_rows(ci8, cap)),
-                            jnp.asarray(pad_rows(rn, cap)))
+        self._int8_state = jnp.asarray(pad_rows(rn, cap))
         return self._int8_state
 
     def _capacity(self) -> int:
@@ -214,22 +214,21 @@ class SQIndex(Index):
 
         from ..utils.config import sq_int8_active
 
-        if (self.codec == "sq8"
+        if (self.codec in ("sq8", "sq4", "sq6")
                 and self.metric.name in ("L2", "INNER_PRODUCT")
                 and self.d >= 16         # tiny-d margins sit at the int8 noise floor
                 and self._placement is None
                 and sq_int8_active()):
-            from ..ops.sq import sq8_int8_search
+            from ..ops.sq import sq_int8_search
 
-            ci8, rn = self._int8_device_state()
-            vmin = jnp.asarray(self._vmin)
-            scale = jnp.asarray(self._scale)
+            codes_dev, vmin, scale = self._device_state()  # shared buffer
+            rn = self._row_norm_dev()
             k_scan = min(cap, max(4 * k_eff, k_eff + 32))
-            scores, pos = sq8_int8_search(
-                ci8, rn, jnp.int32(self.ntotal), vmin, scale, xq_pad, mask,
-                jnp.asarray(self.metric_arg, jnp.float32),
+            scores, pos = sq_int8_search(
+                codes_dev, rn, jnp.int32(self.ntotal), vmin, scale, xq_pad,
+                mask, jnp.asarray(self.metric_arg, jnp.float32),
                 k=k_eff, k_scan=k_scan, metric=self.metric.name,
-                chunk=chunk)
+                chunk=chunk, codec=self.codec)
         else:
             codes_dev, vmin, scale = self._device_state()
             scores, pos = sq_search(

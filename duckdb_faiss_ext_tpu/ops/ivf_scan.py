@@ -407,13 +407,13 @@ def ivf_sq_search(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "k_scan", "nprobe", "metric", "q_chunk",
-                     "precision"),
+                     "precision", "codec"),
 )
-def ivf_sq8_int8_search(
-    codes_i8,      # (cap, d) int8: sorted SQ8 codes − 128
+def ivf_sq_int8_search(
+    codes,         # (cap, w) packed uint8 sorted SQ codes (shared buffer)
     row_norm,      # (cap,) fp32: Σ_d (scale_d c_d)² per sorted row
     nvalid,
-    list_table,    # (nlist, lmax) int32 indices into codes_i8
+    list_table,    # (nlist, lmax) int32 indices into codes
     centroids,     # (nlist, d) fp32 (coarse assignment only)
     vmin,          # (d,) fp32 SQ ranges
     scale,
@@ -427,15 +427,22 @@ def ivf_sq8_int8_search(
     metric: str,
     q_chunk: int,
     precision,
+    codec: str,
 ):
-    """Int8-MXU IVF,SQ8 scan (L2 / INNER_PRODUCT): the gathered candidate
-    tile stays int8 (1 B/elem vs the decode path's fp32) and the batched
-    dot runs the MXU's int8 mode; per-query symmetric quantization is the
-    only approximation and the final decode+fp32 rerank of the widened
-    top-k removes it (see ops/sq.py::sq8_int8_search for the algebra —
-    IVF,SQ8 stores codes non-residual, so the scoring is identical)."""
+    """Int8-MXU IVF scan over SQ8/SQ4/SQ6 storage (L2 / INNER_PRODUCT):
+    the gathered candidate tile stays packed uint8 (1 B or less per dim vs
+    the decode path's fp32), unpacks to shifted int8 in-register, and the
+    batched dot runs the MXU's int8 mode; per-query symmetric quantization
+    is the only approximation and the final decode+fp32 rerank of the
+    widened top-k removes it (see ops/sq.py::sq_int8_search for the
+    algebra — IVF,SQ* stores codes non-residual, so scoring is
+    identical)."""
+    from .sq import SQ_INT8_SHIFT, sq_decode, sq_unpack_i8
+
     nq, d = xq.shape
     nlist, lmax = list_table.shape
+    w = codes.shape[1]
+    shift = float(SQ_INT8_SHIFT[codec])
     sim = metric == "INNER_PRODUCT"
     nprobe = min(nprobe, nlist)
 
@@ -467,11 +474,12 @@ def ivf_sq8_int8_search(
         cand = list_table[probes_c].reshape(q_chunk, ncand)
         valid = cand < nvalid
         cand_safe = jnp.where(valid, cand, 0)
-        xc8 = codes_i8[cand_safe]                       # (qc, ncand, d) int8
+        packed = codes[cand_safe.reshape(-1)]          # (qc·ncand, w) uint8
+        xc8 = sq_unpack_i8(packed, d, codec).reshape(q_chunk, ncand, d)
         dot = jnp.einsum("qd,qcd->qc", ui_c, xc8,
                          preferred_element_type=jnp.int32)
         uc = (su_c[:, None] * dot.astype(jnp.float32)
-              + 128.0 * sumu_c[:, None])
+              + shift * sumu_c[:, None])
         if sim:
             score = base_c[:, None] + uc
         else:
@@ -483,8 +491,8 @@ def ivf_sq8_int8_search(
         s, sel = lax.top_k(score, k_scan)
         # Exact rerank: decode only the selected rows, score fp32.
         csel = jnp.take_along_axis(cand_safe, sel, axis=1)
-        xs = ((codes_i8[csel].astype(jnp.float32) + 128.0)
-              * scale + vmin)                           # (qc, k_scan, d)
+        xs = sq_decode(codes[csel].reshape(-1, w), vmin, scale,
+                       codec).reshape(q_chunk, k_scan, d)
         if sim:
             s2 = jnp.einsum("qd,qcd->qc", xq_c, xs,
                             precision=lax.Precision.HIGHEST,

@@ -177,32 +177,85 @@ def sq_search(codes, nvalid, vmin, scale, xq, mask, metric_arg, *, k, metric,
     return lax.fori_loop(0, cap // chunk, body, init)
 
 
-# --- int8 MXU scan (SQ8) ----------------------------------------------------
+# --- int8 MXU scan (SQ8 / SQ4 / SQ6) ---------------------------------------
+
+#: code shift per codec: c' = c − shift keeps codes in int8 range
+SQ_INT8_SHIFT = {"sq8": 128, "sq4": 8, "sq6": 32}
+
+
+def sq4_unpack_host(packed: np.ndarray, d: int) -> np.ndarray:
+    """Inverse of sq4_pack: (n, ceil(d/2)) bytes → (n, d) codes 0..15."""
+    lo = packed & np.uint8(15)
+    hi = packed >> 4
+    return np.stack([lo, hi], axis=-1).reshape(packed.shape[0], -1)[:, :d]
+
+
+def sq6_unpack_host(packed: np.ndarray, d: int) -> np.ndarray:
+    """Inverse of sq6_pack: (n, 3·ceil(d/4)) bytes → (n, d) codes 0..63."""
+    n = packed.shape[0]
+    g = packed.reshape(n, -1, 3)
+    b0, b1, b2 = g[..., 0], g[..., 1], g[..., 2]
+    c0 = b0 >> 2
+    c1 = ((b0 & 3) << 4) | (b1 >> 4)
+    c2 = ((b1 & 15) << 2) | (b2 >> 6)
+    c3 = b2 & 63
+    return np.stack([c0, c1, c2, c3], axis=-1).reshape(n, -1)[:, :d]
+
+
+def sq_unpack_host(packed: np.ndarray, d: int, codec: str) -> np.ndarray:
+    if codec == "sq4":
+        return sq4_unpack_host(packed, d)
+    if codec == "sq6":
+        return sq6_unpack_host(packed, d)
+    return packed                                    # sq8: already (n, d)
+
+
+def sq_unpack_i8(packed, d: int, codec: str):
+    """Device unpack: packed uint8 chunk → (chunk, d) int8 shifted codes
+    (c − SQ_INT8_SHIFT[codec]) for the int8 MXU dot."""
+    if codec == "sq8":
+        return (packed.astype(jnp.int16) - 128).astype(jnp.int8)
+    if codec == "sq4":
+        lo = packed & jnp.uint8(15)
+        hi = packed >> jnp.uint8(4)
+        q = jnp.stack([lo, hi], axis=-1).reshape(packed.shape[0], -1)[:, :d]
+        return (q.astype(jnp.int16) - 8).astype(jnp.int8)
+    c = packed.shape[0]
+    g = packed.reshape(c, -1, 3)
+    b0, b1, b2 = g[..., 0], g[..., 1], g[..., 2]
+    c0 = b0 >> jnp.uint8(2)
+    c1 = ((b0 & jnp.uint8(3)) << jnp.uint8(4)) | (b1 >> jnp.uint8(4))
+    c2 = ((b1 & jnp.uint8(15)) << jnp.uint8(2)) | (b2 >> jnp.uint8(6))
+    c3 = b2 & jnp.uint8(63)
+    q = jnp.stack([c0, c1, c2, c3], axis=-1).reshape(c, -1)[:, :d]
+    return (q.astype(jnp.int16) - 32).astype(jnp.int8)
+
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "k_scan", "metric", "chunk"))
-def sq8_int8_search(codes_i8, row_norm, nvalid, vmin, scale, xq, mask,
-                    metric_arg, *, k, k_scan, metric, chunk):
-    """Int8-native scan for SQ8 (L2 / INNER_PRODUCT).
+    jax.jit, static_argnames=("k", "k_scan", "metric", "chunk", "codec"))
+def sq_int8_search(codes, row_norm, nvalid, vmin, scale, xq, mask,
+                   metric_arg, *, k, k_scan, metric, chunk, codec):
+    """Int8-native scan for the quantized SQ codecs (L2 / INNER_PRODUCT).
 
-    The dot reads shifted codes c' = c − 128 directly as int8 — no decoded
-    fp32/bf16 intermediate ever materializes (the decode path writes+reads
-    a (chunk, d) fp32 tile per step) and the MXU runs its int8 mode (2×
-    bf16 throughput on v5e).  Codes are EXACT in the int8 dot (int32
-    accumulation); the only approximation is the per-query symmetric int8
-    quantization of u (relative error ≤ 1/254, on par with a bf16 scan),
-    and a final decode+fp32 rerank of the widened top-k restores exact
-    distances and ordering.
+    Reads the SAME packed uint8 code buffer as the decode path (no second
+    corpus copy) and unpacks each chunk to shifted int8 in-register — the
+    MXU runs its int8 mode and no fp32/bf16 decode intermediate ever
+    materializes.  Codes are EXACT in the int8 dot (int32 accumulation);
+    the only approximation is the per-query symmetric int8 quantization
+    of u (relative error ≤ 1/254, on par with a bf16 scan), and a final
+    decode+fp32 rerank of the widened top-k restores exact distances.
 
         L2: ‖q−x‖² = ‖t‖² − 2·u·c + Σscale²c²   (t = q−vmin, u = t⊙scale)
         IP: q·x     = q·vmin + u·c               (u = q⊙scale)
-        u·c = u·c' + 128·Σu ≈ su·(ui·c') + 128·Σu
+        u·c = u·c' + shift·Σu ≈ su·(ui·c') + shift·Σu
 
     ``row_norm``: per-row Σ_d (scale_d c_d)² fp32, precomputed at ingest.
     Returns the search_scan convention (max-oriented scores, -inf/-1
     missing)."""
-    cap, d = codes_i8.shape
+    cap = codes.shape[0]
+    d = vmin.shape[0]
     nq = xq.shape[0]
+    shift = float(SQ_INT8_SHIFT[codec])
     sim = metric == "INNER_PRODUCT"
     if sim:
         u = xq * scale[None, :]
@@ -215,14 +268,18 @@ def sq8_int8_search(codes_i8, row_norm, nvalid, vmin, scale, xq, mask,
     ui = jnp.clip(jnp.round(u / su[:, None]), -127, 127).astype(jnp.int8)
     sum_u = jnp.sum(u, axis=1)
 
+    w = codes.shape[1]
+
     def body(i, carry):
         best_s, best_p = carry
         start = i * chunk
-        cchunk = lax.dynamic_slice(codes_i8, (start, 0), (chunk, d))
+        cchunk = lax.dynamic_slice(codes, (start, 0), (chunk, w))
+        ci8 = sq_unpack_i8(cchunk, d, codec)
         rchunk = lax.dynamic_slice(row_norm, (start,), (chunk,))
-        dot = lax.dot_general(ui, cchunk, (((1,), (1,)), ((), ())),
+        dot = lax.dot_general(ui, ci8, (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.int32)
-        uc = su[:, None] * dot.astype(jnp.float32) + 128.0 * sum_u[:, None]
+        uc = (su[:, None] * dot.astype(jnp.float32)
+              + shift * sum_u[:, None])
         if sim:
             score = base[:, None] + uc
         else:
@@ -244,9 +301,11 @@ def sq8_int8_search(codes_i8, row_norm, nvalid, vmin, scale, xq, mask,
             jnp.full((nq, k_scan), -1, jnp.int32))
     s, pos = lax.fori_loop(0, cap // chunk, body, init)
 
-    # Exact rerank: decode only the k_scan selected rows and score fp32.
+    # Exact rerank: decode only the k_scan selected rows and score fp32
+    # (same decode as the reference path, so distances match it).
     safe = jnp.maximum(pos, 0)
-    xs = (codes_i8[safe].astype(jnp.float32) + 128.0) * scale + vmin
+    xs = sq_decode(codes[safe].reshape(-1, w), vmin, scale,
+                   codec).reshape(nq, k_scan, d)
     if sim:
         s2 = jnp.einsum("qd,qcd->qc", xq, xs,
                         precision=lax.Precision.HIGHEST,
