@@ -194,6 +194,12 @@ class PQIndex(Index):
                 mask = jnp.asarray(pad_rows(rows, cap, fill=False))
                 self._mask_cache = {key: mask}
         chunk = choose_chunk(cap, nq_pad, self.d, self.metric.name)
+        # pq_search loops cap // chunk steps: clamp to the largest
+        # power-of-two divisor of cap (1M-step capacities above 2^20 rows
+        # are not powers of two) so no tail rows are skipped.
+        chunk = min(chunk, cap & -cap)
+        if cap % chunk:
+            chunk = cap
 
         scores, pos = pq_search(
             codes_dev, jnp.int32(self.ntotal), cb_dev, xq_pad, mask,

@@ -415,3 +415,25 @@ def test_sq_scan_covers_nonpow2_capacity_tail(catalog):
     # this test pins: every query comes from the tail and must find
     # itself (distance 0 beats any noise).
     assert (res8["label"][:, 0] == want).mean() > 0.95
+
+
+def test_pq_scan_covers_nonpow2_capacity_tail(catalog):
+    """Same non-pow2-capacity tail guard for the PQ scan (pq_search loops
+    cap // chunk steps too)."""
+    import duckdb_faiss_ext_tpu as dfx
+
+    rng = np.random.default_rng(14)
+    n, d = 2_400_000, 8
+    xb = rng.standard_normal((n, d)).astype(np.float32)
+    dfx.faiss_create("pqt", d, "PQ2", metric_type="L2", catalog=catalog)
+    dfx.faiss_manual_train(xb[:20000], "pqt", catalog=catalog)
+    dfx.faiss_add(xb, "pqt", catalog=catalog)
+    idx = catalog.get("pqt").index
+    cap = idx._capacity()
+    assert cap & (cap - 1) != 0, f"test needs a non-pow2 capacity, got {cap}"
+    xq = xb[n - 64:]
+    res = dfx.faiss_search("pqt", 32, xq, catalog=catalog)
+    # PQ2 at d=8 is very lossy — tail VISIBILITY is the invariant: results
+    # must include rows beyond the last pow2 chunk boundary.
+    assert (res["label"] >= 1 << 21).any(), \
+        "no results from the tail region — chunk loop skipped it"
