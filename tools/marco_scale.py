@@ -92,6 +92,20 @@ def main() -> None:
         qps = reps * batch / (time.time() - t0)
         print(f"qps b{batch} nprobe={args.nprobe}: {qps:.1f}", flush=True)
 
+    if args.storage.upper().startswith("SQ"):
+        # A/B the int8-native scan against the decode path at b256.
+        dfx.set_sq_dot("decode")
+        try:
+            dfx.faiss_search(name, 10, queries[:256], params)  # compile
+            t0 = time.time()
+            for _ in range(3):
+                dfx.faiss_search(name, 10, queries[:256], params)
+            qps_dec = 3 * 256 / (time.time() - t0)
+            print(f"qps b256 decode-path (vs int8 above): {qps_dec:.1f}",
+                  flush=True)
+        finally:
+            dfx.set_sq_dot("auto")
+
     # Self-recall@10: query row i of the corpus is stored at a known label
     # (add order), so its own id must appear in its top-10.
     res = dfx.faiss_search(name, 10, queries, params)
