@@ -370,7 +370,15 @@ def faiss_stats(name: str | None = None,
             "is_mutable": entry.is_mutable,
             "custom_labels": entry.custom_labels,
         }
-    return {"indexes": indexes, "ops": op_stats()}
+    from .utils.config import config, sq_int8_active
+
+    runtime = {
+        "precision": config.precision_mode,
+        "kernel_mode": config.kernel_mode,
+        "sq_dot": config.sq_dot,
+        "sq_int8_active": sq_int8_active(),
+    }
+    return {"indexes": indexes, "ops": op_stats(), "runtime": runtime}
 
 
 def faiss_search_batched(name: str, k: int, queries,
