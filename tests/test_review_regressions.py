@@ -437,3 +437,27 @@ def test_pq_scan_covers_nonpow2_capacity_tail(catalog):
     # must include rows beyond the last pow2 chunk boundary.
     assert (res["label"] >= 1 << 21).any(), \
         "no results from the tail region — chunk loop skipped it"
+
+
+def test_sq8_int8_edge_cases(catalog):
+    """Int8 scan degenerate inputs: constant dimensions (scale → 0 clamp)
+    and all-zero queries (su → 0 clamp) agree with the decode path."""
+    import duckdb_faiss_ext_tpu as dfx
+
+    rng = np.random.default_rng(3)
+    xb = rng.standard_normal((3000, 32)).astype(np.float32)
+    xb[:, 5] = 7.0
+    xb[:, 20] = -3.0
+    dfx.faiss_create("sq8e", 32, "SQ8", metric_type="L2", catalog=catalog)
+    dfx.faiss_add(xb, "sq8e", catalog=catalog)
+    zq = np.zeros((2, 32), np.float32)
+    ref = dfx.faiss_search("sq8e", 10, xb[:16], catalog=catalog)
+    refz = dfx.faiss_search("sq8e", 5, zq, catalog=catalog)
+    dfx.set_precision("fast")
+    try:
+        fast = dfx.faiss_search("sq8e", 10, xb[:16], catalog=catalog)
+        fz = dfx.faiss_search("sq8e", 5, zq, catalog=catalog)
+    finally:
+        dfx.set_precision("parity")
+    np.testing.assert_array_equal(ref["label"], fast["label"])
+    np.testing.assert_array_equal(refz["label"], fz["label"])
