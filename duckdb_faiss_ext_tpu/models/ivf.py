@@ -383,19 +383,13 @@ class IVFIndex(Index):
         cached = getattr(self, "_int8_cache", None)
         if cached is not None and cached[0] == self._version:
             return cached[1]
-        from ..ops.sq import sq_unpack_host
+        from ..ops.sq import sq_row_norms
 
         storage, _, _, order = self._build_device()
         cap = storage[0].shape[0]
         n = self._nstored
         codes = self._codes[order] if n else self._codes   # (n, w) packed
-        rn = np.empty((codes.shape[0],), np.float32)
-        s2 = (self._sq_scale * self._sq_scale).astype(np.float32)
-        step = max(1, (1 << 27) // max(self.d, 1))
-        for i in range(0, codes.shape[0], step):
-            c = sq_unpack_host(codes[i:i + step], self.d,
-                               self.sq_type).astype(np.float32)
-            rn[i:i + step] = (c * c) @ s2
+        rn = sq_row_norms(codes, self._sq_scale, self.d, self.sq_type)
         state = jnp.asarray(pad_rows(rn, cap))
         self._int8_cache = (self._version, state)
         return state

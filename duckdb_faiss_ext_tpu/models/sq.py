@@ -125,17 +125,10 @@ class SQIndex(Index):
         cached = getattr(self, "_int8_state", None)
         if cached is not None:
             return cached
-        from ..ops.sq import sq_unpack_host
+        from ..ops.sq import sq_row_norms
 
         cap = self._capacity()
-        n = self._codes.shape[0]
-        rn = np.empty((n,), np.float32)
-        s2 = (self._scale * self._scale).astype(np.float32)
-        step = max(1, (1 << 27) // max(self.d, 1))     # ≤512 MB fp32 staging
-        for i in range(0, n, step):
-            c = sq_unpack_host(self._codes[i:i + step], self.d,
-                               self.codec).astype(np.float32)
-            rn[i:i + step] = (c * c) @ s2
+        rn = sq_row_norms(self._codes, self._scale, self.d, self.codec)
         self._int8_state = jnp.asarray(pad_rows(rn, cap))
         return self._int8_state
 

@@ -316,3 +316,17 @@ def sq_int8_search(codes, row_norm, nvalid, vmin, scale, xq, mask,
     s2 = jnp.where(pos >= 0, s2, _NEG_INF)
     s, sel = lax.top_k(s2, k)
     return s, jnp.take_along_axis(pos, sel, axis=1)
+
+
+def sq_row_norms(codes: np.ndarray, scale: np.ndarray, d: int,
+                 codec: str) -> np.ndarray:
+    """Host-side per-row Σ_d (scale_d c_d)² fp32 for the int8 scans,
+    computed in ≤512 MB staging chunks (codes may be bit-packed)."""
+    n = codes.shape[0]
+    rn = np.empty((n,), np.float32)
+    s2 = (np.asarray(scale) * np.asarray(scale)).astype(np.float32)
+    step = max(1, (1 << 27) // max(d, 1))
+    for i in range(0, n, step):
+        c = sq_unpack_host(codes[i:i + step], d, codec).astype(np.float32)
+        rn[i:i + step] = (c * c) @ s2
+    return rn
