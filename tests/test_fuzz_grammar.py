@@ -74,6 +74,21 @@ def test_family_conformance(catalog, tmp_path, factory, params, floor):
     _run_family(catalog, tmp_path, factory, params, floor, "L2", _data())
 
 
+@pytest.mark.parametrize("factory,params,floor", FAMILIES,
+                         ids=[f[0] + "-fast" for f in FAMILIES])
+def test_family_conformance_fast_mode(catalog, tmp_path, factory, params,
+                                      floor):
+    """The same invariants under fast precision: exercises the bf16 scans,
+    the in-chunk/opt-in reranks, and the int8 SQ paths (d=16 clears the
+    int8 gate)."""
+    dfx.set_precision("fast")
+    try:
+        _run_family(catalog, tmp_path, factory, params, floor, "L2",
+                    _data())
+    finally:
+        dfx.set_precision("parity")
+
+
 @pytest.mark.parametrize("factory,params,floor", IP_FAMILIES,
                          ids=[f[0] + "-IP" for f in IP_FAMILIES])
 def test_family_conformance_ip(catalog, tmp_path, factory, params, floor):
