@@ -515,14 +515,29 @@ class IVFIndex(Index):
         if self.metric.name not in ("L2", "INNER_PRODUCT"):
             return None
         if self.sq_type is not None:
-            return None   # SQ storage runs the XLA decode+gather scan
+            # SQ8 has a fused int8 DMA kernel (full-pad layouts only — the
+            # spill scan is not codec-aware for SQ); other SQ codecs run
+            # the XLA decode+gather scan.
+            from ..utils.config import sq_int8_active
+
+            if self.sq_type != "sq8" or not sq_int8_active():
+                return None
         mode = config.kernel_mode
         if not (mode == "pallas" or (mode == "auto" and on_tpu())):
             return None
         cache = getattr(self, "_pallas_plan_cache", None)
         if cache is not None and cache[0] == self._version:
-            return cache[1]
-        width = self.pq_m if self.pq_m is not None else self.d * 4
+            plan = cache[1]
+            if self.sq_type is not None and plan is not None \
+                    and plan[0] != "full":
+                return None
+            return plan
+        if self.pq_m is not None:
+            width = self.pq_m
+        elif self.sq_type is not None:
+            width = self._codes.shape[1]
+        else:
+            width = self.d * 4
         full = choose_lmax(self._counts_max())
         if self.nlist * full * width <= self.PALLAS_LAYOUT_BUDGET_BYTES:
             plan = ("full", None)
@@ -541,6 +556,9 @@ class IVFIndex(Index):
                         if nspill <= self.SPILL_FRACTION_MAX * self._nstored
                         else None)
         self._pallas_plan_cache = (self._version, plan)
+        if self.sq_type is not None and plan is not None \
+                and plan[0] != "full":
+            return None
         return plan
 
     def _use_pallas_scan(self) -> bool:
@@ -598,8 +616,22 @@ class IVFIndex(Index):
         plan = self._pallas_plan()
         lmax_cap = plan[1] if plan is not None else None
         payload, counts, row_pos, spill = self._build_list_layout(lmax_cap)
-        extra = ((jnp.asarray(self._pq_codebooks),)
-                 if self.pq_m is not None else ())
+        if self.pq_m is not None:
+            extra = (jnp.asarray(self._pq_codebooks),)
+        elif self.sq_type is not None:
+            # Int8 SQ8 kernel extras: Σ(scale·c)² scattered into the padded
+            # (nlist, lmax) layout via row_pos, plus the decode ranges.
+            from ..ops.sq import sq_row_norms
+
+            rn = sq_row_norms(self._codes, self._sq_scale, self.d,
+                              self.sq_type)
+            rn_layout = np.zeros(row_pos.shape, np.float32)
+            valid = row_pos >= 0
+            rn_layout[valid] = rn[row_pos[valid]]
+            vmin, scale = self._sq_ranges()
+            extra = (jnp.asarray(rn_layout), vmin, scale)
+        else:
+            extra = ()
         self._device_pallas = (
             jnp.asarray(payload),
             jnp.asarray(counts),
@@ -835,6 +867,17 @@ class IVFIndex(Index):
                         metric=self.metric.name,
                         q_chunk=qc, precision=config.precision,
                         interpret=not on_tpu(), codec=self.pq_codec)
+                if self.sq_type is not None:
+                    from ..ops.pallas_ivf import pallas_ivf_sq8_search
+
+                    rn_layout, vmin, scale = dev[4], dev[5], dev[6]
+                    k_scan = min(nprobe_eff * lmax,
+                                 max(4 * k_kernel, k_kernel + 32))
+                    return pallas_ivf_sq8_search(
+                        payload, rn_layout, counts, row_pos, vmin, scale,
+                        probe_b, xq_b, mask_b,
+                        k=k_kernel, k_scan=k_scan, nprobe=nprobe_eff,
+                        metric=self.metric.name, interpret=not on_tpu())
                 return pallas_ivf_search(
                     payload, counts, row_pos, probe_b, xq_b, mask_b,
                     k=k_kernel, nprobe=nprobe_eff, metric=self.metric.name,

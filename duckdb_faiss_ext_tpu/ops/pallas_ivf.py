@@ -292,3 +292,170 @@ def pallas_ivf_pq_search(
     init = (jnp.full((nq, k), _NEG_INF, jnp.float32),
             jnp.full((nq, k), -1, jnp.int32))
     return lax.fori_loop(0, nq // q_chunk, chunk, init)
+
+
+def _sq8_scan_kernel(pids_ref, counts_ref, ui_ref, qs_ref, *rest,
+                     nprobe: int, metric: str, ways: int, has_mask: bool):
+    """Int8 list scan for SQ8 payloads: per probed list block, one int8 MXU
+    dot against the pre-quantized query row; scores reconstructed fp32 via
+    the per-query scalars (su, shift·Σu, base).
+
+    u·c = u·c' + 128·Σu ≈ su·(ui·c') + 128·Σu   with c' = c − 128 ≡ c⊕0x80
+    (two's-complement reinterpretation, a pure bitwise VPU op)."""
+    list_refs = rest[:ways]
+    norm_refs = rest[ways:2 * ways]
+    if has_mask:
+        mask_refs = rest[2 * ways:3 * ways]
+        out_ref = rest[3 * ways]
+    else:
+        mask_refs = None
+        out_ref = rest[2 * ways]
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    ui = ui_ref[0, 0, :]                                  # (d,) int8
+    su = qs_ref[0, 0]
+    shift_sum = qs_ref[0, 1]                              # 128·Σu
+    base = qs_ref[0, 2]                                   # ‖t‖² (L2) / q·vmin
+    lmax = list_refs[0].shape[1]
+    lane = lax.broadcasted_iota(jnp.int32, (1, lmax), 1)[0]
+    sim = metric == "INNER_PRODUCT"
+
+    for w in range(ways):
+        lid = pids_ref[(i * nprobe) + j * ways + w]
+        cnt = counts_ref[lid]
+        block = list_refs[w][0]                           # (lmax, d) uint8
+        ci8 = pltpu.bitcast(block ^ jnp.uint8(0x80), jnp.int8)
+        dot = jax.lax.dot_general(
+            ci8, ui.reshape(-1, 1), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)[:, 0]       # (lmax,) int32
+        uc = su * dot.astype(jnp.float32) + shift_sum
+        if sim:
+            s = base + uc
+        else:
+            rn = norm_refs[w][0, 0]                       # (lmax,) fp32
+            s = -jnp.maximum(base - 2.0 * uc + rn, 0.0)
+        valid = lane < cnt
+        if has_mask:
+            valid = jnp.logical_and(valid, mask_refs[w][0, 0] != 0)
+        out_ref[0, w, 0, :] = jnp.where(valid, s, _NEG_INF)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "k_scan", "nprobe", "metric", "interpret"),
+)
+def pallas_ivf_sq8_search(
+    codes_lists,   # (nlist, lmax, d) uint8 padded SQ8 code lists
+    row_norm,      # (nlist, lmax) fp32 Σ(scale·c)² per padded slot
+    counts,        # (nlist,) int32 valid rows per list
+    row_pos,       # (nlist, lmax) int32 original positions, -1 padding
+    vmin,          # (d,) fp32 SQ ranges
+    scale,
+    probe_ids,     # (nq, nprobe) int32
+    xq,            # (nq, d) fp32
+    mask,          # (nlist, lmax) int8 selector mask or None
+    *,
+    k: int,
+    k_scan: int,
+    nprobe: int,
+    metric: str,
+    interpret: bool = False,
+):
+    """Fused int8 DMA list-scan for IVF,SQ8 (L2 / INNER_PRODUCT): probed
+    code blocks stream HBM→VMEM (double-buffered, ways-amortized) and are
+    scored in-kernel with one int8 MXU dot each — no decoded intermediate
+    and no descriptor-bound row gather.  Only the query row is quantized
+    (symmetric int8); a decode+fp32 rerank of the widened top-k outside
+    the kernel restores exact distances.  Same output conventions as
+    pallas_ivf_search."""
+    nlist, lmax, d = codes_lists.shape
+    nq = xq.shape[0]
+    ways = choose_ways(nprobe, lmax, d)          # uint8: d bytes per row
+    has_mask = mask is not None
+    sim = metric == "INNER_PRODUCT"
+
+    if sim:
+        u = xq * scale[None, :]
+        base = xq @ vmin
+    else:
+        t = xq - vmin[None, :]
+        u = t * scale[None, :]
+        base = jnp.sum(t * t, axis=1)
+    su = jnp.maximum(jnp.max(jnp.abs(u), axis=1), 1e-30) / 127.0
+    ui = jnp.clip(jnp.round(u / su[:, None]), -127, 127).astype(jnp.int8)
+    qscal = jnp.stack([su, 128.0 * jnp.sum(u, axis=1), base],
+                      axis=1)                             # (nq, 3) fp32
+
+    def list_spec(w):
+        return pl.BlockSpec(
+            (1, lmax, d),
+            lambda i, j, pids, cnts, w=w: (pids[i * nprobe + j * ways + w],
+                                           0, 0),
+            memory_space=pltpu.VMEM)
+
+    def lane_spec(w):
+        return pl.BlockSpec(
+            (1, 1, lmax),
+            lambda i, j, pids, cnts, w=w: (pids[i * nprobe + j * ways + w],
+                                           0, 0),
+            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, d), lambda i, j, pids, cnts: (i, 0, 0),
+                     memory_space=pltpu.VMEM),            # ui
+        pl.BlockSpec((1, 3), lambda i, j, pids, cnts: (i, 0),
+                     memory_space=pltpu.VMEM),            # per-query scalars
+    ]
+    args = [probe_ids.reshape(-1).astype(jnp.int32),
+            counts.astype(jnp.int32),
+            ui.reshape(nq, 1, d), qscal]
+    in_specs += [list_spec(w) for w in range(ways)]
+    args += [codes_lists] * ways
+    in_specs += [lane_spec(w) for w in range(ways)]
+    args += [row_norm.reshape(nlist, 1, lmax)] * ways
+    if has_mask:
+        in_specs += [lane_spec(w) for w in range(ways)]
+        args += [mask.reshape(nlist, 1, lmax)] * ways
+
+    kernel = functools.partial(_sq8_scan_kernel, nprobe=nprobe,
+                               metric=metric, ways=ways, has_mask=has_mask)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nq, nprobe // ways),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, ways, 1, lmax),
+                               lambda i, j, pids, cnts: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    scores = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nq, nprobe, 1, lmax), jnp.float32),
+        interpret=interpret,
+    )(*args)
+
+    from .flat_search import exact_topk
+
+    flat = scores.reshape(nq, nprobe * lmax)
+    best, sel = exact_topk(flat, k_scan)
+    probe_slot = sel // lmax
+    lane = sel % lmax
+    lids = jnp.take_along_axis(probe_ids, probe_slot, axis=1)  # (nq, k_scan)
+    pos = row_pos[lids, lane]
+    # Exact rerank: decode only the selected rows (from the padded layout
+    # itself — no second code buffer) and score fp32.
+    crows = codes_lists[lids, lane]                       # (nq, k_scan, d)
+    xs = crows.astype(jnp.float32) * scale + vmin
+    if sim:
+        s2 = jnp.einsum("qd,qcd->qc", xq, xs,
+                        precision=lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+    else:
+        diff = xs - xq[:, None, :]
+        s2 = -jnp.sum(diff * diff, axis=-1)
+    s2 = jnp.where(jnp.isneginf(best), _NEG_INF, s2)
+    best, sel2 = lax.top_k(s2, k)
+    pos = jnp.take_along_axis(pos, sel2, axis=1)
+    pos = jnp.where(jnp.isneginf(best), -1, pos)
+    return best, pos

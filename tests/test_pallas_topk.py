@@ -84,3 +84,38 @@ def test_api_with_forced_pallas_kernel(catalog):
         np.testing.assert_allclose(res["distance"][:, 0], 0.0, atol=1e-4)
     finally:
         dfx.set_kernel_mode("auto")
+
+
+def test_pallas_ivf_sq8_kernel_interpret(catalog):
+    """Fused int8 SQ8 list-scan kernel (interpret mode): agrees with the
+    parity decode path; selector fused; full-pad plans only."""
+    import duckdb_faiss_ext_tpu as dfx
+    from duckdb_faiss_ext_tpu.ops.selectors import BitmapSelector
+
+    rng = np.random.default_rng(17)
+    centers = rng.standard_normal((16, 32)).astype(np.float32) * 3
+    xb = (centers[rng.integers(0, 16, 4000)]
+          + rng.standard_normal((4000, 32)).astype(np.float32) * 0.3)
+    xq = xb[:16]
+    dfx.faiss_create("p8", 32, "IVF16,SQ8", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_add(xb, "p8", catalog=catalog)
+    ref = dfx.faiss_search("p8", 10, xq, {"nprobe": "16"}, catalog=catalog)
+    flags = np.zeros(4000, bool)
+    flags[::2] = True
+    dfx.set_precision("fast")
+    dfx.set_kernel_mode("pallas")
+    try:
+        idx = catalog.get("p8").index
+        assert idx._pallas_plan() == ("full", None)
+        fast = dfx.faiss_search("p8", 10, xq, {"nprobe": "16"},
+                                catalog=catalog)
+        fsel = dfx.faiss_search("p8", 10, xq, {"nprobe": "16"},
+                                catalog=catalog,
+                                selector=BitmapSelector.from_bool(flags))
+    finally:
+        dfx.set_kernel_mode("auto")
+        dfx.set_precision("parity")
+    np.testing.assert_array_equal(ref["label"], fast["label"])
+    got = fsel["label"][fsel["label"] >= 0]
+    assert np.all(flags[got])
