@@ -515,9 +515,9 @@ class IVFIndex(Index):
         if self.metric.name not in ("L2", "INNER_PRODUCT"):
             return None
         if self.sq_type is not None:
-            # SQ8 has a fused int8 DMA kernel (full-pad layouts only — the
-            # spill scan is not codec-aware for SQ); other SQ codecs run
-            # the XLA decode+gather scan.
+            # SQ8 has a fused int8 DMA kernel (+ SQ-aware spill scan for
+            # capped layouts); other SQ codecs run the XLA decode+gather
+            # scan (in-kernel bit-unpack is queued).
             from ..utils.config import sq_int8_active
 
             if self.sq_type != "sq8" or not sq_int8_active():
@@ -527,11 +527,7 @@ class IVFIndex(Index):
             return None
         cache = getattr(self, "_pallas_plan_cache", None)
         if cache is not None and cache[0] == self._version:
-            plan = cache[1]
-            if self.sq_type is not None and plan is not None \
-                    and plan[0] != "full":
-                return None
-            return plan
+            return cache[1]
         if self.pq_m is not None:
             width = self.pq_m
         elif self.sq_type is not None:
@@ -556,9 +552,6 @@ class IVFIndex(Index):
                         if nspill <= self.SPILL_FRACTION_MAX * self._nstored
                         else None)
         self._pallas_plan_cache = (self._version, plan)
-        if self.sq_type is not None and plan is not None \
-                and plan[0] != "full":
-            return None
         return plan
 
     def _use_pallas_scan(self) -> bool:
@@ -898,6 +891,10 @@ class IVFIndex(Index):
                 sp_payload, sp_assign, sp_pos = spill
                 sp_mask = (self._spill_mask(selector)
                            if selector is not None else None)
+                sq_kw = {}
+                if self.sq_type is not None:
+                    sq_kw = dict(sq=self.sq_type, sq_vmin=dev[5],
+                                 sq_scale=dev[6])
                 sp_scores, sp_positions = ivf_spill_scan(
                     sp_payload, sp_assign, sp_pos, cents_dev,
                     dev[4] if self.pq_m is not None else None,
@@ -905,7 +902,7 @@ class IVFIndex(Index):
                     jnp.asarray(self.metric_arg, jnp.float32),
                     k=min(k_eff, sp_pos.shape[0]), metric=self.metric.name,
                     precision=config.precision, pq=self.pq_m is not None,
-                    codec=self.pq_codec)
+                    codec=self.pq_codec, **sq_kw)
                 scores, pos = merge_topk(scores, pos, sp_scores,
                                          sp_positions, k_eff)
             dist, pos = finalize_scores(scores, pos, self.metric.name)

@@ -245,10 +245,12 @@ def choose_q_chunk(nq: int, ncand: int, d: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "metric", "precision", "pq", "codec"))
+    jax.jit,
+    static_argnames=("k", "metric", "precision", "pq", "codec", "sq"))
 def ivf_spill_scan(spill_payload, spill_assign, spill_pos, centroids,
                    codebooks, probe_ids, xq, mask, metric_arg, *,
-                   k, metric, precision, pq=False, codec="pq"):
+                   k, metric, precision, pq=False, codec="pq",
+                   sq=None, sq_vmin=None, sq_scale=None):
     """Scan the IVF overflow-spill region: rows whose list exceeded the
     capped padded layout (models/ivf.py quantile-lmax plan).
 
@@ -279,6 +281,10 @@ def ivf_spill_scan(spill_payload, spill_assign, spill_pos, centroids,
 
         xc = codec_decode(spill_payload, codebooks, codec) \
             + centroids[spill_assign]
+    elif sq is not None:
+        from .sq import sq_decode
+
+        xc = sq_decode(spill_payload, sq_vmin, sq_scale, sq)  # non-residual
     else:
         xc = spill_payload
     dist = pairwise_tile(xq, xc, metric, metric_arg, precision)
@@ -287,10 +293,10 @@ def ivf_spill_scan(spill_payload, spill_assign, spill_pos, centroids,
         valid = jnp.logical_and(valid, mask[None, :])
     score = dist if sim else -dist
     score = jnp.where(valid, score, _NEG_INF)
-    # Fast-mode exact rerank (Flat rows, MXU metrics): the spill top-k is
-    # merged against the Pallas padded scan, which scores in fp32 — a bf16
-    # spill side would mix score precisions in the merge.  Same widened
-    # top-k + HIGHEST re-score as ivf_search's in-chunk rerank.
+    # Fast-mode exact rerank (Flat/decoded rows, MXU metrics): the spill
+    # top-k is merged against the Pallas padded scan, which scores in fp32
+    # — a bf16 spill side would mix score precisions in the merge.  Same
+    # widened top-k + HIGHEST re-score as ivf_search's in-chunk rerank.
     mxu = metric in ("INNER_PRODUCT", "L2")
     rerank = (not pq) and mxu and precision != lax.Precision.HIGHEST
     k_scan = min(score.shape[1], max(2 * k, k + 16)) if rerank else k

@@ -119,3 +119,36 @@ def test_pallas_ivf_sq8_kernel_interpret(catalog):
     np.testing.assert_array_equal(ref["label"], fast["label"])
     got = fsel["label"][fsel["label"] >= 0]
     assert np.all(flags[got])
+
+
+def test_pallas_ivf_sq8_spill_plan(catalog):
+    """Capped SQ8 layouts: the int8 kernel scans the padded lists and the
+    SQ-aware spill scan covers the overflow; merged results match the
+    parity decode path."""
+    import duckdb_faiss_ext_tpu as dfx
+
+    rng = np.random.default_rng(19)
+    xb = np.concatenate([
+        rng.standard_normal((3000, 32)).astype(np.float32),       # big list
+        rng.standard_normal((2000, 32)).astype(np.float32) + 8.0,
+    ])
+    dfx.faiss_create("sk8", 32, "IVF16,SQ8", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_add(xb, "sk8", catalog=catalog)
+    idx = catalog.get("sk8").index
+    idx.PALLAS_LAYOUT_BUDGET_BYTES = 16 * 256 * 32   # force a capped plan
+    idx.SPILL_FRACTION_MAX = 0.9
+    idx._pallas_plan_cache = None
+    ref = dfx.faiss_search("sk8", 10, xb[:16], {"nprobe": "16"},
+                           catalog=catalog)
+    dfx.set_precision("fast")
+    dfx.set_kernel_mode("pallas")
+    try:
+        idx._pallas_plan_cache = None
+        assert idx._pallas_plan() == ("spill", 256)
+        fast = dfx.faiss_search("sk8", 10, xb[:16], {"nprobe": "16"},
+                                catalog=catalog)
+    finally:
+        dfx.set_kernel_mode("auto")
+        dfx.set_precision("parity")
+    np.testing.assert_array_equal(ref["label"], fast["label"])
