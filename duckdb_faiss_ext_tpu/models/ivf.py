@@ -917,13 +917,14 @@ class IVFIndex(Index):
 
         if self.pq_m is not None:
             codes_sorted, assign_sorted, codebooks = storage
+            offs, cnts = self._sorted_list_meta()
             scores, pos = ivf_pq_search(
-                codes_sorted, assign_sorted, codebooks,
-                jnp.int32(self._nstored), list_table, centroids,
+                codes_sorted, codebooks,
+                offs, cnts, centroids,
                 xq_pad, mask, jnp.asarray(self.metric_arg, jnp.float32),
                 k=k_eff, nprobe=nprobe_eff, metric=self.metric.name,
                 q_chunk=q_chunk, precision=config.precision,
-                codec=self.pq_codec)
+                codec=self.pq_codec, lmax=int(list_table.shape[1]))
         elif self.sq_type is not None:
             from ..utils.config import sq_int8_active
 
@@ -935,33 +936,38 @@ class IVFIndex(Index):
                 from ..ops.ivf_scan import ivf_sq_int8_search
 
                 rn = self._ivf_sq_row_norm()
-                lmax = list_table.shape[1]
+                lmax = int(list_table.shape[1])
                 k_scan = min(nprobe_eff * lmax,
                              max(4 * k_eff, k_eff + 32))
+                offs, cnts = self._sorted_list_meta()
                 scores, pos = ivf_sq_int8_search(
-                    self._sq_codes_dev(), rn, jnp.int32(self._nstored),
-                    list_table, centroids, vmin, scale, xq_pad, mask,
+                    self._sq_codes_dev(), rn, offs, cnts,
+                    centroids, vmin, scale, xq_pad, mask,
                     jnp.asarray(self.metric_arg, jnp.float32),
                     k=k_eff, k_scan=k_scan, nprobe=nprobe_eff,
                     metric=self.metric.name, q_chunk=q_chunk,
-                    precision=config.precision, codec=self.sq_type)
+                    precision=config.precision, codec=self.sq_type,
+                    lmax=lmax)
             else:
                 from ..ops.ivf_scan import ivf_sq_search
 
+                offs, cnts = self._sorted_list_meta()
                 scores, pos = ivf_sq_search(
                     self._sq_codes_dev(), vmin, scale,
-                    jnp.int32(self._nstored), list_table, centroids,
+                    offs, cnts, centroids,
                     xq_pad, mask,
                     jnp.asarray(self.metric_arg, jnp.float32),
                     k=k_eff, nprobe=nprobe_eff, metric=self.metric.name,
                     q_chunk=q_chunk, precision=config.precision,
-                    codec=self.sq_type)
+                    codec=self.sq_type, lmax=int(list_table.shape[1]))
         else:
+            offs, cnts = self._sorted_list_meta()
             scores, pos = ivf_search(
-                storage, jnp.int32(self._nstored), list_table, centroids,
+                storage, offs, cnts, centroids,
                 xq_pad, mask, jnp.asarray(self.metric_arg, jnp.float32),
                 k=k_eff, nprobe=nprobe_eff, metric=self.metric.name,
-                q_chunk=q_chunk, precision=config.precision)
+                q_chunk=q_chunk, precision=config.precision,
+                lmax=int(list_table.shape[1]))
         dist, pos = finalize_scores(scores, pos, self.metric.name)
 
         def sorted_labels(pos_host, ids_sorted=self._sorted_ids(order)):
@@ -975,6 +981,20 @@ class IVFIndex(Index):
                 np.where(pos >= 0, src[np.clip(pos, 0, None)], -1))
 
         return dist, pos, nq, k_eff, sorted_labels
+
+    def _sorted_list_meta(self):
+        """(offsets, counts) int32 device arrays describing the sorted
+        layout's contiguous list blocks (for slice_probed_lists); cached
+        per version."""
+        cached = getattr(self, "_list_meta_cache", None)
+        if cached is not None and cached[0] == self._version:
+            return cached[1]
+        c = self._counts().astype(np.int64)
+        off = np.concatenate([[0], np.cumsum(c[:-1])]) if c.size else c
+        meta = (jnp.asarray(off.astype(np.int32)),
+                jnp.asarray(c.astype(np.int32)))
+        self._list_meta_cache = (self._version, meta)
+        return meta
 
     def _sorted_srcrow(self, order) -> np.ndarray:
         """_srcrow permuted into sorted layout, cached per build like

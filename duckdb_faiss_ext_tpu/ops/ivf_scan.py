@@ -44,6 +44,35 @@ def inchunk_rerank_kscan(k: int, ncand: int, metric: str, precision) -> int:
     return min(ncand, max(2 * k, k + 16))
 
 
+def slice_probed_lists(sorted_buf, offsets, counts, probes_c, *, lmax):
+    """Fetch probed lists as CONTIGUOUS block slices from the row-sorted
+    buffer: one (lmax, w) dynamic slice per (query, probe) instead of one
+    row gather per candidate — XLA lowers the double-vmap to a gather
+    whose slice size is (lmax, w), i.e. ~lmax× fewer descriptors than the
+    list_table row gather (row gathers measure ~16 ns/row on TPU
+    regardless of bytes; descriptor count is the cost).
+
+    Returns (xc (qc, nprobe, lmax, w), pos (qc, nprobe, lmax) int32 sorted
+    positions, valid (qc, nprobe, lmax) bool).  Lists shorter than lmax
+    read into the next list's rows; those rows are masked invalid (they
+    are valid candidates only in their OWN probed window)."""
+    cap, w = sorted_buf.shape
+    L = min(lmax, cap)
+    starts_true = offsets[probes_c]                       # (qc, nprobe)
+    starts = jnp.minimum(starts_true, cap - L)
+    lane = lax.broadcasted_iota(jnp.int32, (1, 1, L), 2)
+    pos = starts[:, :, None] + lane                       # sorted positions
+    list_end = starts_true + counts[probes_c]
+    valid = jnp.logical_and(pos >= starts_true[:, :, None],
+                            pos < list_end[:, :, None])
+
+    def get(s):
+        return lax.dynamic_slice(sorted_buf, (s, 0), (L, w))
+
+    xc = jax.vmap(jax.vmap(get))(starts)                  # (qc, np, L, w)
+    return xc, pos, valid
+
+
 def inchunk_exact_rerank(xq_c, xc, score, *, k, k_scan, metric):
     """Top-k_scan over bf16 ``score`` (qc, ncand), then HIGHEST re-score of
     the selected rows from the in-scope candidate tile ``xc`` (qc, ncand,
@@ -69,12 +98,13 @@ def inchunk_exact_rerank(xq_c, xc, score, *, k, k_scan, metric):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "nprobe", "metric", "q_chunk", "precision"),
+    static_argnames=("k", "nprobe", "metric", "q_chunk", "precision",
+                     "lmax"),
 )
 def ivf_search(
-    xb_sorted,     # (cap, d) fp32, rows grouped by list; row `cap-1`… padding
-    nvalid,        # scalar int32: valid rows
-    list_table,    # (nlist, lmax) int32 indices into xb_sorted; pad = cap-ish ≥ nvalid
+    xb_sorted,     # (cap, d) fp32, rows grouped by list
+    offsets,       # (nlist,) int32 start of each list in the sorted buffer
+    counts,        # (nlist,) int32 list sizes
     centroids,     # (nlist, d) fp32
     xq,            # (nq_pad, d) fp32
     mask,          # (cap,) bool or None — selector semi-join over sorted rows
@@ -85,11 +115,13 @@ def ivf_search(
     metric: str,
     q_chunk: int,
     precision,
+    lmax: int,
 ):
     """Returns (scores (nq, k) max-oriented with -inf missing, sorted-row
-    positions (nq, k) int32 with -1 missing)."""
+    positions (nq, k) int32 with -1 missing).  Probed lists are fetched as
+    contiguous block slices (see slice_probed_lists)."""
     nq, d = xq.shape
-    nlist, lmax = list_table.shape
+    nlist = centroids.shape[0]
     sim = metric in SIMILARITY_METRICS
     nprobe = min(nprobe, nlist)
 
@@ -98,18 +130,21 @@ def ivf_search(
     cscore = cdist if sim else -cdist
     _, probe_ids = lax.top_k(cscore, nprobe)              # (nq, nprobe)
 
-    ncand = nprobe * lmax
+    L = min(lmax, xb_sorted.shape[0])
+    ncand = nprobe * L
     k_scan = inchunk_rerank_kscan(k, ncand, metric, precision)
+    maskbuf = mask[:, None] if mask is not None else None
 
     def scan_chunk(i, carry):
         best_s, best_p = carry
         q0 = i * q_chunk
         xq_c = lax.dynamic_slice(xq, (q0, 0), (q_chunk, d))
         probes_c = lax.dynamic_slice(probe_ids, (q0, 0), (q_chunk, nprobe))
-        cand = list_table[probes_c].reshape(q_chunk, ncand)   # (qc, ncand)
-        valid = cand < nvalid
-        cand_safe = jnp.where(valid, cand, 0)
-        xc = xb_sorted[cand_safe]                              # (qc, ncand, d)
+        xc, pos, valid = slice_probed_lists(xb_sorted, offsets, counts,
+                                            probes_c, lmax=L)
+        xc = xc.reshape(q_chunk, ncand, d)
+        pos = pos.reshape(q_chunk, ncand)
+        valid = valid.reshape(q_chunk, ncand)
         if metric == "INNER_PRODUCT":
             dist = jnp.einsum("qd,qcd->qc", xq_c, xc,
                               precision=precision,
@@ -128,12 +163,15 @@ def ivf_search(
             dist = elementwise_scores(xq_c[:, None, :], xc, metric,
                                       metric_arg)
         if mask is not None:
-            valid = jnp.logical_and(valid, mask[cand_safe])
+            mc, _, _ = slice_probed_lists(maskbuf, offsets, counts,
+                                          probes_c, lmax=L)
+            valid = jnp.logical_and(valid,
+                                    mc.reshape(q_chunk, ncand))
         score = dist if sim else -dist
         score = jnp.where(valid, score, _NEG_INF)
         s, sel = inchunk_exact_rerank(xq_c, xc, score, k=k, k_scan=k_scan,
                                       metric=metric)
-        p = jnp.take_along_axis(cand, sel, axis=1)
+        p = jnp.take_along_axis(pos, sel, axis=1)
         p = jnp.where(jnp.isneginf(s), -1, p)
         best_s = lax.dynamic_update_slice(best_s, s, (q0, 0))
         best_p = lax.dynamic_update_slice(best_p, p, (q0, 0))
@@ -152,14 +190,13 @@ def ivf_search(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "nprobe", "metric", "q_chunk", "precision",
-                     "codec"),
+                     "codec", "lmax"),
 )
 def ivf_pq_search(
     codes_sorted,   # (cap, m) uint8, rows grouped by list
-    assign_sorted,  # (cap,) int32 list id per sorted row
     codebooks,      # (m, ksub, dsub) fp32 residual codebooks
-    nvalid,
-    list_table,     # (nlist, lmax) int32
+    offsets,        # (nlist,) int32 list starts in the sorted buffer
+    counts,         # (nlist,) int32 list sizes
     centroids,      # (nlist, d) fp32
     xq,             # (nq_pad, d) fp32
     mask,
@@ -171,6 +208,7 @@ def ivf_pq_search(
     q_chunk: int,
     precision,
     codec: str = "pq",
+    lmax: int = 128,
 ):
     """IVF with PQ- or RQ-encoded residuals (faiss IndexIVFPQ /
     IndexIVFResidualQuantizer analogue, by_residual): candidate
@@ -180,7 +218,7 @@ def ivf_pq_search(
     from .pq import codec_decode
 
     nq, d = xq.shape
-    nlist, lmax = list_table.shape
+    nlist = centroids.shape[0]
     sim = metric in SIMILARITY_METRICS
     nprobe = min(nprobe, nlist)
 
@@ -188,25 +226,31 @@ def ivf_pq_search(
     cscore = cdist if sim else -cdist
     _, probe_ids = lax.top_k(cscore, nprobe)
 
-    ncand = nprobe * lmax
+    L = min(lmax, codes_sorted.shape[0])
+    ncand = nprobe * L
     m = codes_sorted.shape[1]
     # Fast-mode in-chunk rerank vs the DECODED rows: removes the bf16
     # matmul noise on top of the codec error (parity with the fp32 ADC
     # scan FAISS computes); the codec error itself is the storage choice.
     k_scan = inchunk_rerank_kscan(k, ncand, metric, precision)
+    maskbuf = mask[:, None] if mask is not None else None
 
     def scan_chunk(i, carry):
         best_s, best_p = carry
         q0 = i * q_chunk
         xq_c = lax.dynamic_slice(xq, (q0, 0), (q_chunk, d))
         probes_c = lax.dynamic_slice(probe_ids, (q0, 0), (q_chunk, nprobe))
-        cand = list_table[probes_c].reshape(q_chunk, ncand)
-        valid = cand < nvalid
-        cand_safe = jnp.where(valid, cand, 0)
-        codes_c = codes_sorted[cand_safe.reshape(-1)]       # (qc*ncand, m)
-        resid = codec_decode(codes_c, codebooks, codec)    # (qc*ncand, d)
-        cent_c = centroids[assign_sorted[cand_safe.reshape(-1)]]
-        xc = (resid + cent_c).reshape(q_chunk, ncand, d)
+        codes_c, pos, valid = slice_probed_lists(
+            codes_sorted, offsets, counts, probes_c, lmax=L)
+        pos = pos.reshape(q_chunk, ncand)
+        valid = valid.reshape(q_chunk, ncand)
+        resid = codec_decode(codes_c.reshape(-1, m), codebooks, codec)
+        # Every row in a probed window belongs to that window's list (other
+        # lists' rows are masked), so the residual base is the PROBED
+        # centroid broadcast over the window.
+        cent_c = centroids[probes_c][:, :, None, :]        # (qc, np, 1, d)
+        xc = (resid.reshape(q_chunk, nprobe, L, d)
+              + cent_c).reshape(q_chunk, ncand, d)
         if metric == "INNER_PRODUCT":
             dist = jnp.einsum("qd,qcd->qc", xq_c, xc, precision=precision,
                               preferred_element_type=jnp.float32)
@@ -217,12 +261,14 @@ def ivf_pq_search(
                             preferred_element_type=jnp.float32)
             dist = jnp.maximum(qn - 2.0 * xy + bn, 0.0)
         if mask is not None:
-            valid = jnp.logical_and(valid, mask[cand_safe])
+            mc, _, _ = slice_probed_lists(maskbuf, offsets, counts,
+                                          probes_c, lmax=L)
+            valid = jnp.logical_and(valid, mc.reshape(q_chunk, ncand))
         score = dist if sim else -dist
         score = jnp.where(valid, score, _NEG_INF)
         s, sel = inchunk_exact_rerank(xq_c, xc, score, k=k, k_scan=k_scan,
                                       metric=metric)
-        p = jnp.take_along_axis(cand, sel, axis=1)
+        p = jnp.take_along_axis(pos, sel, axis=1)
         p = jnp.where(jnp.isneginf(s), -1, p)
         best_s = lax.dynamic_update_slice(best_s, s, (q0, 0))
         best_p = lax.dynamic_update_slice(best_p, p, (q0, 0))
@@ -331,14 +377,14 @@ def merge_topk(scores_a, pos_a, scores_b, pos_b, k: int):
 @functools.partial(
     jax.jit,
     static_argnames=("k", "nprobe", "metric", "q_chunk", "precision",
-                     "codec"),
+                     "codec", "lmax"),
 )
 def ivf_sq_search(
     codes_sorted,   # (cap, w) packed uint8 / (cap, d) fp16, grouped by list
     vmin,           # (d,) fp32 (zeros for fp16)
     scale,          # (d,) fp32
-    nvalid,
-    list_table,     # (nlist, lmax) int32
+    offsets,        # (nlist,) int32 list starts in the sorted buffer
+    counts,         # (nlist,) int32 list sizes
     centroids,      # (nlist, d) fp32
     xq,             # (nq_pad, d) fp32
     mask,
@@ -350,15 +396,17 @@ def ivf_sq_search(
     q_chunk: int,
     precision,
     codec: str,
+    lmax: int,
 ):
     """IVF with scalar-quantized storage (faiss IndexIVFScalarQuantizer,
-    by_residual=false as index_factory builds it): candidates decode through
-    the SQ codec (ops/sq.py) into the same MXU distance tile as the Flat
-    scan, reading only the packed codes from HBM."""
+    by_residual=false as index_factory builds it): probed lists fetched as
+    contiguous code-block slices (slice_probed_lists), decoded through the
+    SQ codec (ops/sq.py) into the same MXU distance tile as the Flat
+    scan."""
     from .sq import sq_decode
 
     nq, d = xq.shape
-    nlist, lmax = list_table.shape
+    nlist = centroids.shape[0]
     sim = metric in SIMILARITY_METRICS
     nprobe = min(nprobe, nlist)
 
@@ -366,21 +414,23 @@ def ivf_sq_search(
     cscore = cdist if sim else -cdist
     _, probe_ids = lax.top_k(cscore, nprobe)
 
-    ncand = nprobe * lmax
+    L = min(lmax, codes_sorted.shape[0])
+    ncand = nprobe * L
     w = codes_sorted.shape[1]
     # Rerank vs the decoded rows (see ivf_pq_search).
     k_scan = inchunk_rerank_kscan(k, ncand, metric, precision)
+    maskbuf = mask[:, None] if mask is not None else None
 
     def scan_chunk(i, carry):
         best_s, best_p = carry
         q0 = i * q_chunk
         xq_c = lax.dynamic_slice(xq, (q0, 0), (q_chunk, d))
         probes_c = lax.dynamic_slice(probe_ids, (q0, 0), (q_chunk, nprobe))
-        cand = list_table[probes_c].reshape(q_chunk, ncand)
-        valid = cand < nvalid
-        cand_safe = jnp.where(valid, cand, 0)
-        codes_c = codes_sorted[cand_safe.reshape(-1)]       # (qc*ncand, w)
-        xc = sq_decode(codes_c, vmin, scale, codec) \
+        codes_c, pos, valid = slice_probed_lists(
+            codes_sorted, offsets, counts, probes_c, lmax=L)
+        pos = pos.reshape(q_chunk, ncand)
+        valid = valid.reshape(q_chunk, ncand)
+        xc = sq_decode(codes_c.reshape(-1, w), vmin, scale, codec) \
             .reshape(q_chunk, ncand, d)
         if metric == "INNER_PRODUCT":
             dist = jnp.einsum("qd,qcd->qc", xq_c, xc, precision=precision,
@@ -392,12 +442,14 @@ def ivf_sq_search(
                             preferred_element_type=jnp.float32)
             dist = jnp.maximum(qn - 2.0 * xy + bn, 0.0)
         if mask is not None:
-            valid = jnp.logical_and(valid, mask[cand_safe])
+            mc, _, _ = slice_probed_lists(maskbuf, offsets, counts,
+                                          probes_c, lmax=L)
+            valid = jnp.logical_and(valid, mc.reshape(q_chunk, ncand))
         score = dist if sim else -dist
         score = jnp.where(valid, score, _NEG_INF)
         s, sel = inchunk_exact_rerank(xq_c, xc, score, k=k, k_scan=k_scan,
                                       metric=metric)
-        p = jnp.take_along_axis(cand, sel, axis=1)
+        p = jnp.take_along_axis(pos, sel, axis=1)
         p = jnp.where(jnp.isneginf(s), -1, p)
         best_s = lax.dynamic_update_slice(best_s, s, (q0, 0))
         best_p = lax.dynamic_update_slice(best_p, p, (q0, 0))
@@ -413,13 +465,13 @@ def ivf_sq_search(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "k_scan", "nprobe", "metric", "q_chunk",
-                     "precision", "codec"),
+                     "precision", "codec", "lmax"),
 )
 def ivf_sq_int8_search(
     codes,         # (cap, w) packed uint8 sorted SQ codes (shared buffer)
     row_norm,      # (cap,) fp32: Σ_d (scale_d c_d)² per sorted row
-    nvalid,
-    list_table,    # (nlist, lmax) int32 indices into codes
+    offsets,       # (nlist,) int32 list starts in the sorted buffer
+    counts,        # (nlist,) int32 list sizes
     centroids,     # (nlist, d) fp32 (coarse assignment only)
     vmin,          # (d,) fp32 SQ ranges
     scale,
@@ -434,6 +486,7 @@ def ivf_sq_int8_search(
     q_chunk: int,
     precision,
     codec: str,
+    lmax: int,
 ):
     """Int8-MXU IVF scan over SQ8/SQ4/SQ6 storage (L2 / INNER_PRODUCT):
     the gathered candidate tile stays packed uint8 (1 B or less per dim vs
@@ -446,7 +499,7 @@ def ivf_sq_int8_search(
     from .sq import SQ_INT8_SHIFT, sq_decode, sq_unpack_i8
 
     nq, d = xq.shape
-    nlist, lmax = list_table.shape
+    nlist = centroids.shape[0]
     w = codes.shape[1]
     shift = float(SQ_INT8_SHIFT[codec])
     sim = metric == "INNER_PRODUCT"
@@ -456,7 +509,10 @@ def ivf_sq_int8_search(
     cscore = cdist if sim else -cdist
     _, probe_ids = lax.top_k(cscore, nprobe)
 
-    ncand = nprobe * lmax
+    L = min(lmax, codes.shape[0])
+    ncand = nprobe * L
+    maskbuf = mask[:, None] if mask is not None else None
+    rnbuf = row_norm[:, None]
     if sim:
         u = xq * scale[None, :]
         base = xq @ vmin
@@ -477,11 +533,12 @@ def ivf_sq_int8_search(
         sumu_c = lax.dynamic_slice(sum_u, (q0,), (q_chunk,))
         base_c = lax.dynamic_slice(base, (q0,), (q_chunk,))
         probes_c = lax.dynamic_slice(probe_ids, (q0, 0), (q_chunk, nprobe))
-        cand = list_table[probes_c].reshape(q_chunk, ncand)
-        valid = cand < nvalid
-        cand_safe = jnp.where(valid, cand, 0)
-        packed = codes[cand_safe.reshape(-1)]          # (qc·ncand, w) uint8
-        xc8 = sq_unpack_i8(packed, d, codec).reshape(q_chunk, ncand, d)
+        packed, pos, valid = slice_probed_lists(codes, offsets, counts,
+                                                probes_c, lmax=L)
+        pos = pos.reshape(q_chunk, ncand)
+        valid = valid.reshape(q_chunk, ncand)
+        xc8 = sq_unpack_i8(packed.reshape(-1, w), d,
+                           codec).reshape(q_chunk, ncand, d)
         dot = jnp.einsum("qd,qcd->qc", ui_c, xc8,
                          preferred_element_type=jnp.int32)
         uc = (su_c[:, None] * dot.astype(jnp.float32)
@@ -489,16 +546,21 @@ def ivf_sq_int8_search(
         if sim:
             score = base_c[:, None] + uc
         else:
-            rn = row_norm[cand_safe]
-            score = -jnp.maximum(base_c[:, None] - 2.0 * uc + rn, 0.0)
+            rn, _, _ = slice_probed_lists(rnbuf, offsets, counts,
+                                          probes_c, lmax=L)
+            score = -jnp.maximum(
+                base_c[:, None] - 2.0 * uc + rn.reshape(q_chunk, ncand),
+                0.0)
         if mask is not None:
-            valid = jnp.logical_and(valid, mask[cand_safe])
+            mc, _, _ = slice_probed_lists(maskbuf, offsets, counts,
+                                          probes_c, lmax=L)
+            valid = jnp.logical_and(valid, mc.reshape(q_chunk, ncand))
         score = jnp.where(valid, score, _NEG_INF)
         s, sel = lax.top_k(score, k_scan)
         # Exact rerank: decode only the selected rows, score fp32.
-        csel = jnp.take_along_axis(cand_safe, sel, axis=1)
-        xs = sq_decode(codes[csel].reshape(-1, w), vmin, scale,
-                       codec).reshape(q_chunk, k_scan, d)
+        csel = jnp.take_along_axis(pos, sel, axis=1)
+        xs = sq_decode(codes[jnp.maximum(csel, 0)].reshape(-1, w), vmin,
+                       scale, codec).reshape(q_chunk, k_scan, d)
         if sim:
             s2 = jnp.einsum("qd,qcd->qc", xq_c, xs,
                             precision=lax.Precision.HIGHEST,
@@ -509,7 +571,7 @@ def ivf_sq_int8_search(
         s2 = jnp.where(jnp.isneginf(s), _NEG_INF, s2)
         s, sel2 = lax.top_k(s2, k)
         sel = jnp.take_along_axis(sel, sel2, axis=1)
-        p = jnp.take_along_axis(cand, sel, axis=1)
+        p = jnp.take_along_axis(pos, sel, axis=1)
         p = jnp.where(jnp.isneginf(s), -1, p)
         best_s = lax.dynamic_update_slice(best_s, s, (q0, 0))
         best_p = lax.dynamic_update_slice(best_p, p, (q0, 0))
