@@ -11,7 +11,7 @@ accepts ids directly).
 Storage layout (rebuilt lazily per mutation):
 * host: vectors + ids in insertion order, plus per-row list assignments;
 * device: rows sorted by list (one contiguous buffer → coalesced gathers),
-  a padded (nlist × Lmax) ``list_table`` of sorted-row indices, centroids.
+  (offsets, counts) list metadata for contiguous block slicing, centroids.
 
 The coarse quantizer index object (``quantizer``) mirrors FAISS's graph shape
 (it answers ``quantiser.``-scoped params and holds the centroids for
@@ -120,7 +120,7 @@ class IVFIndex(Index):
         self._ids = np.empty((0,), dtype=np.int64)
         self._assign = np.empty((0,), dtype=np.int32)
         self._version = 0
-        self._device = None      # (xb_sorted, list_table, centroids, order)
+        self._device = None      # (xb_sorted, lmax, centroids, order)
         self._device_pallas = None   # (xb_lists, counts, row_pos)
         self._ids_sorted = None      # (order, ids[order]) — see _sorted_ids
         self._mask_cache: dict = {}
@@ -681,21 +681,16 @@ class IVFIndex(Index):
         order = np.argsort(self._assign, kind="stable")
         sorted_assign = self._assign[order]
         counts = np.bincount(sorted_assign, minlength=self.nlist)
+        # Scan window length: the longest list, pow2-bucketed so adds don't
+        # re-jit every time the max grows.  Lists are CONTIGUOUS blocks of
+        # the sorted buffer — the scans slice (lmax, w) windows per probe
+        # (ops/ivf_scan.slice_probed_lists); no (nlist, lmax) index table.
         lmax = max(1, int(counts.max()) if n else 1)
         lmax = max(128, next_pow2(lmax))
 
-        # cap strictly exceeds n so row cap-1 is always a padding row — the
-        # sentinel target for unused list_table slots (masked in the kernel).
+        # capacity bucketing: padding rows past n are never inside a probed
+        # window (offsets/counts bound every list's rows).
         cap = max(config.min_capacity, next_capacity(n + 1))
-
-        # list_table[l, j] = sorted-row index of the j-th member of list l
-        # (vectorized scatter; see _build_list_layout).
-        list_table = np.full((self.nlist, lmax), cap - 1, dtype=np.int32)
-        if n:
-            offsets = np.concatenate([[0], np.cumsum(counts)])
-            ranks = np.arange(n, dtype=np.int64) - offsets[sorted_assign]
-            flat = sorted_assign.astype(np.int64) * lmax + ranks
-            list_table.reshape(-1)[flat] = np.arange(n, dtype=np.int32)
 
         if self.pq_m is not None:
             codes_sorted = pad_rows(self._codes[order] if n else self._codes,
@@ -704,7 +699,7 @@ class IVFIndex(Index):
             self._device = (
                 (jnp.asarray(codes_sorted), jnp.asarray(assign_sorted),
                  jnp.asarray(self._pq_codebooks)),
-                jnp.asarray(list_table),
+                lmax,
                 jnp.asarray(self._centroids),
                 order.astype(np.int64),
             )
@@ -718,7 +713,7 @@ class IVFIndex(Index):
             vmin, scale = self._sq_ranges()
             self._device = (
                 (codes_sorted, vmin, scale),
-                jnp.asarray(list_table),
+                lmax,
                 jnp.asarray(self._centroids),
                 order.astype(np.int64),
             )
@@ -726,7 +721,7 @@ class IVFIndex(Index):
             xb_sorted = pad_rows(self._xb[order] if n else self._xb, cap)
             self._device = (
                 jnp.asarray(xb_sorted),
-                jnp.asarray(list_table),
+                lmax,
                 jnp.asarray(self._centroids),
                 order.astype(np.int64),
             )
@@ -908,23 +903,22 @@ class IVFIndex(Index):
             dist, pos = finalize_scores(scores, pos, self.metric.name)
             return dist, pos, nq, k_eff, ids_labels
 
-        storage, list_table, centroids, order = self._build_device()
-        lmax = list_table.shape[1]
+        storage, lmax, centroids, order = self._build_device()
         k_eff = min(k, nprobe_eff * lmax)
+        offs, cnts = self._sorted_list_meta()
         mask = (self._selector_mask(selector, order)
                 if selector is not None else None)
         q_chunk = choose_q_chunk(nq_pad, nprobe_eff * lmax, self.d)
 
         if self.pq_m is not None:
             codes_sorted, assign_sorted, codebooks = storage
-            offs, cnts = self._sorted_list_meta()
             scores, pos = ivf_pq_search(
                 codes_sorted, codebooks,
                 offs, cnts, centroids,
                 xq_pad, mask, jnp.asarray(self.metric_arg, jnp.float32),
                 k=k_eff, nprobe=nprobe_eff, metric=self.metric.name,
                 q_chunk=q_chunk, precision=config.precision,
-                codec=self.pq_codec, lmax=int(list_table.shape[1]))
+                codec=self.pq_codec, lmax=lmax)
         elif self.sq_type is not None:
             from ..utils.config import sq_int8_active
 
@@ -936,10 +930,8 @@ class IVFIndex(Index):
                 from ..ops.ivf_scan import ivf_sq_int8_search
 
                 rn = self._ivf_sq_row_norm()
-                lmax = int(list_table.shape[1])
                 k_scan = min(nprobe_eff * lmax,
                              max(4 * k_eff, k_eff + 32))
-                offs, cnts = self._sorted_list_meta()
                 scores, pos = ivf_sq_int8_search(
                     self._sq_codes_dev(), rn, offs, cnts,
                     centroids, vmin, scale, xq_pad, mask,
@@ -951,7 +943,6 @@ class IVFIndex(Index):
             else:
                 from ..ops.ivf_scan import ivf_sq_search
 
-                offs, cnts = self._sorted_list_meta()
                 scores, pos = ivf_sq_search(
                     self._sq_codes_dev(), vmin, scale,
                     offs, cnts, centroids,
@@ -959,15 +950,13 @@ class IVFIndex(Index):
                     jnp.asarray(self.metric_arg, jnp.float32),
                     k=k_eff, nprobe=nprobe_eff, metric=self.metric.name,
                     q_chunk=q_chunk, precision=config.precision,
-                    codec=self.sq_type, lmax=int(list_table.shape[1]))
+                    codec=self.sq_type, lmax=lmax)
         else:
-            offs, cnts = self._sorted_list_meta()
             scores, pos = ivf_search(
                 storage, offs, cnts, centroids,
                 xq_pad, mask, jnp.asarray(self.metric_arg, jnp.float32),
                 k=k_eff, nprobe=nprobe_eff, metric=self.metric.name,
-                q_chunk=q_chunk, precision=config.precision,
-                lmax=int(list_table.shape[1]))
+                q_chunk=q_chunk, precision=config.precision, lmax=lmax)
         dist, pos = finalize_scores(scores, pos, self.metric.name)
 
         def sorted_labels(pos_host, ids_sorted=self._sorted_ids(order)):
@@ -1293,7 +1282,8 @@ def _ivf_range_search(self, xq, radius, params=EMPTY, selector=None):
     nprobe = params.get_int("nprobe", self.nprobe_default)
     nprobe_eff = max(1, min(int(nprobe), self.nlist))
 
-    storage, list_table, centroids, order = self._build_device()
+    storage, lmax, centroids, order = self._build_device()
+    offs, cnts = self._sorted_list_meta()
     xb_sorted = storage[0] if isinstance(storage, tuple) else storage
     if self.pq_m is not None:
         # Decode-on-the-fly for PQ storage: reconstruct candidates from
@@ -1323,7 +1313,6 @@ def _ivf_range_search(self, xq, radius, params=EMPTY, selector=None):
     labels_sorted = self._sorted_ids(order)
     passing = (selector.contains(labels_sorted)
                if selector is not None else None)
-    lmax = list_table.shape[1]
     # Power-of-two chunk so it divides nq_pad (slices never shift).
     budget = max(1, (1 << 22) // max(nprobe_eff * lmax, 1))
     qc = 1
@@ -1338,8 +1327,9 @@ def _ivf_range_search(self, xq, radius, params=EMPTY, selector=None):
         pr_c = jax.lax.dynamic_slice(
             probe_ids, (min(q0, nq_pad - qc), 0), (qc, nprobe_eff))
         dist, cand = _ivf_range_chunk(
-            xb_sorted, jnp.int32(self._nstored), list_table, pr_c, xq_c,
-            marg, metric=self.metric.name, precision=config.precision)
+            xb_sorted, offs, cnts, pr_c, xq_c,
+            marg, metric=self.metric.name, precision=config.precision,
+            lmax=lmax)
         dist = np.asarray(dist)
         cand = np.asarray(cand)
         hit = (dist > radius) if sim else (dist < radius)

@@ -5,11 +5,11 @@ TPU-native replacement for faiss::IndexIVF::search as the reference drives it
 walks per-list arrays with scalar loops; here:
 
 * coarse assignment is one (Q × nlist) distance tile + top-nprobe — MXU work;
-* the inverted lists live as one row-sorted corpus buffer plus a padded
-  ``list_table`` (nlist × Lmax) of row indices (-free: padding points at a
-  sentinel row), so "scan the probed lists" is a static-shape gather of
-  (nprobe · Lmax) candidates per query followed by batched distances and one
-  top-k — no data-dependent shapes anywhere, which is what XLA needs.
+* the inverted lists live as one row-sorted corpus buffer plus (offsets,
+  counts) int32 list metadata, so "scan the probed lists" is nprobe
+  contiguous (Lmax, w) dynamic slices per query (slice_probed_lists)
+  followed by batched distances and one top-k — no data-dependent shapes
+  anywhere, which is what XLA needs.
 
 Exactness: candidates are exactly the members of the probed lists, so
 results match FAISS given identical centroids/assignments (the seeded

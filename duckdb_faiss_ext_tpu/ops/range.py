@@ -70,22 +70,26 @@ def _range_tile_pq(codes_c, codebooks, xq, metric_arg, *, metric, precision,
                          metric_arg, precision)
 
 
-@functools.partial(jax.jit, static_argnames=("metric", "precision"))
-def _ivf_range_chunk(xb_sorted, nvalid, list_table, probes_c, xq_c,
-                     metric_arg, *, metric, precision):
+@functools.partial(jax.jit, static_argnames=("metric", "precision", "lmax"))
+def _ivf_range_chunk(xb_sorted, offsets, counts, probes_c, xq_c,
+                     metric_arg, *, metric, precision, lmax):
     """Distances of one query chunk against its probed lists' members.
 
-    Returns (dist (qc, nprobe·lmax), cand (qc, nprobe·lmax) sorted-row
-    positions); invalid slots (list padding) get a radius-failing distance
-    (+inf for dissimilarity, -inf for similarity)."""
+    Probed lists are fetched as contiguous block slices of the row-sorted
+    buffer (ivf_scan.slice_probed_lists).  Returns (dist (qc, nprobe·L),
+    cand (qc, nprobe·L) sorted-row positions); invalid slots (rows outside
+    the probed list's window) get a radius-failing distance (+inf for
+    dissimilarity, -inf for similarity)."""
+    from .ivf_scan import slice_probed_lists
+
     qc, nprobe = probes_c.shape
-    lmax = list_table.shape[1]
-    d = xq_c.shape[1]
-    ncand = nprobe * lmax
-    cand = list_table[probes_c].reshape(qc, ncand)
-    valid = cand < nvalid
-    cand_safe = jnp.where(valid, cand, 0)
-    xc = xb_sorted[cand_safe]
+    L = min(lmax, xb_sorted.shape[0])
+    ncand = nprobe * L
+    xc, cand, valid = slice_probed_lists(xb_sorted, offsets, counts,
+                                         probes_c, lmax=L)
+    xc = xc.reshape(qc, ncand, xb_sorted.shape[1])
+    cand = cand.reshape(qc, ncand)
+    valid = valid.reshape(qc, ncand)
     if metric == "INNER_PRODUCT":
         dist = jnp.einsum("qd,qcd->qc", xq_c, xc, precision=precision,
                           preferred_element_type=jnp.float32)
