@@ -318,10 +318,10 @@ def _sq8_scan_kernel(pids_ref, counts_ref, ui_ref, qs_ref, *rest,
 
     i = pl.program_id(0)
     j = pl.program_id(1)
-    ui = ui_ref[0, 0, :]                                  # (d,) int8
-    su = qs_ref[0, 0]
-    shift_sum = qs_ref[0, 1]                              # 128·Σu
-    base = qs_ref[0, 2]                                   # ‖t‖² (L2) / q·vmin
+    ui_mat = ui_ref[0]                                    # (1, d) int8
+    su = qs_ref[i, 0]
+    shift_sum = qs_ref[i, 1]                              # 128·Σu
+    base = qs_ref[i, 2]                                   # ‖t‖² (L2) / q·vmin
     lmax = list_refs[0].shape[1]
     lane = lax.broadcasted_iota(jnp.int32, (1, lmax), 1)[0]
     sim = metric == "INNER_PRODUCT"
@@ -331,9 +331,11 @@ def _sq8_scan_kernel(pids_ref, counts_ref, ui_ref, qs_ref, *rest,
         cnt = counts_ref[lid]
         block = list_refs[w][0]                           # (lmax, d) uint8
         ci8 = pltpu.bitcast(block ^ jnp.uint8(0x80), jnp.int8)
+        # (1,d)·(lmax,d) contracting d — no int8 reshape (Mosaic rejects
+        # minor-dim insertion on 8-bit types).
         dot = jax.lax.dot_general(
-            ci8, ui.reshape(-1, 1), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)[:, 0]       # (lmax,) int32
+            ui_mat, ci8, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)[0]          # (lmax,) int32
         uc = su * dot.astype(jnp.float32) + shift_sum
         if sim:
             s = base + uc
@@ -409,8 +411,10 @@ def pallas_ivf_sq8_search(
     in_specs = [
         pl.BlockSpec((1, 1, d), lambda i, j, pids, cnts: (i, 0, 0),
                      memory_space=pltpu.VMEM),            # ui
-        pl.BlockSpec((1, 3), lambda i, j, pids, cnts: (i, 0),
-                     memory_space=pltpu.VMEM),            # per-query scalars
+        # Whole scalar table as one SMEM block (per-row blocks would hit
+        # Mosaic's 8x128 block-shape rule); kernel indexes by program_id.
+        pl.BlockSpec((nq, 3), lambda i, j, pids, cnts: (0, 0),
+                     memory_space=pltpu.SMEM),            # per-query scalars
     ]
     args = [probe_ids.reshape(-1).astype(jnp.int32),
             counts.astype(jnp.int32),
