@@ -28,9 +28,16 @@ from .base import Index, SearchResult, as_matrix
 
 
 class FlatIndex(Index):
-    def __init__(self, d: int, metric: Metric, metric_arg: float = 0.0):
+    def __init__(self, d: int, metric: Metric, metric_arg: float = 0.0,
+                 storage: str = "f32"):
         super().__init__(d, metric, metric_arg)
-        self._xb = np.empty((0, d), dtype=np.float32)
+        #: "f32" (default) or "pm1_i8": ±1 sign codes stored int8 — the
+        #: int8 MXU dot is EXACT for them (int32 accumulation) at 4× less
+        #: HBM than fp32.  Used by LSHIndex for its code corpus; only
+        #: INNER_PRODUCT ordering is meaningful for sign codes.
+        self.storage = storage
+        self._xb = np.empty(
+            (0, d), dtype=np.int8 if storage == "pm1_i8" else np.float32)
         self._version = 0
         self._device_xb: jax.Array | None = None  # (cap, d), cap = pow2
         #: sticky placement (a NamedSharding) set by faiss_to_device; adds
@@ -51,6 +58,8 @@ class FlatIndex(Index):
         x = as_matrix(x, self.d)
         if x.shape[0] == 0:
             return
+        if self.storage == "pm1_i8":
+            x = np.where(x > 0, 1, -1).astype(np.int8)
         start = self.ntotal
         self._xb = np.concatenate([self._xb, x], axis=0) if start else x
         self._version += 1
@@ -133,6 +142,10 @@ class FlatIndex(Index):
         k_eff = min(k, cap)
         nq_pad = max(config.min_query_bucket, next_pow2(nq))
         xq_pad = jnp.asarray(pad_rows(xq, nq_pad))
+        if self.storage == "pm1_i8":
+            # Queries are ±1 sign codes too (LSH encodes before dispatch);
+            # the int8×int8 dot is exact, so no rerank ever applies.
+            xq_pad = jnp.where(xq_pad > 0, 1, -1).astype(jnp.int8)
         mask = self._selector_mask(selector) if selector is not None else None
         # Opt-in exact rerank for fast mode ({"rerank": "true"}): scan a
         # wider bf16 top-k, then re-score those rows at HIGHEST — recovers
@@ -145,6 +158,7 @@ class FlatIndex(Index):
             and (params.get_str("rerank") or "").lower() in ("true", "1")
             and self.metric.name in ("L2", "INNER_PRODUCT")
             and config.precision != lax.Precision.HIGHEST
+            and self.storage == "f32"
         )
         k_scan = min(cap, max(2 * k_eff, k_eff + 16)) if rerank else k_eff
         dist_dev, pos_dev = self._dispatch_search(xq_pad, k_scan, mask)
@@ -181,6 +195,7 @@ class FlatIndex(Index):
         use_pallas = (
             mode != "xla"
             and not multi_device  # sharded buffers go through XLA+GSPMD
+            and self.storage == "f32"  # int8 codes ride the XLA int8 dot
             and pallas_topk.supports(self.metric.name, k_eff, self.d)
             and (mode == "pallas"
                  or (on_tpu() and xq_pad.shape[0] <= 1024))
@@ -215,7 +230,10 @@ class FlatIndex(Index):
                    if selector is not None else None)
 
         def get_tile(i):
-            return _range_tile(xb[i * chunk:(i + 1) * chunk], xq_dev, marg,
+            tile = xb[i * chunk:(i + 1) * chunk]
+            if tile.dtype == jnp.int8:
+                tile = tile.astype(jnp.float32)
+            return _range_tile(tile, xq_dev, marg,
                                metric=self.metric.name,
                                precision=config.precision)
 
@@ -227,7 +245,8 @@ class FlatIndex(Index):
         return {"xb": self._xb}
 
     def load_state(self, state: dict) -> None:
-        self._xb = np.asarray(state["xb"], dtype=np.float32).reshape(-1, self.d)
+        dt = np.int8 if self.storage == "pm1_i8" else np.float32
+        self._xb = np.asarray(state["xb"], dtype=dt).reshape(-1, self.d)
         self._version += 1
         self._device_xb = None
         self._mask_cache.clear()

@@ -59,8 +59,10 @@ class LSHIndex(Index):
                                              seed=ROTATION_SEED).A
         else:
             self._rot = None
-        #: ±1 float32 code rows; INNER_PRODUCT so max dot == min Hamming.
-        self._codes = FlatIndex(self.nbits, resolve_metric("INNER_PRODUCT"))
+        #: ±1 code rows stored int8 (exact int8 MXU dot at 4× less HBM than
+        #: fp32); INNER_PRODUCT so max dot == min Hamming.
+        self._codes = FlatIndex(self.nbits, resolve_metric("INNER_PRODUCT"),
+                                storage="pm1_i8")
 
     def shard_over(self, mesh) -> None:
         """faiss_to_gpu analogue: the ±1 code corpus (an inner IP Flat
@@ -159,7 +161,8 @@ class LSHIndex(Index):
         thr = state.get("thresholds")
         if thr is not None:
             self._thresholds = np.asarray(thr, np.float32)
-        self._codes = FlatIndex(self.nbits, resolve_metric("INNER_PRODUCT"))
+        self._codes = FlatIndex(self.nbits, resolve_metric("INNER_PRODUCT"),
+                                storage="pm1_i8")
         if n:
             self._codes.add(np.where(bits[:n].astype(bool),
                                      np.float32(1), np.float32(-1)))
