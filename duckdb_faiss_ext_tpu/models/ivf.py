@@ -515,12 +515,13 @@ class IVFIndex(Index):
         if self.metric.name not in ("L2", "INNER_PRODUCT"):
             return None
         if self.sq_type is not None:
-            # SQ8 has a fused int8 DMA kernel (+ SQ-aware spill scan for
-            # capped layouts); other SQ codecs run the XLA decode+gather
-            # scan (in-kernel bit-unpack is queued).
+            # SQ8/SQ4 have the fused int8 DMA kernel (SQ4 scores its two
+            # nibble planes in-kernel; + SQ-aware spill scan for capped
+            # layouts); SQ6's 3-byte bit-sliced unpack needs int8 reshapes
+            # Mosaic rejects, so it runs the XLA decode+gather scan.
             from ..utils.config import sq_int8_active
 
-            if self.sq_type != "sq8" or not sq_int8_active():
+            if self.sq_type not in ("sq8", "sq4") or not sq_int8_active():
                 return None
         mode = config.kernel_mode
         if not (mode == "pallas" or (mode == "auto" and on_tpu())):
@@ -856,16 +857,17 @@ class IVFIndex(Index):
                         q_chunk=qc, precision=config.precision,
                         interpret=not on_tpu(), codec=self.pq_codec)
                 if self.sq_type is not None:
-                    from ..ops.pallas_ivf import pallas_ivf_sq8_search
+                    from ..ops.pallas_ivf import pallas_ivf_sq_search
 
                     rn_layout, vmin, scale = dev[4], dev[5], dev[6]
                     k_scan = min(nprobe_eff * lmax,
                                  max(4 * k_kernel, k_kernel + 32))
-                    return pallas_ivf_sq8_search(
+                    return pallas_ivf_sq_search(
                         payload, rn_layout, counts, row_pos, vmin, scale,
                         probe_b, xq_b, mask_b,
                         k=k_kernel, k_scan=k_scan, nprobe=nprobe_eff,
-                        metric=self.metric.name, interpret=not on_tpu())
+                        metric=self.metric.name, codec=self.sq_type,
+                        interpret=not on_tpu())
                 return pallas_ivf_search(
                     payload, counts, row_pos, probe_b, xq_b, mask_b,
                     k=k_kernel, nprobe=nprobe_eff, metric=self.metric.name,

@@ -299,14 +299,20 @@ def pallas_ivf_pq_search(
     return lax.fori_loop(0, nq // q_chunk, chunk, init)
 
 
-def _sq8_scan_kernel(pids_ref, counts_ref, ui_ref, qs_ref, *rest,
-                     nprobe: int, metric: str, ways: int, has_mask: bool):
-    """Int8 list scan for SQ8 payloads: per probed list block, one int8 MXU
-    dot against the pre-quantized query row; scores reconstructed fp32 via
-    the per-query scalars (su, shift·Σu, base).
+def _sq_scan_kernel(pids_ref, counts_ref, ui_ref, qs_ref, *rest,
+                    nprobe: int, metric: str, ways: int, has_mask: bool,
+                    codec: str):
+    """Int8 list scan for SQ8/SQ4 payloads: per probed list block, int8 MXU
+    dot(s) against the pre-quantized query row; scores reconstructed fp32
+    via the per-query scalars (su, shift·Σu, base).
 
-    u·c = u·c' + 128·Σu ≈ su·(ui·c') + 128·Σu   with c' = c − 128 ≡ c⊕0x80
-    (two's-complement reinterpretation, a pure bitwise VPU op)."""
+    SQ8: u·c = u·c' + 128·Σu ≈ su·(ui·c') + 128·Σu  with c' = c − 128 ≡
+    c⊕0x80 (two's-complement reinterpretation, a pure bitwise VPU op).
+    SQ4: nibbles 0..15 fit int8 directly (no shift; qscal[1] = 0) — the
+    query splits into even/odd dims outside the kernel and the score is
+    two dots, one against each nibble plane (byte j of a row packs dims
+    2j low / 2j+1 high, ops/sq.py::sq_unpack_i8) — no int8 reshapes,
+    which Mosaic rejects."""
     list_refs = rest[:ways]
     norm_refs = rest[ways:2 * ways]
     if has_mask:
@@ -318,7 +324,7 @@ def _sq8_scan_kernel(pids_ref, counts_ref, ui_ref, qs_ref, *rest,
 
     i = pl.program_id(0)
     j = pl.program_id(1)
-    ui_mat = ui_ref[0]                                    # (1, d) int8
+    ui_mat = ui_ref[0]                          # (1, w') int8 query planes
     su = qs_ref[i, 0]
     shift_sum = qs_ref[i, 1]                              # 128·Σu
     base = qs_ref[i, 2]                                   # ‖t‖² (L2) / q·vmin
@@ -330,12 +336,25 @@ def _sq8_scan_kernel(pids_ref, counts_ref, ui_ref, qs_ref, *rest,
         lid = pids_ref[(i * nprobe) + j * ways + w]
         cnt = counts_ref[lid]
         block = list_refs[w][0]                           # (lmax, d) uint8
-        ci8 = pltpu.bitcast(block ^ jnp.uint8(0x80), jnp.int8)
-        # (1,d)·(lmax,d) contracting d — no int8 reshape (Mosaic rejects
-        # minor-dim insertion on 8-bit types).
-        dot = jax.lax.dot_general(
-            ui_mat, ci8, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32)[0]          # (lmax,) int32
+        if codec == "sq4":
+            w_half = block.shape[1]
+            lo = pltpu.bitcast(block & jnp.uint8(0x0F), jnp.int8)
+            hi = pltpu.bitcast(block >> jnp.uint8(4), jnp.int8)
+            ui_e = lax.slice(ui_mat, (0, 0), (1, w_half))
+            ui_o = lax.slice(ui_mat, (0, w_half), (1, 2 * w_half))
+            dot = (jax.lax.dot_general(
+                       ui_e, lo, (((1,), (1,)), ((), ())),
+                       preferred_element_type=jnp.int32)
+                   + jax.lax.dot_general(
+                       ui_o, hi, (((1,), (1,)), ((), ())),
+                       preferred_element_type=jnp.int32))[0]  # (lmax,) i32
+        else:
+            ci8 = pltpu.bitcast(block ^ jnp.uint8(0x80), jnp.int8)
+            # (1,d)·(lmax,d) contracting d — no int8 reshape (Mosaic
+            # rejects minor-dim insertion on 8-bit types).
+            dot = jax.lax.dot_general(
+                ui_mat, ci8, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)[0]      # (lmax,) int32
         uc = su * dot.astype(jnp.float32) + shift_sum
         if sim:
             s = base + uc
@@ -350,10 +369,11 @@ def _sq8_scan_kernel(pids_ref, counts_ref, ui_ref, qs_ref, *rest,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "k_scan", "nprobe", "metric", "interpret"),
+    static_argnames=("k", "k_scan", "nprobe", "metric", "codec",
+                     "interpret"),
 )
-def pallas_ivf_sq8_search(
-    codes_lists,   # (nlist, lmax, d) uint8 padded SQ8 code lists
+def pallas_ivf_sq_search(
+    codes_lists,   # (nlist, lmax, w) uint8 padded SQ code lists
     row_norm,      # (nlist, lmax) fp32 Σ(scale·c)² per padded slot
     counts,        # (nlist,) int32 valid rows per list
     row_pos,       # (nlist, lmax) int32 original positions, -1 padding
@@ -367,18 +387,21 @@ def pallas_ivf_sq8_search(
     k_scan: int,
     nprobe: int,
     metric: str,
+    codec: str = "sq8",
     interpret: bool = False,
 ):
-    """Fused int8 DMA list-scan for IVF,SQ8 (L2 / INNER_PRODUCT): probed
-    code blocks stream HBM→VMEM (double-buffered, ways-amortized) and are
-    scored in-kernel with one int8 MXU dot each — no decoded intermediate
-    and no descriptor-bound row gather.  Only the query row is quantized
-    (symmetric int8); a decode+fp32 rerank of the widened top-k outside
-    the kernel restores exact distances.  Same output conventions as
-    pallas_ivf_search."""
-    nlist, lmax, d = codes_lists.shape
+    """Fused int8 DMA list-scan for IVF,SQ8 / IVF,SQ4 (L2 /
+    INNER_PRODUCT): probed code blocks stream HBM→VMEM (double-buffered,
+    ways-amortized) and are scored in-kernel with int8 MXU dots — no
+    decoded intermediate and no descriptor-bound row gather.  SQ4 halves
+    the DMA traffic again (two nibble-plane dots per block).  Only the
+    query row is quantized (symmetric int8); a decode+fp32 rerank of the
+    widened top-k outside the kernel restores exact distances.  Same
+    output conventions as pallas_ivf_search."""
+    nlist, lmax, wbytes = codes_lists.shape
+    d = vmin.shape[0]
     nq = xq.shape[0]
-    ways = choose_ways(nprobe, lmax, d)          # uint8: d bytes per row
+    ways = choose_ways(nprobe, lmax, wbytes)     # uint8: wbytes per row
     has_mask = mask is not None
     sim = metric == "INNER_PRODUCT"
 
@@ -391,12 +414,22 @@ def pallas_ivf_sq8_search(
         base = jnp.sum(t * t, axis=1)
     su = jnp.maximum(jnp.max(jnp.abs(u), axis=1), 1e-30) / 127.0
     ui = jnp.clip(jnp.round(u / su[:, None]), -127, 127).astype(jnp.int8)
-    qscal = jnp.stack([su, 128.0 * jnp.sum(u, axis=1), base],
-                      axis=1)                             # (nq, 3) fp32
+    if codec == "sq4":
+        # Even/odd query planes, each padded to the byte width; odd-plane
+        # padding is 0 so a pad nibble in the last byte contributes 0.
+        pad = 2 * wbytes - d
+        uip = jnp.pad(ui, ((0, 0), (0, pad)))
+        ui_pack = jnp.concatenate([uip[:, 0::2], uip[:, 1::2]], axis=1)
+        shift_sum = jnp.zeros_like(su)          # raw nibbles: no recentre
+    else:
+        ui_pack = ui
+        shift_sum = 128.0 * jnp.sum(u, axis=1)
+    ui_width = ui_pack.shape[1]
+    qscal = jnp.stack([su, shift_sum, base], axis=1)      # (nq, 3) fp32
 
     def list_spec(w):
         return pl.BlockSpec(
-            (1, lmax, d),
+            (1, lmax, wbytes),
             lambda i, j, pids, cnts, w=w: (pids[i * nprobe + j * ways + w],
                                            0, 0),
             memory_space=pltpu.VMEM)
@@ -409,8 +442,8 @@ def pallas_ivf_sq8_search(
             memory_space=pltpu.VMEM)
 
     in_specs = [
-        pl.BlockSpec((1, 1, d), lambda i, j, pids, cnts: (i, 0, 0),
-                     memory_space=pltpu.VMEM),            # ui
+        pl.BlockSpec((1, 1, ui_width), lambda i, j, pids, cnts: (i, 0, 0),
+                     memory_space=pltpu.VMEM),            # query planes
         # Whole scalar table as one SMEM block (per-row blocks would hit
         # Mosaic's 8x128 block-shape rule); kernel indexes by program_id.
         pl.BlockSpec((nq, 3), lambda i, j, pids, cnts: (0, 0),
@@ -418,7 +451,7 @@ def pallas_ivf_sq8_search(
     ]
     args = [probe_ids.reshape(-1).astype(jnp.int32),
             counts.astype(jnp.int32),
-            ui.reshape(nq, 1, d), qscal]
+            ui_pack.reshape(nq, 1, ui_width), qscal]
     in_specs += [list_spec(w) for w in range(ways)]
     args += [codes_lists] * ways
     in_specs += [lane_spec(w) for w in range(ways)]
@@ -427,8 +460,9 @@ def pallas_ivf_sq8_search(
         in_specs += [lane_spec(w) for w in range(ways)]
         args += [mask.reshape(nlist, 1, lmax)] * ways
 
-    kernel = functools.partial(_sq8_scan_kernel, nprobe=nprobe,
-                               metric=metric, ways=ways, has_mask=has_mask)
+    kernel = functools.partial(_sq_scan_kernel, nprobe=nprobe,
+                               metric=metric, ways=ways, has_mask=has_mask,
+                               codec=codec)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nq, nprobe // ways),
@@ -454,8 +488,14 @@ def pallas_ivf_sq8_search(
     pos = row_pos[lids, lane]
     # Exact rerank: decode only the selected rows (from the padded layout
     # itself — no second code buffer) and score fp32.
-    crows = codes_lists[lids, lane]                       # (nq, k_scan, d)
-    xs = crows.astype(jnp.float32) * scale + vmin
+    crows = codes_lists[lids, lane]                       # (nq, k_scan, w)
+    if codec == "sq8":
+        xs = crows.astype(jnp.float32) * scale + vmin
+    else:
+        from .sq import sq_decode
+
+        xs = sq_decode(crows.reshape(-1, wbytes), vmin, scale,
+                       codec).reshape(nq, k_scan, d)
     if sim:
         s2 = jnp.einsum("qd,qcd->qc", xq, xs,
                         precision=lax.Precision.HIGHEST,

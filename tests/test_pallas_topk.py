@@ -152,3 +152,41 @@ def test_pallas_ivf_sq8_spill_plan(catalog):
         dfx.set_kernel_mode("auto")
         dfx.set_precision("parity")
     np.testing.assert_array_equal(ref["label"], fast["label"])
+
+
+@pytest.mark.parametrize("metric", ["L2", "INNER_PRODUCT"])
+@pytest.mark.parametrize("d", [32, 33])
+def test_pallas_ivf_sq4_kernel_interpret(catalog, metric, d):
+    """SQ4 nibble-plane kernel (interpret mode): agrees with the parity
+    decode path; odd d exercises the pad nibble in the last byte."""
+    import duckdb_faiss_ext_tpu as dfx
+    from duckdb_faiss_ext_tpu.ops.selectors import BitmapSelector
+
+    rng = np.random.default_rng(23)
+    centers = rng.standard_normal((16, d)).astype(np.float32) * 3
+    xb = (centers[rng.integers(0, 16, 4000)]
+          + rng.standard_normal((4000, d)).astype(np.float32) * 0.3)
+    xq = xb[:16]
+    name = f"p4_{metric}_{d}"
+    dfx.faiss_create(name, d, "IVF16,SQ4", metric_type=metric,
+                     catalog=catalog)
+    dfx.faiss_add(xb, name, catalog=catalog)
+    ref = dfx.faiss_search(name, 10, xq, {"nprobe": "16"}, catalog=catalog)
+    flags = np.zeros(4000, bool)
+    flags[::2] = True
+    dfx.set_precision("fast")
+    dfx.set_kernel_mode("pallas")
+    try:
+        idx = catalog.get(name).index
+        assert idx._pallas_plan() == ("full", None)
+        fast = dfx.faiss_search(name, 10, xq, {"nprobe": "16"},
+                                catalog=catalog)
+        fsel = dfx.faiss_search(name, 10, xq, {"nprobe": "16"},
+                                catalog=catalog,
+                                selector=BitmapSelector.from_bool(flags))
+    finally:
+        dfx.set_kernel_mode("auto")
+        dfx.set_precision("parity")
+    np.testing.assert_array_equal(ref["label"], fast["label"])
+    got = fsel["label"][fsel["label"] >= 0]
+    assert np.all(flags[got])
