@@ -1,9 +1,12 @@
-"""On-chip Mosaic validation + A/B for the fused int8 Pallas IVF,SQ8 scan.
+"""On-chip Mosaic validation + A/B for the fused int8 Pallas IVF,SQ* scans
+and the LSH int8 code corpus.
 
-The kernel (ops/pallas_ivf.py::pallas_ivf_sq8_search) passes interpret-mode
-parity tests; this script validates the real Mosaic lowering on the live
-chip (uint8 XOR + bitcast→int8, s8×s8 dot_general) and measures it against
-the XLA decode+gather scan on the same index.
+The kernels (ops/pallas_ivf.py::pallas_ivf_sq_search) pass interpret-mode
+parity tests; this script validates the real Mosaic lowerings on the live
+chip (uint8 XOR + bitcast→int8 s8×s8 dot for SQ8; nibble-plane mask/shift
+bitcasts + two s8 dots for SQ4) and measures them against the XLA
+decode+gather scan on the same index.  The LSH section validates the exact
+±1 int8 MXU dot (FlatIndex pm1_i8 storage) against a numpy Hamming oracle.
 
 Usage:
     env PYTHONPATH=/root/repo:/root/.axon_site python tools/validate_sq8_pallas.py
@@ -16,8 +19,7 @@ import time
 import numpy as np
 
 import duckdb_faiss_ext_tpu as dfx
-from duckdb_faiss_ext_tpu.utils.config import (config, set_kernel_mode,
-                                               set_precision, set_sq_dot)
+from duckdb_faiss_ext_tpu.utils.config import set_kernel_mode, set_precision
 
 
 def timed(fn, *a, reps=3, **kw):
@@ -31,15 +33,16 @@ def timed(fn, *a, reps=3, **kw):
     return best, r
 
 
-def main() -> None:
+def validate_sq(codec: str) -> None:
     rng = np.random.default_rng(7)
     n, d, nlist, nprobe, k = 200_000, 128, 1024, 16, 10
     xb = rng.standard_normal((n, d)).astype(np.float32)
     xq = rng.standard_normal((256, d)).astype(np.float32)
 
     for metric in ("L2", "INNER_PRODUCT"):
-        name = f"vsq8_{metric}"
-        dfx.faiss_create(name, d, f"IVF{nlist},SQ8", metric_type=metric)
+        name = f"v{codec}_{metric}"
+        dfx.faiss_create(name, d, f"IVF{nlist},{codec.upper()}",
+                         metric_type=metric)
         dfx.faiss_manual_train(xb[:100_000], name)
         dfx.faiss_add(xb, name)
 
@@ -59,10 +62,9 @@ def main() -> None:
         agree = float(np.mean([
             len(set(a[a >= 0]) & set(b[b >= 0])) / max(1, (a >= 0).sum())
             for a, b in zip(r_pal["label"], r_xla["label"])]))
-        dmax = float(np.max(np.abs(r_pal["distance"] - r_xla["distance"])))
-        print(f"[{metric}] pallas {t_pal*1e3:7.1f} ms  xla {t_xla*1e3:7.1f} ms "
-              f"({t_xla/t_pal:4.1f}x)  label-agree {agree:.4f}  "
-              f"max|Δdist| {dmax:.3e}  b{len(xq)} nprobe={nprobe}")
+        print(f"[{codec} {metric}] pallas {t_pal*1e3:7.1f} ms  "
+              f"xla {t_xla*1e3:7.1f} ms ({t_xla/t_pal:4.1f}x)  "
+              f"label-agree {agree:.4f}  b{len(xq)} nprobe={nprobe}")
         assert agree > 0.97, f"label agreement too low: {agree}"
         # Both paths end in the same fp32 decode-rerank: distances of agreed
         # labels must match closely.
@@ -71,7 +73,46 @@ def main() -> None:
         assert dd.size and float(dd.max()) < 1e-2, float(dd.max())
         dfx.faiss_destroy(name)
 
-    print("SQ8 PALLAS VALIDATION OK")
+    print(f"{codec.upper()} PALLAS VALIDATION OK")
+
+
+def validate_lsh() -> None:
+    """±1 int8 code corpus: on-chip results must equal the exact Hamming
+    oracle (the int8 dot is exact — no tolerance)."""
+    rng = np.random.default_rng(11)
+    n, d, nbits, k = 200_000, 96, 256, 10
+    xb = rng.standard_normal((n, d)).astype(np.float32)
+    xq = rng.standard_normal((64, d)).astype(np.float32)
+
+    name = "vlsh"
+    dfx.faiss_create(name, d, f"LSH{nbits}r")
+    dfx.faiss_add(xb, name)
+    t, r = timed(dfx.faiss_search, name, k, xq)
+
+    from duckdb_faiss_ext_tpu.catalog import GLOBAL_CATALOG
+
+    idx = GLOBAL_CATALOG.get(name).index
+    codes = idx._codes._xb.astype(np.float32)            # (n, nbits) ±1
+    qc = idx._encode(xq).astype(np.float32)              # (64, nbits) ±1
+    ham = (nbits - qc @ codes.T) / 2.0                   # exact fp oracle
+    order = np.argsort(ham, axis=1, kind="stable")[:, :k]
+    oracle_d = np.take_along_axis(ham, order, axis=1).astype(np.float32)
+    # Hamming ties are plentiful: compare the distance multiset, and check
+    # every returned label's distance equals the oracle distance at its rank.
+    np.testing.assert_array_equal(np.sort(r["distance"], axis=1),
+                                  np.sort(oracle_d, axis=1))
+    got_d = (nbits - np.einsum("qb,qkb->qk", qc, codes[r["label"]])) / 2.0
+    np.testing.assert_array_equal(got_d, r["distance"])
+    print(f"[LSH{nbits}r int8] {t*1e3:7.1f} ms b{len(xq)}  "
+          f"exact-Hamming OK ({len(xq)/t:.0f} qps)")
+    dfx.faiss_destroy(name)
+    print("LSH INT8 VALIDATION OK")
+
+
+def main() -> None:
+    validate_sq("sq8")
+    validate_sq("sq4")
+    validate_lsh()
 
 
 if __name__ == "__main__":
