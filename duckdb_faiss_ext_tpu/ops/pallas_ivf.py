@@ -338,8 +338,11 @@ def _sq_scan_kernel(pids_ref, counts_ref, ui_ref, qs_ref, *rest,
         block = list_refs[w][0]                           # (lmax, d) uint8
         if codec == "sq4":
             w_half = block.shape[1]
-            lo = pltpu.bitcast(block & jnp.uint8(0x0F), jnp.int8)
-            hi = pltpu.bitcast(block >> jnp.uint8(4), jnp.int8)
+            # Widen→shift→truncate: Mosaic legalizes i32 shifts but not
+            # arith.shrui on i8 vectors (validated on-chip 2026-08-18).
+            b32 = block.astype(jnp.int32)
+            lo = (b32 & 0x0F).astype(jnp.int8)
+            hi = (b32 >> 4).astype(jnp.int8)
             ui_e = lax.slice(ui_mat, (0, 0), (1, w_half))
             ui_o = lax.slice(ui_mat, (0, w_half), (1, 2 * w_half))
             dot = (jax.lax.dot_general(
