@@ -46,31 +46,37 @@ def validate_sq(codec: str) -> None:
         dfx.faiss_manual_train(xb[:100_000], name)
         dfx.faiss_add(xb, name)
 
-        set_precision("fast")       # engages the int8 path (sq_int8_active)
-        params = {"nprobe": str(nprobe)}
+        # Global config must be restored even when an assert below fires —
+        # otherwise every later validator section runs in pallas/fast mode.
+        try:
+            set_precision("fast")   # engages the int8 path (sq_int8_active)
+            params = {"nprobe": str(nprobe)}
 
-        # XLA gather scan (reference path)
-        set_kernel_mode("xla")
-        t_xla, r_xla = timed(dfx.faiss_search, name, k, xq, parameters=params)
+            # XLA gather scan (reference path)
+            set_kernel_mode("xla")
+            t_xla, r_xla = timed(dfx.faiss_search, name, k, xq,
+                                 parameters=params)
 
-        # Pallas DMA kernel (Mosaic lowering under test)
-        set_kernel_mode("pallas")
-        t_pal, r_pal = timed(dfx.faiss_search, name, k, xq, parameters=params)
-        set_kernel_mode("auto")
-        set_precision("parity")
+            # Pallas DMA kernel (Mosaic lowering under test)
+            set_kernel_mode("pallas")
+            t_pal, r_pal = timed(dfx.faiss_search, name, k, xq,
+                                 parameters=params)
 
-        agree = float(np.mean([
-            len(set(a[a >= 0]) & set(b[b >= 0])) / max(1, (a >= 0).sum())
-            for a, b in zip(r_pal["label"], r_xla["label"])]))
-        print(f"[{codec} {metric}] pallas {t_pal*1e3:7.1f} ms  "
-              f"xla {t_xla*1e3:7.1f} ms ({t_xla/t_pal:4.1f}x)  "
-              f"label-agree {agree:.4f}  b{len(xq)} nprobe={nprobe}")
-        assert agree > 0.97, f"label agreement too low: {agree}"
-        # Both paths end in the same fp32 decode-rerank: distances of agreed
-        # labels must match closely.
-        same = r_pal["label"] == r_xla["label"]
-        dd = np.abs(r_pal["distance"] - r_xla["distance"])[same]
-        assert dd.size and float(dd.max()) < 1e-2, float(dd.max())
+            agree = float(np.mean([
+                len(set(a[a >= 0]) & set(b[b >= 0])) / max(1, (a >= 0).sum())
+                for a, b in zip(r_pal["label"], r_xla["label"])]))
+            print(f"[{codec} {metric}] pallas {t_pal*1e3:7.1f} ms  "
+                  f"xla {t_xla*1e3:7.1f} ms ({t_xla/t_pal:4.1f}x)  "
+                  f"label-agree {agree:.4f}  b{len(xq)} nprobe={nprobe}")
+            assert agree > 0.97, f"label agreement too low: {agree}"
+            # Both paths end in the same fp32 decode-rerank: distances of
+            # agreed labels must match closely.
+            same = r_pal["label"] == r_xla["label"]
+            dd = np.abs(r_pal["distance"] - r_xla["distance"])[same]
+            assert dd.size and float(dd.max()) < 1e-2, float(dd.max())
+        finally:
+            set_kernel_mode("auto")
+            set_precision("parity")
         dfx.faiss_destroy(name)
 
     print(f"{codec.upper()} PALLAS VALIDATION OK")
@@ -99,6 +105,8 @@ def validate_lsh() -> None:
     oracle_d = np.take_along_axis(ham, order, axis=1).astype(np.float32)
     # Hamming ties are plentiful: compare the distance multiset, and check
     # every returned label's distance equals the oracle distance at its rank.
+    # No label may occupy two tied rank slots of the same query.
+    assert all(len(set(row)) == k for row in r["label"]), "duplicate labels"
     np.testing.assert_array_equal(np.sort(r["distance"], axis=1),
                                   np.sort(oracle_d, axis=1))
     got_d = (nbits - np.einsum("qb,qkb->qk", qc, codes[r["label"]])) / 2.0
