@@ -43,12 +43,14 @@ from .api import (
     RESULT_DTYPE,
     create_mask,
     faiss_add,
+    faiss_add_device,
     faiss_create,
     faiss_create_params,
     faiss_destroy,
     faiss_load,
     faiss_manual_train,
     faiss_range_search,
+    faiss_train_device,
     faiss_save,
     faiss_search,
     faiss_search_batched,
@@ -72,12 +74,14 @@ __all__ = [
     "RESULT_DTYPE",
     "create_mask",
     "faiss_add",
+    "faiss_add_device",
     "faiss_create",
     "faiss_create_params",
     "faiss_destroy",
     "faiss_load",
     "faiss_manual_train",
     "faiss_range_search",
+    "faiss_train_device",
     "faiss_save",
     "faiss_search",
     "faiss_search_batched",

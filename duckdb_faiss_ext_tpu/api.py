@@ -213,6 +213,58 @@ def faiss_manual_train(data, name: str, catalog: Catalog | None = None) -> None:
         entry.needs_training = False  # :411-413
 
 
+@_timed_op("faiss_train_device")
+def faiss_train_device(data, name: str,
+                       catalog: Catalog | None = None) -> None:
+    """TPU-native extension (no reference analogue): faiss_manual_train for
+    training data already resident in device HBM — k-means and SQ range
+    fitting run on the device input; the corpus never crosses the host
+    boundary (models/ivf_device.py)."""
+    entry = _cat(catalog).get(name)
+    with entry.lock:
+        if not entry.is_mutable:
+            raise errors.immutable_train()
+        if not hasattr(entry.index, "train_device"):
+            raise errors.InvalidInputError(
+                f"index {name} does not support device-resident training "
+                f"(IVF with Flat/SQ8/SQ4 storage does)")
+        try:
+            entry.index.train_device(data)
+        except errors.TrainingTooSmallError as e:
+            raise errors.too_few_training_points(e, None) from None
+        entry.needs_training = False
+
+
+@_timed_op("faiss_add_device")
+def faiss_add_device(data, name: str, ids=None, *,
+                     expected_total: int | None = None,
+                     lmax: int | None = None,
+                     catalog: Catalog | None = None) -> None:
+    """TPU-native extension (no reference analogue): ingest vectors that
+    already live in device HBM (e.g. embeddings produced on the same chip)
+    — assignment, SQ encoding, and the scatter into the padded list layout
+    all run on device; only int bookkeeping touches the host.  The index
+    must be trained (deferred training would stage host-side).  See
+    models/ivf_device.py for sizing (expected_total/lmax) and the
+    supported-storage matrix."""
+    entry = _cat(catalog).get(name)
+    with entry.lock:
+        if not entry.is_mutable:
+            raise errors.immutable_add()
+        if not hasattr(entry.index, "add_device"):
+            raise errors.InvalidInputError(
+                f"index {name} does not support device-resident ingest "
+                f"(IVF with Flat/SQ8/SQ4 storage does)")
+        has_labels = ids is not None
+        if entry.custom_labels is None:
+            entry.custom_labels = has_labels
+        elif entry.custom_labels != has_labels:
+            raise errors.mixing_labels(with_labels_now=has_labels)
+        entry.index.add_device(data, ids, expected_total=expected_total,
+                               lmax=lmax)
+        entry.added = entry.index.ntotal
+
+
 # --------------------------------------------------------------------------
 # Search
 # --------------------------------------------------------------------------

@@ -120,6 +120,7 @@ class IVFIndex(Index):
         self._ids = np.empty((0,), dtype=np.int64)
         self._assign = np.empty((0,), dtype=np.int32)
         self._version = 0
+        self._dr = None          # device-resident state (models/ivf_device)
         self._device = None      # (xb_sorted, lmax, centroids, order)
         self._device_pallas = None   # (xb_lists, counts, row_pos)
         self._ids_sorted = None      # (order, ids[order]) — see _sorted_ids
@@ -253,6 +254,10 @@ class IVFIndex(Index):
 
     def add_with_ids(self, x, ids) -> None:
         self._require_trained()
+        if self._dr is not None:
+            raise errors.InvalidInputError(
+                "host-path adds cannot be mixed with device-resident "
+                "ingest on the same index (use add_device)")
         x = as_matrix(x, self.d)
         ids = np.asarray(ids, dtype=np.int64).reshape(-1)
         if ids.shape[0] != x.shape[0]:
@@ -324,6 +329,8 @@ class IVFIndex(Index):
         if key < 0 or key >= self.ntotal:
             raise errors.InvalidInputError(
                 f"Position {key} is out of range (ntotal={self.ntotal})")
+        if self._dr is not None:
+            return self._dr_reconstruct(key)
         if self._logical_rows is not None:
             # SOAR: logical positions indirect to the original storage row.
             key = int(self._logical_rows[key])
@@ -512,6 +519,11 @@ class IVFIndex(Index):
                          high skew while keeping the DMA kernel layout)."""
         from ..utils.config import config
 
+        if self._dr is not None:
+            # Device-resident layout (models/ivf_device.py): the padded
+            # lists already live in HBM with a fixed lmax — the list-scan
+            # kernel (or its interpreter off-TPU) is the only serving path.
+            return ("device", self._dr.lmax)
         if self.metric.name not in ("L2", "INNER_PRODUCT"):
             return None
         if self.sq_type is not None:
@@ -607,6 +619,8 @@ class IVFIndex(Index):
     def _build_device_pallas(self):
         if getattr(self, "_device_pallas", None) is not None:
             return self._device_pallas
+        if self._dr is not None:
+            return self._dr_build_device_pallas()
         plan = self._pallas_plan()
         lmax_cap = plan[1] if plan is not None else None
         payload, counts, row_pos, spill = self._build_list_layout(lmax_cap)
@@ -664,8 +678,10 @@ class IVFIndex(Index):
         hit = self._mask_cache.get(key)
         if hit is not None:
             return hit
-        row_pos = self._build_device_pallas()[2]
-        rp = np.asarray(row_pos)
+        if self._dr is not None:
+            rp = self._dr.row_pos          # host copy, no device fetch
+        else:
+            rp = np.asarray(self._build_device_pallas()[2])
         passing = selector.contains(self._ids)
         mask = np.zeros(rp.shape, np.int8)
         valid = rp >= 0
@@ -676,6 +692,11 @@ class IVFIndex(Index):
 
     # --- device build ----------------------------------------------------
     def _build_device(self):
+        if self._dr is not None:
+            raise errors.InvalidInputError(
+                "this device-resident index serves only through the "
+                "list-scan kernel (range search and nprobe beyond the "
+                "SMEM probe budget need a host-path index)")
         if self._device is not None:
             return self._device
         n = self._nstored
@@ -1050,6 +1071,22 @@ class IVFIndex(Index):
 
     # --- serialization ----------------------------------------------------
     def state_dict(self) -> dict:
+        if self._dr is not None:
+            # Materialize the device layout back into the host format so
+            # save/load round-trips into a normal host-path index (one
+            # bulk payload fetch; save at scale is an explicit, rare op).
+            rows = self._dr_materialize_codes()
+            state = {"xb": (rows if self.sq_type is None
+                            else np.empty((0, self.d), np.float32)),
+                     "ids": self._ids, "assign": self._assign}
+            if self._centroids is not None:
+                state["centroids"] = self._centroids
+            if self.sq_type is not None:
+                state["codes"] = rows
+                if self._sq_vmin is not None:
+                    state["sq_vmin"] = self._sq_vmin
+                    state["sq_scale"] = self._sq_scale
+            return state
         state = {
             "xb": self._xb,
             "ids": self._ids,
@@ -1158,6 +1195,10 @@ def _ivf_shard_over(self, mesh) -> None:
         raise errors.InvalidInputError(
             f"IVF indexes with metric {self.metric.name} cannot be sharded "
             f"over devices (only L2 and INNER_PRODUCT)")
+    if self._dr is not None:
+        raise errors.InvalidInputError(
+            "a device-resident index cannot be re-sharded with "
+            "faiss_to_device (its layout lives on one device)")
     if "batch" not in mesh.shape or "shard" not in mesh.shape:
         raise errors.InvalidInputError(
             "IVF sharding needs a mesh with 'shard' and 'batch' axes "
@@ -1494,3 +1535,11 @@ class IMIIndex(IVFIndex):
             a2 = (jnp.argmax(t2, 1) if sim else jnp.argmin(t2, 1))
             parts.append((a1 * K + a2).astype(jnp.int32))
         return np.asarray(jnp.concatenate(parts), dtype=np.int32)
+
+
+# Device-resident ingest (attaches add_device / train_device and the
+# _dr_* hooks; at the very bottom so the partially-imported module already
+# holds the finished classes).
+IMIIndex._supports_device_ingest = False   # factored assignment + train
+
+from . import ivf_device  # noqa: E402,F401

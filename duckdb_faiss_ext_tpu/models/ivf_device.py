@@ -1,0 +1,401 @@
+"""Device-resident IVF ingest: build the padded list layout directly in HBM.
+
+TPU-native capability beyond the reference: the reference's ingest always
+streams vectors through host memory (the faiss_add table function,
+src/faiss_extension.cpp:475-547).  On a TPU the interesting producers —
+embedding models — run on the same chip, so this path lets an IVF index
+ingest vectors that already live in HBM (or are generated there) without a
+single host round-trip of the corpus: coarse assignment, SQ encoding, and
+the scatter into the padded ``(nlist, lmax, w)`` Pallas list layout all run
+on device.  Only O(n) int32/int64 bookkeeping (assignments, ids, slots)
+ever touches the host.
+
+This is also what makes the reference's own benchmark corpus servable from
+one chip: MS MARCO ada2 (8,841,823 × 1536, /root/reference/go/benches_c.go:31)
+is 54 GB fp32 — the host path would move it to the device twice (assign +
+encode); here the fp32 rows never leave the chip and only the compressed
+payload (6.8 GB SQ4 / 13.6 GB SQ8) is ever materialized.
+
+Search rides the UNMODIFIED fused int8 Pallas list-scan
+(ops/pallas_ivf.py::pallas_ivf_sq_search) / Flat list-scan: the layout
+built here has the same shape and semantics as the host-built one
+(models/ivf.py::_build_list_layout), including the spill region for rows
+overflowing the capped lmax.  Because lmax is fixed up front (the payload
+is pre-allocated), rows of an overfull list overflow into the spill buffer
+instead of forcing a re-layout; callers size lmax from expected_total (or
+an exact count pre-pass, see tools/marco_device.py).
+
+Unsupported in device-resident mode (clear errors, host path covers them):
+PQ/RQ storage, SQ6/float SQ codecs, SOAR, device sharding (faiss_to_device),
+range search, metrics beyond L2/INNER_PRODUCT, and mixing with host adds.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .. import errors
+from ..ops.kmeans import kmeans_fit, subsample_for_training
+from ..ops.pallas_ivf import choose_lmax
+from ..ops.sq import SQ_LEVELS, sq_train, sq_unpack_host
+from .ivf import IVFIndex
+
+
+class DeviceResidentState:
+    """Device arrays + host bookkeeping for a device-resident IVF layout."""
+
+    __slots__ = ("lmax", "payload", "rn_layout", "row_pos", "counts",
+                 "slot", "spill_payload", "spill_assign", "spill_pos",
+                 "spill_n", "version")
+
+    def __init__(self, nlist: int, lmax: int, width: int, dtype,
+                 with_rn: bool):
+        self.lmax = int(lmax)
+        self.payload = jnp.zeros((nlist, lmax, width), dtype)
+        self.rn_layout = (jnp.zeros((nlist, lmax), jnp.float32)
+                          if with_rn else None)
+        self.row_pos = np.full((nlist, lmax), -1, np.int32)  # host
+        self.counts = np.zeros((nlist,), np.int64)           # host, FULL
+        self.slot = np.empty((0,), np.int64)  # per-row: slot or -(spill+1)
+        self.spill_payload = None             # (scap, width) device
+        self.spill_assign = np.empty((0,), np.int32)         # host
+        self.spill_pos = np.empty((0,), np.int32)            # host
+        self.spill_n = 0
+        self.version = 0
+
+
+# --------------------------------------------------------------------------
+# jitted device stages
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("codec", "levels"))
+def _encode_chunk(x, vmin, scale, *, codec: str, levels: int):
+    """fp32 rows → (packed codes uint8, per-row Σ(scale·c)² fp32), on
+    device (same quantization as ops/sq.py::sq_quantize + sq4_pack)."""
+    q = jnp.clip(jnp.round((x - vmin[None, :]) / scale[None, :]),
+                 0, levels).astype(jnp.uint8)
+    rn = jnp.sum(jnp.square(q.astype(jnp.float32) * scale[None, :]), axis=1)
+    if codec == "sq4":
+        if x.shape[1] % 2:
+            q = jnp.pad(q, ((0, 0), (0, 1)))
+        packed = q[:, 0::2] | (q[:, 1::2] << 4)
+    else:                                    # sq8
+        packed = q
+    return packed, rn
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "sim"))
+def _assign_chunk(x, cents, metric_arg, *, metric: str, sim: bool):
+    """Exact coarse assignment on device (HIGHEST precision, matching
+    models/ivf.py::_assign_lists)."""
+    from ..ops.distance import pairwise_tile
+
+    tile = pairwise_tile(x, cents, metric, metric_arg,
+                         jax.lax.Precision.HIGHEST)
+    best = jnp.argmax(tile, 1) if sim else jnp.argmin(tile, 1)
+    return best.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _scatter_sq(payload, rn_layout, lists_idx, slots_idx, rows, rn):
+    payload = payload.at[lists_idx, slots_idx].set(rows)
+    rn_layout = rn_layout.at[lists_idx, slots_idx].set(rn)
+    return payload, rn_layout
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_flat(payload, lists_idx, slots_idx, rows):
+    return payload.at[lists_idx, slots_idx].set(rows)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _append_spill(buf, start, rows):
+    return jax.lax.dynamic_update_slice(buf, rows, (start, 0))
+
+
+def _pad_idx(idx: np.ndarray) -> np.ndarray:
+    """Pad an index vector to the next pow2 bucket by repeating its first
+    entry (bounds jit shapes; duplicate scatter writes are idempotent)."""
+    from ..utils.config import next_pow2
+
+    target = max(128, next_pow2(idx.shape[0]))
+    if target == idx.shape[0]:
+        return idx
+    return np.concatenate([idx, np.full((target - idx.shape[0],),
+                                        idx[0], idx.dtype)])
+
+
+# --------------------------------------------------------------------------
+# IVFIndex methods
+# --------------------------------------------------------------------------
+
+def _dr_codec(self) -> str | None:
+    """Storage codec for device-resident mode, validating support."""
+    if self.pq_m is not None:
+        raise errors.InvalidInputError(
+            "device-resident ingest supports Flat, SQ8 and SQ4 storage "
+            "(PQ/RQ encoding needs the host path)")
+    if self.sq_type is not None and self.sq_type not in ("sq8", "sq4"):
+        raise errors.InvalidInputError(
+            f"device-resident ingest supports Flat, SQ8 and SQ4 storage, "
+            f"not SQ codec {self.sq_type}")
+    if self.metric.name not in ("L2", "INNER_PRODUCT"):
+        raise errors.InvalidInputError(
+            "device-resident ingest supports only L2 and INNER_PRODUCT")
+    if getattr(self, "soar_lambda", 0.0) > 0.0:
+        raise errors.InvalidInputError(
+            "device-resident ingest is incompatible with SOAR "
+            "(duplicated storage rows)")
+    if getattr(self, "_shard_mesh", None) is not None:
+        raise errors.InvalidInputError(
+            "device-resident ingest is incompatible with faiss_to_device "
+            "sharding")
+    if not getattr(self, "_supports_device_ingest", False):
+        raise errors.InvalidInputError(
+            f"{type(self).__name__} does not support device-resident ingest")
+    return self.sq_type
+
+
+def ivf_train_device(self, x) -> None:
+    """train() for data already in HBM: k-means + SQ range fit run on the
+    device input; only the (nlist, d) centroid table is fetched."""
+    if self.is_trained:
+        return
+    _dr_codec(self)
+    x = jnp.asarray(x, jnp.float32)
+    if x.ndim != 2 or x.shape[1] != self.d:
+        raise errors.InvalidInputError(
+            f"training data must be (n, {self.d}), got {tuple(x.shape)}")
+    n = int(x.shape[0])
+    if n < self.nlist:
+        raise errors.TrainingTooSmallError(n, self.nlist)
+    nsub = subsample_for_training(n, self.nlist)
+    if nsub < n:
+        rng = np.random.default_rng(self.train_seed)
+        sel = np.sort(rng.choice(n, size=nsub, replace=False))
+        x = x[jnp.asarray(sel)]
+    cents, _ = kmeans_fit(x, self.nlist, niter=self.train_niter,
+                          seed=self.train_seed,
+                          precision=jax.lax.Precision.HIGHEST,
+                          balance=getattr(self, "train_balance", 0.0))
+    self._centroids = np.asarray(cents, dtype=np.float32)
+    self._populate_quantizer()
+    if self.sq_type is not None:
+        vmin, scale = sq_train(x, SQ_LEVELS[self.sq_type])
+        self._sq_vmin = np.asarray(vmin)
+        self._sq_scale = np.asarray(scale)
+    self._invalidate()
+
+
+def ivf_add_device(self, x, ids=None, *, expected_total: int | None = None,
+                   lmax: int | None = None) -> None:
+    """add()/add_with_ids() for vectors already in HBM.
+
+    The first call fixes the padded list length: ``lmax`` explicitly, or
+    ``choose_lmax`` of 2× the balanced list size for ``expected_total``
+    rows (rows overflowing a list land in the spill region either way).
+    """
+    self._require_trained()
+    codec = _dr_codec(self)
+    x = jnp.asarray(x, jnp.float32)
+    if x.ndim != 2 or x.shape[1] != self.d:
+        raise errors.InvalidInputError(
+            f"vectors must be (n, {self.d}), got {tuple(x.shape)}")
+    m = int(x.shape[0])
+    if ids is None:
+        ids = np.arange(self.ntotal, self.ntotal + m, dtype=np.int64)
+    else:
+        ids = np.asarray(ids, dtype=np.int64).reshape(-1)
+        if ids.shape[0] != m:
+            raise errors.add_error(
+                f"number of ids ({ids.shape[0]}) does not match number of "
+                f"vectors ({m})")
+    if m == 0:
+        return
+
+    if self._dr is None:
+        if self._nstored:
+            raise errors.InvalidInputError(
+                "device-resident ingest cannot be mixed with host-path "
+                "adds on the same index")
+        if lmax is None:
+            if expected_total is None:
+                raise errors.InvalidInputError(
+                    "the first add_device call must size the padded device "
+                    "layout: pass expected_total= (total rows you will "
+                    "add) or an explicit lmax=")
+            lmax = choose_lmax(
+                max(128, int(2 * expected_total / max(self.nlist, 1))))
+        width = (self._codes.shape[1] if codec is not None else self.d)
+        dtype = jnp.uint8 if codec is not None else jnp.float32
+        self._dr = DeviceResidentState(self.nlist, lmax, width, dtype,
+                                       with_rn=codec is not None)
+    dr = self._dr
+    # Drop cached device tuples BEFORE the donating scatter below: a live
+    # reference to the payload (e.g. from a search between adds) would
+    # force XLA to copy the multi-GB buffer instead of donating it.
+    self._device_pallas = None
+    self._device_spill = None
+
+    # 1. coarse assignment on device; only the int32 vector is fetched.
+    cents = jnp.asarray(self._centroids)
+    sim = self.metric.name == "INNER_PRODUCT"
+    marg = jnp.asarray(self.metric_arg, jnp.float32)
+    achunk = max(1024, min(65536, (1 << 27) // max(self.nlist, 1)))
+    if m <= achunk:
+        assign = np.asarray(_assign_chunk(x, cents, marg,
+                                          metric=self.metric.name, sim=sim))
+    else:
+        assign = np.concatenate([
+            np.asarray(_assign_chunk(x[i:i + achunk], cents, marg,
+                                     metric=self.metric.name, sim=sim))
+            for i in range(0, m, achunk)])
+
+    # 2. encode on device.
+    if codec is not None:
+        vmin, scale = self._sq_ranges()
+        rows, rn = _encode_chunk(x, vmin, scale, codec=codec,
+                                 levels=SQ_LEVELS[codec])
+    else:
+        rows, rn = x, None
+
+    # 3. slot planning on host (pure int bookkeeping, same rank logic as
+    #    _build_list_layout): slot = running count + rank within chunk.
+    order = np.argsort(assign, kind="stable")
+    ch_counts = np.bincount(assign, minlength=self.nlist).astype(np.int64)
+    ch_off = np.concatenate([[0], np.cumsum(ch_counts)])
+    ranks = np.empty((m,), np.int64)
+    ranks[order] = np.arange(m, dtype=np.int64) - ch_off[assign[order]]
+    slot = dr.counts[assign] + ranks
+    keep = slot < dr.lmax
+    row_base = self._nstored
+    slot_rec = np.empty((m,), np.int64)
+
+    # 4. scatter kept rows into the padded layout (donated, in-place).
+    #    Index vectors are padded to pow2 buckets so the jitted scatter
+    #    compiles O(log) shapes, not one per chunk; padding entries repeat
+    #    the first row's (list, slot, data) — a benign duplicate write.
+    if keep.any():
+        kidx = np.nonzero(keep)[0]
+        kpad = _pad_idx(kidx)
+        li = jnp.asarray(assign[kpad])
+        si = jnp.asarray(slot[kpad].astype(np.int32))
+        kdev = jnp.asarray(kpad)
+        if codec is not None:
+            dr.payload, dr.rn_layout = _scatter_sq(
+                dr.payload, dr.rn_layout, li, si, rows[kdev], rn[kdev])
+        else:
+            dr.payload = _scatter_flat(dr.payload, li, si, rows[kdev])
+        dr.row_pos[assign[kidx], slot[kidx]] = (row_base
+                                                + kidx).astype(np.int32)
+        slot_rec[kidx] = slot[kidx]
+
+    # 5. overflow rows → spill buffer (device append, grows by doubling).
+    #    Appends are pow2-bucketed like the scatter; rows written past
+    #    ``spill_n`` are garbage that the next append overwrites and that
+    #    search never sees (spill_pos padding is -1 → invalid).
+    if not keep.all():
+        sidx = np.nonzero(~keep)[0]
+        s = sidx.shape[0]
+        spad = _pad_idx(sidx)
+        need = dr.spill_n + s
+        scap = (dr.spill_payload.shape[0]
+                if dr.spill_payload is not None else 0)
+        if dr.spill_n + spad.shape[0] > scap:
+            new_cap = max(4096, scap)
+            while new_cap < dr.spill_n + spad.shape[0]:
+                new_cap *= 2
+            grown = jnp.zeros((new_cap,) + rows.shape[1:], rows.dtype)
+            if dr.spill_payload is not None:
+                grown = jax.lax.dynamic_update_slice(
+                    grown, dr.spill_payload, (0, 0))
+            dr.spill_payload = grown
+        dr.spill_payload = _append_spill(dr.spill_payload,
+                                         jnp.int32(dr.spill_n),
+                                         rows[jnp.asarray(spad)])
+        dr.spill_assign = np.concatenate(
+            [dr.spill_assign, assign[sidx]])
+        dr.spill_pos = np.concatenate(
+            [dr.spill_pos, (row_base + sidx).astype(np.int32)])
+        slot_rec[sidx] = -(np.arange(dr.spill_n, need, dtype=np.int64) + 1)
+        dr.spill_n = need
+
+    # 6. host bookkeeping.
+    dr.counts += ch_counts
+    dr.slot = np.concatenate([dr.slot, slot_rec])
+    self._ids = np.concatenate([self._ids, ids])
+    self._assign = np.concatenate([self._assign, assign])
+    dr.version += 1
+    self._invalidate()
+
+
+def dr_build_device_pallas(self):
+    """_build_device_pallas for device-resident mode: the big arrays
+    already live in HBM; only counts (KBs) and row_pos (MBs) upload."""
+    dr = self._dr
+    kept = np.minimum(dr.counts, dr.lmax).astype(np.int32)
+    dev = (dr.payload, jnp.asarray(kept), jnp.asarray(dr.row_pos),
+           jnp.asarray(self._centroids))
+    if self.sq_type is not None:
+        vmin, scale = self._sq_ranges()
+        dev += (dr.rn_layout, vmin, scale)
+    self._device_pallas = dev
+    if dr.spill_n:
+        scap = dr.spill_payload.shape[0]
+        from ..utils.config import pad_rows
+
+        self._device_spill = (
+            dr.spill_payload,
+            jnp.asarray(pad_rows(dr.spill_assign, scap).astype(np.int32)),
+            jnp.asarray(pad_rows(dr.spill_pos, scap,
+                                 fill=-1).astype(np.int32)),
+        )
+    else:
+        self._device_spill = None
+    return self._device_pallas
+
+
+def dr_reconstruct(self, key: int) -> np.ndarray:
+    """Stored vector by position in device-resident mode (one-row device
+    gather + host decode)."""
+    dr = self._dr
+    rec = int(dr.slot[key])
+    if rec >= 0:
+        row = np.asarray(dr.payload[int(self._assign[key]), rec])
+    else:
+        row = np.asarray(dr.spill_payload[-rec - 1])
+    if self.sq_type is None:
+        return row.astype(np.float32)
+    q = sq_unpack_host(row[None, :], self.d, self.sq_type)[0]
+    return (q.astype(np.float32) * self._sq_scale + self._sq_vmin)
+
+
+def dr_materialize_codes(self) -> np.ndarray:
+    """Fetch the device layout back into the host insertion-order code /
+    row matrix (used by state_dict so save/load round-trips into a normal
+    host-path index).  One bulk payload fetch — O(corpus bytes)."""
+    dr = self._dr
+    n = self._nstored
+    payload_h = np.asarray(dr.payload)
+    width = payload_h.shape[2]
+    out = np.empty((n, width), payload_h.dtype)
+    kept = dr.slot >= 0
+    if kept.any():
+        out[kept] = payload_h[self._assign[kept], dr.slot[kept]]
+    if dr.spill_n:
+        spill_h = np.asarray(dr.spill_payload)[:dr.spill_n]
+        out[~kept] = spill_h[(-dr.slot[~kept] - 1)]
+    return out
+
+
+IVFIndex._supports_device_ingest = True
+IVFIndex.train_device = ivf_train_device
+IVFIndex.add_device = ivf_add_device
+IVFIndex._dr_build_device_pallas = dr_build_device_pallas
+IVFIndex._dr_reconstruct = dr_reconstruct
+IVFIndex._dr_materialize_codes = dr_materialize_codes
