@@ -1,0 +1,405 @@
+"""IVF search dispatch and range search (split from models/ivf.py).
+
+The serving tier: parameter resolution (nprobe + quantiser.-scoped
+recursion, src/faiss_extension.cpp:675-689), path selection (device-sharded
+/ Pallas list-scan / sorted+gather), the SOAR 2k-dedup wrapper, and range
+search.  Methods attach to IVFIndex; layouts live in models/ivf_layout.py.
+"""
+
+from __future__ import annotations
+
+import functools as _functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.flat_search import SIMILARITY_METRICS, finalize_scores
+from ..ops.ivf_scan import choose_q_chunk, ivf_pq_search, ivf_search
+from ..ops.pallas_ivf import pallas_ivf_search
+from ..params import EMPTY
+from ..utils.config import config, next_pow2, on_tpu, pad_rows
+from .base import SearchResult, as_matrix
+from .base import dedup_by_key as _dedup_by_key
+from .ivf import IVFIndex
+
+_jax = jax
+
+# --- search ----------------------------------------------------------
+def search(self, xq, k, params=EMPTY, selector=None) -> SearchResult:
+    return self._finish_dispatch(
+        self.search_dispatch(xq, k, params, selector), xq, k)
+
+def search_dispatch(self, xq, k, params=EMPTY, selector=None):
+    """Raw device dispatch for the single-fetch serving tier
+    (api.faiss_search_batched): (dist_dev, pos_dev, nq, k_eff,
+    positions→labels fn[, host postprocess]) or None when no device
+    work applies.
+
+    With SOAR enabled every datapoint is stored twice (two lists), so
+    the kernel fetches 2k candidates and a host postprocess drops the
+    same-SOURCE-row duplicates (labels_fn.src_of maps kernel positions
+    to logical datapoints — genuinely duplicated user labels are NOT
+    collapsed) before padding back to k."""
+    if getattr(self, "soar_lambda", 0.0) > 0.0 and int(k) > 0:
+        disp = self._dispatch_inner(xq, 2 * int(k), params, selector)
+        if disp is None:
+            return None
+        dist, pos, nq, _, labels_fn = disp
+        sim = self.metric.name in SIMILARITY_METRICS
+        sentinel = float("-inf") if sim else float("inf")
+        src_of = getattr(labels_fn, "src_of", None)
+
+        def post(d, lab, pos_host, k=int(k), sentinel=sentinel,
+                 src_of=src_of):
+            keys = src_of(pos_host) if src_of is not None else lab
+            return _dedup_by_key(d, lab, keys, k, sentinel)
+
+        return dist, pos, nq, int(k), labels_fn, post
+    return self._dispatch_inner(xq, k, params, selector)
+
+def _dispatch_inner(self, xq, k, params=EMPTY, selector=None):
+    self._require_trained()
+    xq = as_matrix(xq, self.d)
+    nq = xq.shape[0]
+    k = int(k)
+    if nq == 0 or k <= 0 or self.ntotal == 0:
+        return None
+
+    # SearchParametersIVF: nprobe plus quantiser.-scoped recursion
+    # (src/faiss_extension.cpp:675-689).  Our coarse assignment is an
+    # exact fused tile, so quantiser.* params parse but cannot change
+    # results; they are accepted for surface parity.
+    nprobe = params.get_int("nprobe", self.nprobe_default)
+    _ = params.scoped("quantiser.")
+
+    nprobe_eff = max(1, min(int(nprobe), self.nlist))
+    nq_pad = max(config.min_query_bucket, next_pow2(nq))
+    xq_pad = jnp.asarray(pad_rows(xq, nq_pad))
+
+    def ids_labels(pos, ids=self._ids):
+        return np.where(pos >= 0, ids[np.clip(pos, 0, None)]
+                        if ids.size else pos, -1)
+
+    if self._srcrow is not None:
+        # Storage-row positions → logical datapoint (SOAR dedup key).
+        ids_labels.src_of = (
+            lambda pos, src=self._srcrow:
+            np.where(pos >= 0, src[np.clip(pos, 0, None)], -1))
+
+    if getattr(self, "_shard_mesh", None) is not None:
+        # Device-sharded placement (faiss_to_device): lists partitioned
+        # over the mesh, all-gather top-k merge.
+        lmax_s = self._ivf_sharded_lmax()
+        k_eff = min(k, nprobe_eff * lmax_s)
+        dist, pos = self._search_sharded(xq_pad, k_eff, nprobe_eff,
+                                         selector)
+        return dist, pos, nq, k_eff, ids_labels
+
+    # Pallas list-scan path; skipped when even the minimum 64-query
+    # block would overflow the SMEM probe-table budget (qb bottoms out
+    # at 64 below — very high nprobe goes through the gather scan).
+    if self._use_pallas_scan() and \
+            64 * nprobe_eff <= self.PALLAS_SMEM_PROBE_INTS:
+        dev = self._build_device_pallas()
+        payload, counts, row_pos, cents_dev = dev[:4]
+        lmax = payload.shape[1]
+        spill = getattr(self, "_device_spill", None)
+        # Spill rows are extra candidates beyond the capped padded
+        # layout: k_eff must count them or k > nprobe·lmax truncates
+        # valid neighbors to the padded slots.
+        n_spill = spill[2].shape[0] if spill is not None else 0
+        k_kernel = min(k, nprobe_eff * lmax)
+        k_eff = min(k, nprobe_eff * lmax + n_spill)
+        mask = (self._pallas_mask(selector)
+                if selector is not None else None)
+        probe_ids = _coarse_topk(
+            xq_pad, cents_dev,
+            jnp.asarray(self.metric_arg, jnp.float32),
+            nprobe=nprobe_eff, metric=self.metric.name,
+            precision=config.precision)
+        # The probe table is scalar-prefetched into SMEM (1 MB/core):
+        # block the kernel over queries so nq_block·nprobe ints stay
+        # within budget (1024×256 probes hit the 1 MB wall — measured).
+        qb = xq_pad.shape[0]
+        while qb * nprobe_eff > self.PALLAS_SMEM_PROBE_INTS and qb > 64:
+            qb //= 2
+
+        def run_block(xq_b, probe_b, mask_b=mask):
+            if self.pq_m is not None:
+                from ..ops.pallas_ivf import pallas_ivf_pq_search
+
+                qc = max(1, min(8, xq_b.shape[0]))
+                return pallas_ivf_pq_search(
+                    payload, counts, row_pos, dev[4], cents_dev,
+                    probe_b, xq_b, mask_b,
+                    k=k_kernel, nprobe=nprobe_eff,
+                    metric=self.metric.name,
+                    q_chunk=qc, precision=config.precision,
+                    interpret=not on_tpu(), codec=self.pq_codec)
+            if self.sq_type is not None:
+                from ..ops.pallas_ivf import pallas_ivf_sq_search
+
+                rn_layout, vmin, scale = dev[4], dev[5], dev[6]
+                k_scan = min(nprobe_eff * lmax,
+                             max(4 * k_kernel, k_kernel + 32))
+                return pallas_ivf_sq_search(
+                    payload, rn_layout, counts, row_pos, vmin, scale,
+                    probe_b, xq_b, mask_b,
+                    k=k_kernel, k_scan=k_scan, nprobe=nprobe_eff,
+                    metric=self.metric.name, codec=self.sq_type,
+                    interpret=not on_tpu())
+            return pallas_ivf_search(
+                payload, counts, row_pos, probe_b, xq_b, mask_b,
+                k=k_kernel, nprobe=nprobe_eff, metric=self.metric.name,
+                interpret=not on_tpu())
+
+        if qb == xq_pad.shape[0]:
+            scores, pos = run_block(xq_pad, probe_ids)
+        else:
+            parts = [run_block(xq_pad[i:i + qb], probe_ids[i:i + qb])
+                     for i in range(0, xq_pad.shape[0], qb)]
+            scores = jnp.concatenate([p[0] for p in parts], axis=0)
+            pos = jnp.concatenate([p[1] for p in parts], axis=0)
+        if spill is not None:
+            # Overflow rows of capped lists: dense scan masked to each
+            # query's probe set, merged with the padded-layout top-k.
+            from ..ops.ivf_scan import ivf_spill_scan, merge_topk
+
+            sp_payload, sp_assign, sp_pos = spill
+            sp_mask = (self._spill_mask(selector)
+                       if selector is not None else None)
+            sq_kw = {}
+            if self.sq_type is not None:
+                sq_kw = dict(sq=self.sq_type, sq_vmin=dev[5],
+                             sq_scale=dev[6])
+            sp_scores, sp_positions = ivf_spill_scan(
+                sp_payload, sp_assign, sp_pos, cents_dev,
+                dev[4] if self.pq_m is not None else None,
+                probe_ids, xq_pad, sp_mask,
+                jnp.asarray(self.metric_arg, jnp.float32),
+                k=min(k_eff, sp_pos.shape[0]), metric=self.metric.name,
+                precision=config.precision, pq=self.pq_m is not None,
+                codec=self.pq_codec, **sq_kw)
+            scores, pos = merge_topk(scores, pos, sp_scores,
+                                     sp_positions, k_eff)
+        dist, pos = finalize_scores(scores, pos, self.metric.name)
+        return dist, pos, nq, k_eff, ids_labels
+
+    storage, lmax, centroids, order = self._build_device()
+    k_eff = min(k, nprobe_eff * lmax)
+    offs, cnts = self._sorted_list_meta()
+    mask = (self._selector_mask(selector, order)
+            if selector is not None else None)
+    q_chunk = choose_q_chunk(nq_pad, nprobe_eff * lmax, self.d)
+
+    if self.pq_m is not None:
+        codes_sorted, assign_sorted, codebooks = storage
+        scores, pos = ivf_pq_search(
+            codes_sorted, codebooks,
+            offs, cnts, centroids,
+            xq_pad, mask, jnp.asarray(self.metric_arg, jnp.float32),
+            k=k_eff, nprobe=nprobe_eff, metric=self.metric.name,
+            q_chunk=q_chunk, precision=config.precision,
+            codec=self.pq_codec, lmax=lmax)
+    elif self.sq_type is not None:
+        from ..utils.config import sq_int8_active
+
+        _, vmin, scale = storage
+        if (self.sq_type in ("sq8", "sq4", "sq6")
+                and self.metric.name in ("L2", "INNER_PRODUCT")
+                and self.d >= 16     # tiny-d margins sit at the int8 noise floor
+                and sq_int8_active()):
+            from ..ops.ivf_scan import ivf_sq_int8_search
+
+            rn = self._ivf_sq_row_norm()
+            k_scan = min(nprobe_eff * lmax,
+                         max(4 * k_eff, k_eff + 32))
+            scores, pos = ivf_sq_int8_search(
+                self._sq_codes_dev(), rn, offs, cnts,
+                centroids, vmin, scale, xq_pad, mask,
+                jnp.asarray(self.metric_arg, jnp.float32),
+                k=k_eff, k_scan=k_scan, nprobe=nprobe_eff,
+                metric=self.metric.name, q_chunk=q_chunk,
+                precision=config.precision, codec=self.sq_type,
+                lmax=lmax)
+        else:
+            from ..ops.ivf_scan import ivf_sq_search
+
+            scores, pos = ivf_sq_search(
+                self._sq_codes_dev(), vmin, scale,
+                offs, cnts, centroids,
+                xq_pad, mask,
+                jnp.asarray(self.metric_arg, jnp.float32),
+                k=k_eff, nprobe=nprobe_eff, metric=self.metric.name,
+                q_chunk=q_chunk, precision=config.precision,
+                codec=self.sq_type, lmax=lmax)
+    else:
+        scores, pos = ivf_search(
+            storage, offs, cnts, centroids,
+            xq_pad, mask, jnp.asarray(self.metric_arg, jnp.float32),
+            k=k_eff, nprobe=nprobe_eff, metric=self.metric.name,
+            q_chunk=q_chunk, precision=config.precision, lmax=lmax)
+    dist, pos = finalize_scores(scores, pos, self.metric.name)
+
+    def sorted_labels(pos_host, ids_sorted=self._sorted_ids(order)):
+        return np.where(pos_host >= 0,
+                        ids_sorted[np.clip(pos_host, 0, None)]
+                        if ids_sorted.size else pos_host, -1)
+
+    if self._srcrow is not None:
+        sorted_labels.src_of = (
+            lambda pos, src=self._sorted_srcrow(order):
+            np.where(pos >= 0, src[np.clip(pos, 0, None)], -1))
+
+    return dist, pos, nq, k_eff, sorted_labels
+
+
+@_functools.partial(_jax.jit,
+                    static_argnames=("nprobe", "metric", "precision"))
+def _coarse_topk(xq, centroids, metric_arg, *, nprobe, metric, precision):
+    """Coarse-quantizer assignment: top-nprobe list ids per query (MXU tile
+    + one small top_k) — feeds the Pallas list-scan kernel."""
+    from ..ops.distance import pairwise_tile
+    from ..ops.flat_search import SIMILARITY_METRICS as _SIM
+
+    cdist = pairwise_tile(xq, centroids, metric, metric_arg, precision)
+    cscore = cdist if metric in _SIM else -cdist
+    _, ids = _jax.lax.top_k(cscore, nprobe)
+    return ids.astype(_jax.numpy.int32)
+
+
+def _ivf_range_search(self, xq, radius, params=EMPTY, selector=None):
+    """Range search over the probed lists (faiss::IndexIVF::range_search
+    contract: exact within the nprobe-selected lists)."""
+    from ..ops.range import _ivf_range_chunk, empty_range_result
+    from ..ops.range import RangeSearchResult
+
+    self._require_trained()
+    xq = as_matrix(xq, self.d)
+    nq = xq.shape[0]
+    if nq == 0 or self.ntotal == 0:
+        return empty_range_result(nq)
+    nprobe = params.get_int("nprobe", self.nprobe_default)
+    nprobe_eff = max(1, min(int(nprobe), self.nlist))
+
+    storage, lmax, centroids, order = self._build_device()
+    offs, cnts = self._sorted_list_meta()
+    xb_sorted = storage[0] if isinstance(storage, tuple) else storage
+    if self.pq_m is not None:
+        # Decode-on-the-fly for PQ storage: reconstruct candidates from
+        # codes inside the chunk fn is not wired here; decode the probed
+        # candidates via the dense sorted codes path instead.
+        codes_sorted, assign_sorted, codebooks = storage
+        from ..ops.pq import codec_decode
+
+        # Materialize decoded rows chunk-wise would defeat compression;
+        # for range search (non-hot path) decode the full sorted corpus
+        # once on device.
+        resid = codec_decode(codes_sorted, codebooks, self.pq_codec)
+        xb_sorted = resid + centroids[assign_sorted]
+    elif self.sq_type is not None:
+        from ..ops.sq import sq_decode
+
+        _, vmin, scale = storage
+        xb_sorted = sq_decode(self._sq_codes_dev(), vmin, scale,
+                              self.sq_type)
+    nq_pad = max(config.min_query_bucket, next_pow2(nq))
+    xq_pad = jnp.asarray(pad_rows(xq, nq_pad))
+    probe_ids = _coarse_topk(xq_pad, centroids,
+                             jnp.asarray(self.metric_arg, jnp.float32),
+                             nprobe=nprobe_eff, metric=self.metric.name,
+                             precision=config.precision)
+    sim = self.metric.name in SIMILARITY_METRICS
+    labels_sorted = self._sorted_ids(order)
+    passing = (selector.contains(labels_sorted)
+               if selector is not None else None)
+    # Power-of-two chunk so it divides nq_pad (slices never shift).
+    budget = max(1, (1 << 22) // max(nprobe_eff * lmax, 1))
+    qc = 1
+    while qc * 2 <= min(budget, int(nq_pad)):
+        qc *= 2
+    marg = jnp.asarray(self.metric_arg, jnp.float32)
+    per_q_rows = [[] for _ in range(nq)]
+    per_q_dist = [[] for _ in range(nq)]
+    for q0 in range(0, nq, qc):
+        xq_c = jax.lax.dynamic_slice(
+            xq_pad, (min(q0, nq_pad - qc), 0), (qc, self.d))
+        pr_c = jax.lax.dynamic_slice(
+            probe_ids, (min(q0, nq_pad - qc), 0), (qc, nprobe_eff))
+        dist, cand = _ivf_range_chunk(
+            xb_sorted, offs, cnts, pr_c, xq_c,
+            marg, metric=self.metric.name, precision=config.precision,
+            lmax=lmax)
+        dist = np.asarray(dist)
+        cand = np.asarray(cand)
+        hit = (dist > radius) if sim else (dist < radius)
+        if passing is not None:
+            hit &= passing[np.clip(cand, 0, len(passing) - 1)] & \
+                (cand < len(passing))
+        for qi in range(min(qc, nq - q0)):
+            sel_idx = np.nonzero(hit[qi])[0]
+            if sel_idx.size:
+                rows = cand[qi, sel_idx]
+                per_q_rows[q0 + qi].append(labels_sorted[rows])
+                per_q_dist[q0 + qi].append(dist[qi, sel_idx])
+    lims = np.zeros((nq + 1,), np.int64)
+    lparts, dparts = [], []
+    for q in range(nq):
+        rows = (np.concatenate(per_q_rows[q]) if per_q_rows[q]
+                else np.empty((0,), np.int64))
+        ds = (np.concatenate(per_q_dist[q]) if per_q_dist[q]
+              else np.empty((0,), np.float32))
+        lims[q + 1] = lims[q] + rows.size
+        lparts.append(rows.astype(np.int64))
+        dparts.append(ds.astype(np.float32))
+    return RangeSearchResult(
+        lims,
+        np.concatenate(lparts) if lparts else np.empty((0,), np.int64),
+        np.concatenate(dparts) if dparts else np.empty((0,), np.float32))
+
+
+import jax  # noqa: E402
+
+def _ivf_range_search_outer(self, xq, radius, params=EMPTY, selector=None):
+    res = _ivf_range_search(self, xq, radius, params, selector)
+    if getattr(self, "soar_lambda", 0.0) <= 0.0:
+        return res
+    # SOAR duplicates rows across two lists: a label can appear twice in a
+    # query's CSR segment when both its lists were probed.  Keep the BEST
+    # duplicate (codec storages encode the two copies against different
+    # centroids, so their decoded distances differ).  One vectorized
+    # lexsort over the whole CSR; result order within a segment is
+    # unspecified, matching faiss::RangeSearchResult.
+    from ..ops.range import RangeSearchResult
+
+    nq = res.lims.shape[0] - 1
+    nres = res.labels.shape[0]
+    if nres == 0:
+        return res
+    qid = np.repeat(np.arange(nq, dtype=np.int64), np.diff(res.lims))
+    sim = self.metric.name in SIMILARITY_METRICS
+    dkey = -res.distances if sim else res.distances
+    order = np.lexsort((dkey, res.labels, qid))
+    q_s, l_s = qid[order], res.labels[order]
+    first = np.ones((nres,), bool)
+    first[1:] = (q_s[1:] != q_s[:-1]) | (l_s[1:] != l_s[:-1])
+    keep = order[first]
+    keep.sort()  # restore per-query grouping
+    counts = np.bincount(qid[keep], minlength=nq)
+    lims = np.zeros((nq + 1,), np.int64)
+    np.cumsum(counts, out=lims[1:])
+    return RangeSearchResult(lims, res.labels[keep], res.distances[keep])
+
+
+IVFIndex.range_search = _ivf_range_search_outer
+
+
+IVFIndex.search = search
+IVFIndex.search_dispatch = search_dispatch
+IVFIndex._dispatch_inner = _dispatch_inner
+# `search` is declared abstract on the Index base; attaching it after class
+# creation satisfies the contract but abc caches abstractness at creation —
+# clear it now that every abstract method is implemented.
+IVFIndex.__abstractmethods__ = frozenset()

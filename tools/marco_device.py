@@ -119,32 +119,45 @@ def main() -> None:
         nd, sel = jax.lax.top_k(-cat_d, k)
         return -nd, jnp.take_along_axis(cat_l, sel, axis=1)
 
-    t0 = time.time()
-    counts = np.zeros((args.nlist,), np.int64)
-    best_d = jnp.full((nq, k), np.inf, jnp.float32)
-    best_l = jnp.full((nq, k), -1, jnp.int32)
-    xq_dev = None
-    for i in range(nchunks):
-        m = chunk_rows(i)
-        x = gen_chunk(i, chunk)[:m]
-        if i == 0:
-            xq_dev = x[:nq]
-            xq = np.asarray(xq_dev)
-        a = np.asarray(_assign_chunk(x, cents,
-                                     jnp.float32(idx.metric_arg),
-                                     metric="L2", sim=False))
-        counts += np.bincount(a, minlength=args.nlist)
-        if not args.skip_gt:
-            best_d, best_l = gt_merge(xq_dev, x, jnp.int32(i * chunk),
-                                      best_d, best_l)
-        if (i + 1) % 16 == 0 or i == nchunks - 1:
-            print(f"  pass A {i + 1}/{nchunks} "
-                  f"({(i + 1) * chunk / (time.time() - t0):.0f} rows/s)",
-                  flush=True)
-    gt = np.asarray(best_l) if not args.skip_gt else None
+    import os
+
+    cache = (f"/root/repo/.marco_passA_n{n}_d{d}_s{args.seed}"
+             f"_c{args.clusters}_t{args.train_rows}_l{args.nlist}.npz")
+    if os.path.exists(cache):
+        z = np.load(cache)
+        counts, xq = z["counts"], z["xq"]
+        gt = z["gt"] if "gt" in z.files else None
+        print(f"pass A loaded from {cache}", flush=True)
+    else:
+        t0 = time.time()
+        counts = np.zeros((args.nlist,), np.int64)
+        best_d = jnp.full((nq, k), np.inf, jnp.float32)
+        best_l = jnp.full((nq, k), -1, jnp.int32)
+        xq_dev = None
+        for i in range(nchunks):
+            m = chunk_rows(i)
+            x = gen_chunk(i, chunk)[:m]
+            if i == 0:
+                xq_dev = x[:nq]
+                xq = np.asarray(xq_dev)
+            a = np.asarray(_assign_chunk(x, cents,
+                                         jnp.float32(idx.metric_arg),
+                                         metric="L2", sim=False))
+            counts += np.bincount(a, minlength=args.nlist)
+            if not args.skip_gt:
+                best_d, best_l = gt_merge(xq_dev, x, jnp.int32(i * chunk),
+                                          best_d, best_l)
+            if (i + 1) % 16 == 0 or i == nchunks - 1:
+                print(f"  pass A {i + 1}/{nchunks} "
+                      f"({(i + 1) * chunk / (time.time() - t0):.0f} rows/s)",
+                      flush=True)
+        gt = np.asarray(best_l) if not args.skip_gt else None
+        extra = {} if gt is None else {"gt": gt}
+        np.savez(cache, counts=counts, xq=xq, **extra)
+        print(f"pass A (counts+GT): {time.time() - t0:.1f}s (cached to "
+              f"{cache})", flush=True)
     cmax = int(counts.max())
-    print(f"pass A (counts+GT): {time.time() - t0:.1f}s; list counts "
-          f"avg {counts.mean():.0f} max {cmax}", flush=True)
+    print(f"list counts avg {counts.mean():.0f} max {cmax}", flush=True)
 
     # lmax: full padding if it fits the budget, else capped (spill holds
     # the overflow).
