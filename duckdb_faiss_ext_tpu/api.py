@@ -239,6 +239,7 @@ def faiss_train_device(data, name: str,
 def faiss_add_device(data, name: str, ids=None, *,
                      expected_total: int | None = None,
                      lmax: int | None = None,
+                     spill_capacity: int | None = None,
                      catalog: Catalog | None = None) -> None:
     """TPU-native extension (no reference analogue): ingest vectors that
     already live in device HBM (e.g. embeddings produced on the same chip)
@@ -261,7 +262,7 @@ def faiss_add_device(data, name: str, ids=None, *,
         elif entry.custom_labels != has_labels:
             raise errors.mixing_labels(with_labels_now=has_labels)
         entry.index.add_device(data, ids, expected_total=expected_total,
-                               lmax=lmax)
+                               lmax=lmax, spill_capacity=spill_capacity)
         entry.added = entry.index.ntotal
 
 

@@ -193,12 +193,16 @@ def ivf_train_device(self, x) -> None:
 
 
 def ivf_add_device(self, x, ids=None, *, expected_total: int | None = None,
-                   lmax: int | None = None) -> None:
+                   lmax: int | None = None,
+                   spill_capacity: int | None = None) -> None:
     """add()/add_with_ids() for vectors already in HBM.
 
     The first call fixes the padded list length: ``lmax`` explicitly, or
     ``choose_lmax`` of 2× the balanced list size for ``expected_total``
     rows (rows overflowing a list land in the spill region either way).
+    ``spill_capacity`` pre-sizes the spill buffer (callers who know the
+    exact overflow — e.g. from a counting pre-pass — avoid the 2×
+    headroom of its grow-by-doubling schedule).
     """
     self._require_trained()
     codec = _dr_codec(self)
@@ -235,6 +239,10 @@ def ivf_add_device(self, x, ids=None, *, expected_total: int | None = None,
         dtype = jnp.uint8 if codec is not None else jnp.float32
         self._dr = DeviceResidentState(self.nlist, lmax, width, dtype,
                                        with_rn=codec is not None)
+        if spill_capacity:
+            self._dr.spill_payload = jnp.zeros(
+                (max(4096, -(-int(spill_capacity) // 512) * 512), width),
+                dtype)
     dr = self._dr
     # Drop cached device tuples BEFORE the donating scatter below: a live
     # reference to the payload (e.g. from a search between adds) would

@@ -44,6 +44,14 @@ def main() -> None:
     ap.add_argument("--batches", default="48,256,1024")
     ap.add_argument("--chunk", type=int, default=65536)
     ap.add_argument("--clusters", type=int, default=8192)
+    ap.add_argument("--center-scale", type=float, default=1.0,
+                    help="cluster-center spread; 1.0 keeps inter/intra "
+                         "distance ratios realistic at high d (4.0 at "
+                         "d=1536 makes clusters pathologically separable "
+                         "and k-means collapses into mega-lists)")
+    ap.add_argument("--balance", type=float, default=1.0,
+                    help="kmeans_balance create param (skew-aware "
+                         "assignment; 0 disables)")
     ap.add_argument("--train-rows", type=int, default=262_144)
     ap.add_argument("--budget-gb", type=float, default=13.5,
                     help="HBM cap for the padded list payload")
@@ -65,7 +73,8 @@ def main() -> None:
     nchunks = -(-n // chunk)
     key = jax.random.PRNGKey(args.seed)
     kc, kq = jax.random.split(key)
-    centers = 4.0 * jax.random.normal(kc, (args.clusters, d), jnp.float32)
+    centers = args.center_scale * jax.random.normal(
+        kc, (args.clusters, d), jnp.float32)
 
     @functools.partial(jax.jit, static_argnames=("m",))
     def gen_chunk(i, m: int):
@@ -82,9 +91,12 @@ def main() -> None:
 
     name = "marco"
     desc = f"IVF{args.nlist},{args.storage}"
-    print(f"corpus {n}x{d} clustered({args.clusters}), index {desc}, "
-          f"device-resident", flush=True)
-    dfx.faiss_create(name, d, desc, metric_type="L2")
+    print(f"corpus {n}x{d} clustered({args.clusters}, scale "
+          f"{args.center_scale}), index {desc}, device-resident, "
+          f"balance {args.balance}", flush=True)
+    dfx.faiss_create_params(name, d, desc,
+                            {"kmeans_balance": str(args.balance)},
+                            metric_type="L2")
 
     # ---- train on device-generated rows ---------------------------------
     t0 = time.time()
@@ -122,7 +134,8 @@ def main() -> None:
     import os
 
     cache = (f"/root/repo/.marco_passA_n{n}_d{d}_s{args.seed}"
-             f"_c{args.clusters}_t{args.train_rows}_l{args.nlist}.npz")
+             f"_c{args.clusters}_t{args.train_rows}_l{args.nlist}"
+             f"_cs{args.center_scale}_b{args.balance}.npz")
     if os.path.exists(cache):
         z = np.load(cache)
         counts, xq = z["counts"], z["xq"]
@@ -165,11 +178,20 @@ def main() -> None:
 
     w = (sq_code_width(d, args.storage.lower())
          if args.storage.upper().startswith("SQ") else d * 4)
+    # Largest 512-multiple lmax whose padded payload PLUS the spill
+    # buffer's pow2 capacity fit the budget together (the spill buffer
+    # grows by doubling, so budget its capacity, not its row count).
     budget = int(args.budget_gb * (1 << 30))
-    lmax_budget = (budget // (args.nlist * w) // 512) * 512
-    lmax = min(choose_lmax(cmax), max(512, lmax_budget))
+    lmax = max(512, min(choose_lmax(cmax),
+                        (budget // (args.nlist * w) // 512) * 512))
+    while lmax > 512:
+        nspill = int(np.maximum(counts - lmax, 0).sum())
+        if args.nlist * lmax * w + (nspill + chunk) * w <= budget:
+            break
+        lmax -= 512
     nspill = int(np.maximum(counts - lmax, 0).sum())
-    print(f"layout: lmax {lmax} (budget cap {lmax_budget}), payload "
+    spill_cap = nspill + chunk          # chunk-local pow2 append headroom
+    print(f"layout: lmax {lmax}, payload "
           f"{args.nlist * lmax * w / 2**30:.2f} GiB, spill {nspill} rows "
           f"({100 * nspill / n:.2f}%)", flush=True)
 
@@ -178,7 +200,7 @@ def main() -> None:
     for i in range(nchunks):
         m = chunk_rows(i)
         x = gen_chunk(i, chunk)[:m]
-        dfx.faiss_add_device(x, name, lmax=lmax)
+        dfx.faiss_add_device(x, name, lmax=lmax, spill_capacity=spill_cap)
         if (i + 1) % 16 == 0 or i == nchunks - 1:
             el = time.time() - t0
             done = min((i + 1) * chunk, n)
@@ -204,16 +226,20 @@ def main() -> None:
         else:
             rec = float("nan")
         for b in batches:
-            q = xq[np.arange(b) % nq]
-            dfx.faiss_search(name, k, q, params)      # warm this shape
-            reps = 3
-            t0 = time.time()
-            for _ in range(reps):
-                dfx.faiss_search(name, k, q, params)
-            qps = reps * b / (time.time() - t0)
-            print(f"qps b{b} nprobe={nprobe}: {qps:.1f}  "
-                  f"(recall@10 {rec:.3f}, self-hit@1 {self_hit:.3f})",
-                  flush=True)
+            try:
+                q = xq[np.arange(b) % nq]
+                dfx.faiss_search(name, k, q, params)  # warm this shape
+                reps = 3
+                t0 = time.time()
+                for _ in range(reps):
+                    dfx.faiss_search(name, k, q, params)
+                qps = reps * b / (time.time() - t0)
+                print(f"qps b{b} nprobe={nprobe}: {qps:.1f}  "
+                      f"(recall@10 {rec:.3f}, self-hit@1 {self_hit:.3f})",
+                      flush=True)
+            except Exception as e:                    # one OOM shape must
+                print(f"qps b{b} nprobe={nprobe}: FAILED "
+                      f"{type(e).__name__}", flush=True)  # not kill the run
         # pipelined serving (single-fetch batched tier)
         qbig = xq[np.arange(2048) % nq]
         dfx.faiss_search_batched(name, k, qbig, params, batch_size=256)
