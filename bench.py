@@ -1,12 +1,17 @@
 """Headline benchmark: Flat exact search QPS/chip at SIFT1M scale.
 
-Workload: BASELINE.json config 2 — corpus 1M × 128-dim fp32, query batch 48,
-k=10, fused distance+top-k through the public API (the reference's hot path,
+Workload: BASELINE.json config 2 — corpus 1M × 128-dim fp32 (CLUSTERED,
+harness.datasets.synthetic_dataset, queries drawn near corpus clusters so
+the supplementary IVF recall@10 is meaningful — a uniform-random corpus
+makes any ANN recall number meaningless), query batch 48, k=10, fused
+distance+top-k through the public API (the reference's hot path,
 Index::search via src/faiss_extension.cpp:629-638).
 
-Prints ONE JSON line to stdout: {"metric", "value", "unit", "vs_baseline"}.
-Supplementary numbers (large-batch QPS, IVF QPS/recall, build rate) go to
-stderr.
+Prints ONE JSON line to stdout: {"metric", "value", "unit", "vs_baseline"}
+plus supplementary fields {"pipelined_qps", "ivf_qps", "ivf_recall"} so the
+recorded artifact carries the serving-path and ANN numbers, not only the
+RTT-floored synchronous b48 point.  Details (large-batch QPS, build-rate
+decomposition) go to stderr.
 
 vs_baseline: ratio against a CPU brute-force stand-in for the reference's
 FAISS-CPU path (BLAS sgemm + partial select via numpy), measured on this
@@ -114,22 +119,38 @@ def measure_tpu(xb, xq, xq_big):
     # Supplementary only — skip when the relay is slow (upload speed varies
     # 10x between days) so the headline JSON always lands within the
     # driver's budget.
+    qps_ivf = recall = None
     if time.perf_counter() - start > 300:
         log(f"ivf bench skipped: headline took "
             f"{time.perf_counter() - start:.0f}s (slow relay)")
-        return qps48
+        return qps48, qps_pipe, qps_ivf, recall
     try:
         dfx.faiss_create("bench_ivf", D, "IVF4096,Flat", metric_type="L2",
                          catalog=cat)
         t0 = time.perf_counter()
         dfx.faiss_manual_train(xb[:262_144], "bench_ivf", catalog=cat)
-        log(f"ivf train (4096 lists, 262k rows): "
-            f"{time.perf_counter()-t0:.1f}s")
+        t_train = time.perf_counter() - t0
+        # Decomposed ingest accounting (the round-1 "6.8k vs 80k vec/s"
+        # spread): t_add = coarse assignment + host bookkeeping; t_build =
+        # layout build + payload upload + first-search compiles.  The
+        # payload is ~2× the flat corpus bytes, so on a slow-relay day the
+        # build leg dominates and scales with upload MB/s, not engine work.
         t0 = time.perf_counter()
         dfx.faiss_add(xb, "bench_ivf", catalog=cat)
+        t_add = time.perf_counter() - t0
+        t0 = time.perf_counter()
         dfx.faiss_search("bench_ivf", K, xq[:8], {"nprobe": "64"},
                          catalog=cat)
-        log(f"ivf add+build: {N/(time.perf_counter()-t0):.0f} vectors/s")
+        t_build = time.perf_counter() - t0
+        idx = cat.get("bench_ivf").index
+        dev = getattr(idx, "_device_pallas", None)
+        payload_mb = (dev[0].nbytes / 2**20) if dev else 0.0
+        log(f"ivf train (4096 lists, 262k rows): {t_train:.1f}s; "
+            f"assign+ingest {N/t_add:.0f} vec/s ({t_add:.1f}s); "
+            f"layout build+upload {t_build:.1f}s "
+            f"({payload_mb:.0f} MB payload → "
+            f"{payload_mb / max(t_build, 1e-9):.0f} MB/s incl. compile); "
+            f"combined {N/(t_add+t_build):.0f} vec/s")
         qps_ivf = bench_api(dfx, cat, "bench_ivf", xq, {"nprobe": "64"})
         rf = dfx.faiss_search("bench", K, xq, catalog=cat)
         ri = dfx.faiss_search("bench_ivf", K, xq, {"nprobe": "64"},
@@ -138,11 +159,11 @@ def measure_tpu(xb, xq, xq_big):
             len(set(ri["label"][q]) & set(rf["label"][q])) / K
             for q in range(BATCH)]))
         log(f"ivf qps b{BATCH} nprobe=64: {qps_ivf:.1f} (recall@10 "
-            f"{recall:.3f})")
+            f"{recall:.3f}, clustered corpus)")
     except Exception as e:  # noqa: BLE001 — supplementary only
         log(f"ivf bench skipped: {type(e).__name__}: {e}")
 
-    return qps48
+    return qps48, qps_pipe, qps_ivf, recall
 
 
 def measure_cpu_baseline():
@@ -193,12 +214,12 @@ def main():
             log("device unresponsive after retries and no cached "
                 "measurement; aborting bench (no JSON line)")
             return 1
-    rng = np.random.default_rng(42)
-    xb = rng.standard_normal((N, D), dtype=np.float32)
-    xq = rng.standard_normal((BATCH, D), dtype=np.float32)
-    xq_big = rng.standard_normal((BIG_BATCH, D), dtype=np.float32)
+    from duckdb_faiss_ext_tpu.harness.datasets import synthetic_dataset
 
-    tpu_qps = measure_tpu(xb, xq, xq_big)
+    xb, xq_all = synthetic_dataset(N, D, nq=BATCH + BIG_BATCH, seed=42)
+    xq, xq_big = xq_all[:BATCH], xq_all[BATCH:]
+
+    tpu_qps, qps_pipe, qps_ivf, recall = measure_tpu(xb, xq, xq_big)
     cpu_qps = measure_cpu_baseline()
     log(f"cpu baseline qps (scaled): {cpu_qps:.1f}")
     line = {
@@ -206,6 +227,9 @@ def main():
         "value": round(tpu_qps, 2),
         "unit": "queries/s/chip",
         "vs_baseline": round(tpu_qps / cpu_qps, 3),
+        "pipelined_qps": round(qps_pipe, 1) if qps_pipe else None,
+        "ivf_qps": round(qps_ivf, 1) if qps_ivf else None,
+        "ivf_recall": round(recall, 3) if recall is not None else None,
     }
     print(json.dumps(line))
     try:

@@ -49,15 +49,17 @@ from .ivf import IVFIndex
 class DeviceResidentState:
     """Device arrays + host bookkeeping for a device-resident IVF layout."""
 
-    __slots__ = ("lmax", "payload", "rn_layout", "row_pos", "counts",
-                 "slot", "spill_payload", "spill_assign", "spill_pos",
-                 "spill_n", "version")
+    __slots__ = ("lmax", "payload", "rn_layout", "rs_layout", "row_pos",
+                 "counts", "slot", "spill_payload", "spill_assign",
+                 "spill_pos", "spill_n", "version")
 
     def __init__(self, nlist: int, lmax: int, width: int, dtype,
                  with_rn: bool):
         self.lmax = int(lmax)
         self.payload = jnp.zeros((nlist, lmax, width), dtype)
         self.rn_layout = (jnp.zeros((nlist, lmax), jnp.float32)
+                          if with_rn else None)
+        self.rs_layout = (jnp.zeros((nlist, lmax), jnp.float32)
                           if with_rn else None)
         self.row_pos = np.full((nlist, lmax), -1, np.int32)  # host
         self.counts = np.zeros((nlist,), np.int64)           # host, FULL
@@ -79,14 +81,16 @@ def _encode_chunk(x, vmin, scale, *, codec: str, levels: int):
     device (same quantization as ops/sq.py::sq_quantize + sq4_pack)."""
     q = jnp.clip(jnp.round((x - vmin[None, :]) / scale[None, :]),
                  0, levels).astype(jnp.uint8)
-    rn = jnp.sum(jnp.square(q.astype(jnp.float32) * scale[None, :]), axis=1)
+    qf = q.astype(jnp.float32)
+    rn = jnp.sum(jnp.square(qf * scale[None, :]), axis=1)
+    rs = jnp.sum(qf, axis=1)        # raw code sum (recentred int8 scans)
     if codec == "sq4":
         if x.shape[1] % 2:
             q = jnp.pad(q, ((0, 0), (0, 1)))
         packed = q[:, 0::2] | (q[:, 1::2] << 4)
     else:                                    # sq8
         packed = q
-    return packed, rn
+    return packed, rn, rs
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "sim"))
@@ -101,11 +105,13 @@ def _assign_chunk(x, cents, metric_arg, *, metric: str, sim: bool):
     return best.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1))
-def _scatter_sq(payload, rn_layout, lists_idx, slots_idx, rows, rn):
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _scatter_sq(payload, rn_layout, rs_layout, lists_idx, slots_idx, rows,
+                rn, rs):
     payload = payload.at[lists_idx, slots_idx].set(rows)
     rn_layout = rn_layout.at[lists_idx, slots_idx].set(rn)
-    return payload, rn_layout
+    rs_layout = rs_layout.at[lists_idx, slots_idx].set(rs)
+    return payload, rn_layout, rs_layout
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -267,10 +273,10 @@ def ivf_add_device(self, x, ids=None, *, expected_total: int | None = None,
     # 2. encode on device.
     if codec is not None:
         vmin, scale = self._sq_ranges()
-        rows, rn = _encode_chunk(x, vmin, scale, codec=codec,
-                                 levels=SQ_LEVELS[codec])
+        rows, rn, rs = _encode_chunk(x, vmin, scale, codec=codec,
+                                     levels=SQ_LEVELS[codec])
     else:
-        rows, rn = x, None
+        rows, rn, rs = x, None, None
 
     # 3. slot planning on host (pure int bookkeeping, same rank logic as
     #    _build_list_layout): slot = running count + rank within chunk.
@@ -295,8 +301,9 @@ def ivf_add_device(self, x, ids=None, *, expected_total: int | None = None,
         si = jnp.asarray(slot[kpad].astype(np.int32))
         kdev = jnp.asarray(kpad)
         if codec is not None:
-            dr.payload, dr.rn_layout = _scatter_sq(
-                dr.payload, dr.rn_layout, li, si, rows[kdev], rn[kdev])
+            dr.payload, dr.rn_layout, dr.rs_layout = _scatter_sq(
+                dr.payload, dr.rn_layout, dr.rs_layout, li, si,
+                rows[kdev], rn[kdev], rs[kdev])
         else:
             dr.payload = _scatter_flat(dr.payload, li, si, rows[kdev])
         dr.row_pos[assign[kidx], slot[kidx]] = (row_base
@@ -351,7 +358,7 @@ def dr_build_device_pallas(self):
            jnp.asarray(self._centroids))
     if self.sq_type is not None:
         vmin, scale = self._sq_ranges()
-        dev += (dr.rn_layout, vmin, scale)
+        dev += (dr.rn_layout, dr.rs_layout, vmin, scale)
     self._device_pallas = dev
     if dr.spill_n:
         scap = dr.spill_payload.shape[0]

@@ -30,22 +30,23 @@ def _sq_codes_dev(self):
     self._sq_dev_cache = (self._version, dev)
     return dev
 
-def _ivf_sq_row_norm(self):
-    """Per-sorted-row Σ(scale·c)² fp32 (cap,) for the int8 IVF scan
-    (ops/ivf_scan.py::ivf_sq_int8_search), which reads the SAME packed
-    device code buffer as the decode path — this is its only extra
+def _ivf_sq_row_extras(self):
+    """Per-sorted-row (Σ(scale·c)², Σc) fp32 (cap,) pair for the int8 IVF
+    scan (ops/ivf_scan.py::ivf_sq_int8_search), which reads the SAME
+    packed device code buffer as the decode path — this is its only extra
     state.  Cached per version, aligned with _build_device's order."""
     cached = getattr(self, "_int8_cache", None)
     if cached is not None and cached[0] == self._version:
         return cached[1]
-    from ..ops.sq import sq_row_norms
+    from ..ops.sq import sq_row_norms, sq_row_sums
 
     storage, _, _, order = self._build_device()
     cap = storage[0].shape[0]
     n = self._nstored
     codes = self._codes[order] if n else self._codes   # (n, w) packed
     rn = sq_row_norms(codes, self._sq_scale, self.d, self.sq_type)
-    state = jnp.asarray(pad_rows(rn, cap))
+    rs = sq_row_sums(codes, self.d, self.sq_type)
+    state = (jnp.asarray(pad_rows(rn, cap)), jnp.asarray(pad_rows(rs, cap)))
     self._int8_cache = (self._version, state)
     return state
 
@@ -101,13 +102,14 @@ def _pallas_plan(self):
     if self.metric.name not in ("L2", "INNER_PRODUCT"):
         return None
     if self.sq_type is not None:
-        # SQ8/SQ4 have the fused int8 DMA kernel (SQ4 scores its two
-        # nibble planes in-kernel; + SQ-aware spill scan for capped
-        # layouts); SQ6's 3-byte bit-sliced unpack needs int8 reshapes
-        # Mosaic rejects, so it runs the XLA decode+gather scan.
+        # SQ8/SQ4/SQ6 have the fused int8 DMA kernel (SQ4 scores its two
+        # nibble planes in-kernel, SQ6 its four 6-bit planes from the
+        # plane-major payload; + SQ-aware spill scan for capped layouts).
+        # Float SQ codecs run the XLA decode+gather scan.
         from ..utils.config import sq_int8_active
 
-        if self.sq_type not in ("sq8", "sq4") or not sq_int8_active():
+        if self.sq_type not in ("sq8", "sq4", "sq6") or \
+                not sq_int8_active():
             return None
     mode = config.kernel_mode
     if not (mode == "pallas" or (mode == "auto" and on_tpu())):
@@ -205,13 +207,27 @@ def _build_device_pallas(self):
         # (nlist, lmax) layout via row_pos, plus the decode ranges.
         from ..ops.sq import sq_row_norms
 
+        from ..ops.sq import sq_row_sums
+
         rn = sq_row_norms(self._codes, self._sq_scale, self.d,
                           self.sq_type)
+        rs = sq_row_sums(self._codes, self.d, self.sq_type)
         rn_layout = np.zeros(row_pos.shape, np.float32)
+        rs_layout = np.zeros(row_pos.shape, np.float32)
         valid = row_pos >= 0
         rn_layout[valid] = rn[row_pos[valid]]
+        rs_layout[valid] = rs[row_pos[valid]]
         vmin, scale = self._sq_ranges()
-        extra = (jnp.asarray(rn_layout), vmin, scale)
+        extra = (jnp.asarray(rn_layout), jnp.asarray(rs_layout), vmin,
+                 scale)
+        if self.sq_type == "sq6":
+            # Plane-major payload for the SQ6 kernel: byte b of every
+            # 3-byte group in plane b — (nlist, 3, lmax, ceil(d/4))
+            # (ops/pallas_ivf.py::_sq_scan_kernel sq6 branch).
+            nlist, lmax, w = payload.shape
+            payload = np.ascontiguousarray(
+                payload.reshape(nlist, lmax, w // 3, 3)
+                .transpose(0, 3, 1, 2))
     else:
         extra = ()
     self._device_pallas = (
@@ -382,7 +398,7 @@ IVFIndex.PALLAS_LAYOUT_BUDGET_BYTES = PALLAS_LAYOUT_BUDGET_BYTES
 IVFIndex.PALLAS_SMEM_PROBE_INTS = PALLAS_SMEM_PROBE_INTS
 IVFIndex.SPILL_FRACTION_MAX = SPILL_FRACTION_MAX
 IVFIndex._sq_codes_dev = _sq_codes_dev
-IVFIndex._ivf_sq_row_norm = _ivf_sq_row_norm
+IVFIndex._ivf_sq_row_extras = _ivf_sq_row_extras
 IVFIndex._counts = _counts
 IVFIndex._counts_max = _counts_max
 IVFIndex._pallas_plan = _pallas_plan

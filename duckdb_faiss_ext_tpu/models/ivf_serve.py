@@ -104,7 +104,9 @@ def _dispatch_inner(self, xq, k, params=EMPTY, selector=None):
             64 * nprobe_eff <= self.PALLAS_SMEM_PROBE_INTS:
         dev = self._build_device_pallas()
         payload, counts, row_pos, cents_dev = dev[:4]
-        lmax = payload.shape[1]
+        # sq6 payloads are plane-major (nlist, 3, lmax, d4); others
+        # (nlist, lmax, w).
+        lmax = payload.shape[2] if payload.ndim == 4 else payload.shape[1]
         spill = getattr(self, "_device_spill", None)
         # Spill rows are extra candidates beyond the capped padded
         # layout: k_eff must count them or k > nprobe·lmax truncates
@@ -141,11 +143,12 @@ def _dispatch_inner(self, xq, k, params=EMPTY, selector=None):
             if self.sq_type is not None:
                 from ..ops.pallas_ivf import pallas_ivf_sq_search
 
-                rn_layout, vmin, scale = dev[4], dev[5], dev[6]
+                rn_layout, rs_layout, vmin, scale = dev[4:8]
                 k_scan = min(nprobe_eff * lmax,
                              max(4 * k_kernel, k_kernel + 32))
                 return pallas_ivf_sq_search(
-                    payload, rn_layout, counts, row_pos, vmin, scale,
+                    payload, rn_layout, rs_layout, counts, row_pos, vmin,
+                    scale,
                     probe_b, xq_b, mask_b,
                     k=k_kernel, k_scan=k_scan, nprobe=nprobe_eff,
                     metric=self.metric.name, codec=self.sq_type,
@@ -172,8 +175,8 @@ def _dispatch_inner(self, xq, k, params=EMPTY, selector=None):
                        if selector is not None else None)
             sq_kw = {}
             if self.sq_type is not None:
-                sq_kw = dict(sq=self.sq_type, sq_vmin=dev[5],
-                             sq_scale=dev[6])
+                sq_kw = dict(sq=self.sq_type, sq_vmin=dev[6],
+                             sq_scale=dev[7])
             sp_scores, sp_positions = ivf_spill_scan(
                 sp_payload, sp_assign, sp_pos, cents_dev,
                 dev[4] if self.pq_m is not None else None,
@@ -213,11 +216,11 @@ def _dispatch_inner(self, xq, k, params=EMPTY, selector=None):
                 and sq_int8_active()):
             from ..ops.ivf_scan import ivf_sq_int8_search
 
-            rn = self._ivf_sq_row_norm()
+            rn, rs = self._ivf_sq_row_extras()
             k_scan = min(nprobe_eff * lmax,
                          max(4 * k_eff, k_eff + 32))
             scores, pos = ivf_sq_int8_search(
-                self._sq_codes_dev(), rn, offs, cnts,
+                self._sq_codes_dev(), rn, rs, offs, cnts,
                 centroids, vmin, scale, xq_pad, mask,
                 jnp.asarray(self.metric_arg, jnp.float32),
                 k=k_eff, k_scan=k_scan, nprobe=nprobe_eff,

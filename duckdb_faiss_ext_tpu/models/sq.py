@@ -118,18 +118,21 @@ class SQIndex(Index):
         self._int8_state = None
         self._mask_cache.clear()
 
-    def _row_norm_dev(self):
-        """Per-row Σ(scale·c)² fp32 (cap,) for the int8 MXU scan, which
-        reads the SAME packed device code buffer as the decode path (see
-        ops/sq.py::sq_int8_search) — this is its only extra state."""
+    def _int8_rows_dev(self):
+        """Per-row (Σ(scale·c)², Σc) fp32 (cap,) pair for the int8 MXU
+        scan, which reads the SAME packed device code buffer as the decode
+        path (see ops/sq.py::sq_int8_search) — this is its only extra
+        state."""
         cached = getattr(self, "_int8_state", None)
         if cached is not None:
             return cached
-        from ..ops.sq import sq_row_norms
+        from ..ops.sq import sq_row_norms, sq_row_sums
 
         cap = self._capacity()
         rn = sq_row_norms(self._codes, self._scale, self.d, self.codec)
-        self._int8_state = jnp.asarray(pad_rows(rn, cap))
+        rs = sq_row_sums(self._codes, self.d, self.codec)
+        self._int8_state = (jnp.asarray(pad_rows(rn, cap)),
+                            jnp.asarray(pad_rows(rs, cap)))
         return self._int8_state
 
     def _capacity(self) -> int:
@@ -215,10 +218,11 @@ class SQIndex(Index):
             from ..ops.sq import sq_int8_search
 
             codes_dev, vmin, scale = self._device_state()  # shared buffer
-            rn = self._row_norm_dev()
+            rn, rs = self._int8_rows_dev()
             k_scan = min(cap, max(4 * k_eff, k_eff + 32))
             scores, pos = sq_int8_search(
-                codes_dev, rn, jnp.int32(self.ntotal), vmin, scale, xq_pad,
+                codes_dev, rn, rs, jnp.int32(self.ntotal), vmin, scale,
+                xq_pad,
                 mask, jnp.asarray(self.metric_arg, jnp.float32),
                 k=k_eff, k_scan=k_scan, metric=self.metric.name,
                 chunk=chunk, codec=self.codec)

@@ -313,6 +313,7 @@ def ivf_spill_scan(spill_payload, spill_assign, spill_pos, centroids,
     """
     nq = xq.shape[0]
     nlist = centroids.shape[0]
+    s_pad, w = spill_payload.shape
     sim = metric in SIMILARITY_METRICS
 
     # Probed-list membership: one-hot scatter (nq, nlist) then a column
@@ -320,35 +321,70 @@ def ivf_spill_scan(spill_payload, spill_assign, spill_pos, centroids,
     onehot = jnp.zeros((nq, nlist), jnp.bool_)
     qidx = lax.broadcasted_iota(jnp.int32, probe_ids.shape, 0)
     onehot = onehot.at[qidx, probe_ids].set(True)
-    probed = jnp.take(onehot, spill_assign, axis=1)        # (nq, s_pad)
 
     if pq:
-        from .pq import codec_decode
-
-        xc = codec_decode(spill_payload, codebooks, codec) \
-            + centroids[spill_assign]
+        d = codebooks.shape[0] * codebooks.shape[2]
     elif sq is not None:
-        from .sq import sq_decode
-
-        xc = sq_decode(spill_payload, sq_vmin, sq_scale, sq)  # non-residual
+        d = sq_vmin.shape[0]
     else:
-        xc = spill_payload
-    dist = pairwise_tile(xq, xc, metric, metric_arg, precision)
-    valid = jnp.logical_and(probed, (spill_pos >= 0)[None, :])
-    if mask is not None:
-        valid = jnp.logical_and(valid, mask[None, :])
-    score = dist if sim else -dist
-    score = jnp.where(valid, score, _NEG_INF)
-    # Fast-mode exact rerank (Flat/decoded rows, MXU metrics): the spill
-    # top-k is merged against the Pallas padded scan, which scores in fp32
-    # — a bf16 spill side would mix score precisions in the merge.  Same
-    # widened top-k + HIGHEST re-score as ivf_search's in-chunk rerank.
+        d = w
+
+    def decode(chunk_payload, chunk_assign):
+        if pq:
+            from .pq import codec_decode
+
+            return codec_decode(chunk_payload, codebooks, codec) \
+                + centroids[chunk_assign]
+        if sq is not None:
+            from .sq import sq_decode
+
+            return sq_decode(chunk_payload, sq_vmin, sq_scale, sq)
+        return chunk_payload
+
+    # Chunk the scan so the decoded fp32 tile stays bounded — a 5M-row SQ
+    # spill decoded in one piece is a 30 GB allocation (observed at the
+    # 8.8M x 1536 MARCO shape); a large spill region is otherwise valid.
     mxu = metric in ("INNER_PRODUCT", "L2")
     rerank = (not pq) and mxu and precision != lax.Precision.HIGHEST
-    k_scan = min(score.shape[1], max(2 * k, k + 16)) if rerank else k
-    best, sel = lax.top_k(score, k_scan)
+    k_scan = min(s_pad, max(2 * k, k + 16)) if rerank else min(k, s_pad)
+    sc = 1 << max(12, min(25 - max(d, 1).bit_length(), 20))
+    while s_pad % sc and sc > 1:
+        sc //= 2
+
+    def body(i, carry):
+        best_s, best_i = carry
+        start = i * sc
+        pl = lax.dynamic_slice(spill_payload, (start, 0), (sc, w))
+        asg = lax.dynamic_slice(spill_assign, (start,), (sc,))
+        pos_c = lax.dynamic_slice(spill_pos, (start,), (sc,))
+        xc = decode(pl, asg)
+        dist = pairwise_tile(xq, xc, metric, metric_arg, precision)
+        probed = jnp.take(onehot, asg, axis=1)             # (nq, sc)
+        valid = jnp.logical_and(probed, (pos_c >= 0)[None, :])
+        if mask is not None:
+            mc = lax.dynamic_slice(mask, (start,), (sc,))
+            valid = jnp.logical_and(valid, mc[None, :])
+        score = dist if sim else -dist
+        score = jnp.where(valid, score, _NEG_INF)
+        slot = start + lax.broadcasted_iota(jnp.int32, (1, sc), 1)
+        cat_s = jnp.concatenate([best_s, score], axis=1)
+        cat_i = jnp.concatenate(
+            [best_i, jnp.broadcast_to(slot, (nq, sc))], axis=1)
+        new_s, sel = lax.top_k(cat_s, k_scan)
+        return new_s, jnp.take_along_axis(cat_i, sel, axis=1)
+
+    init = (jnp.full((nq, k_scan), _NEG_INF, jnp.float32),
+            jnp.full((nq, k_scan), -1, jnp.int32))
+    best, sel = lax.fori_loop(0, s_pad // sc, body, init)
+
     if rerank:
-        xs = xc[sel]                                       # (nq, k_scan, d)
+        # Fast-mode exact rerank (Flat/decoded rows, MXU metrics): the
+        # spill top-k merges against the Pallas padded scan, which scores
+        # fp32 — a bf16 spill side would mix score precisions.  Re-decode
+        # only the selected rows and re-score at HIGHEST.
+        safe = jnp.maximum(sel, 0)
+        xs = decode(spill_payload[safe.reshape(-1)],
+                    spill_assign[safe.reshape(-1)]).reshape(nq, k_scan, d)
         xy2 = jnp.einsum("qd,qcd->qc", xq, xs,
                          precision=lax.Precision.HIGHEST,
                          preferred_element_type=jnp.float32)
@@ -361,7 +397,10 @@ def ivf_spill_scan(spill_payload, spill_assign, spill_pos, centroids,
         s2 = jnp.where(jnp.isneginf(best), _NEG_INF, s2)
         best, sel2 = lax.top_k(s2, k)
         sel = jnp.take_along_axis(sel, sel2, axis=1)
-    pos = jnp.take(spill_pos, sel)
+    elif k_scan > k:
+        best, sel2 = lax.top_k(best, k)
+        sel = jnp.take_along_axis(sel, sel2, axis=1)
+    pos = jnp.take(spill_pos, jnp.maximum(sel, 0))
     pos = jnp.where(jnp.isneginf(best), -1, pos)
     return best, pos
 
@@ -470,6 +509,7 @@ def ivf_sq_search(
 def ivf_sq_int8_search(
     codes,         # (cap, w) packed uint8 sorted SQ codes (shared buffer)
     row_norm,      # (cap,) fp32: Σ_d (scale_d c_d)² per sorted row
+    row_sum,       # (cap,) fp32: Σ_d c_d (raw code sum) per sorted row
     offsets,       # (nlist,) int32 list starts in the sorted buffer
     counts,        # (nlist,) int32 list sizes
     centroids,     # (nlist, d) fp32 (coarse assignment only)
@@ -491,12 +531,13 @@ def ivf_sq_int8_search(
     """Int8-MXU IVF scan over SQ8/SQ4/SQ6 storage (L2 / INNER_PRODUCT):
     the gathered candidate tile stays packed uint8 (1 B or less per dim vs
     the decode path's fp32), unpacks to shifted int8 in-register, and the
-    batched dot runs the MXU's int8 mode; per-query symmetric quantization
-    is the only approximation and the final decode+fp32 rerank of the
-    widened top-k removes it (see ops/sq.py::sq_int8_search for the
-    algebra — IVF,SQ* stores codes non-residual, so scoring is
-    identical)."""
-    from .sq import SQ_INT8_SHIFT, sq_decode, sq_unpack_i8
+    batched dots run the MXU's int8 mode; the query side is the recentred
+    two-digit quantization of sq_query_digits (15-bit effective — a
+    single digit's noise swamps clustered corpora's distance gaps) and
+    the final decode+fp32 rerank of the widened top-k restores exact
+    distances (see ops/sq.py::sq_int8_search for the algebra — IVF,SQ*
+    stores codes non-residual, so scoring is identical)."""
+    from .sq import SQ_INT8_SHIFT, sq_decode, sq_query_digits, sq_unpack_i8
 
     nq, d = xq.shape
     nlist = centroids.shape[0]
@@ -513,6 +554,7 @@ def ivf_sq_int8_search(
     ncand = nprobe * L
     maskbuf = mask[:, None] if mask is not None else None
     rnbuf = row_norm[:, None]
+    rsbuf = row_sum[:, None]
     if sim:
         u = xq * scale[None, :]
         base = xq @ vmin
@@ -520,17 +562,17 @@ def ivf_sq_int8_search(
         t = xq - vmin[None, :]
         u = t * scale[None, :]
         base = jnp.sum(t * t, axis=1)
-    su = jnp.maximum(jnp.max(jnp.abs(u), axis=1), 1e-30) / 127.0
-    ui = jnp.clip(jnp.round(u / su[:, None]), -127, 127).astype(jnp.int8)
-    sum_u = jnp.sum(u, axis=1)
+    hi, lo, su2, mu, sum_ut = sq_query_digits(u)
 
     def scan_chunk(i, carry):
         best_s, best_p = carry
         q0 = i * q_chunk
         xq_c = lax.dynamic_slice(xq, (q0, 0), (q_chunk, d))
-        ui_c = lax.dynamic_slice(ui, (q0, 0), (q_chunk, d))
-        su_c = lax.dynamic_slice(su, (q0,), (q_chunk,))
-        sumu_c = lax.dynamic_slice(sum_u, (q0,), (q_chunk,))
+        hi_c = lax.dynamic_slice(hi, (q0, 0), (q_chunk, d))
+        lo_c = lax.dynamic_slice(lo, (q0, 0), (q_chunk, d))
+        su2_c = lax.dynamic_slice(su2, (q0,), (q_chunk,))
+        mu_c = lax.dynamic_slice(mu, (q0,), (q_chunk,))
+        sumut_c = lax.dynamic_slice(sum_ut, (q0,), (q_chunk,))
         base_c = lax.dynamic_slice(base, (q0,), (q_chunk,))
         probes_c = lax.dynamic_slice(probe_ids, (q0, 0), (q_chunk, nprobe))
         packed, pos, valid = slice_probed_lists(codes, offsets, counts,
@@ -539,10 +581,16 @@ def ivf_sq_int8_search(
         valid = valid.reshape(q_chunk, ncand)
         xc8 = sq_unpack_i8(packed.reshape(-1, w), d,
                            codec).reshape(q_chunk, ncand, d)
-        dot = jnp.einsum("qd,qcd->qc", ui_c, xc8,
-                         preferred_element_type=jnp.int32)
-        uc = (su_c[:, None] * dot.astype(jnp.float32)
-              + shift * sumu_c[:, None])
+        dot_hi = jnp.einsum("qd,qcd->qc", hi_c, xc8,
+                            preferred_element_type=jnp.int32)
+        dot_lo = jnp.einsum("qd,qcd->qc", lo_c, xc8,
+                            preferred_element_type=jnp.int32)
+        rs, _, _ = slice_probed_lists(rsbuf, offsets, counts,
+                                      probes_c, lmax=L)
+        uc = (su2_c[:, None] * (128.0 * dot_hi.astype(jnp.float32)
+                                + dot_lo.astype(jnp.float32))
+              + shift * sumut_c[:, None]
+              + mu_c[:, None] * rs.reshape(q_chunk, ncand))
         if sim:
             score = base_c[:, None] + uc
         else:

@@ -302,33 +302,51 @@ def pallas_ivf_pq_search(
 def _sq_scan_kernel(pids_ref, counts_ref, ui_ref, qs_ref, *rest,
                     nprobe: int, metric: str, ways: int, has_mask: bool,
                     codec: str):
-    """Int8 list scan for SQ8/SQ4 payloads: per probed list block, int8 MXU
-    dot(s) against the pre-quantized query row; scores reconstructed fp32
-    via the per-query scalars (su, shift·Σu, base).
+    """Int8 list scan for SQ8/SQ4/SQ6 payloads: per probed list block,
+    int8 MXU dots against the pre-quantized query digits; scores
+    reconstructed fp32 via the per-query scalars (su2, shift·Σũ, base, μ)
+    and the per-row code sum (the recentred two-digit scheme of
+    ops/sq.py::sq_query_digits — a single int8 digit's noise swamps
+    clustered corpora's distance gaps):
 
-    SQ8: u·c = u·c' + 128·Σu ≈ su·(ui·c') + 128·Σu  with c' = c − 128 ≡
-    c⊕0x80 (two's-complement reinterpretation, a pure bitwise VPU op).
+        u·c = su2·(128·(hi·c') + lo·c') + shift·Σũ + μ·Σc
+
+    SQ8: c' = c − 128 ≡ c⊕0x80 (two's-complement reinterpretation, a
+    pure bitwise VPU op).
     SQ4: nibbles 0..15 fit int8 directly (no shift; qscal[1] = 0) — the
     query splits into even/odd dims outside the kernel and the score is
     two dots, one against each nibble plane (byte j of a row packs dims
     2j low / 2j+1 high, ops/sq.py::sq_unpack_i8) — no int8 reshapes,
-    which Mosaic rejects."""
+    which Mosaic rejects.
+
+    SQ6: the packed row layout (4 codes per 3 bytes) cannot be bit-sliced
+    in-kernel without 8-bit reshapes, so its payload is stored PLANE-MAJOR
+    — (nlist, 3, lmax, ceil(d/4)) with byte b of every 3-byte group in
+    plane b — and each block arrives as (3, lmax, d4).  The four 6-bit
+    codes of a group come out of the three planes with the same
+    widen-shift-truncate ops as SQ4, each shaped (lmax, d4), and the
+    score is four dots against the four query dim-planes (dims x::4).
+    Codes 0..63 fit int8 directly (qscal[1] = 0)."""
     list_refs = rest[:ways]
     norm_refs = rest[ways:2 * ways]
+    rowsum_refs = rest[2 * ways:3 * ways]
     if has_mask:
-        mask_refs = rest[2 * ways:3 * ways]
-        out_ref = rest[3 * ways]
+        mask_refs = rest[3 * ways:4 * ways]
+        out_ref = rest[4 * ways]
     else:
         mask_refs = None
-        out_ref = rest[2 * ways]
+        out_ref = rest[3 * ways]
 
     i = pl.program_id(0)
     j = pl.program_id(1)
-    ui_mat = ui_ref[0]                          # (1, w') int8 query planes
-    su = qs_ref[i, 0]
-    shift_sum = qs_ref[i, 1]                              # 128·Σu
+    ui_mat = ui_ref[0]                 # (2, w') int8 query digits hi/lo
+    wq = ui_mat.shape[1]
+    su2 = qs_ref[i, 0]
+    c0 = qs_ref[i, 1]                                     # shift·Σũ
     base = qs_ref[i, 2]                                   # ‖t‖² (L2) / q·vmin
-    lmax = list_refs[0].shape[1]
+    mu = qs_ref[i, 3]                                     # per-query mean(u)
+    # sq6 blocks are (1, 3, lmax, d4) plane-major; others (1, lmax, w).
+    lmax = list_refs[0].shape[2 if codec == "sq6" else 1]
     lane = lax.broadcasted_iota(jnp.int32, (1, lmax), 1)[0]
     sim = metric == "INNER_PRODUCT"
 
@@ -336,29 +354,55 @@ def _sq_scan_kernel(pids_ref, counts_ref, ui_ref, qs_ref, *rest,
         lid = pids_ref[(i * nprobe) + j * ways + w]
         cnt = counts_ref[lid]
         block = list_refs[w][0]                           # (lmax, d) uint8
-        if codec == "sq4":
+        if codec == "sq6":
+            d4 = block.shape[2]                           # (3, lmax, d4)
+            b0 = block[0].astype(jnp.int32)
+            b1 = block[1].astype(jnp.int32)
+            b2 = block[2].astype(jnp.int32)
+            planes = ((b0 >> 2).astype(jnp.int8),
+                      (((b0 & 3) << 4) | (b1 >> 4)).astype(jnp.int8),
+                      (((b1 & 15) << 2) | (b2 >> 6)).astype(jnp.int8),
+                      (b2 & 63).astype(jnp.int8))
+
+            def digit_dot(ug):
+                dot = jnp.zeros((lmax,), jnp.int32)
+                for x, cx in enumerate(planes):
+                    ui_x = lax.slice(ug, (0, x * d4), (1, (x + 1) * d4))
+                    dot = dot + jax.lax.dot_general(
+                        ui_x, cx, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32)[0]
+                return dot
+        elif codec == "sq4":
             w_half = block.shape[1]
             # Widen→shift→truncate: Mosaic legalizes i32 shifts but not
             # arith.shrui on i8 vectors (validated on-chip 2026-08-18).
             b32 = block.astype(jnp.int32)
-            lo = (b32 & 0x0F).astype(jnp.int8)
-            hi = (b32 >> 4).astype(jnp.int8)
-            ui_e = lax.slice(ui_mat, (0, 0), (1, w_half))
-            ui_o = lax.slice(ui_mat, (0, w_half), (1, 2 * w_half))
-            dot = (jax.lax.dot_general(
-                       ui_e, lo, (((1,), (1,)), ((), ())),
-                       preferred_element_type=jnp.int32)
-                   + jax.lax.dot_general(
-                       ui_o, hi, (((1,), (1,)), ((), ())),
-                       preferred_element_type=jnp.int32))[0]  # (lmax,) i32
+            nib_lo = (b32 & 0x0F).astype(jnp.int8)
+            nib_hi = (b32 >> 4).astype(jnp.int8)
+
+            def digit_dot(ug, w_half=w_half, nl=nib_lo, nh=nib_hi):
+                ui_e = lax.slice(ug, (0, 0), (1, w_half))
+                ui_o = lax.slice(ug, (0, w_half), (1, 2 * w_half))
+                return (jax.lax.dot_general(
+                            ui_e, nl, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+                        + jax.lax.dot_general(
+                            ui_o, nh, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.int32))[0]
         else:
             ci8 = pltpu.bitcast(block ^ jnp.uint8(0x80), jnp.int8)
-            # (1,d)·(lmax,d) contracting d — no int8 reshape (Mosaic
-            # rejects minor-dim insertion on 8-bit types).
-            dot = jax.lax.dot_general(
-                ui_mat, ci8, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32)[0]      # (lmax,) int32
-        uc = su * dot.astype(jnp.float32) + shift_sum
+
+            def digit_dot(ug, ci8=ci8):
+                # (1,d)·(lmax,d) contracting d — no int8 reshape (Mosaic
+                # rejects minor-dim insertion on 8-bit types).
+                return jax.lax.dot_general(
+                    ug, ci8, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)[0]  # (lmax,) int32
+        dot_hi = digit_dot(lax.slice(ui_mat, (0, 0), (1, wq)))
+        dot_lo = digit_dot(lax.slice(ui_mat, (1, 0), (2, wq)))
+        utc = su2 * (128.0 * dot_hi.astype(jnp.float32)
+                     + dot_lo.astype(jnp.float32))
+        uc = utc + c0 + mu * rowsum_refs[w][0, 0]
         if sim:
             s = base + uc
         else:
@@ -378,6 +422,7 @@ def _sq_scan_kernel(pids_ref, counts_ref, ui_ref, qs_ref, *rest,
 def pallas_ivf_sq_search(
     codes_lists,   # (nlist, lmax, w) uint8 padded SQ code lists
     row_norm,      # (nlist, lmax) fp32 Σ(scale·c)² per padded slot
+    row_sum,       # (nlist, lmax) fp32 Σ c (raw code sum) per padded slot
     counts,        # (nlist,) int32 valid rows per list
     row_pos,       # (nlist, lmax) int32 original positions, -1 padding
     vmin,          # (d,) fp32 SQ ranges
@@ -393,15 +438,23 @@ def pallas_ivf_sq_search(
     codec: str = "sq8",
     interpret: bool = False,
 ):
-    """Fused int8 DMA list-scan for IVF,SQ8 / IVF,SQ4 (L2 /
+    """Fused int8 DMA list-scan for IVF,SQ8 / IVF,SQ4 / IVF,SQ6 (L2 /
     INNER_PRODUCT): probed code blocks stream HBM→VMEM (double-buffered,
     ways-amortized) and are scored in-kernel with int8 MXU dots — no
     decoded intermediate and no descriptor-bound row gather.  SQ4 halves
-    the DMA traffic again (two nibble-plane dots per block).  Only the
-    query row is quantized (symmetric int8); a decode+fp32 rerank of the
+    the DMA traffic again (two nibble-plane dots per block); SQ6 reads a
+    plane-major payload (see _sq_scan_kernel).  Only the query row is
+    quantized — recentred two-digit int8, 15-bit effective
+    (ops/sq.py::sq_query_digits) — and a decode+fp32 rerank of the
     widened top-k outside the kernel restores exact distances.  Same
     output conventions as pallas_ivf_search."""
-    nlist, lmax, wbytes = codes_lists.shape
+    from .sq import SQ_INT8_SHIFT, sq_query_digits
+
+    if codec == "sq6":
+        nlist, _, lmax, d4 = codes_lists.shape   # plane-major (see kernel)
+        wbytes = 3 * d4
+    else:
+        nlist, lmax, wbytes = codes_lists.shape
     d = vmin.shape[0]
     nq = xq.shape[0]
     ways = choose_ways(nprobe, lmax, wbytes)     # uint8: wbytes per row
@@ -415,22 +468,42 @@ def pallas_ivf_sq_search(
         t = xq - vmin[None, :]
         u = t * scale[None, :]
         base = jnp.sum(t * t, axis=1)
-    su = jnp.maximum(jnp.max(jnp.abs(u), axis=1), 1e-30) / 127.0
-    ui = jnp.clip(jnp.round(u / su[:, None]), -127, 127).astype(jnp.int8)
-    if codec == "sq4":
-        # Even/odd query planes, each padded to the byte width; odd-plane
-        # padding is 0 so a pad nibble in the last byte contributes 0.
-        pad = 2 * wbytes - d
-        uip = jnp.pad(ui, ((0, 0), (0, pad)))
-        ui_pack = jnp.concatenate([uip[:, 0::2], uip[:, 1::2]], axis=1)
-        shift_sum = jnp.zeros_like(su)          # raw nibbles: no recentre
+    hi, lo, su2, mu, sum_ut = sq_query_digits(u)
+    shift = float(SQ_INT8_SHIFT[codec])
+    if codec == "sq8":
+        # The kernel's c' = c⊕0x80 recentres sq8 codes by 128; sq4/sq6
+        # nibble/plane codes enter the dots raw (shift = 0 in-kernel),
+        # so their u·c needs no Σũ correction.
+        c0 = shift * sum_ut
     else:
-        ui_pack = ui
-        shift_sum = 128.0 * jnp.sum(u, axis=1)
-    ui_width = ui_pack.shape[1]
-    qscal = jnp.stack([su, shift_sum, base], axis=1)      # (nq, 3) fp32
+        c0 = jnp.zeros_like(su2)
+
+    def pack_planes(digit):
+        if codec == "sq4":
+            # Even/odd query planes, each padded to the byte width;
+            # odd-plane padding is 0 so a pad nibble contributes 0.
+            pad = 2 * wbytes - d
+            dp = jnp.pad(digit, ((0, 0), (0, pad)))
+            return jnp.concatenate([dp[:, 0::2], dp[:, 1::2]], axis=1)
+        if codec == "sq6":
+            # Four dim-planes (dims x::4), padded so plane x matches the
+            # kernel's c_x width d4; pad dims contribute 0 to the dot.
+            pad = 4 * d4 - d
+            dp = jnp.pad(digit, ((0, 0), (0, pad)))
+            return jnp.concatenate([dp[:, x::4] for x in range(4)], axis=1)
+        return digit
+
+    ui_pack = jnp.stack([pack_planes(hi), pack_planes(lo)], axis=1)
+    ui_width = ui_pack.shape[2]                  # (nq, 2, w')
+    qscal = jnp.stack([su2, c0, base, mu], axis=1)        # (nq, 4) fp32
 
     def list_spec(w):
+        if codec == "sq6":
+            return pl.BlockSpec(
+                (1, 3, lmax, d4),
+                lambda i, j, pids, cnts, w=w: (
+                    pids[i * nprobe + j * ways + w], 0, 0, 0),
+                memory_space=pltpu.VMEM)
         return pl.BlockSpec(
             (1, lmax, wbytes),
             lambda i, j, pids, cnts, w=w: (pids[i * nprobe + j * ways + w],
@@ -445,20 +518,22 @@ def pallas_ivf_sq_search(
             memory_space=pltpu.VMEM)
 
     in_specs = [
-        pl.BlockSpec((1, 1, ui_width), lambda i, j, pids, cnts: (i, 0, 0),
-                     memory_space=pltpu.VMEM),            # query planes
+        pl.BlockSpec((1, 2, ui_width), lambda i, j, pids, cnts: (i, 0, 0),
+                     memory_space=pltpu.VMEM),     # query digits hi/lo
         # Whole scalar table as one SMEM block (per-row blocks would hit
         # Mosaic's 8x128 block-shape rule); kernel indexes by program_id.
-        pl.BlockSpec((nq, 3), lambda i, j, pids, cnts: (0, 0),
+        pl.BlockSpec((nq, 4), lambda i, j, pids, cnts: (0, 0),
                      memory_space=pltpu.SMEM),            # per-query scalars
     ]
     args = [probe_ids.reshape(-1).astype(jnp.int32),
             counts.astype(jnp.int32),
-            ui_pack.reshape(nq, 1, ui_width), qscal]
+            ui_pack, qscal]
     in_specs += [list_spec(w) for w in range(ways)]
     args += [codes_lists] * ways
     in_specs += [lane_spec(w) for w in range(ways)]
     args += [row_norm.reshape(nlist, 1, lmax)] * ways
+    in_specs += [lane_spec(w) for w in range(ways)]
+    args += [row_sum.reshape(nlist, 1, lmax)] * ways
     if has_mask:
         in_specs += [lane_spec(w) for w in range(ways)]
         args += [mask.reshape(nlist, 1, lmax)] * ways
@@ -491,7 +566,14 @@ def pallas_ivf_sq_search(
     pos = row_pos[lids, lane]
     # Exact rerank: decode only the selected rows (from the padded layout
     # itself — no second code buffer) and score fp32.
-    crows = codes_lists[lids, lane]                       # (nq, k_scan, w)
+    if codec == "sq6":
+        # Plane-major gather → re-interleave to the packed row layout
+        # (b0,b1,b2 per 4-dim group) that sq_decode expects.
+        planes = codes_lists[lids, :, lane]           # (nq, k_scan, 3, d4)
+        crows = jnp.transpose(planes, (0, 1, 3, 2)).reshape(
+            nq, k_scan, 3 * d4)
+    else:
+        crows = codes_lists[lids, lane]               # (nq, k_scan, w)
     if codec == "sq8":
         xs = crows.astype(jnp.float32) * scale + vmin
     else:

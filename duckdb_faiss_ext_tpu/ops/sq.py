@@ -183,6 +183,44 @@ def sq_search(codes, nvalid, vmin, scale, xq, mask, metric_arg, *, k, metric,
 SQ_INT8_SHIFT = {"sq8": 128, "sq4": 8, "sq6": 32}
 
 
+def sq_query_digits(u):
+    """Two-digit int8 quantization of the query vector u (15-bit effective).
+
+    A single int8 digit (u ≈ su·ui) carries ~0.4% relative error on the
+    u·c term — far above the distance gaps between near-duplicate
+    candidates in clustered corpora, where the true top-k then ranks
+    ~randomly inside the int8 noise band and even a widened rerank pool
+    misses it (the round-2 clustered-data regression).  Two digits drive
+    the error down 128×: recentre u by its per-query mean μ (shrinks the
+    digit scale), then ũ = u − μ ≈ su2·(128·hi + lo) with hi, lo int8
+    (lo ∈ [−64, 64]), so ũ·c ≈ su2·(128·(hi·c) + (lo·c)) — two int8 MXU
+    dots over the same code bytes.  The μ·Σc cross-term is exact via the
+    per-row code sum (sq_row_sums).
+
+    Returns (hi (nq,d) int8, lo (nq,d) int8, su2 (nq,), mu (nq,),
+    sum_ut (nq,) = Σũ)."""
+    mu = jnp.mean(u, axis=1)
+    ut = u - mu[:, None]
+    su2 = jnp.maximum(jnp.max(jnp.abs(ut), axis=1), 1e-30) / 16256.0
+    q15 = jnp.clip(jnp.round(ut / su2[:, None]), -16256, 16256)
+    hi = jnp.clip(jnp.round(q15 / 128.0), -127, 127)
+    lo = q15 - 128.0 * hi
+    return (hi.astype(jnp.int8), lo.astype(jnp.int8), su2, mu,
+            jnp.sum(ut, axis=1))
+
+
+def sq_row_sums(codes: np.ndarray, d: int, codec: str) -> np.ndarray:
+    """Host-side per-row Σ_d c_d fp32 (raw code sum) for the recentred
+    int8 scans, chunked like sq_row_norms."""
+    n = codes.shape[0]
+    rs = np.empty((n,), np.float32)
+    step = max(1, (1 << 27) // max(d, 1))
+    for i in range(0, n, step):
+        c = sq_unpack_host(codes[i:i + step], d, codec)
+        rs[i:i + step] = c.astype(np.float32).sum(axis=1)
+    return rs
+
+
 def sq4_unpack_host(packed: np.ndarray, d: int) -> np.ndarray:
     """Inverse of sq4_pack: (n, ceil(d/2)) bytes → (n, d) codes 0..15."""
     lo = packed & np.uint8(15)
@@ -233,25 +271,28 @@ def sq_unpack_i8(packed, d: int, codec: str):
 
 @functools.partial(
     jax.jit, static_argnames=("k", "k_scan", "metric", "chunk", "codec"))
-def sq_int8_search(codes, row_norm, nvalid, vmin, scale, xq, mask,
+def sq_int8_search(codes, row_norm, row_sum, nvalid, vmin, scale, xq, mask,
                    metric_arg, *, k, k_scan, metric, chunk, codec):
     """Int8-native scan for the quantized SQ codecs (L2 / INNER_PRODUCT).
 
     Reads the SAME packed uint8 code buffer as the decode path (no second
     corpus copy) and unpacks each chunk to shifted int8 in-register — the
     MXU runs its int8 mode and no fp32/bf16 decode intermediate ever
-    materializes.  Codes are EXACT in the int8 dot (int32 accumulation);
-    the only approximation is the per-query symmetric int8 quantization
-    of u (relative error ≤ 1/254, on par with a bf16 scan), and a final
-    decode+fp32 rerank of the widened top-k restores exact distances.
+    materializes.  Codes are EXACT in the int8 dots (int32 accumulation);
+    the query side uses the two-digit recentred quantization of
+    sq_query_digits (15-bit effective — a single digit's noise swamps the
+    tiny distance gaps between near-duplicate rows in clustered corpora),
+    and a final decode+fp32 rerank of the widened top-k restores exact
+    distances.
 
         L2: ‖q−x‖² = ‖t‖² − 2·u·c + Σscale²c²   (t = q−vmin, u = t⊙scale)
         IP: q·x     = q·vmin + u·c               (u = q⊙scale)
-        u·c = u·c' + shift·Σu ≈ su·(ui·c') + shift·Σu
+        u·c = ũ·c' + shift·Σũ + μ·Σc,  ũ = u − μ,  c' = c − shift
+        ũ·c' ≈ su2·(128·(hi·c') + lo·c')
 
-    ``row_norm``: per-row Σ_d (scale_d c_d)² fp32, precomputed at ingest.
-    Returns the search_scan convention (max-oriented scores, -inf/-1
-    missing)."""
+    ``row_norm``: per-row Σ_d (scale_d c_d)² fp32; ``row_sum``: per-row
+    Σ_d c_d fp32 — both precomputed at ingest.  Returns the search_scan
+    convention (max-oriented scores, -inf/-1 missing)."""
     cap = codes.shape[0]
     d = vmin.shape[0]
     nq = xq.shape[0]
@@ -264,9 +305,7 @@ def sq_int8_search(codes, row_norm, nvalid, vmin, scale, xq, mask,
         t = xq - vmin[None, :]
         u = t * scale[None, :]
         base = jnp.sum(t * t, axis=1)                      # (nq,) ‖t‖²
-    su = jnp.maximum(jnp.max(jnp.abs(u), axis=1), 1e-30) / 127.0
-    ui = jnp.clip(jnp.round(u / su[:, None]), -127, 127).astype(jnp.int8)
-    sum_u = jnp.sum(u, axis=1)
+    hi, lo, su2, mu, sum_ut = sq_query_digits(u)
 
     w = codes.shape[1]
 
@@ -276,10 +315,15 @@ def sq_int8_search(codes, row_norm, nvalid, vmin, scale, xq, mask,
         cchunk = lax.dynamic_slice(codes, (start, 0), (chunk, w))
         ci8 = sq_unpack_i8(cchunk, d, codec)
         rchunk = lax.dynamic_slice(row_norm, (start,), (chunk,))
-        dot = lax.dot_general(ui, ci8, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.int32)
-        uc = (su[:, None] * dot.astype(jnp.float32)
-              + shift * sum_u[:, None])
+        rschunk = lax.dynamic_slice(row_sum, (start,), (chunk,))
+        dot_hi = lax.dot_general(hi, ci8, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+        dot_lo = lax.dot_general(lo, ci8, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+        utc = su2[:, None] * (128.0 * dot_hi.astype(jnp.float32)
+                              + dot_lo.astype(jnp.float32))
+        uc = (utc + shift * sum_ut[:, None]
+              + mu[:, None] * rschunk[None, :])
         if sim:
             score = base[:, None] + uc
         else:

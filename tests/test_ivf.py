@@ -691,3 +691,117 @@ def test_soar_aniso_beam_persist_before_training(catalog, tmp_path):
     with pytest.raises(dfx.errors.InvalidInputError, match="RQ storage"):
         dfx.faiss_create_params("beambad", 16, "IVF4,PQ4", {"beam": "7"},
                                 catalog=catalog)
+
+
+@pytest.mark.parametrize("codec,metric", [
+    ("SQ6", "L2"), ("SQ6", "INNER_PRODUCT"),
+    ("SQ8", "L2"), ("SQ4", "INNER_PRODUCT"),
+])
+def test_ivf_sq_pallas_matches_gather(catalog, codec, metric):
+    """The fused int8 Pallas list-scan (interpret on CPU) must return the
+    same labels/distances as the XLA gather scan — including SQ6's
+    plane-major payload (four 6-bit planes scored in-kernel)."""
+    import duckdb_faiss_ext_tpu as dfx
+    from duckdb_faiss_ext_tpu.utils.config import set_sq_dot
+
+    rng = np.random.default_rng(77)
+    d, n, k = 24, 3000, 6           # d%4 != 0 exercises sq6 plane padding
+    xb = rng.standard_normal((n, d)).astype(np.float32)
+    xq = rng.standard_normal((16, d)).astype(np.float32)
+    name = f"sqpal{codec}{metric}"
+    dfx.faiss_create(name, d, f"IVF8,{codec}", metric_type=metric,
+                     catalog=catalog)
+    dfx.faiss_add(xb, name, catalog=catalog)
+    set_sq_dot("int8")              # both paths on the int8 scan
+    try:
+        ref = dfx.faiss_search(name, k, xq, {"nprobe": "8"},
+                               catalog=catalog)
+        dfx.set_kernel_mode("pallas")
+        got = dfx.faiss_search(name, k, xq, {"nprobe": "8"},
+                               catalog=catalog)
+    finally:
+        dfx.set_kernel_mode("auto")
+        set_sq_dot("auto")
+    # Both end in the same fp32 decode-rerank: labels must agree
+    # (rare ties aside) and distances of agreeing labels match fp32.
+    agree = (ref["label"] == got["label"]).mean()
+    assert agree > 0.99, agree
+    same = ref["label"] == got["label"]
+    np.testing.assert_allclose(got["distance"][same],
+                               ref["distance"][same], rtol=2e-5, atol=2e-5)
+
+
+def test_ivf_sq6_pallas_spill(catalog):
+    """SQ6 plane-major payload under a capped-lmax spill plan."""
+    import duckdb_faiss_ext_tpu as dfx
+    from duckdb_faiss_ext_tpu.models.ivf import IVFIndex
+    from duckdb_faiss_ext_tpu.utils.config import set_sq_dot
+
+    rng = np.random.default_rng(78)
+    d, n = 16, 3000
+    centers = rng.standard_normal((8, d)).astype(np.float32) * 5
+    which = np.where(rng.random(n) < 0.6, 0, rng.integers(0, 8, n))
+    xb = centers[which] + rng.standard_normal((n, d)).astype(np.float32) * .3
+    xq = xb[:8]
+    dfx.faiss_create("sq6sp", d, "IVF8,SQ6", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_add(xb, "sq6sp", catalog=catalog)
+    idx = catalog.get("sq6sp").index
+    set_sq_dot("int8")
+    try:
+        ref = dfx.faiss_search("sq6sp", 10, xq, {"nprobe": "8"},
+                               catalog=catalog)
+        idx.PALLAS_LAYOUT_BUDGET_BYTES = 8 * 256 * 12   # lmax cap = 256
+        idx.SPILL_FRACTION_MAX = 1.0
+        idx._pallas_plan_cache = None
+        idx._device_pallas = None
+        dfx.set_kernel_mode("pallas")
+        plan = idx._pallas_plan()
+        assert plan is not None and plan[0] == "spill"
+        got = dfx.faiss_search("sq6sp", 10, xq, {"nprobe": "8"},
+                               catalog=catalog)
+        assert idx._device_spill is not None
+    finally:
+        dfx.set_kernel_mode("auto")
+        set_sq_dot("auto")
+        del idx.PALLAS_LAYOUT_BUDGET_BYTES, idx.SPILL_FRACTION_MAX
+    np.testing.assert_array_equal(ref["label"], got["label"])
+    np.testing.assert_allclose(ref["distance"], got["distance"],
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("enc", ["SQ8", "SQ6", "SQ4"])
+def test_ivf_sq_int8_accurate_on_clustered_data(catalog, enc):
+    """Round-2 regression: a single-digit int8 query quantization's noise
+    (~0.4% of the u·c magnitude) swamps the distance gaps between
+    near-duplicate rows in clustered corpora — the int8 fast path then
+    returned ~70% wrong labels while passing on uniform data.  The
+    recentred two-digit scheme (ops/sq.py::sq_query_digits) must match
+    the exact decode path."""
+    import duckdb_faiss_ext_tpu as dfx
+    from duckdb_faiss_ext_tpu.utils.config import set_sq_dot
+
+    rng = np.random.default_rng(78)
+    d, n = 16, 3000
+    centers = rng.standard_normal((8, d)).astype(np.float32) * 5
+    which = np.where(rng.random(n) < 0.6, 0, rng.integers(0, 8, n))
+    xb = centers[which] + rng.standard_normal((n, d)).astype(np.float32) * .3
+    xq = xb[:16]
+    name = "cl" + enc
+    dfx.faiss_create(name, d, f"IVF8,{enc}", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_add(xb, name, catalog=catalog)
+    ref = dfx.faiss_search(name, 10, xq, {"nprobe": "8"}, catalog=catalog)
+    set_sq_dot("int8")
+    try:
+        got = dfx.faiss_search(name, 10, xq, {"nprobe": "8"},
+                               catalog=catalog)
+    finally:
+        set_sq_dot("auto")
+    agree = (ref["label"] == got["label"]).mean()
+    assert agree > 0.98, agree
+    same = ref["label"] == got["label"]
+    # The decode path scores via the expansion form (qn − 2xy + bn, ~1e-4
+    # cancellation on clustered data); the int8 rerank via direct diff².
+    np.testing.assert_allclose(got["distance"][same], ref["distance"][same],
+                               rtol=3e-4, atol=3e-4)
