@@ -297,6 +297,35 @@ def multichip_dryrun(n_devices: int) -> None:
     assert dg.shape == (nq, k) and pg.shape == (nq, k)
     assert np.asarray(pg).max() < cap
 
+    # Sharded IVF,SQ8: scalar-quantized byte lists decoded in-shard with
+    # the replicated (vmin, scale) ranges (IndexIVFScalarQuantizer under a
+    # placement).  Oracle: numpy probe + decode + brute-force over the same
+    # probed lists.
+    from ..ops.sq import sq8_decode, sq8_encode, sq8_train
+
+    vmin8, scale8 = sq8_train(jnp.asarray(xb_lists.reshape(-1, d)))
+    codes8 = np.asarray(
+        sq8_encode(jnp.asarray(xb_lists.reshape(-1, d)), vmin8, scale8),
+    ).reshape(nlist, lmax, d)
+    ivfsq = sharded_ivf_search_fn(mesh, k=k, nprobe=2, metric="L2",
+                                  q_chunk=4, sq="sq8")
+    dsq, psq = ivfsq(
+        jax.device_put(codes8, NamedSharding(mesh, P("shard", None, None))),
+        jax.device_put(counts, NamedSharding(mesh, P("shard"))),
+        jax.device_put(row_pos, NamedSharding(mesh, P("shard", None))),
+        cents, xq_s, jnp.float32(0.0), vmin8, scale8)
+    jax.block_until_ready((dsq, psq))
+    assert dsq.shape == (nq, k)
+    xdec = np.asarray(sq8_decode(jnp.asarray(codes8.reshape(-1, d)),
+                                 vmin8, scale8)).reshape(nlist, lmax, d)
+    cd = ((xq[:, None, :] - np.asarray(cents)[None]) ** 2).sum(-1)
+    probe_o = np.argsort(cd, axis=1, kind="stable")[:, :2]
+    for q in range(nq):
+        cand = xdec[probe_o[q], :16, :].reshape(-1, d)     # counts are 16
+        dd = np.sort(((cand - xq[q]) ** 2).sum(-1))[:k]
+        np.testing.assert_allclose(np.asarray(dsq[q]), dd, rtol=1e-3,
+                                   atol=1e-3)
+
     # Row-sharded codec placement (faiss_to_device on standalone PQ):
     # GSPMD partitions the fused decode+scan over the placed byte codes.
     from ..ops.pq import pq_search, pq_train
@@ -310,6 +339,25 @@ def multichip_dryrun(n_devices: int) -> None:
                        precision=lax.Precision.DEFAULT)
     jax.block_until_ready((ds, ps))
     assert ds.shape == (nq, k)
+
+    # Row-sharded standalone SQ placement (faiss_to_device on a SQ8 index):
+    # GSPMD partitions the decode+scan over the placed packed codes.
+    from ..ops.sq import sq_search
+
+    flat_codes8 = np.asarray(
+        sq8_encode(jnp.asarray(xb), vmin8, scale8))        # (cap, d) uint8
+    fc_s = jax.device_put(flat_codes8, NamedSharding(mesh, P("shard", None)))
+    dss, pss = sq_search(fc_s, jnp.int32(cap - 3), vmin8, scale8, xq_s,
+                         None, jnp.float32(0.0), k=k, metric="L2",
+                         chunk=cap // n_shard,
+                         precision=lax.Precision.DEFAULT, codec="sq8")
+    jax.block_until_ready((dss, pss))
+    assert dss.shape == (nq, k)
+    xdec_f = np.asarray(sq8_decode(jnp.asarray(flat_codes8), vmin8, scale8))
+    ref_sq = np.sort(((xq[:, None, :] - xdec_f[None, : cap - 3, :]) ** 2)
+                     .sum(-1), axis=1)[:, :k]
+    # sq_search returns max-oriented scores (the model finalizes): -L2.
+    np.testing.assert_allclose(-np.asarray(dss), ref_sq, rtol=1e-3, atol=1e-3)
 
 
 def sharded_ivf_search_fn(mesh: Mesh, *, k: int, nprobe: int, metric: str,

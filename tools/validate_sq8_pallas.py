@@ -120,6 +120,7 @@ def validate_lsh() -> None:
 def main() -> None:
     validate_sq("sq8")
     validate_sq("sq4")
+    validate_sq("sq6")
     validate_lsh()
 
 
