@@ -135,13 +135,16 @@ class HNSWIndex(FlatIndex):
     pack_budget_bytes = 6 << 30
 
     def _graph_degree(self) -> int:
-        # HNSW's layer-0 degree is 2M; CAGRA-class walks saturate by ~64.
-        # Halve until the packed neighbourhood tensor fits the HBM budget
-        # at its smallest dtype (int8) — a lower-degree packed walk beats
-        # a higher-degree scattered one.
+        # HNSW's layer-0 degree is 2M, capped at 128 (uniform-corpus
+        # recall@10 keeps climbing through deg 64 — 0.725/0.848 at deg
+        # 32/64, pool 64 — so the cap sits above the reference's M=128
+        # benchmark config rather than at the old 64).  Halve until the
+        # packed neighbourhood tensor fits the HBM budget at its smallest
+        # dtype (int8) — a lower-degree packed walk beats a higher-degree
+        # scattered one.
         from ..utils.config import next_pow2
 
-        deg = min(64, max(16, 2 * self.M))
+        deg = min(128, max(16, 2 * self.M))
         cap = max(128, next_pow2(max(1, self.ntotal)))
         while deg > 16 and cap * deg * self.d > self.pack_budget_bytes:
             deg //= 2
@@ -172,14 +175,20 @@ class HNSWIndex(FlatIndex):
             n = self.ntotal
             deg = self._graph_degree()
             # efConstruction scales build effort, like HNSW: a wider
-            # intermediate kNN graph before the prune/reverse step.
+            # intermediate kNN graph before the prune step, and (past the
+            # exact-build limit) more NN-descent refinement rounds over the
+            # clustered approximate build — 2 at the HNSW default ef=40,
+            # +1 per extra 64 (the reference benchmark's efConstruct=128
+            # gets 3).
             inter = min(max(2 * deg, self.ef_construction),
                         max(1, n - 1), 192)
+            rounds = 2 + max(0, (self.ef_construction - 64) // 64)
             with timed("hnsw_graph_build"):
                 adj = build_graph(self._xb, deg, self.metric.name,
                                   self.metric_arg, intermediate=inter,
                                   precision=config.precision,
-                                  exact_max=self.graph_max)
+                                  exact_max=self.graph_max,
+                                  refine_rounds=rounds)
             self._graph_dev = None
             self._pack_dev = None
             self._graph = (adj, n)

@@ -488,3 +488,47 @@ def test_nsg_graph_regime(catalog):
                            catalog=catalog)
     assert idx._graph is not None
     assert np.all(res["label"][:, 0] == np.arange(8))
+
+
+def test_augment_graph_forward_first_default():
+    """Default augmentation keeps every forward edge (reverse edges only
+    backfill missing slots) — measured better on uniform corpora; the
+    CAGRA half/half split stays available via fkeep."""
+    from duckdb_faiss_ext_tpu.ops.graph import augment_graph
+
+    rng = np.random.default_rng(0)
+    n, inter, deg = 64, 16, 8
+    scores = rng.standard_normal((n, n))
+    np.fill_diagonal(scores, np.inf)                 # no self edges
+    knn = np.argsort(scores, axis=1)[:, :inter].astype(np.int32)
+    g = augment_graph(knn, deg)
+    np.testing.assert_array_equal(g, knn[:, :deg])   # pure forward
+
+    half = augment_graph(knn, deg, fkeep=deg // 2)
+    np.testing.assert_array_equal(half[:, : deg // 2], knn[:, : deg // 2])
+    assert not np.array_equal(half, knn[:, :deg])    # reverse edges landed
+
+    # Rows with missing forward edges get reverse backfill under the default.
+    knn2 = knn.copy()
+    knn2[0, 2:] = -1
+    g2 = augment_graph(knn2, deg)
+    assert (g2[0] >= 0).sum() > 2
+
+
+def test_build_graph_refine_rounds_knob():
+    from duckdb_faiss_ext_tpu.ops.graph import build_graph
+
+    rng = np.random.default_rng(1)
+    xb = rng.standard_normal((600, 16)).astype(np.float32)
+    # Force the clustered+refine path with exact_max below n.
+    g1 = build_graph(xb, 8, "L2", exact_max=100, refine_rounds=1)
+    g3 = build_graph(xb, 8, "L2", exact_max=100, refine_rounds=3)
+    assert g1.shape == g3.shape == (600, 8)
+    # More rounds converge toward the exact kNN graph.
+    exact = build_graph(xb, 8, "L2")
+
+    def overlap(a, b):
+        return np.mean([len(set(x[x >= 0]) & set(y[y >= 0])) / 8
+                        for x, y in zip(a, b)])
+
+    assert overlap(g3, exact) >= overlap(g1, exact) - 0.02

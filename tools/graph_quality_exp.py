@@ -53,7 +53,7 @@ def main():
             xb = rng.standard_normal((n, d)).astype(np.float32)
             xq = rng.standard_normal((nq, d)).astype(np.float32)
         else:
-            xb, xq, _ = synthetic_dataset(n, d, nq, seed=5)
+            xb, xq = synthetic_dataset(n, d, nq, seed=5)
         gt = exact_gt(xb, xq, k)
         xb_dev = jnp.asarray(xb)
 
