@@ -3,7 +3,7 @@
 print the operating points (FAISS ParameterSpace/OperatingPoints analogue).
 
     python tools/autotune.py [--n 200000] [--d 96] [--factory 'IVF1024,Flat']
-        [--k 10] [--target 0.9] [--nq 256] [--clustered]
+        [--k 10] [--target 0.9] [--nq 256] [--uniform]
 """
 
 from __future__ import annotations
@@ -30,9 +30,17 @@ def main(argv=None) -> int:
     ap.add_argument("--target", type=float, default=0.9)
     ap.add_argument("--ncl", type=int, default=1024,
                     help="gaussian-mixture cluster count of the corpus")
+    ap.add_argument("--uniform", action="store_true",
+                    help="uniform-random corpus instead of clustered")
     args = ap.parse_args(argv)
 
-    xb, xq = synthetic_dataset(n=args.n, d=args.d, nq=args.nq, ncl=args.ncl)
+    if args.uniform:
+        rng = np.random.default_rng(42)
+        xb = rng.standard_normal((args.n, args.d)).astype(np.float32)
+        xq = rng.standard_normal((args.nq, args.d)).astype(np.float32)
+    else:
+        xb, xq = synthetic_dataset(n=args.n, d=args.d, nq=args.nq,
+                                   ncl=args.ncl)
     print(f"corpus {args.n}x{args.d}, index {args.factory}", file=sys.stderr)
     dfx.faiss_create("tune", args.d, args.factory, metric_type=args.metric)
     dfx.faiss_add(xb, "tune")
