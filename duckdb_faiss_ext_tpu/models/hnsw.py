@@ -146,7 +146,9 @@ class HNSWIndex(FlatIndex):
 
         deg = min(128, max(16, 2 * self.M))
         cap = max(128, next_pow2(max(1, self.ntotal)))
-        while deg > 16 and cap * deg * self.d > self.pack_budget_bytes:
+        # Smallest pack dtype is int4 (½ byte/element) — back off only
+        # when even the nibble pack overflows the budget.
+        while deg > 16 and cap * deg * self.d // 2 > self.pack_budget_bytes:
             deg //= 2
         return deg
 
@@ -233,7 +235,9 @@ class HNSWIndex(FlatIndex):
             dtype = jnp.bfloat16
         elif nelem <= self.pack_budget_bytes:
             dtype = jnp.int8
-        else:
+        elif nelem <= 2 * self.pack_budget_bytes:
+            dtype = "int4"           # nibble-packed: doubles the degree a
+        else:                        # fixed budget affords (ops/graph.py)
             return None
         key = (indexed, cap, str(dtype))
         hit = self._pack_dev
@@ -374,16 +378,22 @@ class HNSWIndex(FlatIndex):
         # rows; the HBM budget applies per device).
         from ..parallel.sharded import sharded_pack_fn
 
+        import jax.numpy as jnp
+
         per_dev = rows * deg * self.d
+        amax = float(np.max(np.abs(self._xb))) if n else 1.0
         if per_dev * 2 <= self.pack_budget_bytes:
             kind = "bf16"
             packops = (sharded_pack_fn(mesh, kind)(xb_dev, gdev),)
         elif per_dev <= self.pack_budget_bytes:
             kind = "int8"
-            import jax.numpy as jnp
-
-            amax = float(np.max(np.abs(self._xb))) if n else 1.0
             scale = 127.0 / max(amax, 1e-30)
+            packops = (sharded_pack_fn(mesh, kind)(
+                xb_dev, gdev, jnp.float32(scale)),
+                jnp.float32(1.0 / scale))
+        elif per_dev <= 2 * self.pack_budget_bytes:
+            kind = "int4"
+            scale = 7.0 / max(amax, 1e-30)
             packops = (sharded_pack_fn(mesh, kind)(
                 xb_dev, gdev, jnp.float32(scale)),
                 jnp.float32(1.0 / scale))

@@ -415,14 +415,43 @@ def pack_neighbors(xb_dev: jax.Array, graph_dev: jax.Array,
     dtype bfloat16 → returns the packed array.  dtype int8 → returns
     (packed int8, inv_scale fp32 scalar): symmetric max-abs quantization,
     decoded to fp32 after the gather (int8 exists purely to halve pack
-    memory — the gather cost is per-descriptor, not per-byte)."""
+    memory — the gather cost is per-descriptor, not per-byte).
+    dtype "int4" → returns (packed uint8 (N, deg, ceil(d/2)), inv_scale):
+    two 4-bit codes per byte (dim 2j low nibble, 2j+1 high), symmetric ±7
+    quantization — halves pack memory again, DOUBLING the degree
+    affordable under a fixed HBM budget.  Traversal scores are coarser but
+    traversal only ranks candidates; the final pool is fp32-reranked
+    either way.  The walk tells int4 from int8 packs by the array dtype
+    (uint8 vs int8) — a string marker could not cross the jit boundary."""
     idx = jnp.maximum(graph_dev, 0)          # -1 rows: garbage, masked later
+    if dtype == "int4":
+        amax = jnp.maximum(jnp.max(jnp.abs(xb_dev)), 1e-30)
+        scale = 7.0 / amax
+        q = (jnp.clip(jnp.round(xb_dev * scale), -7, 7)
+             .astype(jnp.int32) + 8).astype(jnp.uint8)    # 1..15 biased
+        d = q.shape[1]
+        if d % 2:
+            q = jnp.pad(q, ((0, 0), (0, 1)))              # pad dim → 8 ≡ 0
+        packed = q[:, 0::2] | (q[:, 1::2] << 4)           # (N, ceil(d/2))
+        return (jnp.take(packed, idx, axis=0),
+                (1.0 / scale).astype(jnp.float32))
     if dtype == jnp.int8:
         amax = jnp.maximum(jnp.max(jnp.abs(xb_dev)), 1e-30)
         scale = 127.0 / amax
         q = jnp.clip(jnp.round(xb_dev * scale), -127, 127).astype(jnp.int8)
         return jnp.take(q, idx, axis=0), (1.0 / scale).astype(jnp.float32)
     return jnp.take(xb_dev.astype(dtype), idx, axis=0)
+
+
+def unpack_i4_blocks(blocks, d: int, inv_scale):
+    """(…, ceil(d/2)) uint8 nibble-packed → (…, d) fp32 (dim 2j low /
+    2j+1 high, bias 8; see pack_neighbors int4)."""
+    b32 = blocks.astype(jnp.int32)
+    lo = (b32 & 0x0F) - 8
+    hi = (b32 >> 4) - 8
+    both = jnp.stack([lo, hi], axis=-1)            # (…, d/2, 2)
+    flat = both.reshape(*blocks.shape[:-1], -1)[..., :d]
+    return flat.astype(jnp.float32) * inv_scale
 
 
 # ---------------------------------------------------------------------------
@@ -529,7 +558,14 @@ def walk_scan(xb, graph, xq, nvalid, metric_arg, mask, pack, *, k, pool,
             # node — descriptor-efficient (see pack_neighbors).  Blocks of
             # dead frontier entries are garbage but every such candidate id
             # is already -1, so its score is masked below.
-            if isinstance(pack, tuple):      # int8: decode after gather
+            if isinstance(pack, tuple) and pack[0].dtype == jnp.uint8:
+                p4, inv = pack               # int4: nibble-packed uint8
+                blocks = jnp.take(p4, jnp.maximum(fids, 0), axis=0)
+                cvecs = unpack_i4_blocks(blocks, d, inv).reshape(
+                    B, width * deg, d)
+                cscores = _batched_scores(xq, cvecs, metric, metric_arg,
+                                          lax.Precision.DEFAULT)
+            elif isinstance(pack, tuple):    # int8: decode after gather
                 p8, inv = pack
                 blocks = jnp.take(p8, jnp.maximum(fids, 0), axis=0)
                 cvecs = blocks.astype(jnp.float32).reshape(

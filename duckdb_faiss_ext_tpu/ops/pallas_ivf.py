@@ -350,68 +350,87 @@ def _sq_scan_kernel(pids_ref, counts_ref, ui_ref, qs_ref, *rest,
     lane = lax.broadcasted_iota(jnp.int32, (1, lmax), 1)[0]
     sim = metric == "INNER_PRODUCT"
 
+    # The sq4/sq6 nibble extraction widens the code block to i32
+    # (Mosaic legalizes i32 shifts but not arith.shrui on i8 vectors,
+    # validated on-chip 2026-08-18).  A whole-block widen is
+    # lmax·w·4 bytes of scoped VMEM — 11 MB at the 8.8M×1536 marco shape
+    # (lmax 3584), which blew the 16 MB scoped-vmem limit on the real
+    # chip.  Tile the unpack+score over ≤512-row sub-tiles instead
+    # (static unrolled loop; lmax is a multiple of 512 past 512), which
+    # bounds the i32 scratch to 512·w·4 ≈ 1.5 MB at d=1536.  sq8 never
+    # widens (pure bitcast) and stays single-shot.
+    utile = lmax if codec == "sq8" else min(lmax, 512)
+
     for w in range(ways):
         lid = pids_ref[(i * nprobe) + j * ways + w]
         cnt = counts_ref[lid]
         block = list_refs[w][0]                           # (lmax, d) uint8
-        if codec == "sq6":
-            d4 = block.shape[2]                           # (3, lmax, d4)
-            b0 = block[0].astype(jnp.int32)
-            b1 = block[1].astype(jnp.int32)
-            b2 = block[2].astype(jnp.int32)
-            planes = ((b0 >> 2).astype(jnp.int8),
-                      (((b0 & 3) << 4) | (b1 >> 4)).astype(jnp.int8),
-                      (((b1 & 15) << 2) | (b2 >> 6)).astype(jnp.int8),
-                      (b2 & 63).astype(jnp.int8))
+        rowsum_w = rowsum_refs[w][0, 0]                   # (lmax,) fp32
+        norm_w = None if sim else norm_refs[w][0, 0]      # (lmax,) fp32
+        mask_w = mask_refs[w][0, 0] if has_mask else None
 
-            def digit_dot(ug):
-                dot = jnp.zeros((lmax,), jnp.int32)
-                for x, cx in enumerate(planes):
-                    ui_x = lax.slice(ug, (0, x * d4), (1, (x + 1) * d4))
-                    dot = dot + jax.lax.dot_general(
-                        ui_x, cx, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.int32)[0]
-                return dot
-        elif codec == "sq4":
-            w_half = block.shape[1]
-            # Widen→shift→truncate: Mosaic legalizes i32 shifts but not
-            # arith.shrui on i8 vectors (validated on-chip 2026-08-18).
-            b32 = block.astype(jnp.int32)
-            nib_lo = (b32 & 0x0F).astype(jnp.int8)
-            nib_hi = (b32 >> 4).astype(jnp.int8)
+        for t0 in range(0, lmax, utile):
+            if codec == "sq6":
+                d4 = block.shape[2]                       # (3, lmax, d4)
+                b0 = lax.slice(block, (0, t0, 0),
+                               (1, t0 + utile, d4))[0].astype(jnp.int32)
+                b1 = lax.slice(block, (1, t0, 0),
+                               (2, t0 + utile, d4))[0].astype(jnp.int32)
+                b2 = lax.slice(block, (2, t0, 0),
+                               (3, t0 + utile, d4))[0].astype(jnp.int32)
+                planes = ((b0 >> 2).astype(jnp.int8),
+                          (((b0 & 3) << 4) | (b1 >> 4)).astype(jnp.int8),
+                          (((b1 & 15) << 2) | (b2 >> 6)).astype(jnp.int8),
+                          (b2 & 63).astype(jnp.int8))
 
-            def digit_dot(ug, w_half=w_half, nl=nib_lo, nh=nib_hi):
-                ui_e = lax.slice(ug, (0, 0), (1, w_half))
-                ui_o = lax.slice(ug, (0, w_half), (1, 2 * w_half))
-                return (jax.lax.dot_general(
-                            ui_e, nl, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.int32)
-                        + jax.lax.dot_general(
-                            ui_o, nh, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.int32))[0]
-        else:
-            ci8 = pltpu.bitcast(block ^ jnp.uint8(0x80), jnp.int8)
+                def digit_dot(ug, planes=planes, d4=d4):
+                    dot = jnp.zeros((utile,), jnp.int32)
+                    for x, cx in enumerate(planes):
+                        ui_x = lax.slice(ug, (0, x * d4), (1, (x + 1) * d4))
+                        dot = dot + jax.lax.dot_general(
+                            ui_x, cx, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.int32)[0]
+                    return dot
+            elif codec == "sq4":
+                w_half = block.shape[1]
+                b32 = lax.slice(block, (t0, 0),
+                                (t0 + utile, w_half)).astype(jnp.int32)
+                nib_lo = (b32 & 0x0F).astype(jnp.int8)
+                nib_hi = (b32 >> 4).astype(jnp.int8)
 
-            def digit_dot(ug, ci8=ci8):
-                # (1,d)·(lmax,d) contracting d — no int8 reshape (Mosaic
-                # rejects minor-dim insertion on 8-bit types).
-                return jax.lax.dot_general(
-                    ug, ci8, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32)[0]  # (lmax,) int32
-        dot_hi = digit_dot(lax.slice(ui_mat, (0, 0), (1, wq)))
-        dot_lo = digit_dot(lax.slice(ui_mat, (1, 0), (2, wq)))
-        utc = su2 * (128.0 * dot_hi.astype(jnp.float32)
-                     + dot_lo.astype(jnp.float32))
-        uc = utc + c0 + mu * rowsum_refs[w][0, 0]
-        if sim:
-            s = base + uc
-        else:
-            rn = norm_refs[w][0, 0]                       # (lmax,) fp32
-            s = -jnp.maximum(base - 2.0 * uc + rn, 0.0)
-        valid = lane < cnt
-        if has_mask:
-            valid = jnp.logical_and(valid, mask_refs[w][0, 0] != 0)
-        out_ref[0, w, 0, :] = jnp.where(valid, s, _NEG_INF)
+                def digit_dot(ug, w_half=w_half, nl=nib_lo, nh=nib_hi):
+                    ui_e = lax.slice(ug, (0, 0), (1, w_half))
+                    ui_o = lax.slice(ug, (0, w_half), (1, 2 * w_half))
+                    return (jax.lax.dot_general(
+                                ui_e, nl, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+                            + jax.lax.dot_general(
+                                ui_o, nh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.int32))[0]
+            else:
+                ci8 = pltpu.bitcast(block ^ jnp.uint8(0x80), jnp.int8)
+
+                def digit_dot(ug, ci8=ci8):
+                    # (1,d)·(lmax,d) contracting d — no int8 reshape
+                    # (Mosaic rejects minor-dim insertion on 8-bit types).
+                    return jax.lax.dot_general(
+                        ug, ci8, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32)[0]  # (utile,)
+            dot_hi = digit_dot(lax.slice(ui_mat, (0, 0), (1, wq)))
+            dot_lo = digit_dot(lax.slice(ui_mat, (1, 0), (2, wq)))
+            utc = su2 * (128.0 * dot_hi.astype(jnp.float32)
+                         + dot_lo.astype(jnp.float32))
+            uc = utc + c0 + mu * lax.slice(rowsum_w, (t0,), (t0 + utile,))
+            if sim:
+                s = base + uc
+            else:
+                rn = lax.slice(norm_w, (t0,), (t0 + utile,))
+                s = -jnp.maximum(base - 2.0 * uc + rn, 0.0)
+            valid = lax.slice(lane, (t0,), (t0 + utile,)) < cnt
+            if has_mask:
+                valid = jnp.logical_and(
+                    valid, lax.slice(mask_w, (t0,), (t0 + utile,)) != 0)
+            out_ref[0, w, 0, t0:t0 + utile] = jnp.where(valid, s, _NEG_INF)
 
 
 @functools.partial(

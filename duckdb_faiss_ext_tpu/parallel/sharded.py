@@ -128,7 +128,9 @@ def sharded_graph_search_fn(mesh: Mesh, *, k: int, pool: int, width: int,
     def local(xb, graph, nvalid_loc, xq, metric_arg, *packops):
         if pack_kind == "bf16":
             pack = packops[0]
-        elif pack_kind == "int8":
+        elif pack_kind in ("int8", "int4"):
+            # int4 packs are uint8 nibble arrays; the walk branches on the
+            # dtype (ops/graph.walk_scan).
             pack = (packops[0], packops[1])
         else:
             pack = None
@@ -143,7 +145,8 @@ def sharded_graph_search_fn(mesh: Mesh, *, k: int, pool: int, width: int,
         return _merge_shard_topk(scores, pos, k, metric)
 
     pack_specs = {"none": (), "bf16": (P("shard", None, None),),
-                  "int8": (P("shard", None, None), P())}[pack_kind]
+                  "int8": (P("shard", None, None), P()),
+                  "int4": (P("shard", None, None), P())}[pack_kind]
     fn = shard_map(
         local,
         mesh=mesh,
@@ -166,6 +169,15 @@ def sharded_pack_fn(mesh: Mesh, kind: str):
             return jnp.take(xb.astype(jnp.bfloat16), jnp.maximum(g, 0),
                             axis=0)
         in_specs = (P("shard", None), P("shard", None))
+    elif kind == "int4":
+        def local(xb, g, scale):
+            q = (jnp.clip(jnp.round(xb * scale), -7, 7)
+                 .astype(jnp.int32) + 8).astype(jnp.uint8)
+            if q.shape[1] % 2:
+                q = jnp.pad(q, ((0, 0), (0, 1)))
+            packed = q[:, 0::2] | (q[:, 1::2] << 4)
+            return jnp.take(packed, jnp.maximum(g, 0), axis=0)
+        in_specs = (P("shard", None), P("shard", None), P())
     else:
         def local(xb, g, scale):
             q = jnp.clip(jnp.round(xb * scale), -127, 127).astype(jnp.int8)

@@ -532,3 +532,41 @@ def test_build_graph_refine_rounds_knob():
                         for x, y in zip(a, b)])
 
     assert overlap(g3, exact) >= overlap(g1, exact) - 0.02
+
+
+def test_int4_pack_roundtrip_and_walk():
+    """int4 nibble packs decode to within quantization error and the
+    packed walk stays near the unpacked one (final pool is fp32-reranked
+    either way, so distances of agreeing labels are exact)."""
+    import jax.numpy as jnp
+
+    from duckdb_faiss_ext_tpu.ops.graph import (build_graph, graph_search,
+                                                pack_neighbors,
+                                                unpack_i4_blocks)
+
+    rng = np.random.default_rng(7)
+    n, d, deg, k = 4000, 33, 16, 10          # odd d exercises the pad
+    xb = rng.standard_normal((n, d)).astype(np.float32)
+    xq = rng.standard_normal((64, d)).astype(np.float32)
+    xb_dev = jnp.asarray(xb)
+    g = jnp.asarray(build_graph(xb, deg, "L2"))
+
+    p4, inv = pack_neighbors(xb_dev, g, "int4")
+    assert p4.dtype == jnp.uint8 and p4.shape == (n, deg, (d + 1) // 2)
+    dec = np.asarray(unpack_i4_blocks(p4, d, inv))
+    ref = xb[np.maximum(np.asarray(g), 0)]
+    step = float(inv)                        # one quantization step
+    assert np.abs(dec - ref).max() <= 0.51 * step + 1e-6
+
+    s0, p0 = graph_search(xb_dev, g, jnp.asarray(xq), n, k, "L2", pool=32)
+    s4, pp = graph_search(xb_dev, g, jnp.asarray(xq), n, k, "L2", pool=32,
+                          pack=(p4, inv))
+    r0 = np.asarray(p0)
+    r4 = np.asarray(pp)
+    overlap = np.mean([len(set(a[a >= 0]) & set(b[b >= 0])) / k
+                       for a, b in zip(r0, r4)])
+    assert overlap > 0.9, overlap
+    # Agreeing labels carry identical fp32-reranked scores.
+    same = (r0 == r4) & (r0 >= 0)
+    np.testing.assert_allclose(np.asarray(s4)[same], np.asarray(s0)[same],
+                               rtol=1e-5, atol=1e-5)

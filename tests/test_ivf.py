@@ -805,3 +805,41 @@ def test_ivf_sq_int8_accurate_on_clustered_data(catalog, enc):
     # cancellation on clustered data); the int8 rerank via direct diff².
     np.testing.assert_allclose(got["distance"][same], ref["distance"][same],
                                rtol=3e-4, atol=3e-4)
+
+
+@pytest.mark.parametrize("codec", ["SQ4", "SQ6"])
+def test_ivf_sq_pallas_multitile_lmax(catalog, codec):
+    """lmax > 512 exercises the kernel's sub-tiled nibble unpack (the
+    whole-block i32 widen blew the 16 MB scoped-vmem limit at the
+    8.8M×1536 marco shape, lmax 3584 — same tile count reproduced here)."""
+    import duckdb_faiss_ext_tpu as dfx
+    from duckdb_faiss_ext_tpu.utils.config import set_sq_dot
+
+    rng = np.random.default_rng(79)
+    d, n, k = 24, 14000, 8          # 4 lists → lmax 3584: 7 sub-tiles
+    xb = rng.standard_normal((n, d)).astype(np.float32)
+    xq = rng.standard_normal((8, d)).astype(np.float32)
+    name = f"sqtile{codec}"
+    dfx.faiss_create(name, d, f"IVF4,{codec}", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_add(xb, name, catalog=catalog)
+    idx = catalog.get(name).index
+    set_sq_dot("int8")
+    try:
+        ref = dfx.faiss_search(name, k, xq, {"nprobe": "4"},
+                               catalog=catalog)
+        dfx.set_kernel_mode("pallas")
+        from duckdb_faiss_ext_tpu.ops.pallas_ivf import choose_lmax
+
+        assert idx._pallas_plan() is not None
+        assert choose_lmax(int(idx._counts().max())) > 512  # multi-tile
+        got = dfx.faiss_search(name, k, xq, {"nprobe": "4"},
+                               catalog=catalog)
+    finally:
+        dfx.set_kernel_mode("auto")
+        set_sq_dot("auto")
+    agree = (ref["label"] == got["label"]).mean()
+    assert agree > 0.99, agree
+    same = ref["label"] == got["label"]
+    np.testing.assert_allclose(got["distance"][same],
+                               ref["distance"][same], rtol=2e-5, atol=2e-5)
