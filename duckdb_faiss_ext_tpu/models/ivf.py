@@ -103,6 +103,7 @@ class IVFIndex(Index):
         self.train_seed = DEFAULT_SEED
         self.train_niter = DEFAULT_NITER
         self.train_balance = 0.0
+        self.assign_topk = 0     # capped device-ingest assignment (0 = off)
         self._centroids: np.ndarray | None = None
         #: SOAR bookkeeping (None when SOAR is off): storage row → logical
         #: datapoint, and logical position → original storage row.
@@ -446,6 +447,11 @@ class IVFIndex(Index):
         self.train_seed = params.get_int("train_seed", self.train_seed)
         self.train_niter = params.get_int("train_niter", self.train_niter)
         self.train_balance = params.get_float("kmeans_balance", 0.0)
+        # Capped assignment (ScaNN-style balanced partitioning) for the
+        # device-resident ingest: each row goes to the nearest of its top-T
+        # candidate lists with free capacity; rows fitting nowhere stay
+        # exact in the spill.  0/1 = plain nearest assignment.
+        self.assign_topk = params.get_int("assign_topk", 0)
         beam = params.get_int("beam")
         if beam is not None:
             # RQ-storage encode beam (models/rq.DEFAULT_BEAM otherwise).

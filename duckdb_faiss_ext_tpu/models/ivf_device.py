@@ -105,6 +105,55 @@ def _assign_chunk(x, cents, metric_arg, *, metric: str, sim: bool):
     return best.astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("metric", "sim", "t"))
+def _assign_topk_chunk(x, cents, metric_arg, *, metric: str, sim: bool,
+                       t: int):
+    """Top-``t`` candidate lists per row (capped-assignment mode)."""
+    from ..ops.distance import pairwise_tile
+
+    tile = pairwise_tile(x, cents, metric, metric_arg,
+                         jax.lax.Precision.HIGHEST)
+    score = tile if sim else -tile
+    return jax.lax.top_k(score, t)[1].astype(jnp.int32)
+
+
+def capped_assign(cand: np.ndarray, counts: np.ndarray,
+                  cap: int) -> np.ndarray:
+    """Greedy capacity-capped assignment (ScaNN-style balanced
+    partitioning): each row goes to its nearest candidate list with free
+    capacity; a row whose every candidate is full keeps its TRUE nearest
+    list (column 0) — the caller's slot logic then routes it to the spill
+    region, where IVF semantics stay exact.
+
+    cand: (m, T) int32 candidate lists, nearest first; counts: (nlist,)
+    running list sizes; cap: per-list capacity (the padded lmax).
+    Returns (assign (m,) int32, displaced count).  Pure numpy — one
+    sort per displacement level, vectorised within each level."""
+    m, T = cand.shape
+    counts = counts.astype(np.int64).copy()
+    assign = np.full((m,), -1, np.int32)
+    pending = np.arange(m)
+    for t in range(T):
+        c = cand[pending, t]
+        order = np.argsort(c, kind="stable")
+        cs = c[order]
+        # rank of each pending row among those wanting the same list
+        grp = np.searchsorted(cs, np.arange(counts.shape[0]))
+        rank = np.arange(cs.shape[0]) - grp[cs]
+        fits = counts[cs] + rank < cap
+        taken = pending[order[fits]]
+        assign[taken] = cs[fits]
+        counts += np.bincount(cs[fits], minlength=counts.shape[0])
+        pending = pending[order[~fits]]
+        if pending.size == 0:
+            break
+    displaced = m - pending.size - int((assign[assign >= 0]
+                                        == cand[assign >= 0, 0]).sum())
+    if pending.size:
+        assign[pending] = cand[pending, 0]        # exact → spill
+    return assign, displaced
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
 def _scatter_sq(payload, rn_layout, rs_layout, lists_idx, slots_idx, rows,
                 rn, rs):
@@ -256,12 +305,25 @@ def ivf_add_device(self, x, ids=None, *, expected_total: int | None = None,
     self._device_pallas = None
     self._device_spill = None
 
-    # 1. coarse assignment on device; only the int32 vector is fetched.
+    # 1. coarse assignment on device; only the int32 vector(s) are fetched.
     cents = jnp.asarray(self._centroids)
     sim = self.metric.name == "INNER_PRODUCT"
     marg = jnp.asarray(self.metric_arg, jnp.float32)
     achunk = max(1024, min(65536, (1 << 27) // max(self.nlist, 1)))
-    if m <= achunk:
+    topk_t = int(getattr(self, "assign_topk", 0) or 0)
+    if topk_t > 1:
+        # Capped assignment: fetch top-T candidates, pick the nearest list
+        # with free capacity (cap = the padded lmax) on host.  Rows whose
+        # every candidate is full keep their true nearest list and land in
+        # the spill via the ordinary slot overflow below.
+        t = min(topk_t, self.nlist)
+        cand = np.concatenate([
+            np.asarray(_assign_topk_chunk(x[i:i + achunk], cents, marg,
+                                          metric=self.metric.name, sim=sim,
+                                          t=t))
+            for i in range(0, m, achunk)])
+        assign, _ = capped_assign(cand, dr.counts, dr.lmax)
+    elif m <= achunk:
         assign = np.asarray(_assign_chunk(x, cents, marg,
                                           metric=self.metric.name, sim=sim))
     else:

@@ -183,3 +183,57 @@ def test_device_ingest_with_ids():
                                    rtol=2e-5, atol=2e-5)
     finally:
         _cleanup("di", "hi")
+
+
+def test_capped_assign_respects_capacity():
+    from duckdb_faiss_ext_tpu.models.ivf_device import capped_assign
+
+    rng = np.random.default_rng(5)
+    nlist, m, cap = 8, 600, 100
+    # heavily skewed candidates: most rows want list 0 first
+    top1 = np.where(rng.random(m) < 0.7, 0, rng.integers(0, nlist, m))
+    cand = np.stack([top1] + [rng.integers(0, nlist, m) for _ in range(3)],
+                    axis=1).astype(np.int32)
+    counts = np.zeros((nlist,), np.int64)
+    counts[0] = 90                     # list 0 nearly full already
+    assign, displaced = capped_assign(cand, counts, cap)
+    assert assign.shape == (m,) and (assign >= 0).all()
+    new = counts + np.bincount(assign, minlength=nlist)
+    # Every list is at/below cap EXCEPT overflow rows that kept their true
+    # nearest list (they spill); those rows all carry cand[:, 0].
+    over = np.flatnonzero(new > cap)
+    for li in over:
+        rows = np.flatnonzero(assign == li)
+        # the rows beyond capacity must be true-nearest keepers
+        assert (cand[rows, 0] == li).sum() >= new[li] - cap
+    assert displaced > 0               # skew forced displacement
+
+
+def test_device_ingest_capped_assignment_small_spill(catalog):
+    """Capped assignment keeps the padded layout within capacity (tiny
+    spill) on skewed data, and search remains valid vs brute force."""
+    import duckdb_faiss_ext_tpu as dfx
+
+    rng = np.random.default_rng(6)
+    n, d, nlist = 6000, 16, 16
+    # one hot cluster holding half the mass
+    centers = rng.standard_normal((nlist, d)).astype(np.float32) * 4
+    which = np.where(rng.random(n) < 0.5, 0, rng.integers(0, nlist, n))
+    xb = centers[which] + rng.standard_normal((n, d)).astype(np.float32)
+
+    dfx.faiss_create_params("dcap", d, f"IVF{nlist},SQ8",
+                            {"assign_topk": "4"}, metric_type="L2",
+                            catalog=catalog)
+    dfx.faiss_train_device(xb[:4000], "dcap", catalog=catalog)
+    lmax = 512                        # ~1.4x avg: plain nearest would spill
+    dfx.faiss_add_device(xb, "dcap", lmax=lmax, catalog=catalog)
+    idx = catalog.get("dcap").index
+    frac = idx._dr.spill_n / n
+    assert frac < 0.05, frac          # plain nearest spills ~25% here
+
+    xq = xb[:32]
+    res = dfx.faiss_search("dcap", 5, xq, {"nprobe": str(nlist)},
+                           catalog=catalog)
+    # nprobe = nlist scans everything: results equal brute force over the
+    # SQ-decoded corpus regardless of which list holds each row.
+    assert (res["label"][:, 0] == np.arange(32)).mean() == 1.0

@@ -52,6 +52,10 @@ def main() -> None:
     ap.add_argument("--balance", type=float, default=1.0,
                     help="kmeans_balance create param (skew-aware "
                          "assignment; 0 disables)")
+    ap.add_argument("--assign-topk", type=int, default=0,
+                    help="capped assignment: nearest of top-T candidate "
+                         "lists with free capacity (0 = plain nearest; "
+                         "rows fitting nowhere stay exact in the spill)")
     ap.add_argument("--train-rows", type=int, default=262_144)
     ap.add_argument("--budget-gb", type=float, default=13.5,
                     help="HBM cap for the padded list payload")
@@ -93,9 +97,11 @@ def main() -> None:
     desc = f"IVF{args.nlist},{args.storage}"
     print(f"corpus {n}x{d} clustered({args.clusters}, scale "
           f"{args.center_scale}), index {desc}, device-resident, "
-          f"balance {args.balance}", flush=True)
+          f"balance {args.balance}, assign_topk {args.assign_topk}",
+          flush=True)
     dfx.faiss_create_params(name, d, desc,
-                            {"kmeans_balance": str(args.balance)},
+                            {"kmeans_balance": str(args.balance),
+                             "assign_topk": str(args.assign_topk)},
                             metric_type="L2")
 
     # ---- train on device-generated rows ---------------------------------
@@ -182,14 +188,22 @@ def main() -> None:
     # buffer's pow2 capacity fit the budget together (the spill buffer
     # grows by doubling, so budget its capacity, not its row count).
     budget = int(args.budget_gb * (1 << 30))
+
+    def spill_pred(lmax_try: int) -> int:
+        if args.assign_topk > 1:
+            # Capped assignment fills the padded layout to capacity; only
+            # rows beyond nlist*lmax total capacity (plus the rare
+            # all-candidates-full stragglers) spill.
+            return max(0, n - args.nlist * lmax_try) + n // 200
+        return int(np.maximum(counts - lmax_try, 0).sum())
+
     lmax = max(512, min(choose_lmax(cmax),
                         (budget // (args.nlist * w) // 512) * 512))
     while lmax > 512:
-        nspill = int(np.maximum(counts - lmax, 0).sum())
-        if args.nlist * lmax * w + (nspill + chunk) * w <= budget:
+        if args.nlist * lmax * w + (spill_pred(lmax) + chunk) * w <= budget:
             break
         lmax -= 512
-    nspill = int(np.maximum(counts - lmax, 0).sum())
+    nspill = spill_pred(lmax)
     spill_cap = nspill + chunk          # chunk-local pow2 append headroom
     print(f"layout: lmax {lmax}, payload "
           f"{args.nlist * lmax * w / 2**30:.2f} GiB, spill {nspill} rows "
