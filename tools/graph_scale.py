@@ -46,14 +46,14 @@ def recall_of(got, truth, k):
                           for g, t in zip(got["label"], truth)]))
 
 
-def drive(tag, xb, xq, k=10):
+def drive(tag, xb, xq, k=10, m_conn=32, modes=("graph", "ivf")):
     n, d = xb.shape
-    print(f"== {tag}: {n}x{d}, nq={len(xq)} ==", flush=True)
+    print(f"== {tag}: {n}x{d}, nq={len(xq)}, HNSW{m_conn} ==", flush=True)
     truth = None
-    for mode in ("graph", "ivf"):
+    for mode in modes:
         cat = Catalog()
         name = f"h_{mode}"
-        dfx.faiss_create_params(name, d, "HNSW32", {"accel": mode},
+        dfx.faiss_create_params(name, d, f"HNSW{m_conn}", {"accel": mode},
                                 metric_type="L2", catalog=cat)
         ix = cat.get(name).index
         ix.ann_threshold = min(ix.ann_threshold, max(1000, n // 4))
@@ -99,6 +99,9 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
     d = int(sys.argv[2]) if len(sys.argv) > 2 else 96
     which = sys.argv[3] if len(sys.argv) > 3 else "both"
+    m_conn = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+    modes = (tuple(sys.argv[5].split(","))
+             if len(sys.argv) > 5 else ("graph", "ivf"))
     nq = 1024
     dfx.set_precision("fast")
     rng = np.random.default_rng(0)
@@ -106,7 +109,7 @@ def main():
     if which in ("uniform", "both"):
         xb_u = rng.standard_normal((n, d)).astype(np.float32)
         xq_u = rng.standard_normal((nq, d)).astype(np.float32)
-        drive("uniform", xb_u, xq_u)
+        drive("uniform", xb_u, xq_u, m_conn=m_conn, modes=modes)
         del xb_u, xq_u
 
     if which in ("clustered", "both"):
@@ -116,7 +119,7 @@ def main():
                 + rng.standard_normal((n, d)).astype(np.float32) * 0.5)
         xq_c = (centers[rng.integers(0, ncent, nq)]
                 + rng.standard_normal((nq, d)).astype(np.float32) * 0.5)
-        drive("clustered", xb_c, xq_c)
+        drive("clustered", xb_c, xq_c, m_conn=m_conn, modes=modes)
 
 
 if __name__ == "__main__":

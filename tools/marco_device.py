@@ -199,6 +199,12 @@ def main() -> None:
 
     lmax = max(512, min(choose_lmax(cmax),
                         (budget // (args.nlist * w) // 512) * 512))
+    if args.assign_topk > 1:
+        # Capacity-filled layout: every probe scores lmax slots, so lmax
+        # past ~n/nlist is pure scan waste.  15% headroom keeps greedy
+        # displacement (and its recall cost) rare.
+        need = -(-int(n * 1.15) // (args.nlist * 512)) * 512
+        lmax = min(lmax, max(512, need))
     while lmax > 512:
         if args.nlist * lmax * w + (spill_pred(lmax) + chunk) * w <= budget:
             break
