@@ -79,8 +79,13 @@ def make_synthetic_qrels(xb, xq, query_ids, *, metric: str = "L2",
     TREC-DL19 judgments): per query the top-3 true neighbours get grade 3,
     the next 7 grade 2, the next 20 grade 1.  Row index = docid (the flow's
     create_index assigns sequential labels).  Chunked numpy — no device."""
-    xb = np.asarray(xb, np.float32)
-    xq = np.asarray(xq, np.float32)
+    # float64 GEMM decomposition: ||q-b||^2 = ||q||^2 - 2 q.b + ||b||^2
+    # (constant ||q||^2 dropped — per-query rank only).  The naive
+    # (chunk, n, d) fp32 broadcast is ~38 GB at marco-mini's defaults;
+    # float64 keeps near-tie ordering exact despite the cancellation.
+    xb = np.asarray(xb, np.float64)
+    xq = np.asarray(xq, np.float64)
+    bnorm = (xb * xb).sum(-1)
     ktot = sum(n for n, _ in graded)
     qrels: dict = {}
     for s in range(0, xq.shape[0], 64):
@@ -88,7 +93,7 @@ def make_synthetic_qrels(xb, xq, query_ids, *, metric: str = "L2",
         if metric == "INNER_PRODUCT":
             score = qs @ xb.T
         else:
-            score = -(((qs[:, None, :] - xb[None]) ** 2).sum(-1))
+            score = 2.0 * (qs @ xb.T) - bnorm[None, :]
         top = np.argsort(-score, axis=1, kind="stable")[:, :ktot]
         for qi in range(qs.shape[0]):
             qid = str(query_ids[s + qi])

@@ -381,19 +381,23 @@ class HNSWIndex(FlatIndex):
         import jax.numpy as jnp
 
         per_dev = rows * deg * self.d
-        amax = float(np.max(np.abs(self._xb))) if n else 1.0
+
+        def amax():
+            # O(n·d) host reduction — only the int8/int4 branches need it.
+            return float(np.max(np.abs(self._xb))) if n else 1.0
+
         if per_dev * 2 <= self.pack_budget_bytes:
             kind = "bf16"
             packops = (sharded_pack_fn(mesh, kind)(xb_dev, gdev),)
         elif per_dev <= self.pack_budget_bytes:
             kind = "int8"
-            scale = 127.0 / max(amax, 1e-30)
+            scale = 127.0 / max(amax(), 1e-30)
             packops = (sharded_pack_fn(mesh, kind)(
                 xb_dev, gdev, jnp.float32(scale)),
                 jnp.float32(1.0 / scale))
         elif per_dev <= 2 * self.pack_budget_bytes:
             kind = "int4"
-            scale = 7.0 / max(amax, 1e-30)
+            scale = 7.0 / max(amax(), 1e-30)
             packops = (sharded_pack_fn(mesh, kind)(
                 xb_dev, gdev, jnp.float32(scale)),
                 jnp.float32(1.0 / scale))

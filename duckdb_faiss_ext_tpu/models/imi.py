@@ -115,5 +115,6 @@ class IMIIndex(IVFIndex):
         return np.asarray(jnp.concatenate(parts), dtype=np.int32)
 
 
-# Device-resident ingest (attaches add_device / train_device and the
-# _dr_* hooks; at the very bottom so the partially-imported module already
+# Device-resident ingest lives in models/ivf_device and is wired up by
+# models/ivf.py (which also sets IMIIndex._supports_device_ingest =
+# False: the IMI coarse assignment is factored, not a single top-k).

@@ -290,6 +290,10 @@ def ivf_add_device(self, x, ids=None, *, expected_total: int | None = None,
                     "add) or an explicit lmax=")
             lmax = choose_lmax(
                 max(128, int(2 * expected_total / max(self.nlist, 1))))
+        else:
+            # The SQ kernel's unpack tiling requires the pow2/512-multiple
+            # contract choose_lmax guarantees; round an explicit lmax up.
+            lmax = choose_lmax(int(lmax))
         width = (self._codes.shape[1] if codec is not None else self.d)
         dtype = jnp.uint8 if codec is not None else jnp.float32
         self._dr = DeviceResidentState(self.nlist, lmax, width, dtype,

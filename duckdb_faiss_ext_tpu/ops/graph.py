@@ -431,7 +431,9 @@ def pack_neighbors(xb_dev: jax.Array, graph_dev: jax.Array,
              .astype(jnp.int32) + 8).astype(jnp.uint8)    # 1..15 biased
         d = q.shape[1]
         if d % 2:
-            q = jnp.pad(q, ((0, 0), (0, 1)))              # pad dim → 8 ≡ 0
+            # pad with the bias value 8 (decodes to 0), so in-register
+            # scoring of packed nibbles needs no :d slice
+            q = jnp.pad(q, ((0, 0), (0, 1)), constant_values=8)
         packed = q[:, 0::2] | (q[:, 1::2] << 4)           # (N, ceil(d/2))
         return (jnp.take(packed, idx, axis=0),
                 (1.0 / scale).astype(jnp.float32))

@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from .distance import pairwise_tile
-from .flat_search import SIMILARITY_METRICS, _NEG_INF, finalize_scores
+from .flat_search import (SIMILARITY_METRICS, _NEG_INF, exact_topk,
+                          finalize_scores)
 
 
 def inchunk_rerank_kscan(k: int, ncand: int, metric: str, precision) -> int:
@@ -366,10 +367,15 @@ def ivf_spill_scan(spill_payload, spill_assign, spill_pos, centroids,
             valid = jnp.logical_and(valid, mc[None, :])
         score = dist if sim else -dist
         score = jnp.where(valid, score, _NEG_INF)
-        slot = start + lax.broadcasted_iota(jnp.int32, (1, sc), 1)
-        cat_s = jnp.concatenate([best_s, score], axis=1)
-        cat_i = jnp.concatenate(
-            [best_i, jnp.broadcast_to(slot, (nq, sc))], axis=1)
+        # Per-chunk selection via the window-max prefilter (exact): a raw
+        # lax.top_k over (nq, k_scan + sc) per chunk dominated the whole
+        # spill scan at the 8.8M x 1536 MARCO shape (~312 sequential
+        # bitonic top-ks); exact_topk replaces each with a 128-lane VPU
+        # reduction + two small top-ks, then the running merge is
+        # (nq, 2*k_scan) — tiny.
+        ch_s, ch_i = exact_topk(score, min(k_scan, sc))
+        cat_s = jnp.concatenate([best_s, ch_s], axis=1)
+        cat_i = jnp.concatenate([best_i, start + ch_i], axis=1)
         new_s, sel = lax.top_k(cat_s, k_scan)
         return new_s, jnp.take_along_axis(cat_i, sel, axis=1)
 
@@ -552,9 +558,6 @@ def ivf_sq_int8_search(
 
     L = min(lmax, codes.shape[0])
     ncand = nprobe * L
-    maskbuf = mask[:, None] if mask is not None else None
-    rnbuf = row_norm[:, None]
-    rsbuf = row_sum[:, None]
     if sim:
         u = xq * scale[None, :]
         base = xq @ vmin
@@ -585,24 +588,22 @@ def ivf_sq_int8_search(
                             preferred_element_type=jnp.int32)
         dot_lo = jnp.einsum("qd,qcd->qc", lo_c, xc8,
                             preferred_element_type=jnp.int32)
-        rs, _, _ = slice_probed_lists(rsbuf, offsets, counts,
-                                      probes_c, lmax=L)
+        # Per-row scalars (row_sum / row_norm / mask) ride the pos map the
+        # codes gather already produced — a flat 4-byte-per-row gather,
+        # not a second set of probed-window dynamic slices.
+        safe_pos = jnp.maximum(pos, 0)
+        rs = row_sum[safe_pos]
         uc = (su2_c[:, None] * (128.0 * dot_hi.astype(jnp.float32)
                                 + dot_lo.astype(jnp.float32))
               + shift * sumut_c[:, None]
-              + mu_c[:, None] * rs.reshape(q_chunk, ncand))
+              + mu_c[:, None] * rs)
         if sim:
             score = base_c[:, None] + uc
         else:
-            rn, _, _ = slice_probed_lists(rnbuf, offsets, counts,
-                                          probes_c, lmax=L)
             score = -jnp.maximum(
-                base_c[:, None] - 2.0 * uc + rn.reshape(q_chunk, ncand),
-                0.0)
+                base_c[:, None] - 2.0 * uc + row_norm[safe_pos], 0.0)
         if mask is not None:
-            mc, _, _ = slice_probed_lists(maskbuf, offsets, counts,
-                                          probes_c, lmax=L)
-            valid = jnp.logical_and(valid, mc.reshape(q_chunk, ncand))
+            valid = jnp.logical_and(valid, mask[safe_pos])
         score = jnp.where(valid, score, _NEG_INF)
         s, sel = lax.top_k(score, k_scan)
         # Exact rerank: decode only the selected rows, score fp32.

@@ -174,7 +174,8 @@ def sharded_pack_fn(mesh: Mesh, kind: str):
             q = (jnp.clip(jnp.round(xb * scale), -7, 7)
                  .astype(jnp.int32) + 8).astype(jnp.uint8)
             if q.shape[1] % 2:
-                q = jnp.pad(q, ((0, 0), (0, 1)))
+                # bias-value pad: the nibble decodes to 0 (see ops/graph.py)
+                q = jnp.pad(q, ((0, 0), (0, 1)), constant_values=8)
             packed = q[:, 0::2] | (q[:, 1::2] << 4)
             return jnp.take(packed, jnp.maximum(g, 0), axis=0)
         in_specs = (P("shard", None), P("shard", None), P())

@@ -56,6 +56,13 @@ def main() -> None:
                     help="capped assignment: nearest of top-T candidate "
                          "lists with free capacity (0 = plain nearest; "
                          "rows fitting nowhere stay exact in the spill)")
+    ap.add_argument("--metric", default="L2", choices=["L2", "IP"],
+                    help="index metric (the reference's MARCO index is "
+                         "'ip': go/benches_c.go:92)")
+    ap.add_argument("--unit-norm", action="store_true",
+                    help="L2-normalize corpus + query rows (ada2 "
+                         "embeddings are unit-norm; also moderates "
+                         "k-means skew vs the raw clustered mixture)")
     ap.add_argument("--train-rows", type=int, default=262_144)
     ap.add_argument("--budget-gb", type=float, default=13.5,
                     help="HBM cap for the padded list payload")
@@ -86,7 +93,10 @@ def main() -> None:
         ki = jax.random.fold_in(kq, i)
         k1, k2 = jax.random.split(ki)
         cid = jax.random.randint(k1, (m,), 0, args.clusters)
-        return centers[cid] + jax.random.normal(k2, (m, d), jnp.float32)
+        x = centers[cid] + jax.random.normal(k2, (m, d), jnp.float32)
+        if args.unit_norm:
+            x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+        return x
 
     def chunk_rows(i):
         # All chunks padded to `chunk` rows (one jit shape); the final
@@ -96,13 +106,15 @@ def main() -> None:
     name = "marco"
     desc = f"IVF{args.nlist},{args.storage}"
     print(f"corpus {n}x{d} clustered({args.clusters}, scale "
-          f"{args.center_scale}), index {desc}, device-resident, "
+          f"{args.center_scale}{', unit-norm' if args.unit_norm else ''}), "
+          f"index {desc} {args.metric}, device-resident, "
           f"balance {args.balance}, assign_topk {args.assign_topk}",
           flush=True)
     dfx.faiss_create_params(name, d, desc,
                             {"kmeans_balance": str(args.balance),
                              "assign_topk": str(args.assign_topk)},
-                            metric_type="L2")
+                            metric_type=("INNER_PRODUCT"
+                                         if args.metric == "IP" else "L2"))
 
     # ---- train on device-generated rows ---------------------------------
     t0 = time.time()
@@ -124,11 +136,14 @@ def main() -> None:
 
     @jax.jit
     def gt_merge(xq, xc, base_row, best_d, best_l):
-        xn = jnp.sum(xq * xq, 1, keepdims=True)
-        cn = jnp.sum(xc * xc, 1)[None, :]
         xy = jnp.dot(xq, xc.T, precision=jax.lax.Precision.HIGHEST,
                      preferred_element_type=jnp.float32)
-        dist = xn - 2.0 * xy + cn
+        if args.metric == "IP":
+            dist = -xy                       # min-oriented carry
+        else:
+            xn = jnp.sum(xq * xq, 1, keepdims=True)
+            cn = jnp.sum(xc * xc, 1)[None, :]
+            dist = xn - 2.0 * xy + cn
         rows = base_row + jax.lax.broadcasted_iota(
             jnp.int32, (1, xc.shape[0]), 1)
         cat_d = jnp.concatenate([best_d, dist], axis=1)
@@ -139,9 +154,11 @@ def main() -> None:
 
     import os
 
+    tag = (("_un" if args.unit_norm else "")
+           + ("_ip" if args.metric == "IP" else ""))
     cache = (f"/root/repo/.marco_passA_n{n}_d{d}_s{args.seed}"
              f"_c{args.clusters}_t{args.train_rows}_l{args.nlist}"
-             f"_cs{args.center_scale}_b{args.balance}.npz")
+             f"_cs{args.center_scale}_b{args.balance}{tag}.npz")
     if os.path.exists(cache):
         z = np.load(cache)
         counts, xq = z["counts"], z["xq"]
@@ -159,9 +176,10 @@ def main() -> None:
             if i == 0:
                 xq_dev = x[:nq]
                 xq = np.asarray(xq_dev)
-            a = np.asarray(_assign_chunk(x, cents,
-                                         jnp.float32(idx.metric_arg),
-                                         metric="L2", sim=False))
+            a = np.asarray(_assign_chunk(
+                x, cents, jnp.float32(idx.metric_arg),
+                metric=idx.metric.name,
+                sim=idx.metric.name == "INNER_PRODUCT"))
             counts += np.bincount(a, minlength=args.nlist)
             if not args.skip_gt:
                 best_d, best_l = gt_merge(xq_dev, x, jnp.int32(i * chunk),
@@ -190,12 +208,18 @@ def main() -> None:
     budget = int(args.budget_gb * (1 << 30))
 
     def spill_pred(lmax_try: int) -> int:
+        displaced = int(np.maximum(counts - lmax_try, 0).sum())
         if args.assign_topk > 1:
-            # Capped assignment fills the padded layout to capacity; only
-            # rows beyond nlist*lmax total capacity (plus the rare
-            # all-candidates-full stragglers) spill.
-            return max(0, n - args.nlist * lmax_try) + n // 200
-        return int(np.maximum(counts - lmax_try, 0).sum())
+            # Capped assignment re-homes displaced rows into free slots of
+            # their top-T candidates, but locality limits how much free
+            # capacity is reachable (measured on the 30x-skew synthetic
+            # corpus: far less than all of it).  Budget for absorbing at
+            # most half the free capacity — over-predicting spill only
+            # pre-allocates a larger buffer, under-predicting doubles the
+            # buffer mid-ingest and OOMs next to a near-HBM payload.
+            free = args.nlist * lmax_try - (n - displaced)
+            return max(0, displaced - max(0, free) // 2) + n // 100
+        return displaced
 
     lmax = max(512, min(choose_lmax(cmax),
                         (budget // (args.nlist * w) // 512) * 512))
