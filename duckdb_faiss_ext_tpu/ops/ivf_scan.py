@@ -79,7 +79,7 @@ def inchunk_exact_rerank(xq_c, xc, score, *, k, k_scan, metric):
     the selected rows from the in-scope candidate tile ``xc`` (qc, ncand,
     d).  Returns (s (qc, k) max-oriented, sel (qc, k) candidate indices).
     -inf (missing/masked) slots stay missing."""
-    s, sel = lax.top_k(score, k_scan)
+    s, sel = exact_topk(score, k_scan)
     if k_scan == k:
         return s, sel
     xs = jnp.take_along_axis(xc, sel[:, :, None], axis=1)  # (qc, k_scan, d)
@@ -605,7 +605,7 @@ def ivf_sq_int8_search(
         if mask is not None:
             valid = jnp.logical_and(valid, mask[safe_pos])
         score = jnp.where(valid, score, _NEG_INF)
-        s, sel = lax.top_k(score, k_scan)
+        s, sel = exact_topk(score, k_scan)
         # Exact rerank: decode only the selected rows, score fp32.
         csel = jnp.take_along_axis(pos, sel, axis=1)
         xs = sq_decode(codes[jnp.maximum(csel, 0)].reshape(-1, w), vmin,

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .distance import pairwise_tile
-from .flat_search import _NEG_INF, SIMILARITY_METRICS
+from .flat_search import _NEG_INF, SIMILARITY_METRICS, exact_topk
 from .kmeans import DEFAULT_SEED, _kmeans_fit
 
 
@@ -191,9 +191,9 @@ def pq_search(codes, nvalid, codebooks, xq, mask, metric_arg, *, k, metric,
             valid = jnp.logical_and(valid, mc[None, :])
         score = dist if sim else -dist
         score = jnp.where(valid, score, _NEG_INF)
-        cat_s = jnp.concatenate([best_s, score], axis=1)
-        cat_p = jnp.concatenate(
-            [best_p, jnp.broadcast_to(rowid, (nq, chunk))], axis=1)
+        local_s, local_i = exact_topk(score, min(k, chunk))
+        cat_s = jnp.concatenate([best_s, local_s], axis=1)
+        cat_p = jnp.concatenate([best_p, start + local_i], axis=1)
         new_s, sel = lax.top_k(cat_s, k)
         return new_s, jnp.take_along_axis(cat_p, sel, axis=1)
 

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .distance import pairwise_tile
-from .flat_search import _NEG_INF, SIMILARITY_METRICS
+from .flat_search import _NEG_INF, SIMILARITY_METRICS, exact_topk
 
 #: quantization levels per codec (code range [0, levels])
 SQ_LEVELS = {"sq8": 255, "sq4": 15, "sq6": 63}
@@ -166,9 +166,9 @@ def sq_search(codes, nvalid, vmin, scale, xq, mask, metric_arg, *, k, metric,
             valid = jnp.logical_and(valid, mc[None, :])
         score = dist if sim else -dist
         score = jnp.where(valid, score, _NEG_INF)
-        cat_s = jnp.concatenate([best_s, score], axis=1)
-        cat_p = jnp.concatenate(
-            [best_p, jnp.broadcast_to(rowid, (nq, chunk))], axis=1)
+        local_s, local_i = exact_topk(score, min(k, chunk))
+        cat_s = jnp.concatenate([best_s, local_s], axis=1)
+        cat_p = jnp.concatenate([best_p, start + local_i], axis=1)
         new_s, sel = lax.top_k(cat_s, k)
         return new_s, jnp.take_along_axis(cat_p, sel, axis=1)
 
@@ -335,9 +335,9 @@ def sq_int8_search(codes, row_norm, row_sum, nvalid, vmin, scale, xq, mask,
             mc = lax.dynamic_slice(mask, (start,), (chunk,))
             valid = jnp.logical_and(valid, mc[None, :])
         score = jnp.where(valid, score, _NEG_INF)
-        cat_s = jnp.concatenate([best_s, score], axis=1)
-        cat_p = jnp.concatenate(
-            [best_p, jnp.broadcast_to(rowid, (nq, chunk))], axis=1)
+        local_s, local_i = exact_topk(score, min(k_scan, chunk))
+        cat_s = jnp.concatenate([best_s, local_s], axis=1)
+        cat_p = jnp.concatenate([best_p, start + local_i], axis=1)
         new_s, sel = lax.top_k(cat_s, k_scan)
         return new_s, jnp.take_along_axis(cat_p, sel, axis=1)
 
