@@ -396,6 +396,10 @@ def _sorted_ids(self, order) -> np.ndarray:
 
 IVFIndex.PALLAS_LAYOUT_BUDGET_BYTES = PALLAS_LAYOUT_BUDGET_BYTES
 IVFIndex.PALLAS_SMEM_PROBE_INTS = PALLAS_SMEM_PROBE_INTS
+#: batch size from which the pair-tile MXU-batched SQ scan takes over
+#: (ops/pallas_ivf_pairs.py); below it the per-query DMA kernel wins
+#: (tile-table padding overhead dominates at small nq).
+IVFIndex.PAIRS_MIN_BATCH = 256
 IVFIndex.SPILL_FRACTION_MAX = SPILL_FRACTION_MAX
 IVFIndex._sq_codes_dev = _sq_codes_dev
 IVFIndex._ivf_sq_row_extras = _ivf_sq_row_extras

@@ -158,7 +158,35 @@ def _dispatch_inner(self, xq, k, params=EMPTY, selector=None):
                 k=k_kernel, nprobe=nprobe_eff, metric=self.metric.name,
                 interpret=not on_tpu())
 
-        if qb == xq_pad.shape[0]:
+        if (self.pq_m is None and self.sq_type is None
+                and xq_pad.shape[0] >= self.PAIRS_MIN_BATCH):
+            # Flat-payload pair-tile scan (fp32 lists, MXU dots).
+            from ..ops.pallas_ivf_pairs import pallas_ivf_pairs_search
+
+            k_scan = min(nprobe_eff * lmax,
+                         max(4 * k_kernel, k_kernel + 32))
+            scores, pos = pallas_ivf_pairs_search(
+                payload, counts, row_pos, probe_ids, xq_pad, mask,
+                k=k_kernel, k_scan=k_scan, nprobe=nprobe_eff,
+                metric=self.metric.name, interpret=not on_tpu())
+        elif (self.sq_type in ("sq8", "sq4", "sq6")
+                and xq_pad.shape[0] >= self.PAIRS_MIN_BATCH):
+            # Pair-tile MXU-batched scan: big batches are compute-bound
+            # on the per-query kernel's batch-1 (VPU) dots; inverting the
+            # probe map into per-list query tiles puts the digit dots on
+            # the MXU and dedups hot-list DMA (ops/pallas_ivf_pairs.py).
+            from ..ops.pallas_ivf_pairs import pallas_ivf_sq_pairs_search
+
+            rn_layout, rs_layout, vmin, scale = dev[4:8]
+            k_scan = min(nprobe_eff * lmax,
+                         max(4 * k_kernel, k_kernel + 32))
+            scores, pos = pallas_ivf_sq_pairs_search(
+                payload, rn_layout, rs_layout, counts, row_pos, vmin,
+                scale, probe_ids, xq_pad, mask,
+                k=k_kernel, k_scan=k_scan, nprobe=nprobe_eff,
+                metric=self.metric.name, codec=self.sq_type,
+                interpret=not on_tpu())
+        elif qb == xq_pad.shape[0]:
             scores, pos = run_block(xq_pad, probe_ids)
         else:
             parts = [run_block(xq_pad[i:i + qb], probe_ids[i:i + qb])

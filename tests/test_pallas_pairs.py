@@ -1,0 +1,263 @@
+"""Pair-tile MXU-batched IVF scan vs the per-query DMA kernel (interpret
+mode): identical semantics — every (query, list) pair scored once, exact
+rerank — so labels must agree with the existing kernel and with brute
+force over the decoded corpus."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from duckdb_faiss_ext_tpu.ops.pallas_ivf_pairs import (  # noqa: E402
+    QG, build_pair_tiles, pairs_t_max, pallas_ivf_sq_pairs_search)
+
+
+def test_build_pair_tiles_covers_every_pair():
+    rng = np.random.default_rng(0)
+    nq, nprobe, nlist = 33, 5, 16
+    probe = np.stack([rng.choice(nlist, nprobe, replace=False)
+                      for _ in range(nq)]).astype(np.int32)
+    t_max = pairs_t_max(nq, nprobe, nlist)
+    tl, tq, ps = (np.asarray(a) for a in build_pair_tiles(
+        jnp.asarray(probe), nlist=nlist, t_max=t_max))
+    # every pair maps to a unique (tile, slot) holding (its query, list)
+    seen = set()
+    for q in range(nq):
+        for j in range(nprobe):
+            s = ps[q, j]
+            assert s not in seen
+            seen.add(s)
+            t, sl = divmod(int(s), QG)
+            assert tq[t, sl] == q
+            assert tl[t] == probe[q, j]
+    # no tile mixes lists; empty slots are -1
+    used = np.zeros(t_max, bool)
+    used[np.asarray(list(seen)) // QG] = True
+    assert (tq[~used] == -1).all()
+
+
+def _sq_state(xb, nlist, lmax, codec, rng, metric):
+    """Quantize xb into a padded (nlist, lmax, w) SQ layout via the
+    library's own encode, with round-robin list assignment."""
+    from duckdb_faiss_ext_tpu.ops.sq import (SQ_LEVELS, sq4_pack,
+                                             sq_code_width, sq_decode,
+                                             sq_quantize, sq_row_norms,
+                                             sq_row_sums, sq_train)
+    n, d = xb.shape
+    vmin, scale = sq_train(jnp.asarray(xb), SQ_LEVELS[codec])
+    q = np.asarray(sq_quantize(jnp.asarray(xb), vmin, scale,
+                               levels=SQ_LEVELS[codec]))
+    if codec == "sq4":
+        codes = sq4_pack(q)
+    elif codec == "sq6":
+        from duckdb_faiss_ext_tpu.ops.sq import sq6_pack
+        codes = sq6_pack(q)
+    else:
+        codes = q
+    assign = np.arange(n) % nlist
+    w = sq_code_width(d, codec)
+    lists = np.zeros((nlist, lmax, w), np.uint8)
+    row_pos = np.full((nlist, lmax), -1, np.int32)
+    counts = np.zeros(nlist, np.int32)
+    for i in range(n):
+        li = assign[i]
+        lists[li, counts[li]] = codes[i]
+        row_pos[li, counts[li]] = i
+        counts[li] += 1
+    dec = np.asarray(sq_decode(jnp.asarray(codes), vmin, scale, codec))
+    rn = np.zeros((nlist, lmax), np.float32)
+    rs = np.zeros((nlist, lmax), np.float32)
+    rn_all = sq_row_norms(codes, np.asarray(scale), d, codec)
+    rs_all = sq_row_sums(codes, d, codec)
+    for li in range(nlist):
+        sel = row_pos[li][row_pos[li] >= 0]
+        rn[li, :len(sel)] = rn_all[sel]
+        rs[li, :len(sel)] = rs_all[sel]
+    if codec == "sq6":
+        # plane-major payload, as models/ivf_layout.py builds it
+        lists = np.ascontiguousarray(
+            lists.reshape(nlist, lmax, w // 3, 3).transpose(0, 3, 1, 2))
+    return (jnp.asarray(lists), jnp.asarray(rn), jnp.asarray(rs),
+            jnp.asarray(counts), row_pos, vmin, scale, dec)
+
+
+@pytest.mark.parametrize("codec", ["sq8", "sq4", "sq6"])
+@pytest.mark.parametrize("metric", ["L2", "INNER_PRODUCT"])
+def test_pairs_kernel_matches_bruteforce(codec, metric):
+    rng = np.random.default_rng(3)
+    n, d, nlist, lmax, nprobe, k = 600, 64, 8, 128, 4, 5
+    xb = rng.standard_normal((n, d)).astype(np.float32)
+    xq = rng.standard_normal((20, d)).astype(np.float32)
+    (lists, rn, rs, counts, row_pos, vmin, scale,
+     dec) = _sq_state(xb, nlist, lmax, codec, rng, metric)
+
+    cents = np.stack([xb[np.arange(n) % nlist == li].mean(0)
+                      for li in range(nlist)])
+    if metric == "INNER_PRODUCT":
+        cs = xq @ cents.T
+    else:
+        cs = -(((xq[:, None] - cents[None]) ** 2).sum(-1))
+    probe = np.argsort(-cs, axis=1)[:, :nprobe].astype(np.int32)
+
+    s, p = pallas_ivf_sq_pairs_search(
+        lists, rn, rs, counts, jnp.asarray(row_pos), vmin, scale,
+        jnp.asarray(probe), jnp.asarray(xq), None,
+        k=k, k_scan=2 * k, nprobe=nprobe, metric=metric, codec=codec,
+        interpret=True)
+    s, p = np.asarray(s), np.asarray(p)
+
+    # Oracle: exact metric over the DECODED corpus, restricted to rows
+    # whose list is probed (IVF semantics).
+    assign = np.arange(n) % nlist
+    for qi in range(len(xq)):
+        ok = np.isin(assign, probe[qi])
+        if metric == "INNER_PRODUCT":
+            sc = dec[ok] @ xq[qi]
+        else:
+            sc = -((dec[ok] - xq[qi]) ** 2).sum(-1)
+        rows = np.flatnonzero(ok)
+        top = rows[np.argsort(-sc, kind="stable")[:k]]
+        got = p[qi][p[qi] >= 0]
+        # exact rerank -> same candidate set up to ties
+        exp_s = np.sort(sc)[::-1][:k]
+        np.testing.assert_allclose(np.sort(s[qi])[::-1], exp_s,
+                                   rtol=2e-5, atol=2e-5)
+        assert len(set(got) & set(top)) >= k - 1  # ties may swap the tail
+
+
+@pytest.mark.parametrize("codec", ["sq8"])
+def test_pairs_kernel_matches_per_query_kernel(codec):
+    from duckdb_faiss_ext_tpu.ops.pallas_ivf import pallas_ivf_sq_search
+
+    rng = np.random.default_rng(7)
+    n, d, nlist, lmax, nprobe, k = 512, 32, 8, 128, 4, 10
+    xb = rng.standard_normal((n, d)).astype(np.float32)
+    xq = rng.standard_normal((16, d)).astype(np.float32)
+    (lists, rn, rs, counts, row_pos, vmin, scale,
+     dec) = _sq_state(xb, nlist, lmax, codec, rng, "L2")
+    probe = np.stack([rng.choice(nlist, nprobe, replace=False)
+                      for _ in range(16)]).astype(np.int32)
+
+    s1, p1 = pallas_ivf_sq_pairs_search(
+        lists, rn, rs, counts, jnp.asarray(row_pos), vmin, scale,
+        jnp.asarray(probe), jnp.asarray(xq), None,
+        k=k, k_scan=2 * k, nprobe=nprobe, metric="L2", codec=codec,
+        interpret=True)
+    s2, p2 = pallas_ivf_sq_search(
+        lists, rn, rs, counts, jnp.asarray(row_pos), vmin, scale,
+        jnp.asarray(probe), jnp.asarray(xq), None,
+        k=k, k_scan=2 * k, nprobe=nprobe, metric="L2", codec=codec,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                               rtol=1e-6, atol=1e-6)
+    assert (np.asarray(p1) == np.asarray(p2)).mean() > 0.95  # ties only
+
+
+def test_pairs_kernel_mask():
+    rng = np.random.default_rng(11)
+    n, d, nlist, lmax, nprobe, k = 400, 32, 8, 64, 8, 5
+    xb = rng.standard_normal((n, d)).astype(np.float32)
+    xq = rng.standard_normal((8, d)).astype(np.float32)
+    (lists, rn, rs, counts, row_pos, vmin, scale,
+     dec) = _sq_state(xb, nlist, lmax, "sq8", rng, "L2")
+    probe = np.tile(np.arange(nlist, dtype=np.int32), (8, 1))
+    keep = rng.random(n) < 0.5
+    mask = np.zeros((nlist, lmax), np.int8)
+    for li in range(nlist):
+        sel = row_pos[li][row_pos[li] >= 0]
+        mask[li, :len(sel)] = keep[sel]
+    s, p = pallas_ivf_sq_pairs_search(
+        lists, rn, rs, counts, jnp.asarray(row_pos), vmin, scale,
+        jnp.asarray(probe), jnp.asarray(xq), jnp.asarray(mask),
+        k=k, k_scan=2 * k, nprobe=nlist, metric="L2", codec="sq8",
+        interpret=True)
+    p = np.asarray(p)
+    assert (keep[p[p >= 0]]).all()
+
+
+def test_pairs_path_end_to_end(catalog=None):
+    """Big-batch IVF,SQ8 search goes through the pair-tile kernel
+    (PAIRS_MIN_BATCH) and agrees with the XLA gather scan."""
+    import duckdb_faiss_ext_tpu as dfx
+    from duckdb_faiss_ext_tpu.catalog import Catalog
+
+    cat = Catalog()
+    rng = np.random.default_rng(21)
+    n, d, nq, k = 20000, 32, 256, 10
+    xb = rng.standard_normal((n, d)).astype(np.float32)
+    xq = xb[:nq] + 0.01 * rng.standard_normal((nq, d)).astype(np.float32)
+    dfx.faiss_create("pp", d, "IVF64,SQ8", metric_type="L2", catalog=cat)
+    dfx.faiss_add(xb, "pp", catalog=cat)
+    dfx.set_kernel_mode("pallas")
+    try:
+        idx = cat.get("pp").index
+        assert idx.PAIRS_MIN_BATCH <= nq
+        r1 = dfx.faiss_search("pp", k, xq, {"nprobe": "8"}, catalog=cat)
+        dfx.set_kernel_mode("xla")
+        r2 = dfx.faiss_search("pp", k, xq, {"nprobe": "8"}, catalog=cat)
+    finally:
+        dfx.set_kernel_mode("auto")
+    agree = (r1["label"] == r2["label"]).mean()
+    assert agree > 0.99, agree
+    np.testing.assert_allclose(np.sort(r1["distance"], 1),
+                               np.sort(r2["distance"], 1),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("metric", ["L2", "INNER_PRODUCT"])
+def test_pairs_flat_kernel_matches_bruteforce(metric):
+    from duckdb_faiss_ext_tpu.ops.pallas_ivf_pairs import \
+        pallas_ivf_pairs_search
+
+    rng = np.random.default_rng(13)
+    n, d, nlist, lmax, nprobe, k = 600, 64, 8, 128, 4, 5
+    xb = rng.standard_normal((n, d)).astype(np.float32)
+    xq = rng.standard_normal((20, d)).astype(np.float32)
+    assign = np.arange(n) % nlist
+    lists = np.zeros((nlist, lmax, d), np.float32)
+    row_pos = np.full((nlist, lmax), -1, np.int32)
+    counts = np.zeros(nlist, np.int32)
+    for i in range(n):
+        li = assign[i]
+        lists[li, counts[li]] = xb[i]
+        row_pos[li, counts[li]] = i
+        counts[li] += 1
+    probe = np.stack([rng.choice(nlist, nprobe, replace=False)
+                      for _ in range(20)]).astype(np.int32)
+    s, p = pallas_ivf_pairs_search(
+        jnp.asarray(lists), jnp.asarray(counts), jnp.asarray(row_pos),
+        jnp.asarray(probe), jnp.asarray(xq), None,
+        k=k, k_scan=2 * k, nprobe=nprobe, metric=metric, interpret=True)
+    s, p = np.asarray(s), np.asarray(p)
+    for qi in range(len(xq)):
+        ok = np.isin(assign, probe[qi])
+        sc = (xb[ok] @ xq[qi] if metric == "INNER_PRODUCT"
+              else -((xb[ok] - xq[qi]) ** 2).sum(-1))
+        rows = np.flatnonzero(ok)
+        top = set(rows[np.argsort(-sc, kind="stable")[:k]])
+        np.testing.assert_allclose(np.sort(s[qi])[::-1],
+                                   np.sort(sc)[::-1][:k],
+                                   rtol=2e-5, atol=2e-5)
+        assert len(set(p[qi][p[qi] >= 0]) & top) >= k - 1
+
+
+def test_pairs_flat_path_end_to_end():
+    import duckdb_faiss_ext_tpu as dfx
+    from duckdb_faiss_ext_tpu.catalog import Catalog
+
+    cat = Catalog()
+    rng = np.random.default_rng(23)
+    n, d, nq, k = 20000, 32, 256, 10
+    xb = rng.standard_normal((n, d)).astype(np.float32)
+    xq = xb[:nq]
+    dfx.faiss_create("pf", d, "IVF64,Flat", metric_type="L2", catalog=cat)
+    dfx.faiss_add(xb, "pf", catalog=cat)
+    dfx.set_kernel_mode("pallas")
+    try:
+        r1 = dfx.faiss_search("pf", k, xq, {"nprobe": "8"}, catalog=cat)
+        dfx.set_kernel_mode("xla")
+        r2 = dfx.faiss_search("pf", k, xq, {"nprobe": "8"}, catalog=cat)
+    finally:
+        dfx.set_kernel_mode("auto")
+    assert (r1["label"] == r2["label"]).mean() > 0.99

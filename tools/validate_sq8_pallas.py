@@ -57,10 +57,18 @@ def validate_sq(codec: str) -> None:
             t_xla, r_xla = timed(dfx.faiss_search, name, k, xq,
                                  parameters=params)
 
-            # Pallas DMA kernel (Mosaic lowering under test)
+            # Pallas DMA kernel (Mosaic lowering under test); pin the
+            # per-query kernel — b256 would otherwise take the pair-tile
+            # path (validated separately by validate_pairs).
+            from duckdb_faiss_ext_tpu.models.ivf import IVFIndex
             set_kernel_mode("pallas")
-            t_pal, r_pal = timed(dfx.faiss_search, name, k, xq,
-                                 parameters=params)
+            saved_min = IVFIndex.PAIRS_MIN_BATCH
+            IVFIndex.PAIRS_MIN_BATCH = 10 ** 9
+            try:
+                t_pal, r_pal = timed(dfx.faiss_search, name, k, xq,
+                                     parameters=params)
+            finally:
+                IVFIndex.PAIRS_MIN_BATCH = saved_min
 
             agree = float(np.mean([
                 len(set(a[a >= 0]) & set(b[b >= 0])) / max(1, (a >= 0).sum())
@@ -117,11 +125,102 @@ def validate_lsh() -> None:
     print("LSH INT8 VALIDATION OK")
 
 
+def validate_pairs(codec: str) -> None:
+    """A/B the pair-tile MXU-batched scan (ops/pallas_ivf_pairs.py)
+    against the per-query DMA kernel and the XLA gather scan at serving
+    batch sizes."""
+    from duckdb_faiss_ext_tpu.models.ivf import IVFIndex
+
+    rng = np.random.default_rng(17)
+    n, d, nlist, nprobe, k = 200_000, 128, 1024, 16, 10
+    xb = rng.standard_normal((n, d)).astype(np.float32)
+    xq = rng.standard_normal((1024, d)).astype(np.float32)
+
+    for metric in ("L2", "INNER_PRODUCT"):
+        name = f"vp{codec}_{metric}"
+        dfx.faiss_create(name, d, f"IVF{nlist},{codec.upper()}",
+                         metric_type=metric)
+        dfx.faiss_manual_train(xb[:100_000], name)
+        dfx.faiss_add(xb, name)
+        saved_min = IVFIndex.PAIRS_MIN_BATCH
+        try:
+            set_precision("fast")
+            params = {"nprobe": str(nprobe)}
+            set_kernel_mode("xla")
+            t_xla, r_xla = timed(dfx.faiss_search, name, k, xq,
+                                 parameters=params)
+            set_kernel_mode("pallas")
+            IVFIndex.PAIRS_MIN_BATCH = 10 ** 9      # force per-query kernel
+            t_pq, r_pq = timed(dfx.faiss_search, name, k, xq,
+                               parameters=params)
+            IVFIndex.PAIRS_MIN_BATCH = 256          # pair-tile kernel
+            t_pr, r_pr = timed(dfx.faiss_search, name, k, xq,
+                               parameters=params)
+            agree = float(np.mean([
+                len(set(a[a >= 0]) & set(b[b >= 0])) / max(1, (a >= 0).sum())
+                for a, b in zip(r_pr["label"], r_xla["label"])]))
+            print(f"[pairs {codec} {metric}] pairs {t_pr*1e3:7.1f} ms  "
+                  f"per-query {t_pq*1e3:7.1f} ms ({t_pq/t_pr:4.1f}x)  "
+                  f"xla {t_xla*1e3:7.1f} ms ({t_xla/t_pr:4.1f}x)  "
+                  f"label-agree {agree:.4f}  b{len(xq)} nprobe={nprobe}")
+            assert agree > 0.97, f"label agreement too low: {agree}"
+        finally:
+            IVFIndex.PAIRS_MIN_BATCH = saved_min
+            set_kernel_mode("auto")
+            set_precision("parity")
+        dfx.faiss_destroy(name)
+    print(f"{codec.upper()} PAIRS VALIDATION OK")
+
+
+def validate_pairs_flat() -> None:
+    from duckdb_faiss_ext_tpu.models.ivf import IVFIndex
+
+    rng = np.random.default_rng(19)
+    n, d, nlist, nprobe, k = 200_000, 128, 1024, 16, 10
+    xb = rng.standard_normal((n, d)).astype(np.float32)
+    xq = rng.standard_normal((1024, d)).astype(np.float32)
+    name = "vpflat"
+    dfx.faiss_create(name, d, f"IVF{nlist},Flat", metric_type="L2")
+    dfx.faiss_manual_train(xb[:100_000], name)
+    dfx.faiss_add(xb, name)
+    saved_min = IVFIndex.PAIRS_MIN_BATCH
+    try:
+        set_precision("fast")
+        params = {"nprobe": str(nprobe)}
+        set_kernel_mode("xla")
+        t_xla, r_xla = timed(dfx.faiss_search, name, k, xq,
+                             parameters=params)
+        set_kernel_mode("pallas")
+        IVFIndex.PAIRS_MIN_BATCH = 10 ** 9
+        t_pq, _ = timed(dfx.faiss_search, name, k, xq, parameters=params)
+        IVFIndex.PAIRS_MIN_BATCH = 256
+        t_pr, r_pr = timed(dfx.faiss_search, name, k, xq,
+                           parameters=params)
+        agree = float(np.mean([
+            len(set(a[a >= 0]) & set(b[b >= 0])) / max(1, (a >= 0).sum())
+            for a, b in zip(r_pr["label"], r_xla["label"])]))
+        print(f"[pairs flat L2] pairs {t_pr*1e3:7.1f} ms  "
+              f"per-query {t_pq*1e3:7.1f} ms ({t_pq/t_pr:4.1f}x)  "
+              f"xla {t_xla*1e3:7.1f} ms ({t_xla/t_pr:4.1f}x)  "
+              f"label-agree {agree:.4f}")
+        assert agree > 0.97, agree
+    finally:
+        IVFIndex.PAIRS_MIN_BATCH = saved_min
+        set_kernel_mode("auto")
+        set_precision("parity")
+    dfx.faiss_destroy(name)
+    print("FLAT PAIRS VALIDATION OK")
+
+
 def main() -> None:
     validate_sq("sq8")
     validate_sq("sq4")
     validate_sq("sq6")
     validate_lsh()
+    validate_pairs("sq8")
+    validate_pairs("sq4")
+    validate_pairs("sq6")
+    validate_pairs_flat()
 
 
 if __name__ == "__main__":
