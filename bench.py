@@ -119,11 +119,11 @@ def measure_tpu(xb, xq, xq_big):
     # Supplementary only — skip when the relay is slow (upload speed varies
     # 10x between days) so the headline JSON always lands within the
     # driver's budget.
-    qps_ivf = recall = None
+    qps_ivf = recall = qps_ivf_big = None
     if time.perf_counter() - start > 300:
         log(f"ivf bench skipped: headline took "
             f"{time.perf_counter() - start:.0f}s (slow relay)")
-        return qps48, qps_pipe, qps_ivf, recall
+        return qps48, qps_pipe, qps_ivf, recall, qps_ivf_big
     try:
         dfx.faiss_create("bench_ivf", D, "IVF4096,Flat", metric_type="L2",
                          catalog=cat)
@@ -160,10 +160,16 @@ def measure_tpu(xb, xq, xq_big):
             for q in range(BATCH)]))
         log(f"ivf qps b{BATCH} nprobe=64: {qps_ivf:.1f} (recall@10 "
             f"{recall:.3f}, clustered corpus)")
+        # Big-batch point: nq >= PAIRS_MIN_BATCH rides the pair-tile
+        # MXU-batched kernel (ops/pallas_ivf_pairs.py).
+        qps_ivf_big = bench_api(dfx, cat, "bench_ivf", xq_big,
+                                {"nprobe": "64"}, iters=5)
+        log(f"ivf qps b{BIG_BATCH} nprobe=64: {qps_ivf_big:.1f} "
+            f"(pair-tile kernel)")
     except Exception as e:  # noqa: BLE001 — supplementary only
         log(f"ivf bench skipped: {type(e).__name__}: {e}")
 
-    return qps48, qps_pipe, qps_ivf, recall
+    return qps48, qps_pipe, qps_ivf, recall, qps_ivf_big
 
 
 def measure_cpu_baseline():
@@ -219,7 +225,8 @@ def main():
     xb, xq_all = synthetic_dataset(N, D, nq=BATCH + BIG_BATCH, seed=42)
     xq, xq_big = xq_all[:BATCH], xq_all[BATCH:]
 
-    tpu_qps, qps_pipe, qps_ivf, recall = measure_tpu(xb, xq, xq_big)
+    (tpu_qps, qps_pipe, qps_ivf, recall,
+     qps_ivf_big) = measure_tpu(xb, xq, xq_big)
     cpu_qps = measure_cpu_baseline()
     log(f"cpu baseline qps (scaled): {cpu_qps:.1f}")
     line = {
@@ -229,6 +236,7 @@ def main():
         "vs_baseline": round(tpu_qps / cpu_qps, 3),
         "pipelined_qps": round(qps_pipe, 1) if qps_pipe else None,
         "ivf_qps": round(qps_ivf, 1) if qps_ivf else None,
+        "ivf_qps_b1024": round(qps_ivf_big, 1) if qps_ivf_big else None,
         "ivf_recall": round(recall, 3) if recall is not None else None,
     }
     print(json.dumps(line))

@@ -14,7 +14,28 @@ until grep -q "chain4 done" .round2_chain4.log 2>/dev/null; do
   if [ "$tries" -ge 200 ]; then echo "[chain5] gave up waiting"; exit 1; fi
   sleep 120
 done
-echo "[chain5] chain4 done; starting $(date -u +%H:%M:%S)"
+echo "[chain5] chain4 done at $(date -u +%H:%M:%S); probing relay"
+
+probe() {
+  timeout 140 python - <<'PYEOF'
+import threading, numpy as np, sys
+ok = []
+def p():
+    import jax.numpy as jnp
+    ok.append(float(np.asarray(jnp.ones((8, 8)) @ jnp.ones((8, 8)))[0][0]))
+t = threading.Thread(target=p, daemon=True); t.start(); t.join(110)
+sys.exit(0 if ok else 1)
+PYEOF
+}
+
+tries=0
+until probe; do
+  tries=$((tries + 1))
+  echo "[chain5] relay down (probe #$tries) $(date -u +%H:%M:%S)"
+  if [ "$tries" -ge 160 ]; then echo "[chain5] giving up"; exit 1; fi
+  sleep 170
+done
+echo "[chain5] relay ALIVE at $(date -u +%H:%M:%S); starting"
 
 echo "=== tpu_smoke ==="
 timeout 900 python tools/tpu_smoke.py || echo "SMOKE FAILED rc=$?"
