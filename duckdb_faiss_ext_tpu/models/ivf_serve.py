@@ -26,6 +26,17 @@ from .ivf import IVFIndex
 
 _jax = jax
 
+
+def _sq_kscan(self, k: int, cap: int) -> int:
+    """Rerank-pool width for int8-scored SQ scans.  The in-kernel digit
+    dots rank by QUANTIZED distance; true neighbours missed there are
+    unrecoverable by the exact rerank, so the coarser the codec the wider
+    the pool: sq4 (16 levels) widens 2x more than sq8/sq6.  The pair-tile
+    kernel caps at its KP=128 lane budget internally."""
+    f, add = (8, 96) if self.sq_type == "sq4" else (4, 32)
+    return min(cap, max(f * k, k + add))
+
+
 # --- search ----------------------------------------------------------
 def search(self, xq, k, params=EMPTY, selector=None) -> SearchResult:
     return self._finish_dispatch(
@@ -144,8 +155,7 @@ def _dispatch_inner(self, xq, k, params=EMPTY, selector=None):
                 from ..ops.pallas_ivf import pallas_ivf_sq_search
 
                 rn_layout, rs_layout, vmin, scale = dev[4:8]
-                k_scan = min(nprobe_eff * lmax,
-                             max(4 * k_kernel, k_kernel + 32))
+                k_scan = _sq_kscan(self, k_kernel, nprobe_eff * lmax)
                 return pallas_ivf_sq_search(
                     payload, rn_layout, rs_layout, counts, row_pos, vmin,
                     scale,
@@ -178,8 +188,7 @@ def _dispatch_inner(self, xq, k, params=EMPTY, selector=None):
             from ..ops.pallas_ivf_pairs import pallas_ivf_sq_pairs_search
 
             rn_layout, rs_layout, vmin, scale = dev[4:8]
-            k_scan = min(nprobe_eff * lmax,
-                         max(4 * k_kernel, k_kernel + 32))
+            k_scan = _sq_kscan(self, k_kernel, nprobe_eff * lmax)
             scores, pos = pallas_ivf_sq_pairs_search(
                 payload, rn_layout, rs_layout, counts, row_pos, vmin,
                 scale, probe_ids, xq_pad, mask,
@@ -245,8 +254,7 @@ def _dispatch_inner(self, xq, k, params=EMPTY, selector=None):
             from ..ops.ivf_scan import ivf_sq_int8_search
 
             rn, rs = self._ivf_sq_row_extras()
-            k_scan = min(nprobe_eff * lmax,
-                         max(4 * k_eff, k_eff + 32))
+            k_scan = _sq_kscan(self, k_eff, nprobe_eff * lmax)
             scores, pos = ivf_sq_int8_search(
                 self._sq_codes_dev(), rn, rs, offs, cnts,
                 centroids, vmin, scale, xq_pad, mask,

@@ -798,9 +798,17 @@ def test_ivf_sq_int8_accurate_on_clustered_data(catalog, enc):
                                catalog=catalog)
     finally:
         set_sq_dot("auto")
-    agree = (ref["label"] == got["label"]).mean()
-    assert agree > 0.98, agree
+    # Clustered near-duplicates quantize to IDENTICAL codes, so rank
+    # tails are full of exact ties — label equality is brittle (rerank
+    # pool widths legitimately shuffle tied members).  Assert what the
+    # round-2 bug actually broke: the distance MULTISET must match the
+    # decode path (the bug returned ~70% wrong labels at wrong
+    # distances), and every disagreeing label must be a tie.
+    np.testing.assert_allclose(np.sort(got["distance"], axis=1),
+                               np.sort(ref["distance"], axis=1),
+                               rtol=3e-4, atol=3e-4)
     same = ref["label"] == got["label"]
+    assert same.mean() > 0.8, same.mean()
     # The decode path scores via the expansion form (qn − 2xy + bn, ~1e-4
     # cancellation on clustered data); the int8 rerank via direct diff².
     np.testing.assert_allclose(got["distance"][same], ref["distance"][same],
