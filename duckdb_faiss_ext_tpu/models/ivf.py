@@ -226,10 +226,14 @@ class IVFIndex(Index):
         # explodes).  Search-time coarse probing keeps config precision.
         import jax as _jax
 
-        centroids, _ = kmeans_fit(x, self.nlist, niter=self.train_niter,
-                                  seed=self.train_seed,
-                                  precision=_jax.lax.Precision.HIGHEST,
-                                  balance=getattr(self, "train_balance", 0.0))
+        centroids, _ = kmeans_fit(
+            x, self.nlist, niter=self.train_niter, seed=self.train_seed,
+            precision=_jax.lax.Precision.HIGHEST,
+            balance=getattr(self, "train_balance", 0.0),
+            # faiss parity: Level1Quantizer::train_q1 trains the coarse
+            # quantizer spherically for METRIC_INNER_PRODUCT — IP probe
+            # selection against unnormalised centroids is norm-biased.
+            spherical=self.metric.name == "INNER_PRODUCT")
         return np.asarray(centroids, dtype=np.float32), x
 
     def _require_trained(self):

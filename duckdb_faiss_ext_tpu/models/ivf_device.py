@@ -237,7 +237,8 @@ def ivf_train_device(self, x) -> None:
     cents, _ = kmeans_fit(x, self.nlist, niter=self.train_niter,
                           seed=self.train_seed,
                           precision=jax.lax.Precision.HIGHEST,
-                          balance=getattr(self, "train_balance", 0.0))
+                          balance=getattr(self, "train_balance", 0.0),
+                          spherical=self.metric.name == "INNER_PRODUCT")
     self._centroids = np.asarray(cents, dtype=np.float32)
     self._populate_quantizer()
     if self.sq_type is not None:

@@ -48,8 +48,10 @@ def centroid_update(x, labels, k, weights=None):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "niter", "precision", "balance"))
-def _kmeans_fit(x, valid, seed, *, k, niter, precision, balance=0.0):
+                   static_argnames=("k", "niter", "precision", "balance",
+                                    "spherical"))
+def _kmeans_fit(x, valid, seed, *, k, niter, precision, balance=0.0,
+                spherical=False):
     n, d = x.shape
     key = jax.random.PRNGKey(seed)
     # Seeded init: sample k distinct valid points.  Invalid (padding) rows get
@@ -84,6 +86,13 @@ def _kmeans_fit(x, valid, seed, *, k, niter, precision, balance=0.0):
         w = valid.astype(x.dtype)
         sums, new_counts = centroid_update(x, labels, k, weights=w)
         new = sums / jnp.maximum(new_counts, 1.0)[:, None]
+        if spherical:
+            # Spherical k-means: renormalise centroids every iteration
+            # (faiss Level1Quantizer::train_q1 sets cp.spherical for
+            # METRIC_INNER_PRODUCT indexes) — IP probe selection against
+            # unnormalised centroids is biased toward large-norm lists.
+            new = new / jnp.maximum(
+                jnp.linalg.norm(new, axis=1, keepdims=True), 1e-20)
         new = jnp.where((new_counts > 0)[:, None], new, centroids)
         return (new, new_counts), None
 
@@ -105,16 +114,18 @@ def _assignment_distances(x, centroids, precision=lax.Precision.DEFAULT):
 
 def kmeans_fit(x, k, niter=DEFAULT_NITER, seed=DEFAULT_SEED,
                valid=None, precision=lax.Precision.DEFAULT,
-               balance=0.0):
+               balance=0.0, spherical=False):
     """Fit k centroids on (n, d) fp32 data (rows where ``valid`` is False are
-    padding).  ``balance`` > 0 penalises over-full clusters (skew control).
+    padding).  ``balance`` > 0 penalises over-full clusters (skew control);
+    ``spherical`` renormalises centroids per iteration (IP metric).
     Returns (centroids (k, d), labels (n,) int32)."""
     x = jnp.asarray(x, jnp.float32)
     n = x.shape[0]
     if valid is None:
         valid = jnp.ones((n,), bool)
     return _kmeans_fit(x, valid, jnp.int32(seed), k=int(k), niter=int(niter),
-                       precision=precision, balance=float(balance))
+                       precision=precision, balance=float(balance),
+                       spherical=bool(spherical))
 
 
 def subsample_for_training(n: int, k: int) -> int:

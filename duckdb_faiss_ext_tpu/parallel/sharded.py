@@ -190,9 +190,12 @@ def sharded_pack_fn(mesh: Mesh, kind: str):
 
 
 def sharded_kmeans_step_fn(mesh: Mesh, *, k: int,
-                           precision=lax.Precision.DEFAULT):
+                           precision=lax.Precision.DEFAULT,
+                           spherical: bool = False):
     """One distributed Lloyd iteration: data sharded over (shard, batch),
-    centroids replicated; updates reduced with psum over both axes."""
+    centroids replicated; updates reduced with psum over both axes.
+    ``spherical`` renormalises centroids per step (IP-metric training,
+    same rule as ops/kmeans.py)."""
 
     def local(x, valid, centroids):
         labels = assign_labels(x, centroids, precision)
@@ -201,6 +204,9 @@ def sharded_kmeans_step_fn(mesh: Mesh, *, k: int,
         sums = lax.psum(sums, ("shard", "batch"))
         counts = lax.psum(counts, ("shard", "batch"))
         new = sums / jnp.maximum(counts, 1.0)[:, None]
+        if spherical:
+            new = new / jnp.maximum(
+                jnp.linalg.norm(new, axis=1, keepdims=True), 1e-20)
         return jnp.where((counts > 0)[:, None], new, centroids)
 
     fn = shard_map(

@@ -154,8 +154,10 @@ def main() -> None:
 
     import os
 
+    # _ip2: IP coarse training went spherical (cached counts depend on
+    # the centroids; gt does not, but one cache carries both).
     tag = (("_un" if args.unit_norm else "")
-           + ("_ip" if args.metric == "IP" else ""))
+           + ("_ip2" if args.metric == "IP" else ""))
     cache = (f"/root/repo/.marco_passA_n{n}_d{d}_s{args.seed}"
              f"_c{args.clusters}_t{args.train_rows}_l{args.nlist}"
              f"_cs{args.center_scale}_b{args.balance}{tag}.npz")
