@@ -168,8 +168,12 @@ def _dispatch_inner(self, xq, k, params=EMPTY, selector=None):
                 k=k_kernel, nprobe=nprobe_eff, metric=self.metric.name,
                 interpret=not on_tpu())
 
-        if (self.pq_m is None and self.sq_type is None
-                and xq_pad.shape[0] >= self.PAIRS_MIN_BATCH):
+        # Pair-tile kernels carry at most KP=128 candidates per
+        # (query, list) pair — k beyond that (e.g. TREC k=1000) must take
+        # the per-query kernels.
+        pairs_ok = (xq_pad.shape[0] >= self.PAIRS_MIN_BATCH
+                    and k_kernel <= 128)
+        if self.pq_m is None and self.sq_type is None and pairs_ok:
             # Flat-payload pair-tile scan (fp32 lists, MXU dots).
             from ..ops.pallas_ivf_pairs import pallas_ivf_pairs_search
 
@@ -179,8 +183,7 @@ def _dispatch_inner(self, xq, k, params=EMPTY, selector=None):
                 payload, counts, row_pos, probe_ids, xq_pad, mask,
                 k=k_kernel, k_scan=k_scan, nprobe=nprobe_eff,
                 metric=self.metric.name, interpret=not on_tpu())
-        elif (self.sq_type in ("sq8", "sq4", "sq6")
-                and xq_pad.shape[0] >= self.PAIRS_MIN_BATCH):
+        elif self.sq_type in ("sq8", "sq4", "sq6") and pairs_ok:
             # Pair-tile MXU-batched scan: big batches are compute-bound
             # on the per-query kernel's batch-1 (VPU) dots; inverting the
             # probe map into per-list query tiles puts the digit dots on

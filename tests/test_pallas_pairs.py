@@ -261,3 +261,25 @@ def test_pairs_flat_path_end_to_end():
     finally:
         dfx.set_kernel_mode("auto")
     assert (r1["label"] == r2["label"]).mean() > 0.99
+
+
+def test_pairs_path_large_k_falls_back():
+    """k > the kernel's 128-lane candidate budget (TREC runs k=1000)
+    must take the per-query path and stay correct."""
+    import duckdb_faiss_ext_tpu as dfx
+    from duckdb_faiss_ext_tpu.catalog import Catalog
+
+    cat = Catalog()
+    rng = np.random.default_rng(29)
+    n, d, nq = 4000, 16, 256
+    xb = rng.standard_normal((n, d)).astype(np.float32)
+    dfx.faiss_create("plk", d, "IVF16,SQ8", metric_type="L2", catalog=cat)
+    dfx.faiss_add(xb, "plk", catalog=cat)
+    dfx.set_kernel_mode("pallas")
+    try:
+        r = dfx.faiss_search("plk", 300, xb[:nq], {"nprobe": "16"},
+                             catalog=cat)
+    finally:
+        dfx.set_kernel_mode("auto")
+    assert r["label"].shape == (nq, 300)
+    assert (r["label"][:, 0] == np.arange(nq)).all()
