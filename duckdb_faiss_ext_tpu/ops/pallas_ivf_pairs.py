@@ -230,6 +230,11 @@ def pallas_ivf_sq_pairs_search(
     d = vmin.shape[0]
     nq = xq.shape[0]
     k_scan = min(k_scan, KP)
+    # Per-tile extraction passes are the kernel's serial cost (one
+    # argmax+insert per candidate); a single list rarely holds more than
+    # ~2k of a query's global top-k_scan, so cap the per-pair set and let
+    # the cross-probe pool reach k_scan in the epilogue.
+    kp_tile = min(k_scan, max(2 * k, 64))
     has_mask = mask is not None
     sim = metric == "INNER_PRODUCT"
 
@@ -301,7 +306,7 @@ def pallas_ivf_sq_pairs_search(
         args.append(mask.reshape(nlist, 1, lmax))
 
     kernel = functools.partial(_pairs_sq_kernel, metric=metric,
-                               codec=codec, k_scan=k_scan,
+                               codec=codec, k_scan=kp_tile,
                                has_mask=has_mask)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -450,6 +455,7 @@ def pallas_ivf_pairs_search(
     nlist, lmax, d = xb_lists.shape
     nq = xq.shape[0]
     k_scan = min(k_scan, KP)
+    kp_tile = min(k_scan, max(2 * k, 64))   # see pallas_ivf_sq_pairs_search
     has_mask = mask is not None
     sim = metric == "INNER_PRODUCT"
 
@@ -480,7 +486,7 @@ def pallas_ivf_pairs_search(
         args.append(mask.reshape(nlist, 1, lmax))
 
     kernel = functools.partial(_pairs_flat_kernel, metric=metric,
-                               k_scan=k_scan, has_mask=has_mask,
+                               k_scan=kp_tile, has_mask=has_mask,
                                precision=config.precision)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -283,3 +283,33 @@ def test_pairs_path_large_k_falls_back():
         dfx.set_kernel_mode("auto")
     assert r["label"].shape == (nq, 300)
     assert (r["label"][:, 0] == np.arange(nq)).all()
+
+
+def test_pairs_path_with_spill_merge():
+    """Capped layout (spill region) + big batch: pair-tile scores must
+    merge with the spill scan and stay exact at nprobe=nlist."""
+    import duckdb_faiss_ext_tpu as dfx
+    from duckdb_faiss_ext_tpu.catalog import Catalog
+
+    cat = Catalog()
+    rng = np.random.default_rng(31)
+    n, d, nlist, nq, k = 20000, 24, 16, 256, 10
+    # skewed: one hot cluster so a capped lmax forces a real spill
+    centers = rng.standard_normal((nlist, d)).astype(np.float32) * 4
+    which = np.where(rng.random(n) < 0.5, 0, rng.integers(0, nlist, n))
+    xb = (centers[which]
+          + rng.standard_normal((n, d)).astype(np.float32))
+    dfx.faiss_create("psp", d, f"IVF{nlist},SQ8", metric_type="L2",
+                     catalog=cat)
+    dfx.faiss_train_device(xb[:8000], "psp", catalog=cat)
+    dfx.faiss_add_device(xb, "psp", lmax=1024, catalog=cat)  # big spill
+    idx = cat.get("psp").index
+    assert idx._dr.spill_n > 1000
+    xq = xb[:nq]
+    dfx.set_kernel_mode("pallas")
+    try:
+        r = dfx.faiss_search("psp", k, xq, {"nprobe": str(nlist)},
+                             catalog=cat)
+    finally:
+        dfx.set_kernel_mode("auto")
+    assert (r["label"][:, 0] == np.arange(nq)).mean() == 1.0
