@@ -400,6 +400,10 @@ IVFIndex.PALLAS_SMEM_PROBE_INTS = PALLAS_SMEM_PROBE_INTS
 #: (ops/pallas_ivf_pairs.py); below it the per-query DMA kernel wins
 #: (tile-table padding overhead dominates at small nq).
 IVFIndex.PAIRS_MIN_BATCH = 256
+#: minimum lmax*d for the pair-tile path (below it the per-tile
+#: extraction passes outweigh the MXU dot win — measured 0.7x at
+#: 512*128 vs the per-query kernel, 2026-08-19).
+IVFIndex.PAIRS_MIN_WORK = 1 << 19
 IVFIndex.SPILL_FRACTION_MAX = SPILL_FRACTION_MAX
 IVFIndex._sq_codes_dev = _sq_codes_dev
 IVFIndex._ivf_sq_row_extras = _ivf_sq_row_extras

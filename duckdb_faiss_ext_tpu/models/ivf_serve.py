@@ -170,9 +170,14 @@ def _dispatch_inner(self, xq, k, params=EMPTY, selector=None):
 
         # Pair-tile kernels carry at most KP=128 candidates per
         # (query, list) pair — k beyond that (e.g. TREC k=1000) must take
-        # the per-query kernels.
+        # the per-query kernels.  They also only pay off when the
+        # per-query kernel is genuinely compute-bound, i.e. the per-pair
+        # dot work (lmax·d) dwarfs the per-tile extraction passes:
+        # on-chip A/B 2026-08-19 — 0.7x at 512·128 (validator shape),
+        # the win case is the 8.8M×1536 regime (2048·1536 ≈ 3.1M).
         pairs_ok = (xq_pad.shape[0] >= self.PAIRS_MIN_BATCH
-                    and k_kernel <= 128)
+                    and k_kernel <= 128
+                    and lmax * self.d >= self.PAIRS_MIN_WORK)
         if self.pq_m is None and self.sq_type is None and pairs_ok:
             # Flat-payload pair-tile scan (fp32 lists, MXU dots).
             from ..ops.pallas_ivf_pairs import pallas_ivf_pairs_search

@@ -189,7 +189,11 @@ def test_pairs_path_end_to_end(catalog=None):
     xq = xb[:nq] + 0.01 * rng.standard_normal((nq, d)).astype(np.float32)
     dfx.faiss_create("pp", d, "IVF64,SQ8", metric_type="L2", catalog=cat)
     dfx.faiss_add(xb, "pp", catalog=cat)
+    from duckdb_faiss_ext_tpu.models.ivf import IVFIndex
+
     dfx.set_kernel_mode("pallas")
+    saved_work = IVFIndex.PAIRS_MIN_WORK
+    IVFIndex.PAIRS_MIN_WORK = 0          # tiny test shape: force the path
     try:
         idx = cat.get("pp").index
         assert idx.PAIRS_MIN_BATCH <= nq
@@ -198,6 +202,7 @@ def test_pairs_path_end_to_end(catalog=None):
         r2 = dfx.faiss_search("pp", k, xq, {"nprobe": "8"}, catalog=cat)
     finally:
         dfx.set_kernel_mode("auto")
+        IVFIndex.PAIRS_MIN_WORK = saved_work
     agree = (r1["label"] == r2["label"]).mean()
     assert agree > 0.99, agree
     np.testing.assert_allclose(np.sort(r1["distance"], 1),
@@ -253,13 +258,18 @@ def test_pairs_flat_path_end_to_end():
     xq = xb[:nq]
     dfx.faiss_create("pf", d, "IVF64,Flat", metric_type="L2", catalog=cat)
     dfx.faiss_add(xb, "pf", catalog=cat)
+    from duckdb_faiss_ext_tpu.models.ivf import IVFIndex
+
     dfx.set_kernel_mode("pallas")
+    saved_work = IVFIndex.PAIRS_MIN_WORK
+    IVFIndex.PAIRS_MIN_WORK = 0
     try:
         r1 = dfx.faiss_search("pf", k, xq, {"nprobe": "8"}, catalog=cat)
         dfx.set_kernel_mode("xla")
         r2 = dfx.faiss_search("pf", k, xq, {"nprobe": "8"}, catalog=cat)
     finally:
         dfx.set_kernel_mode("auto")
+        IVFIndex.PAIRS_MIN_WORK = saved_work
     assert (r1["label"] == r2["label"]).mean() > 0.99
 
 
@@ -306,10 +316,15 @@ def test_pairs_path_with_spill_merge():
     idx = cat.get("psp").index
     assert idx._dr.spill_n > 1000
     xq = xb[:nq]
+    from duckdb_faiss_ext_tpu.models.ivf import IVFIndex
+
     dfx.set_kernel_mode("pallas")
+    saved_work = IVFIndex.PAIRS_MIN_WORK
+    IVFIndex.PAIRS_MIN_WORK = 0
     try:
         r = dfx.faiss_search("psp", k, xq, {"nprobe": str(nlist)},
                              catalog=cat)
     finally:
         dfx.set_kernel_mode("auto")
+        IVFIndex.PAIRS_MIN_WORK = saved_work
     assert (r["label"][:, 0] == np.arange(nq)).mean() == 1.0

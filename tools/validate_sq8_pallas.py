@@ -154,8 +154,13 @@ def validate_pairs(codec: str) -> None:
             t_pq, r_pq = timed(dfx.faiss_search, name, k, xq,
                                parameters=params)
             IVFIndex.PAIRS_MIN_BATCH = 256          # pair-tile kernel
-            t_pr, r_pr = timed(dfx.faiss_search, name, k, xq,
-                               parameters=params)
+            saved_work = IVFIndex.PAIRS_MIN_WORK
+            IVFIndex.PAIRS_MIN_WORK = 0     # small shape: force the path
+            try:
+                t_pr, r_pr = timed(dfx.faiss_search, name, k, xq,
+                                   parameters=params)
+            finally:
+                IVFIndex.PAIRS_MIN_WORK = saved_work
             agree = float(np.mean([
                 len(set(a[a >= 0]) & set(b[b >= 0])) / max(1, (a >= 0).sum())
                 for a, b in zip(r_pr["label"], r_xla["label"])]))
@@ -194,8 +199,13 @@ def validate_pairs_flat() -> None:
         IVFIndex.PAIRS_MIN_BATCH = 10 ** 9
         t_pq, _ = timed(dfx.faiss_search, name, k, xq, parameters=params)
         IVFIndex.PAIRS_MIN_BATCH = 256
-        t_pr, r_pr = timed(dfx.faiss_search, name, k, xq,
-                           parameters=params)
+        saved_work = IVFIndex.PAIRS_MIN_WORK
+        IVFIndex.PAIRS_MIN_WORK = 0         # small shape: force the path
+        try:
+            t_pr, r_pr = timed(dfx.faiss_search, name, k, xq,
+                               parameters=params)
+        finally:
+            IVFIndex.PAIRS_MIN_WORK = saved_work
         agree = float(np.mean([
             len(set(a[a >= 0]) & set(b[b >= 0])) / max(1, (a >= 0).sum())
             for a, b in zip(r_pr["label"], r_xla["label"])]))
