@@ -168,15 +168,11 @@ def _dispatch_inner(self, xq, k, params=EMPTY, selector=None):
                 k=k_kernel, nprobe=nprobe_eff, metric=self.metric.name,
                 interpret=not on_tpu())
 
-        # Pair-tile kernels carry at most KP=128 candidates per
-        # (query, list) pair — k beyond that (e.g. TREC k=1000) must take
-        # the per-query kernels.  They also only pay off when the
-        # per-query kernel is genuinely compute-bound, i.e. the per-pair
-        # dot work (lmax·d) dwarfs the per-tile extraction passes:
-        # on-chip A/B 2026-08-19 — 0.7x at 512·128 (validator shape),
-        # the win case is the 8.8M×1536 regime (2048·1536 ≈ 3.1M).
+        # The pair-tile kernels pay off when the per-query kernel is
+        # genuinely compute-bound, i.e. the per-pair dot work (lmax·d)
+        # is large: on-chip A/B 2026-08-19 — 0.7x at 512·128 (validator
+        # shape), the win case is the 8.8M×1536 regime (lmax·d ≈ 3-4M).
         pairs_ok = (xq_pad.shape[0] >= self.PAIRS_MIN_BATCH
-                    and k_kernel <= 128
                     and lmax * self.d >= self.PAIRS_MIN_WORK)
         if self.pq_m is None and self.sq_type is None and pairs_ok:
             # Flat-payload pair-tile scan (fp32 lists, MXU dots).

@@ -9,12 +9,18 @@ query probes different lists — but they can be batched per LIST:
 
 * invert the probe map into (list, query) pairs and sort by list;
 * tile each list's queries into groups of ``QG`` (pad the last tile);
-* one grid step per tile: DMA the list block once, score all QG queries
-  with a single (QG, d) x (lmax, d) int8 MXU contraction, keep a per-tile
-  top-``k_scan`` candidate set (insert passes, ops/pallas_topk.py style);
-* outside: a static inverse-permutation gather rebuilds (nq, nprobe, KP)
-  candidates, window-max exact_topk selects k_scan per query, and the
-  usual decode + fp32 rerank restores exact distances.
+* one grid step per tile: DMA the list block once (Pallas skips the
+  copy when consecutive tiles map the same list — tiles are sorted, so
+  hot lists and tail padding fetch once), score all QG queries with a
+  single (QG, d) x (lmax, d) int8 MXU contraction, and write the raw
+  (QG, lmax) score tile to HBM — an in-kernel top-k was measured
+  SLOWER than the dots it saved (the serial insert passes cost ~90 us
+  per tile at lmax 2560 vs ~0.1 ms of total extra HBM traffic for raw
+  scores);
+* outside: a static inverse-permutation row gather rebuilds
+  (nq, nprobe·lmax) scores, window-max exact_topk selects k_scan per
+  query, and the usual decode + fp32 rerank restores exact distances —
+  the identical epilogue the per-query kernel uses.
 
 Every (query, list) pair is scored exactly once (IVF semantics are exact:
 a candidate is returned iff its list was probed), tiles of the same hot
@@ -44,10 +50,6 @@ from .flat_search import _NEG_INF, exact_topk
 #: low at the measured ~4 queries/list occupancy (b1024, nprobe 16,
 #: nlist 4096) while lifting the dot off the VPU.
 QG = 8
-
-#: candidate lanes per (tile, query): one 128-lane vector register row.
-KP = 128
-
 
 def pairs_t_max(nq: int, nprobe: int, nlist: int) -> int:
     """Static worst-case tile count: every list's pairs fill
@@ -89,14 +91,14 @@ def build_pair_tiles(probe_ids, *, nlist: int, t_max: int):
 
 
 def _pairs_sq_kernel(tlist_ref, counts_ref, ui_ref, qs_ref, *rest,
-                     metric: str, codec: str, k_scan: int, has_mask: bool):
+                     metric: str, codec: str, has_mask: bool):
     codes_ref, rn_ref, rs_ref = rest[0], rest[1], rest[2]
     if has_mask:
         mask_ref = rest[3]
-        outv_ref, outl_ref = rest[4], rest[5]
+        out_ref = rest[4]
     else:
         mask_ref = None
-        outv_ref, outl_ref = rest[3], rest[4]
+        out_ref = rest[3]
 
     t = pl.program_id(0)
     lid = tlist_ref[t]
@@ -188,9 +190,7 @@ def _pairs_sq_kernel(tlist_ref, counts_ref, ui_ref, qs_ref, *rest,
     valid = lane < cnt
     if has_mask:
         valid = jnp.logical_and(valid, mask_ref[0, 0][None, :] != 0)
-    score = jnp.where(valid, score, _NEG_INF)
-
-    outv_ref[0], outl_ref[0] = _tile_topk(score, lane, k_scan)
+    out_ref[0] = jnp.where(valid, score, _NEG_INF)
 
 
 @functools.partial(
@@ -229,12 +229,6 @@ def pallas_ivf_sq_pairs_search(
         nlist, lmax, wbytes = codes_lists.shape
     d = vmin.shape[0]
     nq = xq.shape[0]
-    k_scan = min(k_scan, KP)
-    # Per-tile extraction passes are the kernel's serial cost (one
-    # argmax+insert per candidate); a single list rarely holds more than
-    # ~2k of a query's global top-k_scan, so cap the per-pair set and let
-    # the cross-probe pool reach k_scan in the epilogue.
-    kp_tile = min(k_scan, max(2 * k, 64))
     has_mask = mask is not None
     sim = metric == "INNER_PRODUCT"
 
@@ -306,38 +300,31 @@ def pallas_ivf_sq_pairs_search(
         args.append(mask.reshape(nlist, 1, lmax))
 
     kernel = functools.partial(_pairs_sq_kernel, metric=metric,
-                               codec=codec, k_scan=kp_tile,
-                               has_mask=has_mask)
+                               codec=codec, has_mask=has_mask)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(t_max,),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((1, QG, KP), lambda i, tl, cn: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, QG, KP), lambda i, tl, cn: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=pl.BlockSpec((1, QG, lmax), lambda i, tl, cn: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
     )
-    vals, lanes = pl.pallas_call(
+    raw = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((t_max, QG, KP), jnp.float32),
-                   jax.ShapeDtypeStruct((t_max, QG, KP), jnp.int32)],
+        out_shape=jax.ShapeDtypeStruct((t_max, QG, lmax), jnp.float32),
         interpret=interpret,
     )(*args)
 
-    # Static inverse gather: every original (query, probe) pair owns one
-    # (tile, slot) row of the kernel output.
-    flat = pair_slot.reshape(-1)
-    pv = vals.reshape(t_max * QG, KP)[flat].reshape(nq, nprobe * KP)
-    pl_ = lanes.reshape(t_max * QG, KP)[flat].reshape(nq, nprobe * KP)
+    # Static inverse ROW gather: every original (query, probe) pair owns
+    # one (tile, slot) score row; then the per-query kernel's epilogue.
+    pv = (raw.reshape(t_max * QG, lmax)[pair_slot.reshape(-1)]
+          .reshape(nq, nprobe * lmax))
+    k_scan = min(k_scan, nprobe * lmax)
     best, sel = exact_topk(pv, k_scan)
-    lane_sel = jnp.take_along_axis(pl_, sel, axis=1)   # (nq, k_scan)
-    lids = jnp.take_along_axis(probe_ids, sel // KP, axis=1)
-    safe_lane = jnp.maximum(lane_sel, 0)
+    safe_lane = sel % lmax
+    lids = jnp.take_along_axis(probe_ids, sel // lmax, axis=1)
     pos = row_pos[lids, safe_lane]
-    pos = jnp.where(lane_sel < 0, -1, pos)
+    pos = jnp.where(jnp.isneginf(best), -1, pos)
 
     # Exact rerank from the padded layout itself (decode + fp32 score).
     if codec == "sq6":
@@ -367,41 +354,15 @@ def pallas_ivf_sq_pairs_search(
     return best, pos
 
 
-def _tile_topk(score, lane, k_scan: int):
-    """Per-tile top-``k_scan`` candidate set over (QG, lmax) scores:
-    unsorted KP-lane slots, exactly k_scan live (ops/pallas_topk.py
-    insert-pass scheme, vectorised over the QG query rows).  Returns
-    (vals (QG, KP) with -inf missing, lanes (QG, KP) int32 with -1)."""
-    klane = lax.broadcasted_iota(jnp.int32, (QG, KP), 1)
-    bs0 = jnp.where(klane < k_scan, _NEG_INF, jnp.inf).astype(jnp.float32)
-    bp0 = jnp.full((QG, KP), -1, jnp.int32)
-
-    def insert_pass(_, state):
-        s, bs, bp = state
-        m = jnp.max(s, axis=1, keepdims=True)
-        a = jnp.argmax(s, axis=1).astype(jnp.int32)[:, None]
-        s = jnp.where(lane == a, _NEG_INF, s)
-        bmin = jnp.min(bs, axis=1, keepdims=True)
-        bam = jnp.argmin(bs, axis=1).astype(jnp.int32)[:, None]
-        take = jnp.logical_and(klane == bam, m > bmin)
-        bs = jnp.where(take, m, bs)
-        bp = jnp.where(take, a, bp)
-        return s, bs, bp
-
-    _, bs, bp = lax.fori_loop(0, k_scan, insert_pass, (score, bs0, bp0))
-    return jnp.where(bp < 0, _NEG_INF, bs), bp
-
-
 def _pairs_flat_kernel(tlist_ref, counts_ref, xq_ref, qs_ref, *rest,
-                       metric: str, k_scan: int, has_mask: bool,
-                       precision):
+                       metric: str, has_mask: bool, precision):
     codes_ref = rest[0]
     if has_mask:
         mask_ref = rest[1]
-        outv_ref, outl_ref = rest[2], rest[3]
+        out_ref = rest[2]
     else:
         mask_ref = None
-        outv_ref, outl_ref = rest[1], rest[2]
+        out_ref = rest[1]
 
     t = pl.program_id(0)
     lid = tlist_ref[t]
@@ -425,8 +386,7 @@ def _pairs_flat_kernel(tlist_ref, counts_ref, xq_ref, qs_ref, *rest,
     valid = lane < cnt
     if has_mask:
         valid = jnp.logical_and(valid, mask_ref[0, 0][None, :] != 0)
-    score = jnp.where(valid, score, _NEG_INF)
-    outv_ref[0], outl_ref[0] = _tile_topk(score, lane, k_scan)
+    out_ref[0] = jnp.where(valid, score, _NEG_INF)
 
 
 @functools.partial(
@@ -454,8 +414,6 @@ def pallas_ivf_pairs_search(
 
     nlist, lmax, d = xb_lists.shape
     nq = xq.shape[0]
-    k_scan = min(k_scan, KP)
-    kp_tile = min(k_scan, max(2 * k, 64))   # see pallas_ivf_sq_pairs_search
     has_mask = mask is not None
     sim = metric == "INNER_PRODUCT"
 
@@ -486,36 +444,30 @@ def pallas_ivf_pairs_search(
         args.append(mask.reshape(nlist, 1, lmax))
 
     kernel = functools.partial(_pairs_flat_kernel, metric=metric,
-                               k_scan=kp_tile, has_mask=has_mask,
+                               has_mask=has_mask,
                                precision=config.precision)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(t_max,),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((1, QG, KP), lambda i, tl, cn: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, QG, KP), lambda i, tl, cn: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=pl.BlockSpec((1, QG, lmax), lambda i, tl, cn: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
     )
-    vals, lanes = pl.pallas_call(
+    raw = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((t_max, QG, KP), jnp.float32),
-                   jax.ShapeDtypeStruct((t_max, QG, KP), jnp.int32)],
+        out_shape=jax.ShapeDtypeStruct((t_max, QG, lmax), jnp.float32),
         interpret=interpret,
     )(*args)
 
-    flat = pair_slot.reshape(-1)
-    pv = vals.reshape(t_max * QG, KP)[flat].reshape(nq, nprobe * KP)
-    pl_ = lanes.reshape(t_max * QG, KP)[flat].reshape(nq, nprobe * KP)
+    pv = (raw.reshape(t_max * QG, lmax)[pair_slot.reshape(-1)]
+          .reshape(nq, nprobe * lmax))
+    k_scan = min(k_scan, nprobe * lmax)
     best, sel = exact_topk(pv, k_scan)
-    lane_sel = jnp.take_along_axis(pl_, sel, axis=1)
-    lids = jnp.take_along_axis(probe_ids, sel // KP, axis=1)
-    safe_lane = jnp.maximum(lane_sel, 0)
+    safe_lane = sel % lmax
+    lids = jnp.take_along_axis(probe_ids, sel // lmax, axis=1)
     pos = row_pos[lids, safe_lane]
-    pos = jnp.where(lane_sel < 0, -1, pos)
+    pos = jnp.where(jnp.isneginf(best), -1, pos)
 
     # fp32 rerank of the k_scan selection (kernel dots ran at session
     # precision).
