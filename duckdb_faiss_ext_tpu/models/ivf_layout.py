@@ -404,6 +404,10 @@ IVFIndex.PAIRS_MIN_BATCH = 256
 #: extraction passes outweigh the MXU dot win — measured 0.7x at
 #: 512*128 vs the per-query kernel, 2026-08-19).
 IVFIndex.PAIRS_MIN_WORK = 1 << 19
+#: scoped-VMEM budget for the pairs kernel's double-buffered list block
+#: + score tile (16 MB total scoped; ~3 MB reserved for unpack scratch,
+#: query operands, and Mosaic temporaries).
+IVFIndex.PAIRS_VMEM_BUDGET = 13 << 20
 IVFIndex.SPILL_FRACTION_MAX = SPILL_FRACTION_MAX
 IVFIndex._sq_codes_dev = _sq_codes_dev
 IVFIndex._ivf_sq_row_extras = _ivf_sq_row_extras

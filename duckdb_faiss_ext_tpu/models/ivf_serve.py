@@ -172,8 +172,13 @@ def _dispatch_inner(self, xq, k, params=EMPTY, selector=None):
         # genuinely compute-bound, i.e. the per-pair dot work (lmax·d)
         # is large: on-chip A/B 2026-08-19 — 0.7x at 512·128 (validator
         # shape), the win case is the 8.8M×1536 regime (lmax·d ≈ 3-4M).
+        row_bytes = payload.nbytes // max(payload.shape[0] * lmax, 1)
         pairs_ok = (xq_pad.shape[0] >= self.PAIRS_MIN_BATCH
-                    and lmax * self.d >= self.PAIRS_MIN_WORK)
+                    and lmax * self.d >= self.PAIRS_MIN_WORK
+                    # double-buffered list block + unpack scratch + the
+                    # raw score tile must fit scoped VMEM (16 MB)
+                    and 2 * lmax * row_bytes + lmax * 8 * 4 * 2
+                    <= self.PAIRS_VMEM_BUDGET)
         if self.pq_m is None and self.sq_type is None and pairs_ok:
             # Flat-payload pair-tile scan (fp32 lists, MXU dots).
             from ..ops.pallas_ivf_pairs import pallas_ivf_pairs_search

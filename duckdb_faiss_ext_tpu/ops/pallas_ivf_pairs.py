@@ -116,8 +116,15 @@ def _pairs_sq_kernel(tlist_ref, counts_ref, ui_ref, qs_ref, *rest,
     # Digit dots on the MXU: (QG, wq) x (lmax-tile, wq) contractions.
     # sq4/sq6 widen the unpack per ≤512-row sub-tile (Mosaic cannot shift
     # i8 vectors; a whole-block i32 widen blew scoped VMEM at wide d —
-    # same constraints as ops/pallas_ivf.py::_sq_scan_kernel).
-    utile = lmax if codec == "sq8" else min(lmax, 512)
+    # same constraints as ops/pallas_ivf.py::_sq_scan_kernel).  sq8's
+    # XOR+bitcast also materialises a block-sized i8 copy on the scoped
+    # stack (18.3 MB at lmax 4096 x d 1536, on-chip compile failure), so
+    # it sub-tiles too — bounded to ~1.5 MB of scratch.
+    if codec == "sq8":
+        utile = min(lmax, max(512, ((1 << 20) // max(block.shape[1], 1)
+                                    ) // 512 * 512))
+    else:
+        utile = min(lmax, 512)
     hi_q = lax.slice(ui, (0, 0), (QG, wq))
     lo_q = lax.slice(ui, (0, wq), (QG, 2 * wq))
 
