@@ -422,6 +422,7 @@ def faiss_stats(name: str | None = None,
             "needs_training": entry.needs_training,
             "is_mutable": entry.is_mutable,
             "custom_labels": entry.custom_labels,
+            "last_scan_path": getattr(idx, "_last_scan_path", None),
         }
     from .utils.config import config, sq_int8_active
 

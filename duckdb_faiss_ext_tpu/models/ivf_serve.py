@@ -183,6 +183,7 @@ def _dispatch_inner(self, xq, k, params=EMPTY, selector=None):
             # Flat-payload pair-tile scan (fp32 lists, MXU dots).
             from ..ops.pallas_ivf_pairs import pallas_ivf_pairs_search
 
+            self._last_scan_path = "pairs-flat"
             k_scan = min(nprobe_eff * lmax,
                          max(4 * k_kernel, k_kernel + 32))
             scores, pos = pallas_ivf_pairs_search(
@@ -196,6 +197,7 @@ def _dispatch_inner(self, xq, k, params=EMPTY, selector=None):
             # the MXU and dedups hot-list DMA (ops/pallas_ivf_pairs.py).
             from ..ops.pallas_ivf_pairs import pallas_ivf_sq_pairs_search
 
+            self._last_scan_path = "pairs-" + self.sq_type
             rn_layout, rs_layout, vmin, scale = dev[4:8]
             k_scan = _sq_kscan(self, k_kernel, nprobe_eff * lmax)
             scores, pos = pallas_ivf_sq_pairs_search(
@@ -205,6 +207,7 @@ def _dispatch_inner(self, xq, k, params=EMPTY, selector=None):
                 metric=self.metric.name, codec=self.sq_type,
                 interpret=not on_tpu())
         elif qb == xq_pad.shape[0]:
+            self._last_scan_path = "per-query"
             scores, pos = run_block(xq_pad, probe_ids)
         else:
             parts = [run_block(xq_pad[i:i + qb], probe_ids[i:i + qb])

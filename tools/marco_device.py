@@ -266,6 +266,9 @@ def main() -> None:
         print(f"first search nprobe={nprobe}: {time.time() - t0:.1f}s",
               flush=True)
         self_hit = float((res["label"][:, 0] == np.arange(nq)).mean())
+        path = getattr(idx, "_last_scan_path", None)
+        if path:
+            print(f"  scan path: {path}", flush=True)
         if gt is not None:
             rec = np.mean([len(set(a[a >= 0]) & set(b)) / k
                            for a, b in zip(res["label"], gt)])
