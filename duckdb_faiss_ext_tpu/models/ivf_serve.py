@@ -179,33 +179,53 @@ def _dispatch_inner(self, xq, k, params=EMPTY, selector=None):
                     # raw score tile must fit scoped VMEM (16 MB)
                     and 2 * lmax * row_bytes + lmax * 8 * 4 * 2
                     <= self.PAIRS_VMEM_BUDGET)
-        if self.pq_m is None and self.sq_type is None and pairs_ok:
-            # Flat-payload pair-tile scan (fp32 lists, MXU dots).
-            from ..ops.pallas_ivf_pairs import pallas_ivf_pairs_search
-
-            self._last_scan_path = "pairs-flat"
-            k_scan = min(nprobe_eff * lmax,
-                         max(4 * k_kernel, k_kernel + 32))
-            scores, pos = pallas_ivf_pairs_search(
-                payload, counts, row_pos, probe_ids, xq_pad, mask,
-                k=k_kernel, k_scan=k_scan, nprobe=nprobe_eff,
-                metric=self.metric.name, interpret=not on_tpu())
-        elif self.sq_type in ("sq8", "sq4", "sq6") and pairs_ok:
+        if pairs_ok and (self.pq_m is None and self.sq_type is None
+                         or self.sq_type in ("sq8", "sq4", "sq6")):
             # Pair-tile MXU-batched scan: big batches are compute-bound
             # on the per-query kernel's batch-1 (VPU) dots; inverting the
-            # probe map into per-list query tiles puts the digit dots on
-            # the MXU and dedups hot-list DMA (ops/pallas_ivf_pairs.py).
-            from ..ops.pallas_ivf_pairs import pallas_ivf_sq_pairs_search
+            # probe map into per-list query tiles puts the dots on the
+            # MXU and dedups hot-list DMA (ops/pallas_ivf_pairs.py).
+            # HBM temporaries (raw score tiles + gathered operands) scale
+            # with nq·nprobe·lmax — block queries so a batch never holds
+            # more than ~0.75 GB of them next to the payload (b1024
+            # nprobe=128 at the 8.8M×1536 shape OOMed unblocked).
+            per_q = nprobe_eff * lmax * 9        # out + gather + operands
+            fit = max(1, (768 << 20) // max(per_q, 1))
+            qb_pairs = max(self.PAIRS_MIN_BATCH,
+                           min(xq_pad.shape[0],
+                               1 << (fit.bit_length() - 1)))
 
-            self._last_scan_path = "pairs-" + self.sq_type
-            rn_layout, rs_layout, vmin, scale = dev[4:8]
-            k_scan = _sq_kscan(self, k_kernel, nprobe_eff * lmax)
-            scores, pos = pallas_ivf_sq_pairs_search(
-                payload, rn_layout, rs_layout, counts, row_pos, vmin,
-                scale, probe_ids, xq_pad, mask,
-                k=k_kernel, k_scan=k_scan, nprobe=nprobe_eff,
-                metric=self.metric.name, codec=self.sq_type,
-                interpret=not on_tpu())
+            def run_pairs(xq_b, probe_b):
+                if self.sq_type is not None:
+                    from ..ops.pallas_ivf_pairs import                         pallas_ivf_sq_pairs_search
+
+                    self._last_scan_path = "pairs-" + self.sq_type
+                    rn_layout, rs_layout, vmin, scale = dev[4:8]
+                    k_scan = _sq_kscan(self, k_kernel, nprobe_eff * lmax)
+                    return pallas_ivf_sq_pairs_search(
+                        payload, rn_layout, rs_layout, counts, row_pos,
+                        vmin, scale, probe_b, xq_b, mask,
+                        k=k_kernel, k_scan=k_scan, nprobe=nprobe_eff,
+                        metric=self.metric.name, codec=self.sq_type,
+                        interpret=not on_tpu())
+                from ..ops.pallas_ivf_pairs import pallas_ivf_pairs_search
+
+                self._last_scan_path = "pairs-flat"
+                k_scan = min(nprobe_eff * lmax,
+                             max(4 * k_kernel, k_kernel + 32))
+                return pallas_ivf_pairs_search(
+                    payload, counts, row_pos, probe_b, xq_b, mask,
+                    k=k_kernel, k_scan=k_scan, nprobe=nprobe_eff,
+                    metric=self.metric.name, interpret=not on_tpu())
+
+            if qb_pairs >= xq_pad.shape[0]:
+                scores, pos = run_pairs(xq_pad, probe_ids)
+            else:
+                parts = [run_pairs(xq_pad[i:i + qb_pairs],
+                                   probe_ids[i:i + qb_pairs])
+                         for i in range(0, xq_pad.shape[0], qb_pairs)]
+                scores = jnp.concatenate([p[0] for p in parts], axis=0)
+                pos = jnp.concatenate([p[1] for p in parts], axis=0)
         elif qb == xq_pad.shape[0]:
             self._last_scan_path = "per-query"
             scores, pos = run_block(xq_pad, probe_ids)
