@@ -436,6 +436,7 @@ def dr_build_device_pallas(self):
             jnp.asarray(pad_rows(dr.spill_assign, scap).astype(np.int32)),
             jnp.asarray(pad_rows(dr.spill_pos, scap,
                                  fill=-1).astype(np.int32)),
+            int(dr.spill_n),    # scan bound: capacity is ~2x the rows
         )
     else:
         self._device_spill = None

@@ -246,6 +246,7 @@ def _build_device_pallas(self):
             jnp.asarray(pad_rows(sp_assign, s_pad).astype(np.int32)),
             jnp.asarray(pad_rows(sp_pos, s_pad, fill=-1)
                         .astype(np.int32)),
+            int(sp_pos.shape[0]),
         )
     return self._device_pallas
 

@@ -239,7 +239,8 @@ def _dispatch_inner(self, xq, k, params=EMPTY, selector=None):
             # query's probe set, merged with the padded-layout top-k.
             from ..ops.ivf_scan import ivf_spill_scan, merge_topk
 
-            sp_payload, sp_assign, sp_pos = spill
+            sp_payload, sp_assign, sp_pos = spill[:3]
+            sp_used = spill[3] if len(spill) > 3 else None
             sp_mask = (self._spill_mask(selector)
                        if selector is not None else None)
             sq_kw = {}
@@ -253,7 +254,7 @@ def _dispatch_inner(self, xq, k, params=EMPTY, selector=None):
                 jnp.asarray(self.metric_arg, jnp.float32),
                 k=min(k_eff, sp_pos.shape[0]), metric=self.metric.name,
                 precision=config.precision, pq=self.pq_m is not None,
-                codec=self.pq_codec, **sq_kw)
+                codec=self.pq_codec, n_used=sp_used, **sq_kw)
             scores, pos = merge_topk(scores, pos, sp_scores,
                                      sp_positions, k_eff)
         dist, pos = finalize_scores(scores, pos, self.metric.name)

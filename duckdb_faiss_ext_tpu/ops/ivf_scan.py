@@ -293,11 +293,13 @@ def choose_q_chunk(nq: int, ncand: int, d: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "metric", "precision", "pq", "codec", "sq"))
+    static_argnames=("k", "metric", "precision", "pq", "codec", "sq",
+                     "n_used"))
 def ivf_spill_scan(spill_payload, spill_assign, spill_pos, centroids,
                    codebooks, probe_ids, xq, mask, metric_arg, *,
                    k, metric, precision, pq=False, codec="pq",
-                   sq=None, sq_vmin=None, sq_scale=None):
+                   sq=None, sq_vmin=None, sq_scale=None,
+                   n_used: int | None = None):
     """Scan the IVF overflow-spill region: rows whose list exceeded the
     capped padded layout (models/ivf.py quantile-lmax plan).
 
@@ -351,6 +353,14 @@ def ivf_spill_scan(spill_payload, spill_assign, spill_pos, centroids,
     sc = 1 << max(12, min(25 - max(d, 1).bit_length(), 20))
     while s_pad % sc and sc > 1:
         sc //= 2
+    # The spill buffer is a growth/pre-allocation CAPACITY — often ~2x
+    # the rows actually appended (measured: 506 ms of a 958 ms marco
+    # batch went to the spill scan, half of it over garbage rows).
+    # Scan only whole chunks covering n_used; the tail chunks beyond
+    # hold pos=-1 padding only.
+    n_chunks = s_pad // sc
+    if n_used is not None:
+        n_chunks = min(n_chunks, -(-max(int(n_used), 1) // sc))
 
     def body(i, carry):
         best_s, best_i = carry
@@ -381,7 +391,7 @@ def ivf_spill_scan(spill_payload, spill_assign, spill_pos, centroids,
 
     init = (jnp.full((nq, k_scan), _NEG_INF, jnp.float32),
             jnp.full((nq, k_scan), -1, jnp.int32))
-    best, sel = lax.fori_loop(0, s_pad // sc, body, init)
+    best, sel = lax.fori_loop(0, n_chunks, body, init)
 
     if rerank:
         # Fast-mode exact rerank (Flat/decoded rows, MXU metrics): the

@@ -359,7 +359,16 @@ def _sq_scan_kernel(pids_ref, counts_ref, ui_ref, qs_ref, *rest,
     # (static unrolled loop; lmax is a multiple of 512 past 512), which
     # bounds the i32 scratch to 512·w·4 ≈ 1.5 MB at d=1536.  sq8 never
     # widens (pure bitcast) and stays single-shot.
-    utile = lmax if codec == "sq8" else min(lmax, 512)
+    if codec == "sq8":
+        # The c^0x80 copy lands on the scoped stack next to the
+        # double-buffered list blocks — at lmax 4096 x d 1536 a
+        # whole-block copy blew the 16 MB limit (measured on-chip).
+        # Bound the copy to the VMEM left after the blocks.
+        wb = list_refs[0].shape[2]
+        left = (13 << 20) - 2 * ways * lmax * wb
+        utile = min(lmax, max(512, left // max(wb, 1) // 512 * 512))
+    else:
+        utile = min(lmax, 512)
 
     for w in range(ways):
         lid = pids_ref[(i * nprobe) + j * ways + w]

@@ -121,8 +121,12 @@ def _pairs_sq_kernel(tlist_ref, counts_ref, ui_ref, qs_ref, *rest,
     # stack (18.3 MB at lmax 4096 x d 1536, on-chip compile failure), so
     # it sub-tiles too — bounded to ~1.5 MB of scratch.
     if codec == "sq8":
-        utile = min(lmax, max(512, ((1 << 20) // max(block.shape[1], 1)
-                                    ) // 512 * 512))
+        # Adaptive: one big xor+dot step when VMEM allows (fewer serial
+        # sub-tile chains per tile), bounded by what is left after the
+        # double-buffered block + score tile.
+        wb = block.shape[1]
+        left = (13 << 20) - 2 * lmax * wb - 8 * lmax * 8
+        utile = min(lmax, max(512, left // max(wb, 1) // 512 * 512))
     else:
         utile = min(lmax, 512)
     hi_q = lax.slice(ui, (0, 0), (QG, wq))
