@@ -51,7 +51,8 @@ class DeviceResidentState:
 
     __slots__ = ("lmax", "payload", "rn_layout", "rs_layout", "row_pos",
                  "counts", "slot", "spill_payload", "spill_assign",
-                 "spill_pos", "spill_n", "version")
+                 "spill_pos", "spill_rn", "spill_rs", "spill_n",
+                 "version")
 
     def __init__(self, nlist: int, lmax: int, width: int, dtype,
                  with_rn: bool):
@@ -67,6 +68,8 @@ class DeviceResidentState:
         self.spill_payload = None             # (scap, width) device
         self.spill_assign = np.empty((0,), np.int32)         # host
         self.spill_pos = np.empty((0,), np.int32)            # host
+        self.spill_rn = np.empty((0,), np.float32)           # host (SQ)
+        self.spill_rs = np.empty((0,), np.float32)           # host (SQ)
         self.spill_n = 0
         self.version = 0
 
@@ -404,6 +407,12 @@ def ivf_add_device(self, x, ids=None, *, expected_total: int | None = None,
             [dr.spill_assign, assign[sidx]])
         dr.spill_pos = np.concatenate(
             [dr.spill_pos, (row_base + sidx).astype(np.int32)])
+        if rn is not None:
+            # per-row Σ(scale·c)² / Σc for the decode-free int8 spill scan
+            dr.spill_rn = np.concatenate(
+                [dr.spill_rn, np.asarray(rn)[sidx]])
+            dr.spill_rs = np.concatenate(
+                [dr.spill_rs, np.asarray(rs)[sidx]])
         slot_rec[sidx] = -(np.arange(dr.spill_n, need, dtype=np.int64) + 1)
         dr.spill_n = need
 
@@ -437,6 +446,10 @@ def dr_build_device_pallas(self):
             jnp.asarray(pad_rows(dr.spill_pos, scap,
                                  fill=-1).astype(np.int32)),
             int(dr.spill_n),    # scan bound: capacity is ~2x the rows
+            (jnp.asarray(pad_rows(dr.spill_rn, scap))
+             if dr.spill_rn.size else None),
+            (jnp.asarray(pad_rows(dr.spill_rs, scap))
+             if dr.spill_rs.size else None),
         )
     else:
         self._device_spill = None

@@ -212,6 +212,7 @@ def _build_device_pallas(self):
         rn = sq_row_norms(self._codes, self._sq_scale, self.d,
                           self.sq_type)
         rs = sq_row_sums(self._codes, self.d, self.sq_type)
+        sq_rn_full, sq_rs_full = rn, rs
         rn_layout = np.zeros(row_pos.shape, np.float32)
         rs_layout = np.zeros(row_pos.shape, np.float32)
         valid = row_pos >= 0
@@ -230,6 +231,7 @@ def _build_device_pallas(self):
                 .transpose(0, 3, 1, 2))
     else:
         extra = ()
+        sq_rn_full = sq_rs_full = None
     self._device_pallas = (
         jnp.asarray(payload),
         jnp.asarray(counts),
@@ -241,12 +243,19 @@ def _build_device_pallas(self):
     else:
         sp_payload, sp_assign, sp_pos = spill
         s_pad = max(128, next_pow2(sp_pos.shape[0]))
+        if sq_rn_full is not None and self.sq_type in ("sq8", "sq4",
+                                                       "sq6"):
+            sp_rn = jnp.asarray(pad_rows(sq_rn_full[sp_pos], s_pad))
+            sp_rs = jnp.asarray(pad_rows(sq_rs_full[sp_pos], s_pad))
+        else:
+            sp_rn = sp_rs = None
         self._device_spill = (
             jnp.asarray(pad_rows(sp_payload, s_pad)),
             jnp.asarray(pad_rows(sp_assign, s_pad).astype(np.int32)),
             jnp.asarray(pad_rows(sp_pos, s_pad, fill=-1)
                         .astype(np.int32)),
             int(sp_pos.shape[0]),
+            sp_rn, sp_rs,
         )
     return self._device_pallas
 

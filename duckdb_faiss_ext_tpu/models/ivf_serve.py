@@ -19,7 +19,8 @@ from ..ops.flat_search import SIMILARITY_METRICS, finalize_scores
 from ..ops.ivf_scan import choose_q_chunk, ivf_pq_search, ivf_search
 from ..ops.pallas_ivf import pallas_ivf_search
 from ..params import EMPTY
-from ..utils.config import config, next_pow2, on_tpu, pad_rows
+from ..utils.config import (config, next_pow2, on_tpu, pad_rows,
+                            sq_int8_active)
 from .base import SearchResult, as_matrix
 from .base import dedup_by_key as _dedup_by_key
 from .ivf import IVFIndex
@@ -247,6 +248,10 @@ def _dispatch_inner(self, xq, k, params=EMPTY, selector=None):
             if self.sq_type is not None:
                 sq_kw = dict(sq=self.sq_type, sq_vmin=dev[6],
                              sq_scale=dev[7])
+                if len(spill) > 4 and spill[4] is not None:
+                    sq_kw.update(
+                        spill_rn=spill[4], spill_rs=spill[5],
+                        int8_dot=(self.d >= 16 and sq_int8_active()))
             sp_scores, sp_positions = ivf_spill_scan(
                 sp_payload, sp_assign, sp_pos, cents_dev,
                 dev[4] if self.pq_m is not None else None,
@@ -277,7 +282,6 @@ def _dispatch_inner(self, xq, k, params=EMPTY, selector=None):
             q_chunk=q_chunk, precision=config.precision,
             codec=self.pq_codec, lmax=lmax)
     elif self.sq_type is not None:
-        from ..utils.config import sq_int8_active
 
         _, vmin, scale = storage
         if (self.sq_type in ("sq8", "sq4", "sq6")

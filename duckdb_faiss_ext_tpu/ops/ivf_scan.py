@@ -294,12 +294,13 @@ def choose_q_chunk(nq: int, ncand: int, d: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "precision", "pq", "codec", "sq",
-                     "n_used"))
+                     "n_used", "int8_dot"))
 def ivf_spill_scan(spill_payload, spill_assign, spill_pos, centroids,
                    codebooks, probe_ids, xq, mask, metric_arg, *,
                    k, metric, precision, pq=False, codec="pq",
                    sq=None, sq_vmin=None, sq_scale=None,
-                   n_used: int | None = None):
+                   n_used: int | None = None,
+                   spill_rn=None, spill_rs=None, int8_dot: bool = False):
     """Scan the IVF overflow-spill region: rows whose list exceeded the
     capped padded layout (models/ivf.py quantile-lmax plan).
 
@@ -319,11 +320,12 @@ def ivf_spill_scan(spill_payload, spill_assign, spill_pos, centroids,
     s_pad, w = spill_payload.shape
     sim = metric in SIMILARITY_METRICS
 
-    # Probed-list membership: one-hot scatter (nq, nlist) then a column
-    # gather by each spill row's list id.
-    onehot = jnp.zeros((nq, nlist), jnp.bool_)
+    # Probed-list membership: one-hot scatter (nlist, nq) then a ROW
+    # gather per chunk by list id (rows of nq bools are contiguous; the
+    # earlier (nq, nlist) column gather was lane-strided).
     qidx = lax.broadcasted_iota(jnp.int32, probe_ids.shape, 0)
-    onehot = onehot.at[qidx, probe_ids].set(True)
+    onehot_t = (jnp.zeros((nlist, nq), jnp.bool_)
+                .at[probe_ids, qidx].set(True))
 
     if pq:
         d = codebooks.shape[0] * codebooks.shape[2]
@@ -348,7 +350,13 @@ def ivf_spill_scan(spill_payload, spill_assign, spill_pos, centroids,
     # spill decoded in one piece is a 30 GB allocation (observed at the
     # 8.8M x 1536 MARCO shape); a large spill region is otherwise valid.
     mxu = metric in ("INNER_PRODUCT", "L2")
-    rerank = (not pq) and mxu and precision != lax.Precision.HIGHEST
+    # Decode-free int8 scoring (same recentred two-digit scheme as the
+    # padded kernels) when the caller provides per-row Σ(scale·c)²/Σc:
+    # the rerank below restores exact distances either way.
+    use_int8 = (int8_dot and mxu and spill_rn is not None
+                and sq in ("sq8", "sq4", "sq6"))
+    rerank = ((not pq) and mxu and precision != lax.Precision.HIGHEST
+              or use_int8)
     k_scan = min(s_pad, max(2 * k, k + 16)) if rerank else min(k, s_pad)
     sc = 1 << max(12, min(25 - max(d, 1).bit_length(), 20))
     while s_pad % sc and sc > 1:
@@ -362,15 +370,48 @@ def ivf_spill_scan(spill_payload, spill_assign, spill_pos, centroids,
     if n_used is not None:
         n_chunks = min(n_chunks, -(-max(int(n_used), 1) // sc))
 
+    if use_int8:
+        from .sq import SQ_INT8_SHIFT, sq_query_digits
+
+        if sim:
+            u8q = xq * sq_scale[None, :]
+            base8 = xq @ sq_vmin
+        else:
+            t8 = xq - sq_vmin[None, :]
+            u8q = t8 * sq_scale[None, :]
+            base8 = jnp.sum(t8 * t8, axis=1)
+        hi8, lo8, su28, mu8, sumut8 = sq_query_digits(u8q)
+        c08 = (float(SQ_INT8_SHIFT[sq]) * sumut8 if sq == "sq8"
+               else jnp.zeros_like(su28))
+
     def body(i, carry):
         best_s, best_i = carry
         start = i * sc
         pl = lax.dynamic_slice(spill_payload, (start, 0), (sc, w))
         asg = lax.dynamic_slice(spill_assign, (start,), (sc,))
         pos_c = lax.dynamic_slice(spill_pos, (start,), (sc,))
-        xc = decode(pl, asg)
-        dist = pairwise_tile(xq, xc, metric, metric_arg, precision)
-        probed = jnp.take(onehot, asg, axis=1)             # (nq, sc)
+        if use_int8:
+            from .sq import sq_unpack_i8
+
+            xc8 = sq_unpack_i8(pl, d, sq)                  # (sc, d) int8
+            dh = jnp.einsum("qd,cd->qc", hi8, xc8,
+                            preferred_element_type=jnp.int32)
+            dl = jnp.einsum("qd,cd->qc", lo8, xc8,
+                            preferred_element_type=jnp.int32)
+            rs_c = lax.dynamic_slice(spill_rs, (start,), (sc,))
+            uc = (su28[:, None] * (128.0 * dh.astype(jnp.float32)
+                                   + dl.astype(jnp.float32))
+                  + c08[:, None] + mu8[:, None] * rs_c[None, :])
+            if sim:
+                dist = base8[:, None] + uc
+            else:
+                rn_c = lax.dynamic_slice(spill_rn, (start,), (sc,))
+                dist = jnp.maximum(base8[:, None] - 2.0 * uc
+                                   + rn_c[None, :], 0.0)
+        else:
+            xc = decode(pl, asg)
+            dist = pairwise_tile(xq, xc, metric, metric_arg, precision)
+        probed = jnp.take(onehot_t, asg, axis=0).T         # (nq, sc)
         valid = jnp.logical_and(probed, (pos_c >= 0)[None, :])
         if mask is not None:
             mc = lax.dynamic_slice(mask, (start,), (sc,))

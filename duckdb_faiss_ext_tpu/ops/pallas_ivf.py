@@ -417,7 +417,10 @@ def _sq_scan_kernel(pids_ref, counts_ref, ui_ref, qs_ref, *rest,
                                 ui_o, nh, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.int32))[0]
             else:
-                ci8 = pltpu.bitcast(block ^ jnp.uint8(0x80), jnp.int8)
+                ci8 = pltpu.bitcast(
+                    lax.slice(block, (t0, 0),
+                              (t0 + utile, block.shape[1]))
+                    ^ jnp.uint8(0x80), jnp.int8)
 
                 def digit_dot(ug, ci8=ci8):
                     # (1,d)·(lmax,d) contracting d — no int8 reshape

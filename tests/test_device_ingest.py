@@ -237,3 +237,39 @@ def test_device_ingest_capped_assignment_small_spill(catalog):
     # nprobe = nlist scans everything: results equal brute force over the
     # SQ-decoded corpus regardless of which list holds each row.
     assert (res["label"][:, 0] == np.arange(32)).mean() == 1.0
+
+
+def test_spill_int8_scoring_matches_decode(catalog):
+    """The decode-free int8 spill branch (spill_rn/spill_rs, fast mode)
+    must agree with the decode spill path."""
+    import duckdb_faiss_ext_tpu as dfx
+
+    rng = np.random.default_rng(9)
+    n, d, nlist = 8000, 32, 8
+    centers = rng.standard_normal((nlist, d)).astype(np.float32) * 4
+    which = np.where(rng.random(n) < 0.6, 0, rng.integers(0, nlist, n))
+    xb = centers[which] + rng.standard_normal((n, d)).astype(np.float32)
+    dfx.faiss_create("sp8", d, f"IVF{nlist},SQ8", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_train_device(xb[:4000], "sp8", catalog=catalog)
+    dfx.faiss_add_device(xb, "sp8", lmax=512, catalog=catalog)  # big spill
+    idx = catalog.get("sp8").index
+    assert idx._dr.spill_n > 1000
+    xq = xb[:64]
+    dfx.set_precision("fast")
+    dfx.set_kernel_mode("pallas")
+    try:
+        dfx.set_sq_dot("int8")
+        r8 = dfx.faiss_search("sp8", 10, xq, {"nprobe": str(nlist)},
+                              catalog=catalog)
+        dfx.set_sq_dot("decode")
+        rd = dfx.faiss_search("sp8", 10, xq, {"nprobe": str(nlist)},
+                              catalog=catalog)
+    finally:
+        dfx.set_sq_dot("auto")
+        dfx.set_kernel_mode("auto")
+        dfx.set_precision("parity")
+    assert (r8["label"][:, 0] == np.arange(64)).all()
+    np.testing.assert_allclose(np.sort(r8["distance"], 1),
+                               np.sort(rd["distance"], 1),
+                               rtol=3e-4, atol=3e-4)

@@ -328,3 +328,30 @@ def test_pairs_path_with_spill_merge():
         dfx.set_kernel_mode("auto")
         IVFIndex.PAIRS_MIN_WORK = saved_work
     assert (r["label"][:, 0] == np.arange(nq)).mean() == 1.0
+
+
+def test_per_query_sq8_kernel_subtiled_lmax():
+    """lmax large enough to force sq8 sub-tiling in the per-query kernel
+    (the whole-block xor copy OOMed scoped VMEM at lmax 4096 x d 1536;
+    interpret-mode shape regression for the sliced branch)."""
+    from duckdb_faiss_ext_tpu.ops.pallas_ivf import pallas_ivf_sq_search
+
+    rng = np.random.default_rng(41)
+    # lmax * w chosen so (13<<20) - 2*lmax*w < lmax*w -> utile < lmax
+    n, d, nlist, lmax, nprobe, k = 4096, 1536, 2, 4096, 2, 5
+    xb = rng.standard_normal((n, d)).astype(np.float32)
+    xq = rng.standard_normal((4, d)).astype(np.float32)
+    (lists, rn, rs, counts, row_pos, vmin, scale,
+     dec) = _sq_state(xb, nlist, lmax, "sq8", rng, "L2")
+    probe = np.tile(np.arange(nlist, dtype=np.int32), (4, 1))
+    s, p = pallas_ivf_sq_search(
+        lists, rn, rs, counts, jnp.asarray(row_pos), vmin, scale,
+        jnp.asarray(probe), jnp.asarray(xq), None,
+        k=k, k_scan=2 * k, nprobe=nprobe, metric="L2", codec="sq8",
+        interpret=True)
+    p = np.asarray(p)
+    assign = np.arange(n) % nlist
+    for qi in range(4):
+        sc = -((dec - xq[qi]) ** 2).sum(-1)
+        top = set(np.argsort(-sc, kind="stable")[:k])
+        assert len(set(p[qi][p[qi] >= 0]) & top) >= k - 1
