@@ -32,8 +32,7 @@ def _sq_kscan(self, k: int, cap: int) -> int:
     """Rerank-pool width for int8-scored SQ scans.  The in-kernel digit
     dots rank by QUANTIZED distance; true neighbours missed there are
     unrecoverable by the exact rerank, so the coarser the codec the wider
-    the pool: sq4 (16 levels) widens 2x more than sq8/sq6.  The pair-tile
-    kernel caps at its KP=128 lane budget internally."""
+    the pool: sq4 (16 levels) widens 2x more than sq8/sq6."""
     f, add = (8, 96) if self.sq_type == "sq4" else (4, 32)
     return min(cap, max(f * k, k + add))
 
@@ -139,6 +138,7 @@ def _dispatch_inner(self, xq, k, params=EMPTY, selector=None):
         qb = xq_pad.shape[0]
         while qb * nprobe_eff > self.PALLAS_SMEM_PROBE_INTS and qb > 64:
             qb //= 2
+        self._last_scan_path = "per-query"   # overwritten by pairs below
 
         def run_block(xq_b, probe_b, mask_b=mask):
             if self.pq_m is not None:
@@ -174,8 +174,13 @@ def _dispatch_inner(self, xq, k, params=EMPTY, selector=None):
         # is large: on-chip A/B 2026-08-19 — 0.7x at 512·128 (validator
         # shape), the win case is the 8.8M×1536 regime (lmax·d ≈ 3-4M).
         row_bytes = payload.nbytes // max(payload.shape[0] * lmax, 1)
+        # HBM temporaries scale with nq·nprobe·lmax; if even a minimum
+        # batch would exceed the ~0.75 GB budget, the per-query kernels
+        # are the safer path (huge-nprobe regimes).
+        pairs_fit = max(1, (768 << 20) // max(nprobe_eff * lmax * 9, 1))
         pairs_ok = (xq_pad.shape[0] >= self.PAIRS_MIN_BATCH
                     and lmax * self.d >= self.PAIRS_MIN_WORK
+                    and pairs_fit >= self.PAIRS_MIN_BATCH
                     # double-buffered list block + unpack scratch + the
                     # raw score tile must fit scoped VMEM (16 MB)
                     and 2 * lmax * row_bytes + lmax * 8 * 4 * 2
@@ -190,11 +195,8 @@ def _dispatch_inner(self, xq, k, params=EMPTY, selector=None):
             # with nq·nprobe·lmax — block queries so a batch never holds
             # more than ~0.75 GB of them next to the payload (b1024
             # nprobe=128 at the 8.8M×1536 shape OOMed unblocked).
-            per_q = nprobe_eff * lmax * 9        # out + gather + operands
-            fit = max(1, (768 << 20) // max(per_q, 1))
-            qb_pairs = max(self.PAIRS_MIN_BATCH,
-                           min(xq_pad.shape[0],
-                               1 << (fit.bit_length() - 1)))
+            qb_pairs = min(xq_pad.shape[0],
+                           1 << (pairs_fit.bit_length() - 1))
 
             def run_pairs(xq_b, probe_b):
                 if self.sq_type is not None:
@@ -228,7 +230,6 @@ def _dispatch_inner(self, xq, k, params=EMPTY, selector=None):
                 scores = jnp.concatenate([p[0] for p in parts], axis=0)
                 pos = jnp.concatenate([p[1] for p in parts], axis=0)
         elif qb == xq_pad.shape[0]:
-            self._last_scan_path = "per-query"
             scores, pos = run_block(xq_pad, probe_ids)
         else:
             parts = [run_block(xq_pad[i:i + qb], probe_ids[i:i + qb])

@@ -379,21 +379,22 @@ def _sq_scan_kernel(pids_ref, counts_ref, ui_ref, qs_ref, *rest,
         mask_w = mask_refs[w][0, 0] if has_mask else None
 
         for t0 in range(0, lmax, utile):
-            if codec == "sq6":
+            ut = min(utile, lmax - t0)       # adaptive utile (sq8) may
+            if codec == "sq6":               # not divide lmax
                 d4 = block.shape[2]                       # (3, lmax, d4)
                 b0 = lax.slice(block, (0, t0, 0),
-                               (1, t0 + utile, d4))[0].astype(jnp.int32)
+                               (1, t0 + ut, d4))[0].astype(jnp.int32)
                 b1 = lax.slice(block, (1, t0, 0),
-                               (2, t0 + utile, d4))[0].astype(jnp.int32)
+                               (2, t0 + ut, d4))[0].astype(jnp.int32)
                 b2 = lax.slice(block, (2, t0, 0),
-                               (3, t0 + utile, d4))[0].astype(jnp.int32)
+                               (3, t0 + ut, d4))[0].astype(jnp.int32)
                 planes = ((b0 >> 2).astype(jnp.int8),
                           (((b0 & 3) << 4) | (b1 >> 4)).astype(jnp.int8),
                           (((b1 & 15) << 2) | (b2 >> 6)).astype(jnp.int8),
                           (b2 & 63).astype(jnp.int8))
 
                 def digit_dot(ug, planes=planes, d4=d4):
-                    dot = jnp.zeros((utile,), jnp.int32)
+                    dot = jnp.zeros((ut,), jnp.int32)
                     for x, cx in enumerate(planes):
                         ui_x = lax.slice(ug, (0, x * d4), (1, (x + 1) * d4))
                         dot = dot + jax.lax.dot_general(
@@ -403,7 +404,7 @@ def _sq_scan_kernel(pids_ref, counts_ref, ui_ref, qs_ref, *rest,
             elif codec == "sq4":
                 w_half = block.shape[1]
                 b32 = lax.slice(block, (t0, 0),
-                                (t0 + utile, w_half)).astype(jnp.int32)
+                                (t0 + ut, w_half)).astype(jnp.int32)
                 nib_lo = (b32 & 0x0F).astype(jnp.int8)
                 nib_hi = (b32 >> 4).astype(jnp.int8)
 
@@ -419,7 +420,7 @@ def _sq_scan_kernel(pids_ref, counts_ref, ui_ref, qs_ref, *rest,
             else:
                 ci8 = pltpu.bitcast(
                     lax.slice(block, (t0, 0),
-                              (t0 + utile, block.shape[1]))
+                              (t0 + ut, block.shape[1]))
                     ^ jnp.uint8(0x80), jnp.int8)
 
                 def digit_dot(ug, ci8=ci8):
@@ -432,17 +433,17 @@ def _sq_scan_kernel(pids_ref, counts_ref, ui_ref, qs_ref, *rest,
             dot_lo = digit_dot(lax.slice(ui_mat, (1, 0), (2, wq)))
             utc = su2 * (128.0 * dot_hi.astype(jnp.float32)
                          + dot_lo.astype(jnp.float32))
-            uc = utc + c0 + mu * lax.slice(rowsum_w, (t0,), (t0 + utile,))
+            uc = utc + c0 + mu * lax.slice(rowsum_w, (t0,), (t0 + ut,))
             if sim:
                 s = base + uc
             else:
-                rn = lax.slice(norm_w, (t0,), (t0 + utile,))
+                rn = lax.slice(norm_w, (t0,), (t0 + ut,))
                 s = -jnp.maximum(base - 2.0 * uc + rn, 0.0)
-            valid = lax.slice(lane, (t0,), (t0 + utile,)) < cnt
+            valid = lax.slice(lane, (t0,), (t0 + ut,)) < cnt
             if has_mask:
                 valid = jnp.logical_and(
-                    valid, lax.slice(mask_w, (t0,), (t0 + utile,)) != 0)
-            out_ref[0, w, 0, t0:t0 + utile] = jnp.where(valid, s, _NEG_INF)
+                    valid, lax.slice(mask_w, (t0,), (t0 + ut,)) != 0)
+            out_ref[0, w, 0, t0:t0 + ut] = jnp.where(valid, s, _NEG_INF)
 
 
 @functools.partial(

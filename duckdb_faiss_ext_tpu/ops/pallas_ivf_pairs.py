@@ -134,21 +134,22 @@ def _pairs_sq_kernel(tlist_ref, counts_ref, ui_ref, qs_ref, *rest,
 
     dh_parts, dl_parts = [], []
     for t0 in range(0, lmax, utile):
-        if codec == "sq6":
+        ut = min(utile, lmax - t0)           # adaptive utile (sq8) may
+        if codec == "sq6":                   # not divide lmax
             d4 = block.shape[2]                       # (3, lmax, d4)
             b0 = lax.slice(block, (0, t0, 0),
-                           (1, t0 + utile, d4))[0].astype(jnp.int32)
+                           (1, t0 + ut, d4))[0].astype(jnp.int32)
             b1 = lax.slice(block, (1, t0, 0),
-                           (2, t0 + utile, d4))[0].astype(jnp.int32)
+                           (2, t0 + ut, d4))[0].astype(jnp.int32)
             b2 = lax.slice(block, (2, t0, 0),
-                           (3, t0 + utile, d4))[0].astype(jnp.int32)
+                           (3, t0 + ut, d4))[0].astype(jnp.int32)
             planes = ((b0 >> 2).astype(jnp.int8),
                       (((b0 & 3) << 4) | (b1 >> 4)).astype(jnp.int8),
                       (((b1 & 15) << 2) | (b2 >> 6)).astype(jnp.int8),
                       (b2 & 63).astype(jnp.int8))
 
             def digit_dot(ug, planes=planes, d4=d4):
-                dot = jnp.zeros((QG, utile), jnp.int32)
+                dot = jnp.zeros((QG, ut), jnp.int32)
                 for x, cx in enumerate(planes):
                     ui_x = lax.slice(ug, (0, x * d4), (QG, (x + 1) * d4))
                     dot = dot + jax.lax.dot_general(
@@ -158,7 +159,7 @@ def _pairs_sq_kernel(tlist_ref, counts_ref, ui_ref, qs_ref, *rest,
         elif codec == "sq4":
             w_half = block.shape[1]
             b32 = lax.slice(block, (t0, 0),
-                            (t0 + utile, w_half)).astype(jnp.int32)
+                            (t0 + ut, w_half)).astype(jnp.int32)
             nib_lo = (b32 & 0x0F).astype(jnp.int8)
             nib_hi = (b32 >> 4).astype(jnp.int8)
 
@@ -173,7 +174,7 @@ def _pairs_sq_kernel(tlist_ref, counts_ref, ui_ref, qs_ref, *rest,
                             preferred_element_type=jnp.int32))
         else:
             ci8 = pltpu.bitcast(
-                lax.slice(block, (t0, 0), (t0 + utile, block.shape[1]))
+                lax.slice(block, (t0, 0), (t0 + ut, block.shape[1]))
                 ^ jnp.uint8(0x80), jnp.int8)
 
             def digit_dot(ug, ci8=ci8):
