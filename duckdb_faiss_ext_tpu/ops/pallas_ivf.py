@@ -299,6 +299,44 @@ def pallas_ivf_pq_search(
     return lax.fori_loop(0, nq // q_chunk, chunk, init)
 
 
+def sq_exact_rerank(codes_lists, lids, lane, pos, best, xq, vmin, scale,
+                    *, codec: str, k: int, metric: str):
+    """Shared epilogue of the SQ list-scan kernels (per-query and
+    pair-tile): decode only the selected rows from the padded layout
+    itself, re-score fp32 at HIGHEST, and take the final top-k.
+    ``best`` is the int8-score ranking of the k_scan pool; returns
+    (scores (nq, k) fp32-exact, positions (nq, k), -1 missing)."""
+    nq, k_scan = lids.shape
+    d = vmin.shape[0]
+    if codec == "sq6":
+        d4 = codes_lists.shape[3]
+        planes = codes_lists[lids, :, lane]           # (nq, k_scan, 3, d4)
+        crows = jnp.transpose(planes, (0, 1, 3, 2)).reshape(
+            nq, k_scan, 3 * d4)
+        wbytes = 3 * d4
+    else:
+        crows = codes_lists[lids, lane]               # (nq, k_scan, w)
+        wbytes = codes_lists.shape[2]
+    if codec == "sq8":
+        xs = crows.astype(jnp.float32) * scale + vmin
+    else:
+        from .sq import sq_decode
+
+        xs = sq_decode(crows.reshape(-1, wbytes), vmin, scale,
+                       codec).reshape(nq, k_scan, d)
+    if metric == "INNER_PRODUCT":
+        s2 = jnp.einsum("qd,qcd->qc", xq, xs,
+                        precision=lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+    else:
+        diff = xs - xq[:, None, :]
+        s2 = -jnp.sum(diff * diff, axis=-1)
+    s2 = jnp.where(jnp.isneginf(best), _NEG_INF, s2)
+    best, sel2 = lax.top_k(s2, k)
+    pos = jnp.take_along_axis(pos, sel2, axis=1)
+    return best, jnp.where(jnp.isneginf(best), -1, pos)
+
+
 def _sq_scan_kernel(pids_ref, counts_ref, ui_ref, qs_ref, *rest,
                     nprobe: int, metric: str, ways: int, has_mask: bool,
                     codec: str):
@@ -596,32 +634,5 @@ def pallas_ivf_sq_search(
     lane = sel % lmax
     lids = jnp.take_along_axis(probe_ids, probe_slot, axis=1)  # (nq, k_scan)
     pos = row_pos[lids, lane]
-    # Exact rerank: decode only the selected rows (from the padded layout
-    # itself — no second code buffer) and score fp32.
-    if codec == "sq6":
-        # Plane-major gather → re-interleave to the packed row layout
-        # (b0,b1,b2 per 4-dim group) that sq_decode expects.
-        planes = codes_lists[lids, :, lane]           # (nq, k_scan, 3, d4)
-        crows = jnp.transpose(planes, (0, 1, 3, 2)).reshape(
-            nq, k_scan, 3 * d4)
-    else:
-        crows = codes_lists[lids, lane]               # (nq, k_scan, w)
-    if codec == "sq8":
-        xs = crows.astype(jnp.float32) * scale + vmin
-    else:
-        from .sq import sq_decode
-
-        xs = sq_decode(crows.reshape(-1, wbytes), vmin, scale,
-                       codec).reshape(nq, k_scan, d)
-    if sim:
-        s2 = jnp.einsum("qd,qcd->qc", xq, xs,
-                        precision=lax.Precision.HIGHEST,
-                        preferred_element_type=jnp.float32)
-    else:
-        diff = xs - xq[:, None, :]
-        s2 = -jnp.sum(diff * diff, axis=-1)
-    s2 = jnp.where(jnp.isneginf(best), _NEG_INF, s2)
-    best, sel2 = lax.top_k(s2, k)
-    pos = jnp.take_along_axis(pos, sel2, axis=1)
-    pos = jnp.where(jnp.isneginf(best), -1, pos)
-    return best, pos
+    return sq_exact_rerank(codes_lists, lids, lane, pos, best, xq, vmin,
+                           scale, codec=codec, k=k, metric=metric)

@@ -329,6 +329,8 @@ def pallas_ivf_sq_pairs_search(
 
     # Static inverse ROW gather: every original (query, probe) pair owns
     # one (tile, slot) score row; then the per-query kernel's epilogue.
+    from .pallas_ivf import sq_exact_rerank
+
     pv = (raw.reshape(t_max * QG, lmax)[pair_slot.reshape(-1)]
           .reshape(nq, nprobe * lmax))
     k_scan = min(k_scan, nprobe * lmax)
@@ -336,34 +338,8 @@ def pallas_ivf_sq_pairs_search(
     safe_lane = sel % lmax
     lids = jnp.take_along_axis(probe_ids, sel // lmax, axis=1)
     pos = row_pos[lids, safe_lane]
-    pos = jnp.where(jnp.isneginf(best), -1, pos)
-
-    # Exact rerank from the padded layout itself (decode + fp32 score).
-    if codec == "sq6":
-        planes = codes_lists[lids, :, safe_lane]      # (nq, k_scan, 3, d4)
-        crows = jnp.transpose(planes, (0, 1, 3, 2)).reshape(
-            nq, k_scan, 3 * d4)
-    else:
-        crows = codes_lists[lids, safe_lane]          # (nq, k_scan, w)
-    if codec == "sq8":
-        xs = crows.astype(jnp.float32) * scale + vmin
-    else:
-        from .sq import sq_decode
-
-        xs = sq_decode(crows.reshape(-1, wbytes), vmin, scale,
-                       codec).reshape(nq, k_scan, d)
-    if sim:
-        s2 = jnp.einsum("qd,qcd->qc", xq, xs,
-                        precision=lax.Precision.HIGHEST,
-                        preferred_element_type=jnp.float32)
-    else:
-        diff = xs - xq[:, None, :]
-        s2 = -jnp.sum(diff * diff, axis=-1)
-    s2 = jnp.where(jnp.isneginf(best), _NEG_INF, s2)
-    best, sel2 = lax.top_k(s2, k)
-    pos = jnp.take_along_axis(pos, sel2, axis=1)
-    pos = jnp.where(jnp.isneginf(best), -1, pos)
-    return best, pos
+    return sq_exact_rerank(codes_lists, lids, safe_lane, pos, best, xq,
+                           vmin, scale, codec=codec, k=k, metric=metric)
 
 
 def _pairs_flat_kernel(tlist_ref, counts_ref, xq_ref, qs_ref, *rest,
