@@ -368,24 +368,20 @@ def ivf_spill_scan(spill_payload, spill_assign, spill_pos, centroids,
     else:
         k_scan = min(k, s_pad)
     sc = 1 << max(12, min(25 - max(d, 1).bit_length(), 20))
-    if use_int8:
-        # No decoded fp32 tile to bound — and the scan cost is dominated
-        # by fixed per-chunk overhead at the marco shape (~7 ms/chunk
-        # measured regardless of scoring path), so take 4x bigger bites.
-        sc *= 4
     while s_pad % sc and sc > 1:
         sc //= 2
     # The spill buffer is a growth/pre-allocation CAPACITY — often ~2x
     # the rows actually appended (measured: 506 ms of a 958 ms marco
-    # batch went to the spill scan, half of it over garbage rows).
+    # batch went to the spill scan, half of it over garbage rows; the
+    # cost is proportional to rows scanned, so chunk size stays small).
     # Scan only whole chunks covering n_used; the tail chunks beyond
     # hold pos=-1 padding only.  n_used is a static arg: round it up to
-    # pow2/8 granularity so spill growth recompiles O(log) times, not
+    # pow2/16 granularity so spill growth recompiles O(log) times, not
     # per ingest chunk.
     n_chunks = s_pad // sc
     if n_used is not None:
         n_used = int(n_used)
-        gran = max(16384, (1 << max(n_used.bit_length(), 1)) // 8)
+        gran = max(16384, (1 << max(n_used.bit_length(), 1)) // 16)
         n_used = -(-n_used // gran) * gran
         n_chunks = min(n_chunks, -(-max(n_used, 1) // sc))
 
