@@ -252,7 +252,8 @@ def _dispatch_inner(self, xq, k, params=EMPTY, selector=None):
                 if len(spill) > 4 and spill[4] is not None:
                     sq_kw.update(
                         spill_rn=spill[4], spill_rs=spill[5],
-                        int8_dot=(self.d >= 16 and sq_int8_active()))
+                        int8_dot=(self.d >= 16 and sq_int8_active()),
+                        int8_via=config.spill_int8_via)
             sp_scores, sp_positions = ivf_spill_scan(
                 sp_payload, sp_assign, sp_pos, cents_dev,
                 dev[4] if self.pq_m is not None else None,

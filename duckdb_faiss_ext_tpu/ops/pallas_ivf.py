@@ -388,25 +388,15 @@ def _sq_scan_kernel(pids_ref, counts_ref, ui_ref, qs_ref, *rest,
     lane = lax.broadcasted_iota(jnp.int32, (1, lmax), 1)[0]
     sim = metric == "INNER_PRODUCT"
 
-    # The sq4/sq6 nibble extraction widens the code block to i32
-    # (Mosaic legalizes i32 shifts but not arith.shrui on i8 vectors,
-    # validated on-chip 2026-08-18).  A whole-block widen is
-    # lmax·w·4 bytes of scoped VMEM — 11 MB at the 8.8M×1536 marco shape
-    # (lmax 3584), which blew the 16 MB scoped-vmem limit on the real
-    # chip.  Tile the unpack+score over ≤512-row sub-tiles instead
-    # (static unrolled loop; lmax is a multiple of 512 past 512), which
-    # bounds the i32 scratch to 512·w·4 ≈ 1.5 MB at d=1536.  sq8 never
-    # widens (pure bitcast) and stays single-shot.
-    if codec == "sq8":
-        # The c^0x80 copy lands on the scoped stack next to the
-        # double-buffered list blocks — at lmax 4096 x d 1536 a
-        # whole-block copy blew the 16 MB limit (measured on-chip).
-        # Bound the copy to the VMEM left after the blocks.
-        wb = list_refs[0].shape[2]
-        left = (13 << 20) - 2 * ways * lmax * wb
-        utile = min(lmax, max(512, left // max(wb, 1) // 512 * 512))
-    else:
-        utile = min(lmax, 512)
+    # Sub-tile the unpack+score (sq_digits.sq_utile): the sq4/sq6 i32
+    # widen and sq8's xor copy land on the scoped-VMEM stack next to the
+    # double-buffered list blocks — whole-block scratch blew the 16 MB
+    # limit on the real chip at the 8.8M×1536 marco shape.
+    from .sq_digits import sq_block_digit_dot, sq_utile
+
+    wb = (3 * list_refs[0].shape[3] if codec == "sq6"
+          else list_refs[0].shape[2])
+    utile = sq_utile(codec, lmax, wb, 2 * ways * lmax * wb)
 
     for w in range(ways):
         lid = pids_ref[(i * nprobe) + j * ways + w]
@@ -418,57 +408,9 @@ def _sq_scan_kernel(pids_ref, counts_ref, ui_ref, qs_ref, *rest,
 
         for t0 in range(0, lmax, utile):
             ut = min(utile, lmax - t0)       # adaptive utile (sq8) may
-            if codec == "sq6":               # not divide lmax
-                d4 = block.shape[2]                       # (3, lmax, d4)
-                b0 = lax.slice(block, (0, t0, 0),
-                               (1, t0 + ut, d4))[0].astype(jnp.int32)
-                b1 = lax.slice(block, (1, t0, 0),
-                               (2, t0 + ut, d4))[0].astype(jnp.int32)
-                b2 = lax.slice(block, (2, t0, 0),
-                               (3, t0 + ut, d4))[0].astype(jnp.int32)
-                planes = ((b0 >> 2).astype(jnp.int8),
-                          (((b0 & 3) << 4) | (b1 >> 4)).astype(jnp.int8),
-                          (((b1 & 15) << 2) | (b2 >> 6)).astype(jnp.int8),
-                          (b2 & 63).astype(jnp.int8))
-
-                def digit_dot(ug, planes=planes, d4=d4):
-                    dot = jnp.zeros((ut,), jnp.int32)
-                    for x, cx in enumerate(planes):
-                        ui_x = lax.slice(ug, (0, x * d4), (1, (x + 1) * d4))
-                        dot = dot + jax.lax.dot_general(
-                            ui_x, cx, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.int32)[0]
-                    return dot
-            elif codec == "sq4":
-                w_half = block.shape[1]
-                b32 = lax.slice(block, (t0, 0),
-                                (t0 + ut, w_half)).astype(jnp.int32)
-                nib_lo = (b32 & 0x0F).astype(jnp.int8)
-                nib_hi = (b32 >> 4).astype(jnp.int8)
-
-                def digit_dot(ug, w_half=w_half, nl=nib_lo, nh=nib_hi):
-                    ui_e = lax.slice(ug, (0, 0), (1, w_half))
-                    ui_o = lax.slice(ug, (0, w_half), (1, 2 * w_half))
-                    return (jax.lax.dot_general(
-                                ui_e, nl, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.int32)
-                            + jax.lax.dot_general(
-                                ui_o, nh, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.int32))[0]
-            else:
-                ci8 = pltpu.bitcast(
-                    lax.slice(block, (t0, 0),
-                              (t0 + ut, block.shape[1]))
-                    ^ jnp.uint8(0x80), jnp.int8)
-
-                def digit_dot(ug, ci8=ci8):
-                    # (1,d)·(lmax,d) contracting d — no int8 reshape
-                    # (Mosaic rejects minor-dim insertion on 8-bit types).
-                    return jax.lax.dot_general(
-                        ug, ci8, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.int32)[0]  # (utile,)
-            dot_hi = digit_dot(lax.slice(ui_mat, (0, 0), (1, wq)))
-            dot_lo = digit_dot(lax.slice(ui_mat, (1, 0), (2, wq)))
+            digit_dot = sq_block_digit_dot(block, t0, ut, codec)
+            dot_hi = digit_dot(lax.slice(ui_mat, (0, 0), (1, wq)))[0]
+            dot_lo = digit_dot(lax.slice(ui_mat, (1, 0), (2, wq)))[0]
             utc = su2 * (128.0 * dot_hi.astype(jnp.float32)
                          + dot_lo.astype(jnp.float32))
             uc = utc + c0 + mu * lax.slice(rowsum_w, (t0,), (t0 + ut,))
@@ -548,22 +490,10 @@ def pallas_ivf_sq_search(
     else:
         c0 = jnp.zeros_like(su2)
 
-    def pack_planes(digit):
-        if codec == "sq4":
-            # Even/odd query planes, each padded to the byte width;
-            # odd-plane padding is 0 so a pad nibble contributes 0.
-            pad = 2 * wbytes - d
-            dp = jnp.pad(digit, ((0, 0), (0, pad)))
-            return jnp.concatenate([dp[:, 0::2], dp[:, 1::2]], axis=1)
-        if codec == "sq6":
-            # Four dim-planes (dims x::4), padded so plane x matches the
-            # kernel's c_x width d4; pad dims contribute 0 to the dot.
-            pad = 4 * d4 - d
-            dp = jnp.pad(digit, ((0, 0), (0, pad)))
-            return jnp.concatenate([dp[:, x::4] for x in range(4)], axis=1)
-        return digit
+    from .sq_digits import sq_pack_query_planes
 
-    ui_pack = jnp.stack([pack_planes(hi), pack_planes(lo)], axis=1)
+    ui_pack = jnp.stack([sq_pack_query_planes(hi, d, wbytes, codec),
+                         sq_pack_query_planes(lo, d, wbytes, codec)], axis=1)
     ui_width = ui_pack.shape[2]                  # (nq, 2, w')
     qscal = jnp.stack([su2, c0, base, mu], axis=1)        # (nq, 4) fp32
 

@@ -51,22 +51,39 @@ from .flat_search import _NEG_INF, exact_topk
 #: nlist 4096) while lifting the dot off the VPU.
 QG = 8
 
-def pairs_t_max(nq: int, nprobe: int, nlist: int) -> int:
+#: scoped-VMEM budget for choosing how many tiles share a grid step.
+PAIRS_WAYS_VMEM = 12 << 20
+
+
+def pairs_ways(lmax: int, wbytes: int, qg: int) -> int:
+    """Tiles per grid step (amortises the per-step pipeline overhead,
+    like the per-query kernel's WAYS): largest of 4/2/1 whose
+    double-buffered list blocks + per-way query/score tiles fit VMEM."""
+    for w in (4, 2, 1):
+        per_way = 2 * lmax * wbytes + 2 * qg * lmax * 4 + qg * 4 * wbytes
+        if w * per_way <= PAIRS_WAYS_VMEM:
+            return w
+    return 1
+
+
+def pairs_t_max(nq: int, nprobe: int, nlist: int, qg: int = QG) -> int:
     """Static worst-case tile count: every list's pairs fill
-    ``floor(npair/QG)`` whole tiles at most, plus at most one partial
+    ``floor(npair/qg)`` whole tiles at most, plus at most one partial
     tile per active list."""
     npair = nq * nprobe
-    return npair // QG + min(nlist, npair)
+    return npair // qg + min(nlist, npair)
 
 
-@functools.partial(jax.jit, static_argnames=("nlist", "t_max"))
-def build_pair_tiles(probe_ids, *, nlist: int, t_max: int):
+@functools.partial(jax.jit, static_argnames=("nlist", "t_max", "qg"))
+def build_pair_tiles(probe_ids, *, nlist: int, t_max: int, qg: int = QG):
     """Invert (nq, nprobe) probe ids into per-list query tiles.
 
     Returns (tile_list (t_max,) int32 — list id per tile, 0 for padding;
-    tile_q (t_max, QG) int32 — query ids, -1 for empty slots;
-    pair_slot (nq, nprobe) int32 — flat (tile*QG + slot) output index of
-    each original pair).  Pure static-shape XLA (sorts + scatters)."""
+    tile_q (t_max, qg) int32 — query ids, -1 for empty slots;
+    pair_slot (nq, nprobe) int32 — flat (tile*qg + slot) output index of
+    each original pair; n_tiles () int32 — count of real tiles, so the
+    kernel can skip the dots on padding tiles, whose output rows no
+    pair_slot ever reads).  Pure static-shape XLA (sorts + scatters)."""
     nq, nprobe = probe_ids.shape
     npair = nq * nprobe
     lists = probe_ids.reshape(-1).astype(jnp.int32)
@@ -75,140 +92,101 @@ def build_pair_tiles(probe_ids, *, nlist: int, t_max: int):
     sl = lists[order]
     sq = qid[order]
     m = jnp.zeros((nlist,), jnp.int32).at[lists].add(1)
-    tiles_pl = (m + QG - 1) // QG
+    tiles_pl = (m + qg - 1) // qg
     start_tile = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(tiles_pl)[:-1]])
     first_idx = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(m)[:-1]])
     r = jnp.arange(npair, dtype=jnp.int32) - first_idx[sl]
-    tile = start_tile[sl] + r // QG
-    slot = r % QG
-    tile_q = jnp.full((t_max, QG), -1, jnp.int32).at[tile, slot].set(sq)
+    tile = start_tile[sl] + r // qg
+    slot = r % qg
+    tile_q = jnp.full((t_max, qg), -1, jnp.int32).at[tile, slot].set(sq)
     tile_list = jnp.zeros((t_max,), jnp.int32).at[tile].set(sl)
     pair_slot = (jnp.zeros((npair,), jnp.int32)
-                 .at[order].set(tile * QG + slot).reshape(nq, nprobe))
-    return tile_list, tile_q, pair_slot
+                 .at[order].set(tile * qg + slot).reshape(nq, nprobe))
+    return tile_list, tile_q, pair_slot, jnp.sum(tiles_pl)
 
 
-def _pairs_sq_kernel(tlist_ref, counts_ref, ui_ref, qs_ref, *rest,
-                     metric: str, codec: str, has_mask: bool):
-    codes_ref, rn_ref, rs_ref = rest[0], rest[1], rest[2]
+def _pairs_sq_kernel(meta_ref, counts_ref, ui_ref, qs_ref, *rest,
+                     metric: str, codec: str, has_mask: bool, ways: int,
+                     qg: int):
+    """meta_ref: (1 + t_pad,) int32 prefetch — [0] = count of real tiles,
+    [1:] = list id per tile.  ``ways`` tiles are scored per grid step
+    (separate in_specs alias the payload with staggered index maps, the
+    per-query kernel's WAYS pattern) and the dots are predicated off on
+    padding tiles — their output rows are never gathered by pair_slot,
+    and at the marco shape (b1024, nprobe 16, nlist 4096) ~20% of t_max
+    is padding that used to pay full MXU ingest."""
+    codes_refs = rest[:ways]
+    rn_refs = rest[ways:2 * ways]
+    rs_refs = rest[2 * ways:3 * ways]
     if has_mask:
-        mask_ref = rest[3]
-        out_ref = rest[4]
+        mask_refs = rest[3 * ways:4 * ways]
+        out_ref = rest[4 * ways]
     else:
-        mask_ref = None
-        out_ref = rest[3]
+        mask_refs = None
+        out_ref = rest[3 * ways]
+
+    from .sq_digits import sq_block_digit_dot, sq_utile
 
     t = pl.program_id(0)
-    lid = tlist_ref[t]
-    cnt = counts_ref[lid]
-    ui = ui_ref[0]                                    # (QG, 2*wq) int8
-    wq = ui.shape[1] // 2
-    su2 = qs_ref[0, :, 0]                             # (QG,)
-    c0 = qs_ref[0, :, 1]
-    base = qs_ref[0, :, 2]                            # ±inf on empty slots
-    mu = qs_ref[0, :, 3]
-    block = codes_ref[0]                              # (lmax, w) uint8
-    lmax = block.shape[0] if codec != "sq6" else block.shape[1]
+    n_tiles = meta_ref[0]
     sim = metric == "INNER_PRODUCT"
 
-    # Digit dots on the MXU: (QG, wq) x (lmax-tile, wq) contractions.
-    # sq4/sq6 widen the unpack per ≤512-row sub-tile (Mosaic cannot shift
-    # i8 vectors; a whole-block i32 widen blew scoped VMEM at wide d —
-    # same constraints as ops/pallas_ivf.py::_sq_scan_kernel).  sq8's
-    # XOR+bitcast also materialises a block-sized i8 copy on the scoped
-    # stack (18.3 MB at lmax 4096 x d 1536, on-chip compile failure), so
-    # it sub-tiles too — bounded to ~1.5 MB of scratch.
-    if codec == "sq8":
-        # Adaptive: one big xor+dot step when VMEM allows (fewer serial
-        # sub-tile chains per tile), bounded by what is left after the
-        # double-buffered block + score tile.
-        wb = block.shape[1]
-        left = (13 << 20) - 2 * lmax * wb - 8 * lmax * 8
-        utile = min(lmax, max(512, left // max(wb, 1) // 512 * 512))
-    else:
-        utile = min(lmax, 512)
-    hi_q = lax.slice(ui, (0, 0), (QG, wq))
-    lo_q = lax.slice(ui, (0, wq), (QG, 2 * wq))
+    for w in range(ways):
+        gt = t * ways + w
+        lid = meta_ref[1 + gt]
+        cnt = counts_ref[lid]
+        ui = ui_ref[w]                                # (qg, 2*wq) int8
+        wq = ui.shape[1] // 2
+        su2 = qs_ref[w, :, 0]                         # (qg,)
+        c0 = qs_ref[w, :, 1]
+        base = qs_ref[w, :, 2]                        # ±inf on empty slots
+        mu = qs_ref[w, :, 3]
+        block = codes_refs[w][0]                      # (lmax, wb) uint8
+        lmax = block.shape[0] if codec != "sq6" else block.shape[1]
+        wb = 3 * block.shape[2] if codec == "sq6" else block.shape[1]
+        utile = sq_utile(codec, lmax, wb,
+                         2 * ways * lmax * wb + ways * qg * lmax * 8)
+        rs_row = rs_refs[w][0, 0]                     # (lmax,)
+        rn_row = None if sim else rn_refs[w][0, 0]
+        mask_row = mask_refs[w][0, 0] if has_mask else None
 
-    dh_parts, dl_parts = [], []
-    for t0 in range(0, lmax, utile):
-        ut = min(utile, lmax - t0)           # adaptive utile (sq8) may
-        if codec == "sq6":                   # not divide lmax
-            d4 = block.shape[2]                       # (3, lmax, d4)
-            b0 = lax.slice(block, (0, t0, 0),
-                           (1, t0 + ut, d4))[0].astype(jnp.int32)
-            b1 = lax.slice(block, (1, t0, 0),
-                           (2, t0 + ut, d4))[0].astype(jnp.int32)
-            b2 = lax.slice(block, (2, t0, 0),
-                           (3, t0 + ut, d4))[0].astype(jnp.int32)
-            planes = ((b0 >> 2).astype(jnp.int8),
-                      (((b0 & 3) << 4) | (b1 >> 4)).astype(jnp.int8),
-                      (((b1 & 15) << 2) | (b2 >> 6)).astype(jnp.int8),
-                      (b2 & 63).astype(jnp.int8))
-
-            def digit_dot(ug, planes=planes, d4=d4):
-                dot = jnp.zeros((QG, ut), jnp.int32)
-                for x, cx in enumerate(planes):
-                    ui_x = lax.slice(ug, (0, x * d4), (QG, (x + 1) * d4))
-                    dot = dot + jax.lax.dot_general(
-                        ui_x, cx, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.int32)
-                return dot
-        elif codec == "sq4":
-            w_half = block.shape[1]
-            b32 = lax.slice(block, (t0, 0),
-                            (t0 + ut, w_half)).astype(jnp.int32)
-            nib_lo = (b32 & 0x0F).astype(jnp.int8)
-            nib_hi = (b32 >> 4).astype(jnp.int8)
-
-            def digit_dot(ug, w_half=w_half, nl=nib_lo, nh=nib_hi):
-                ui_e = lax.slice(ug, (0, 0), (QG, w_half))
-                ui_o = lax.slice(ug, (0, w_half), (QG, 2 * w_half))
-                return (jax.lax.dot_general(
-                            ui_e, nl, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.int32)
-                        + jax.lax.dot_general(
-                            ui_o, nh, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.int32))
-        else:
-            ci8 = pltpu.bitcast(
-                lax.slice(block, (t0, 0), (t0 + ut, block.shape[1]))
-                ^ jnp.uint8(0x80), jnp.int8)
-
-            def digit_dot(ug, ci8=ci8):
-                return jax.lax.dot_general(
-                    ug, ci8, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32)   # (QG, utile)
-        dh_parts.append(digit_dot(hi_q))
-        dl_parts.append(digit_dot(lo_q))
-    dot_hi = (dh_parts[0] if len(dh_parts) == 1
-              else jnp.concatenate(dh_parts, axis=1))
-    dot_lo = (dl_parts[0] if len(dl_parts) == 1
-              else jnp.concatenate(dl_parts, axis=1))
-
-    rs_row = rs_ref[0, 0]                             # (lmax,)
-    utc = su2[:, None] * (128.0 * dot_hi.astype(jnp.float32)
-                          + dot_lo.astype(jnp.float32))
-    uc = utc + c0[:, None] + mu[:, None] * rs_row[None, :]
-    if sim:
-        score = base[:, None] + uc                    # -inf rows stay -inf
-    else:
-        rn_row = rn_ref[0, 0]
-        score = -jnp.maximum(base[:, None] - 2.0 * uc + rn_row[None, :],
-                             0.0)
-    lane = lax.broadcasted_iota(jnp.int32, (QG, lmax), 1)
-    valid = lane < cnt
-    if has_mask:
-        valid = jnp.logical_and(valid, mask_ref[0, 0][None, :] != 0)
-    out_ref[0] = jnp.where(valid, score, _NEG_INF)
+        @pl.when(gt < n_tiles)
+        def _score(ui=ui, su2=su2, c0=c0, base=base, mu=mu, block=block,
+                   rs_row=rs_row, rn_row=rn_row, mask_row=mask_row,
+                   cnt=cnt, w=w, wq=wq, lmax=lmax, utile=utile):
+            hi_q = lax.slice(ui, (0, 0), (qg, wq))
+            lo_q = lax.slice(ui, (0, wq), (qg, 2 * wq))
+            dh_parts, dl_parts = [], []
+            for t0 in range(0, lmax, utile):
+                ut = min(utile, lmax - t0)   # adaptive utile (sq8) may
+                dot = sq_block_digit_dot(block, t0, ut, codec)  # not divide
+                dh_parts.append(dot(hi_q))
+                dl_parts.append(dot(lo_q))
+            dot_hi = (dh_parts[0] if len(dh_parts) == 1
+                      else jnp.concatenate(dh_parts, axis=1))
+            dot_lo = (dl_parts[0] if len(dl_parts) == 1
+                      else jnp.concatenate(dl_parts, axis=1))
+            utc = su2[:, None] * (128.0 * dot_hi.astype(jnp.float32)
+                                  + dot_lo.astype(jnp.float32))
+            uc = utc + c0[:, None] + mu[:, None] * rs_row[None, :]
+            if sim:
+                score = base[:, None] + uc            # -inf rows stay -inf
+            else:
+                score = -jnp.maximum(
+                    base[:, None] - 2.0 * uc + rn_row[None, :], 0.0)
+            lane = lax.broadcasted_iota(jnp.int32, (qg, lmax), 1)
+            valid = lane < cnt
+            if has_mask:
+                valid = jnp.logical_and(valid, mask_row[None, :] != 0)
+            out_ref[w] = jnp.where(valid, score, _NEG_INF)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("k", "k_scan", "nprobe", "metric", "codec",
-                     "interpret"),
+                     "interpret", "qg", "ways_opt"),
 )
 def pallas_ivf_sq_pairs_search(
     codes_lists,   # (nlist, lmax, w) uint8 / (nlist, 3, lmax, d4) sq6
@@ -228,6 +206,8 @@ def pallas_ivf_sq_pairs_search(
     metric: str,
     codec: str = "sq8",
     interpret: bool = False,
+    qg: int = QG,
+    ways_opt: int | None = None,
 ):
     """MXU-batched IVF-SQ list scan (see module docstring).  Same output
     conventions as pallas_ivf_sq_search: (scores (nq, k) max-oriented
@@ -243,6 +223,7 @@ def pallas_ivf_sq_pairs_search(
     nq = xq.shape[0]
     has_mask = mask is not None
     sim = metric == "INNER_PRODUCT"
+    ways = ways_opt or pairs_ways(lmax, wbytes, qg)
 
     if sim:
         u = xq * scale[None, :]
@@ -256,74 +237,78 @@ def pallas_ivf_sq_pairs_search(
     c0 = (shift * sum_ut if codec == "sq8"
           else jnp.zeros_like(su2))
 
-    def pack_planes(digit):
-        if codec == "sq4":
-            pad = 2 * wbytes - d
-            dp = jnp.pad(digit, ((0, 0), (0, pad)))
-            return jnp.concatenate([dp[:, 0::2], dp[:, 1::2]], axis=1)
-        if codec == "sq6":
-            pad = 4 * d4 - d
-            dp = jnp.pad(digit, ((0, 0), (0, pad)))
-            return jnp.concatenate([dp[:, x::4] for x in range(4)], axis=1)
-        return digit
+    from .sq_digits import sq_pack_query_planes
 
-    ui_pack = jnp.concatenate([pack_planes(hi), pack_planes(lo)], axis=1)
+    ui_pack = jnp.concatenate(
+        [sq_pack_query_planes(hi, d, wbytes, codec),
+         sq_pack_query_planes(lo, d, wbytes, codec)], axis=1)
     wq = ui_pack.shape[1] // 2                        # (nq, 2*wq) int8
     qscal = jnp.stack([su2, c0, base, mu], axis=1)    # (nq, 4) fp32
 
     # Tile table + per-tile gathered query operands.
-    t_max = pairs_t_max(nq, nprobe, nlist)
-    tile_list, tile_q, pair_slot = build_pair_tiles(
-        probe_ids.astype(jnp.int32), nlist=nlist, t_max=t_max)
+    t_max = pairs_t_max(nq, nprobe, nlist, qg)
+    t_max = -(-t_max // ways) * ways
+    tile_list, tile_q, pair_slot, n_tiles = build_pair_tiles(
+        probe_ids.astype(jnp.int32), nlist=nlist, t_max=t_max, qg=qg)
+    meta = jnp.concatenate([n_tiles[None].astype(jnp.int32), tile_list])
     safe_q = jnp.maximum(tile_q, 0)
-    ui_t = ui_pack[safe_q]                            # (t_max, QG, 2*wq)
-    qs_t = qscal[safe_q]                              # (t_max, QG, 4)
+    ui_t = ui_pack[safe_q]                            # (t_max, qg, 2*wq)
+    qs_t = qscal[safe_q]                              # (t_max, qg, 4)
     # Empty slots score -inf via base: IP adds base directly; L2 negates
     # a max() with base inside, so +inf there also yields -inf.
     dead = jnp.inf if not sim else -jnp.inf
     qs_t = qs_t.at[:, :, 2].set(
         jnp.where(tile_q < 0, dead, qs_t[:, :, 2]))
 
-    def lspec():
+    def lspec(w):
         if codec == "sq6":
-            return pl.BlockSpec((1, 3, lmax, d4),
-                                lambda i, tl, cn: (tl[i], 0, 0, 0),
-                                memory_space=pltpu.VMEM)
-        return pl.BlockSpec((1, lmax, wbytes),
-                            lambda i, tl, cn: (tl[i], 0, 0),
-                            memory_space=pltpu.VMEM)
+            return pl.BlockSpec(
+                (1, 3, lmax, d4),
+                lambda i, tl, cn, w=w: (tl[1 + i * ways + w], 0, 0, 0),
+                memory_space=pltpu.VMEM)
+        return pl.BlockSpec(
+            (1, lmax, wbytes),
+            lambda i, tl, cn, w=w: (tl[1 + i * ways + w], 0, 0),
+            memory_space=pltpu.VMEM)
 
-    def lanespec():
-        return pl.BlockSpec((1, 1, lmax), lambda i, tl, cn: (tl[i], 0, 0),
-                            memory_space=pltpu.VMEM)
+    def lanespec(w):
+        return pl.BlockSpec(
+            (1, 1, lmax),
+            lambda i, tl, cn, w=w: (tl[1 + i * ways + w], 0, 0),
+            memory_space=pltpu.VMEM)
 
     in_specs = [
-        pl.BlockSpec((1, QG, 2 * wq), lambda i, tl, cn: (i, 0, 0),
+        pl.BlockSpec((ways, qg, 2 * wq), lambda i, tl, cn: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, QG, 4), lambda i, tl, cn: (i, 0, 0),
+        pl.BlockSpec((ways, qg, 4), lambda i, tl, cn: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        lspec(), lanespec(), lanespec(),
     ]
-    args = [tile_list, counts.astype(jnp.int32), ui_t, qs_t, codes_lists,
-            row_norm.reshape(nlist, 1, lmax),
-            row_sum.reshape(nlist, 1, lmax)]
+    args = [meta, counts.astype(jnp.int32), ui_t, qs_t]
+    in_specs += [lspec(w) for w in range(ways)]
+    args += [codes_lists] * ways
+    in_specs += [lanespec(w) for w in range(ways)]
+    args += [row_norm.reshape(nlist, 1, lmax)] * ways
+    in_specs += [lanespec(w) for w in range(ways)]
+    args += [row_sum.reshape(nlist, 1, lmax)] * ways
     if has_mask:
-        in_specs.append(lanespec())
-        args.append(mask.reshape(nlist, 1, lmax))
+        in_specs += [lanespec(w) for w in range(ways)]
+        args += [mask.reshape(nlist, 1, lmax)] * ways
 
     kernel = functools.partial(_pairs_sq_kernel, metric=metric,
-                               codec=codec, has_mask=has_mask)
+                               codec=codec, has_mask=has_mask, ways=ways,
+                               qg=qg)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(t_max,),
+        grid=(t_max // ways,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, QG, lmax), lambda i, tl, cn: (i, 0, 0),
+        out_specs=pl.BlockSpec((ways, qg, lmax),
+                               lambda i, tl, cn: (i, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     raw = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((t_max, QG, lmax), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((t_max, qg, lmax), jnp.float32),
         interpret=interpret,
     )(*args)
 
@@ -331,7 +316,7 @@ def pallas_ivf_sq_pairs_search(
     # one (tile, slot) score row; then the per-query kernel's epilogue.
     from .pallas_ivf import sq_exact_rerank
 
-    pv = (raw.reshape(t_max * QG, lmax)[pair_slot.reshape(-1)]
+    pv = (raw.reshape(t_max * qg, lmax)[pair_slot.reshape(-1)]
           .reshape(nq, nprobe * lmax))
     k_scan = min(k_scan, nprobe * lmax)
     best, sel = exact_topk(pv, k_scan)
@@ -342,44 +327,53 @@ def pallas_ivf_sq_pairs_search(
                            vmin, scale, codec=codec, k=k, metric=metric)
 
 
-def _pairs_flat_kernel(tlist_ref, counts_ref, xq_ref, qs_ref, *rest,
-                       metric: str, has_mask: bool, precision):
-    codes_ref = rest[0]
+def _pairs_flat_kernel(meta_ref, counts_ref, xq_ref, qs_ref, *rest,
+                       metric: str, has_mask: bool, precision, ways: int,
+                       qg: int):
+    codes_refs = rest[:ways]
     if has_mask:
-        mask_ref = rest[1]
-        out_ref = rest[2]
+        mask_refs = rest[ways:2 * ways]
+        out_ref = rest[2 * ways]
     else:
-        mask_ref = None
-        out_ref = rest[1]
+        mask_refs = None
+        out_ref = rest[ways]
 
     t = pl.program_id(0)
-    lid = tlist_ref[t]
-    cnt = counts_ref[lid]
-    q = xq_ref[0]                                     # (QG, d) fp32
-    bias = qs_ref[0, :, 0]                            # -inf on dead slots
-    qn = qs_ref[0, :, 1]
-    block = codes_ref[0]                              # (lmax, d) fp32
-    lmax = block.shape[0]
+    n_tiles = meta_ref[0]
+    for w in range(ways):
+        gt = t * ways + w
+        lid = meta_ref[1 + gt]
+        cnt = counts_ref[lid]
+        q = xq_ref[w]                                 # (qg, d) fp32
+        bias = qs_ref[w, :, 0]                        # -inf on dead slots
+        qn = qs_ref[w, :, 1]
+        block = codes_refs[w][0]                      # (lmax, d) fp32
+        lmax = block.shape[0]
+        mask_row = mask_refs[w][0, 0] if has_mask else None
 
-    xy = jax.lax.dot_general(q, block, (((1,), (1,)), ((), ())),
-                             precision=precision,
-                             preferred_element_type=jnp.float32)
-    if metric == "INNER_PRODUCT":
-        score = xy + bias[:, None]
-    else:
-        bn = jnp.sum(block * block, axis=1)[None, :]
-        score = -jnp.maximum(qn[:, None] - 2.0 * xy + bn, 0.0) \
-            + bias[:, None]
-    lane = lax.broadcasted_iota(jnp.int32, (QG, lmax), 1)
-    valid = lane < cnt
-    if has_mask:
-        valid = jnp.logical_and(valid, mask_ref[0, 0][None, :] != 0)
-    out_ref[0] = jnp.where(valid, score, _NEG_INF)
+        @pl.when(gt < n_tiles)
+        def _score(q=q, bias=bias, qn=qn, block=block, mask_row=mask_row,
+                   cnt=cnt, w=w, lmax=lmax):
+            xy = jax.lax.dot_general(q, block, (((1,), (1,)), ((), ())),
+                                     precision=precision,
+                                     preferred_element_type=jnp.float32)
+            if metric == "INNER_PRODUCT":
+                score = xy + bias[:, None]
+            else:
+                bn = jnp.sum(block * block, axis=1)[None, :]
+                score = -jnp.maximum(qn[:, None] - 2.0 * xy + bn, 0.0) \
+                    + bias[:, None]
+            lane = lax.broadcasted_iota(jnp.int32, (qg, lmax), 1)
+            valid = lane < cnt
+            if has_mask:
+                valid = jnp.logical_and(valid, mask_row[None, :] != 0)
+            out_ref[w] = jnp.where(valid, score, _NEG_INF)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "k_scan", "nprobe", "metric", "interpret"),
+    static_argnames=("k", "k_scan", "nprobe", "metric", "interpret", "qg",
+                     "ways_opt"),
 )
 def pallas_ivf_pairs_search(
     xb_lists,      # (nlist, lmax, d) fp32 padded per list
@@ -394,6 +388,8 @@ def pallas_ivf_pairs_search(
     nprobe: int,
     metric: str,
     interpret: bool = False,
+    qg: int = QG,
+    ways_opt: int | None = None,
 ):
     """MXU-batched IVF,Flat list scan (pair tiles, see module docstring).
     Session-precision dots in-kernel + fp32 rerank of the k_scan
@@ -404,51 +400,62 @@ def pallas_ivf_pairs_search(
     nq = xq.shape[0]
     has_mask = mask is not None
     sim = metric == "INNER_PRODUCT"
+    ways = ways_opt or pairs_ways(lmax, d * 4, qg)
 
-    t_max = pairs_t_max(nq, nprobe, nlist)
-    tile_list, tile_q, pair_slot = build_pair_tiles(
-        probe_ids.astype(jnp.int32), nlist=nlist, t_max=t_max)
+    t_max = pairs_t_max(nq, nprobe, nlist, qg)
+    t_max = -(-t_max // ways) * ways
+    tile_list, tile_q, pair_slot, n_tiles = build_pair_tiles(
+        probe_ids.astype(jnp.int32), nlist=nlist, t_max=t_max, qg=qg)
+    meta = jnp.concatenate([n_tiles[None].astype(jnp.int32), tile_list])
     safe_q = jnp.maximum(tile_q, 0)
-    xq_t = xq[safe_q]                                 # (t_max, QG, d)
+    xq_t = xq[safe_q]                                 # (t_max, qg, d)
     qn = jnp.sum(xq * xq, axis=1)
     qs_t = jnp.stack(
         [jnp.where(tile_q < 0, -jnp.inf, 0.0),
          qn[safe_q], jnp.zeros_like(safe_q, jnp.float32),
-         jnp.zeros_like(safe_q, jnp.float32)], axis=2)  # (t_max, QG, 4)
+         jnp.zeros_like(safe_q, jnp.float32)], axis=2)  # (t_max, qg, 4)
 
     in_specs = [
-        pl.BlockSpec((1, QG, d), lambda i, tl, cn: (i, 0, 0),
+        pl.BlockSpec((ways, qg, d), lambda i, tl, cn: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, QG, 4), lambda i, tl, cn: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, lmax, d), lambda i, tl, cn: (tl[i], 0, 0),
+        pl.BlockSpec((ways, qg, 4), lambda i, tl, cn: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    args = [tile_list, counts.astype(jnp.int32), xq_t, qs_t, xb_lists]
+    args = [meta, counts.astype(jnp.int32), xq_t, qs_t]
+    in_specs += [
+        pl.BlockSpec((1, lmax, d),
+                     lambda i, tl, cn, w=w: (tl[1 + i * ways + w], 0, 0),
+                     memory_space=pltpu.VMEM)
+        for w in range(ways)]
+    args += [xb_lists] * ways
     if has_mask:
-        in_specs.append(
-            pl.BlockSpec((1, 1, lmax), lambda i, tl, cn: (tl[i], 0, 0),
-                         memory_space=pltpu.VMEM))
-        args.append(mask.reshape(nlist, 1, lmax))
+        in_specs += [
+            pl.BlockSpec((1, 1, lmax),
+                         lambda i, tl, cn, w=w: (tl[1 + i * ways + w], 0, 0),
+                         memory_space=pltpu.VMEM)
+            for w in range(ways)]
+        args += [mask.reshape(nlist, 1, lmax)] * ways
 
     kernel = functools.partial(_pairs_flat_kernel, metric=metric,
                                has_mask=has_mask,
-                               precision=config.precision)
+                               precision=config.precision, ways=ways,
+                               qg=qg)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(t_max,),
+        grid=(t_max // ways,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, QG, lmax), lambda i, tl, cn: (i, 0, 0),
+        out_specs=pl.BlockSpec((ways, qg, lmax),
+                               lambda i, tl, cn: (i, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     raw = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((t_max, QG, lmax), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((t_max, qg, lmax), jnp.float32),
         interpret=interpret,
     )(*args)
 
-    pv = (raw.reshape(t_max * QG, lmax)[pair_slot.reshape(-1)]
+    pv = (raw.reshape(t_max * qg, lmax)[pair_slot.reshape(-1)]
           .reshape(nq, nprobe * lmax))
     k_scan = min(k_scan, nprobe * lmax)
     best, sel = exact_topk(pv, k_scan)

@@ -39,6 +39,11 @@ class Config:
     #: quantization recovered by the built-in exact rerank), decode path
     #: in parity mode; "int8" / "decode" force one path.
     sq_dot: str = "auto"
+    #: spill-scan digit-dot lowering: "bf16" routes the int8 digit dots
+    #: through bf16 MXU matmuls (int8 values are exact in bf16; XLA's
+    #: native int8 dot_general measured ~15x off the MXU on v5e);
+    #: "int32" keeps the int8->int32 einsum (A/B switch).
+    spill_int8_via: str = "bf16"
 
     @property
     def precision(self):

@@ -19,8 +19,11 @@ def test_build_pair_tiles_covers_every_pair():
     probe = np.stack([rng.choice(nlist, nprobe, replace=False)
                       for _ in range(nq)]).astype(np.int32)
     t_max = pairs_t_max(nq, nprobe, nlist)
-    tl, tq, ps = (np.asarray(a) for a in build_pair_tiles(
+    tl, tq, ps, n_tiles = (np.asarray(a) for a in build_pair_tiles(
         jnp.asarray(probe), nlist=nlist, t_max=t_max))
+    # real tiles are exactly the prefix counted by n_tiles
+    assert 0 < n_tiles <= t_max
+    assert (tq[int(n_tiles):] == -1).all()
     # every pair maps to a unique (tile, slot) holding (its query, list)
     seen = set()
     for q in range(nq):
