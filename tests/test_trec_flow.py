@@ -30,6 +30,7 @@ def _cleanup():
 
 
 def _flow(tmp_path, factory, params, n=6000, d=48, nq=32, k=200):
+    tmp_path.mkdir(parents=True, exist_ok=True)
     work = str(tmp_path)
     marco_mini.generate(work, n, d, nq, seed=9)
     return marco_mini.run_flow(work, factory, params, k=k,
@@ -50,6 +51,28 @@ def test_ivf_flow_meets_conformance_floor(tmp_path):
     assert scores["mrr@10"] >= 0.9
     assert scores["ndcg@10"] >= 0.85
     assert scores["recall@200"] >= 0.9
+
+
+def test_quantized_flow_discriminates(tmp_path):
+    """A lossy-codec index must score strictly BELOW the exact flow's 1.0
+    and above a floor — i.e. the conformance score actually measures
+    ranking accuracy, not just plumbing (a saturated 1.000 can't catch a
+    regression).  Calibrated on the frozen seed: IVF16,SQ8 nDCG@10
+    0.9657, IVF16,SQ4 0.4345 (graded qrels punish within-top-10
+    reordering that recall metrics miss)."""
+    sq8 = _flow(tmp_path / "sq8", "IVF16,SQ8", "nprobe=8")
+    assert 0.85 <= sq8["ndcg@10"] <= 0.995          # < 1: discriminating
+    assert sq8["mrr@10"] >= 0.9
+    for name in ("build", "trec"):                  # two flows, one test
+        try:
+            dfx.faiss_destroy(name)
+        except Exception:
+            pass
+    sq4 = _flow(tmp_path / "sq4", "IVF16,SQ4", "nprobe=8")
+    assert 0.30 <= sq4["ndcg@10"] <= 0.60           # int4 cap, stable seed
+    assert 0.80 <= sq4["mrr@10"] <= 0.99
+    # The codec ordering itself is a conformance signal.
+    assert sq4["ndcg@10"] < sq8["ndcg@10"]
 
 
 def test_scorer_against_hand_run(tmp_path):
