@@ -160,16 +160,23 @@ def augment_graph(knn: np.ndarray, degree: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("degree", "lmax", "nlist", "metric", "precision"),
+    static_argnames=("degree", "lmax", "nlist", "metric", "precision",
+                     "codec"),
 )
 def _clustered_knn_scan(xb, table, metric_arg, *, degree, lmax, nlist,
-                        metric, precision):
+                        metric, precision, codec=None, vmin=None,
+                        scale=None):
     """Sequential scan over padded list-membership tables: each list's
     members are exact-scanned against each other once, and each member's
     running top-``degree`` candidate set (rows appear in two lists) is
     merged read-modify-write.  Returns ids (n_pad, degree) int32, -1
-    missing."""
-    n_pad, d = xb.shape
+    missing.
+
+    ``codec`` marks ``xb`` as packed SQ codes (n_pad, w) uint8: each
+    list's member rows decode in-block — the 8.8M×1536 build regime,
+    where fp32 rows cannot exist on-chip (see walk_scan)."""
+    n_pad = xb.shape[0]
+    d = vmin.shape[0] if codec is not None else xb.shape[1]
     sim = metric in SIMILARITY_METRICS
 
     def body(l, carry):
@@ -177,6 +184,10 @@ def _clustered_knn_scan(xb, table, metric_arg, *, degree, lmax, nlist,
         rows = lax.dynamic_slice(table, (l, 0), (1, lmax))[0]
         rvalid = rows >= 0
         V = jnp.take(xb, jnp.maximum(rows, 0), axis=0)
+        if codec is not None:
+            from .sq import sq_decode
+
+            V = sq_decode(V, vmin, scale, codec)
         dist = pairwise_tile(V, V, metric, metric_arg, precision)
         score = dist if sim else -dist
         same = rows[:, None] == rows[None, :]     # self + dup membership
@@ -207,6 +218,30 @@ def _clustered_knn_scan(xb, table, metric_arg, *, degree, lmax, nlist,
     return lax.fori_loop(0, nlist, body, init)[1]
 
 
+def membership_table(a12: np.ndarray, nlist: int,
+                     degree: int) -> tuple[np.ndarray, int]:
+    """Padded top-2 list-membership table (host): 2 entries per row.
+    PRIMARY memberships slot first within each list (secondary entries
+    overflow first), and lmax ≥ degree so the per-list top-k is always
+    valid.  Returns (table (nlist, lmax) int32 row ids / -1, lmax)."""
+    from ..utils.config import next_pow2
+
+    n = a12.shape[0]
+    entries_list = a12.T.reshape(-1)       # primaries [0..n), then secondaries
+    entries_row = np.tile(np.arange(n, dtype=np.int64), 2)
+    order = np.argsort(entries_list, kind="stable")
+    el, er = entries_list[order], entries_row[order]
+    grp = np.searchsorted(el, np.arange(nlist))
+    slot = np.arange(el.shape[0]) - grp[el]
+    avg = max(1, (2 * n) // nlist)
+    lmax = next_pow2(max(min(max(int(1.5 * avg), degree + 2), 4 * avg),
+                         degree))
+    keep = slot < lmax
+    table = np.full((nlist, lmax), -1, np.int32)
+    table[el[keep], slot[keep]] = er[keep]
+    return table, lmax
+
+
 def build_knn_graph_clustered(xb: np.ndarray, degree: int, metric: str,
                               metric_arg: float = 0.0,
                               nlist: int | None = None,
@@ -234,22 +269,7 @@ def build_knn_graph_clustered(xb: np.ndarray, degree: int, metric: str,
         if ntrain < n else xb
     cents, _ = kmeans_fit(sample, nlist, precision=precision, seed=seed)
     a12 = _top2_assign(xb, cents, metric, metric_arg, precision)
-
-    # Padded membership tables (host): 2 entries per row.  PRIMARY
-    # memberships slot first within each list (secondary entries overflow
-    # first), and lmax ≥ degree so the per-list top-k is always valid.
-    entries_list = a12.T.reshape(-1)       # primaries [0..n), then secondaries
-    entries_row = np.tile(np.arange(n, dtype=np.int64), 2)
-    order = np.argsort(entries_list, kind="stable")
-    el, er = entries_list[order], entries_row[order]
-    grp = np.searchsorted(el, np.arange(nlist))
-    slot = np.arange(el.shape[0]) - grp[el]
-    avg = max(1, (2 * n) // nlist)
-    lmax = next_pow2(max(min(max(int(1.5 * avg), degree + 2), 4 * avg),
-                         degree))
-    keep = slot < lmax
-    table = np.full((nlist, lmax), -1, np.int32)
-    table[el[keep], slot[keep]] = er[keep]
+    table, lmax = membership_table(a12, nlist, degree)
 
     cap = max(128, next_capacity(n))
     ids = np.array(_clustered_knn_scan(
@@ -294,22 +314,31 @@ def _top2_assign(xb, cents, metric, metric_arg, precision) -> np.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sample", "q_block", "metric", "precision"),
+    static_argnames=("sample", "q_block", "metric", "precision", "codec"),
 )
 def _nn_descent_round(xb, knn, metric_arg, *, sample, q_block, metric,
-                      precision):
+                      precision, codec=None, vmin=None, scale=None):
     """One synchronous NN-descent refinement: each row scores its
     neighbours' top-``sample`` neighbours and keeps the best ``deg`` of
     (current ∪ candidates).  Reads the input graph only (pure map over row
     blocks) so the round is order-independent."""
     n_pad, deg = knn.shape
     sim = metric in SIMILARITY_METRICS
+    if codec is not None:
+        from .sq import sq_decode
+
+        def decode(rows):
+            return sq_decode(rows.reshape(-1, xb.shape[1]), vmin, scale,
+                             codec).reshape(*rows.shape[:-1], -1)
+    else:
+        def decode(rows):
+            return rows
 
     def body(bi, out):
         q0 = bi * q_block
         rows = q0 + lax.broadcasted_iota(jnp.int32, (q_block, 1), 0)
         cur = lax.dynamic_slice(knn, (q0, 0), (q_block, deg))
-        xq = lax.dynamic_slice(xb, (q0, 0), (q_block, xb.shape[1]))
+        xq = decode(lax.dynamic_slice(xb, (q0, 0), (q_block, xb.shape[1])))
         nbr2 = jnp.take(knn, jnp.maximum(cur, 0), axis=0)[:, :, :sample]
         nbr2 = jnp.where(cur[:, :, None] < 0, -1, nbr2)
         cand = jnp.concatenate(
@@ -320,7 +349,7 @@ def _nn_descent_round(xb, knn, metric_arg, *, sample, q_block, metric,
         earlier = (cand[:, :, None] == cand[:, None, :])
         earlier &= jnp.tril(jnp.ones((w, w), bool), k=-1)[None]
         cand = jnp.where(earlier.any(-1), -1, cand)
-        vecs = jnp.take(xb, jnp.maximum(cand, 0), axis=0)
+        vecs = decode(jnp.take(xb, jnp.maximum(cand, 0), axis=0))
         scores = _batched_scores(xq, vecs, metric, metric_arg, precision)
         scores = jnp.where(cand < 0, _NEG_INF, scores)
         vals, sel = lax.top_k(scores, deg)
@@ -512,7 +541,8 @@ def _batched_scores(xq, vecs, metric, metric_arg, precision):
 
 
 def walk_scan(xb, graph, xq, nvalid, metric_arg, mask, pack, *, k, pool,
-              width, iters, metric, precision):
+              width, iters, metric, precision, codec=None, vmin=None,
+              scale=None):
     """Batched greedy walk (traceable body — jitted via graph_search, or
     called under shard_map for per-shard subgraph walks).  Returns (scores
     (B, k) max-oriented with -inf missing, positions (B, k) int32 with -1
@@ -525,10 +555,28 @@ def walk_scan(xb, graph, xq, nvalid, metric_arg, mask, pack, *, k, pool,
     within the frontier), score the survivors with one fused tile, and merge
     with ONE top_k over pool + width·degree candidates.  Invalid entries
     carry id −1 and score −inf so they sort last and can never block a real
-    candidate's insertion."""
+    candidate's insertion.
+
+    ``codec`` (sq8/sq4/sq6 + vmin/scale) marks ``xb`` as a PACKED SQ code
+    buffer (n, w) uint8 instead of fp32 rows: every row fetch decodes
+    in-place.  This is the 8.8M×1536 regime — 54 GB of fp32 rows cannot
+    exist on a 16 GB chip, the 13.6 GB SQ8 code buffer can; the walk's
+    output distances are then exact against the QUANTIZED vectors,
+    matching IVF,SQ semantics."""
     B, d = xq.shape
     N, deg = graph.shape
     sim = metric in SIMILARITY_METRICS
+
+    if codec is not None:
+        from .sq import sq_decode
+
+        def fetch(ids2):
+            rows = jnp.take(xb, jnp.maximum(ids2.reshape(-1), 0), axis=0)
+            return sq_decode(rows, vmin, scale,
+                             codec).reshape(*ids2.shape, d)
+    else:
+        def fetch(ids2):
+            return jnp.take(xb, jnp.maximum(ids2, 0), axis=0)
 
     # Informed init: exact-scan a strided corpus subsample (a dense slice —
     # no gather, one MXU tile) and seed the pool with its best entries.
@@ -541,6 +589,10 @@ def walk_scan(xb, graph, xq, nvalid, metric_arg, mask, pack, *, k, pool,
     # unseeded tight cluster is unreachable: its kNN edges never leave).
     stride = max(1, N // 8192)
     sample = xb[::stride]
+    if codec is not None:
+        from .sq import sq_decode
+
+        sample = sq_decode(sample, vmin, scale, codec)
     sids = jnp.arange(sample.shape[0], dtype=jnp.int32) * stride
     sdist = pairwise_tile(xq, sample, metric, metric_arg, precision)
     sscore = sdist if sim else -sdist
@@ -620,7 +672,7 @@ def walk_scan(xb, graph, xq, nvalid, metric_arg, mask, pack, *, k, pool,
                                           metric, metric_arg,
                                           lax.Precision.DEFAULT)
         else:
-            cvecs = jnp.take(xb, jnp.maximum(cand_ids, 0), axis=0)
+            cvecs = fetch(cand_ids)
             cscores = _batched_scores(xq, cvecs, metric, metric_arg,
                                       precision)
         cscores = jnp.where(cand_ids < 0, _NEG_INF, cscores)
@@ -637,7 +689,7 @@ def walk_scan(xb, graph, xq, nvalid, metric_arg, mask, pack, *, k, pool,
     scores, ids, _ = lax.fori_loop(0, iters, body, (scores, ids, expanded))
     # Elementwise metrics score fp32 regardless of `precision` — only the
     # MXU metrics need the fast-mode rerank.
-    rerank = pack is not None or (
+    rerank = pack is not None or codec is not None or (
         precision != lax.Precision.HIGHEST
         and metric in ("INNER_PRODUCT", "L2"))
     if rerank:
@@ -648,7 +700,7 @@ def walk_scan(xb, graph, xq, nvalid, metric_arg, mask, pack, *, k, pool,
         # HIGHEST unconditionally: the rerank exists to be exact, and in
         # fast mode `precision` would silently downcast it to bf16 — the
         # tensor is tiny, so fp32 accumulation costs nothing.
-        rvecs = jnp.take(xb, jnp.maximum(ids, 0), axis=0)
+        rvecs = fetch(ids)
         rscores = _batched_scores(xq, rvecs, metric, metric_arg,
                                   lax.Precision.HIGHEST)
         scores = jnp.where(ids >= 0, rscores, _NEG_INF)
@@ -673,14 +725,16 @@ def walk_scan(xb, graph, xq, nvalid, metric_arg, mask, pack, *, k, pool,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "pool", "width", "iters", "metric", "precision",
-                     "seed"),
+                     "seed", "codec"),
 )
-def _graph_walk(xb, graph, xq, nvalid, metric_arg, mask, pack, *, k, pool,
-                width, iters, metric, precision, seed):
+def _graph_walk(xb, graph, xq, nvalid, metric_arg, mask, pack, vmin, scale,
+                *, k, pool, width, iters, metric, precision, seed,
+                codec=None):
     del seed  # deterministic init; kept in the signature for compatibility
     return walk_scan(xb, graph, xq, nvalid, metric_arg, mask, pack,
                      k=k, pool=pool, width=width, iters=iters,
-                     metric=metric, precision=precision)
+                     metric=metric, precision=precision, codec=codec,
+                     vmin=vmin, scale=scale)
 
 
 def graph_search(
@@ -700,6 +754,9 @@ def graph_search(
                  # (int8 array, inv_scale) tuple from pack_neighbors
     precision=lax.Precision.HIGHEST,
     seed: int = 0,
+    codec: str | None = None,   # xb_dev is (cap, w) packed SQ codes
+    vmin=None,
+    scale=None,
 ):
     """Batched CAGRA walk over a prebuilt graph.  Returns max-oriented
     (scores, positions) like search_scan; pass through finalize_scores for
@@ -715,5 +772,6 @@ def graph_search(
     return _graph_walk(
         xb_dev, graph_dev, xq_pad,
         jnp.int32(nvalid), jnp.float32(metric_arg), mask, pack,
+        vmin, scale,
         k=k, pool=int(pool), width=int(width), iters=int(iters),
-        metric=metric, precision=precision, seed=int(seed))
+        metric=metric, precision=precision, seed=int(seed), codec=codec)

@@ -581,3 +581,62 @@ def test_int4_pack_roundtrip_and_walk():
     same = (r0 == r4) & (r0 >= 0)
     np.testing.assert_allclose(np.asarray(s4)[same], np.asarray(s0)[same],
                                rtol=1e-5, atol=1e-5)
+
+
+def test_coded_graph_build_and_walk():
+    """SQ8-coded corpus variants of the clustered kNN build, NN-descent,
+    and walk: the 8.8M x 1536 regime where fp32 rows cannot exist on-chip.
+    With a fine-grained codec the coded paths must closely match the fp32
+    ones (decode error only)."""
+    import jax.numpy as jnp
+
+    from duckdb_faiss_ext_tpu.ops.flat_search import finalize_scores
+    from duckdb_faiss_ext_tpu.ops.graph import (
+        _clustered_knn_scan, _top2_assign, augment_graph, graph_search,
+        membership_table, refine_knn_graph)
+    from duckdb_faiss_ext_tpu.ops.kmeans import kmeans_fit
+    from duckdb_faiss_ext_tpu.ops.sq import (SQ_LEVELS, sq_quantize,
+                                             sq_train)
+    from duckdb_faiss_ext_tpu.utils.config import next_capacity, pad_rows
+
+    n, d, k, deg = 12000, 24, 10, 16
+    xb = _clustered(n, d, seed=21, ncenters=64)
+    xq = _clustered(64, d, seed=22, ncenters=64)
+    vmin, scale = sq_train(jnp.asarray(xb), SQ_LEVELS["sq8"])
+    codes = np.asarray(sq_quantize(jnp.asarray(xb), vmin, scale,
+                                   levels=SQ_LEVELS["sq8"]))
+    # Oracle over the DECODED corpus (coded paths are exact vs it).
+    xb_dec = np.asarray(codes, np.float32) * np.asarray(scale) \
+        + np.asarray(vmin)
+
+    cents, _ = kmeans_fit(xb[::3], 32, seed=0)
+    a12 = _top2_assign(xb_dec, np.asarray(cents), "L2", 0.0, None)
+    table, lmax = membership_table(a12, 32, 2 * deg)
+    cap = max(128, next_capacity(n))
+    codes_dev = jnp.asarray(pad_rows(codes, cap))
+
+    import jax
+    knn = np.asarray(_clustered_knn_scan(
+        codes_dev, jnp.asarray(table), jnp.float32(0.0),
+        degree=2 * deg, lmax=int(lmax), nlist=32, metric="L2",
+        precision=jax.lax.Precision.DEFAULT, codec="sq8", vmin=vmin,
+        scale=scale)[:n])
+    assert not (knn == np.arange(n)[:, None]).any()
+    knn2 = refine_knn_graph(xb_dec, knn, "L2", rounds=1)
+    g = augment_graph(knn2, deg)
+    g_dev = jnp.asarray(np.concatenate(
+        [g, np.full((cap - n, deg), -1, np.int32)]))
+
+    s, p = graph_search(codes_dev, g_dev, jnp.asarray(xq), n, k, "L2",
+                        pool=64, width=8, codec="sq8", vmin=vmin,
+                        scale=scale)
+    dist, pos = finalize_scores(s, p, "L2")
+    dist, pos = np.asarray(dist), np.asarray(pos)
+    d2 = ((xq[:, None, :] - xb_dec[None, :, :]) ** 2).sum(-1)
+    oracle = np.argsort(d2, axis=1)[:, :k]
+    recall = np.mean([len(set(pos[i]) & set(oracle[i])) / k
+                      for i in range(len(xq))])
+    assert recall > 0.9
+    # Output distances are exact vs the DECODED rows (IVF,SQ semantics).
+    dd = np.take_along_axis(d2, np.maximum(pos, 0), axis=1)
+    assert np.allclose(dd, dist, rtol=1e-4, atol=1e-4)

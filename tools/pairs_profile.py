@@ -248,6 +248,68 @@ def main() -> None:
         print(f"  spill label agreement int32 vs bf16: {agree:.4f}",
               flush=True)
 
+        # Decompose: which stage owns the spill time?  Reconstructs the
+        # scan's stages as standalone loops over the same chunking.
+        from duckdb_faiss_ext_tpu.ops.flat_search import exact_topk
+        from duckdb_faiss_ext_tpu.ops.sq import (SQ_INT8_SHIFT,
+                                                 sq_query_digits,
+                                                 sq_unpack_i8)
+
+        sc = 16384
+        n_chunks = s // sc
+        u8q = xq * scale[None, :]
+        hi8, lo8, su28, mu8, _ = sq_query_digits(u8q)
+        k_scan = 36
+
+        @jax.jit
+        def dots_only(hi8, lo8):
+            def body(i, acc):
+                plc = jax.lax.dynamic_slice(sp_payload, (i * sc, 0),
+                                            (sc, w))
+                xc8 = sq_unpack_i8(plc, d, codec)
+                qb2 = jnp.concatenate([hi8, lo8], axis=0) \
+                    .astype(jnp.bfloat16)
+                dot2 = jnp.einsum("qd,cd->qc", qb2,
+                                  xc8.astype(jnp.bfloat16),
+                                  preferred_element_type=jnp.float32)
+                return acc + dot2[0, 0] + dot2[nq, 0]
+            return jax.lax.fori_loop(0, n_chunks, body, 0.0)
+
+        @jax.jit
+        def member_only():
+            qidx = jax.lax.broadcasted_iota(jnp.int32, probe_ids.shape, 0)
+            onehot_t = (jnp.zeros((nlist, nq), jnp.bool_)
+                        .at[probe_ids, qidx].set(True))
+
+            def body(i, acc):
+                asg_c = jax.lax.dynamic_slice(sp_assign, (i * sc,), (sc,))
+                probed = jnp.take(onehot_t, asg_c, axis=0).T
+                return acc + jnp.sum(probed[:, :1])
+            return jax.lax.fori_loop(0, n_chunks, body, 0)
+
+        @jax.jit
+        def topk_only(fake):
+            def body(i, carry):
+                bs, bi = carry
+                score = jax.lax.dynamic_slice(
+                    fake, (0, 0), (nq, sc)) + jnp.float32(i)
+                ch_s, ch_i = exact_topk(score, k_scan)
+                cat_s = jnp.concatenate([bs, ch_s], axis=1)
+                cat_i = jnp.concatenate([bi, ch_i], axis=1)
+                new_s, sel = jax.lax.top_k(cat_s, k_scan)
+                return new_s, jnp.take_along_axis(cat_i, sel, axis=1)
+            init = (jnp.full((nq, k_scan), -jnp.inf, jnp.float32),
+                    jnp.full((nq, k_scan), -1, jnp.int32))
+            return jax.lax.fori_loop(0, n_chunks, body, init)
+
+        t, _ = timed(dots_only, hi8, lo8)
+        print(f"  spill stage dots+unpack: {t*1e3:7.1f} ms", flush=True)
+        t, _ = timed(member_only)
+        print(f"  spill stage membership:  {t*1e3:7.1f} ms", flush=True)
+        fake = jax.random.normal(k2, (nq, sc), jnp.float32)
+        t, _ = timed(topk_only, fake)
+        print(f"  spill stage topk+merge:  {t*1e3:7.1f} ms", flush=True)
+
     print("PAIRS-PROFILE COMPLETE", flush=True)
 
 
