@@ -1,0 +1,271 @@
+"""The reference's headline index family at its own benchmark scale:
+graph-walk (HNSW128-equivalent) serving over 8,841,823 x 1536.
+
+The reference benchmarks `IDMap,HNSW128,Flat` over MS MARCO ada2
+(/root/reference/go/cmd/create_index/main.go:29, Makefile:93).  54 GB of
+fp32 rows cannot exist on a 16 GB v5e, so everything here is coded:
+
+  phase 1  train two 181-way half-space k-means (product cells: 181^2 =
+           32761 build clusters for ~cheap training — the IMI trick);
+  phase 2  generate the corpus on-device (same seeded unit-norm
+           clustered mixture as tools/marco_device.py, so the cached
+           exact GT from the IVF runs applies verbatim), SQ4-encode into
+           a 6.8 GiB build buffer, assign top-2 product cells;
+  phase 3  coded clustered kNN scan (ops/graph.py::_clustered_knn_scan,
+           codec=sq4) at intermediate degree, + one coded NN-descent
+           round; final adjacency = best `deg` forward edges (the
+           forward-first rule: reverse edges only backfill, measured
+           +7.5pp uniform — and a kNN build leaves nothing to backfill);
+  phase 4  free the sq4 buffer, re-encode the corpus as SQ8 (13.6 GiB)
+           — the serving walk decodes SQ8 rows in-place (walk_scan
+           codec path) and fp32-reranks the pool against them;
+  phase 5  ef (pool) sweep at b48 / b1024 vs the cached exact fp32 GT.
+
+Usage (real TPU, ~45-60 min):
+  env PYTHONPATH=/root/repo:/root/.axon_site python tools/marco_graph.py \
+      [--n 8841823] [--deg 32] [--inter 48] [--refine-rounds 1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=8_841_823)
+    ap.add_argument("--d", type=int, default=1536)
+    ap.add_argument("--chunk", type=int, default=65536)
+    ap.add_argument("--clusters", type=int, default=8192)
+    ap.add_argument("--deg", type=int, default=32)
+    ap.add_argument("--inter", type=int, default=48)
+    ap.add_argument("--half-k", type=int, default=181)
+    ap.add_argument("--refine-rounds", type=int, default=1)
+    ap.add_argument("--pools", default="16,32,64,128")
+    ap.add_argument("--width", type=int, default=4)
+    ap.add_argument("--batches", default="48,512,1024")
+    ap.add_argument("--train-rows", type=int, default=131_072)
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from duckdb_faiss_ext_tpu.ops.flat_search import finalize_scores
+    from duckdb_faiss_ext_tpu.ops.graph import (_clustered_knn_scan,
+                                                _nn_descent_round,
+                                                graph_search,
+                                                membership_table)
+    from duckdb_faiss_ext_tpu.ops.kmeans import kmeans_fit
+    from duckdb_faiss_ext_tpu.ops.sq import SQ_LEVELS, sq_train
+
+    n, d, chunk = args.n, args.d, args.chunk
+    nchunks = -(-n // chunk)
+    n_pad = chunk * nchunks
+    key = jax.random.PRNGKey(args.seed)
+    kc, kq = jax.random.split(key)
+    centers = jax.random.normal(kc, (args.clusters, d), jnp.float32)
+
+    @functools.partial(jax.jit, static_argnames=("m",))
+    def gen_chunk(i, m: int):
+        """Identical generator to tools/marco_device.py --unit-norm: the
+        cached exact GT (.marco_passA_*_un_ip2.npz) applies verbatim."""
+        ki = jax.random.fold_in(kq, i)
+        k1, k2 = jax.random.split(ki)
+        cid = jax.random.randint(k1, (m,), 0, args.clusters)
+        x = centers[cid] + jax.random.normal(k2, (m, d), jnp.float32)
+        return x / jnp.linalg.norm(x, axis=1, keepdims=True)
+
+    cache = (f"/root/repo/.marco_passA_n{n}_d{d}_s{args.seed}"
+             f"_c{args.clusters}_t262144_l4096_cs1.0_b1.0_un_ip2.npz")
+    if os.path.exists(cache):
+        z = np.load(cache)
+        xq_np, gt = z["xq"], z["gt"]
+    else:
+        # Exact fp32 GT pass (marco_device convention: queries are the
+        # first 256 rows of chunk 0); cached for reuse.
+        nq0, k0 = 256, 10
+        xq_dev = gen_chunk(0, chunk)[:nq0]
+        best_d = jnp.full((nq0, k0), -np.inf, jnp.float32)
+        best_l = jnp.full((nq0, k0), -1, jnp.int32)
+
+        @jax.jit
+        def gt_merge(xc, base, bd, bl):
+            xy = jnp.einsum("qd,cd->qc", xq_dev, xc,
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+            rows = base + jax.lax.broadcasted_iota(
+                jnp.int32, (1, xc.shape[0]), 1)
+            cat_d = jnp.concatenate([bd, xy], axis=1)
+            cat_l = jnp.concatenate(
+                [bl, jnp.broadcast_to(rows, xy.shape)], axis=1)
+            nd, sel = jax.lax.top_k(cat_d, k0)
+            return nd, jnp.take_along_axis(cat_l, sel, axis=1)
+
+        t0 = time.time()
+        for i in range(nchunks):
+            m = min(chunk, n - i * chunk)
+            best_d, best_l = gt_merge(gen_chunk(i, chunk)[:m],
+                                      jnp.int32(i * chunk), best_d, best_l)
+        xq_np, gt = np.asarray(xq_dev), np.asarray(best_l)
+        np.savez(cache, xq=xq_np, gt=gt, counts=np.zeros(1))
+        print(f"GT pass: {time.time()-t0:.1f}s (cached {cache})",
+              flush=True)
+    nq_gt, k = gt.shape
+    print(f"corpus {n}x{d} unit-norm IP; GT cache {nq_gt} queries",
+          flush=True)
+
+    # ---- phase 1: half-space product clustering for the build ----------
+    t0 = time.time()
+    hk, dh = args.half_k, d // 2
+    xt = jnp.concatenate(
+        [gen_chunk(i, chunk) for i in range(-(-args.train_rows // chunk))],
+        axis=0)[: args.train_rows]
+    c1, _ = kmeans_fit(xt[:, :dh], hk, seed=1)
+    c2, _ = kmeans_fit(xt[:, dh:], hk, seed=2)
+    del xt
+    nlist = hk * hk
+    print(f"phase1 train 2x{hk}-way half k-means: {time.time()-t0:.1f}s",
+          flush=True)
+
+    # ---- phase 2: SQ4 build buffer + top-2 product-cell assignment -----
+    # SQ ranges from a training slice (unit-norm rows are ~N(0, 1/sqrt d)
+    # per dim; a 131k sample pins the range like ivf_device's sq_train).
+    t0 = time.time()
+    xs = gen_chunk(0, chunk)
+    vmin4, scale4 = sq_train(xs, SQ_LEVELS["sq4"])
+    vmin8, scale8 = sq_train(xs, SQ_LEVELS["sq8"])
+    del xs
+
+    @jax.jit
+    def encode_sq4(x):
+        q = jnp.clip(jnp.round((x - vmin4[None, :]) / scale4[None, :]),
+                     0, SQ_LEVELS["sq4"]).astype(jnp.uint8)
+        return q[:, 0::2] | (q[:, 1::2] << 4)
+
+    @jax.jit
+    def encode_sq8(x):
+        return jnp.clip(jnp.round((x - vmin8[None, :]) / scale8[None, :]),
+                        0, SQ_LEVELS["sq8"]).astype(jnp.uint8)
+
+    @jax.jit
+    def top2_cells(x):
+        # Exact top-2 product cells from per-half top-2 (the candidates
+        # (i1,j1),(i1,j2),(i2,j1),(i2,j2) provably contain the true
+        # top-2 of d1_i + d2_j).
+        def half_top2(xh, c):
+            xy = jnp.einsum("nd,kd->nk", xh, c,
+                            preferred_element_type=jnp.float32)
+            dist = (jnp.sum(xh * xh, 1, keepdims=True) - 2.0 * xy
+                    + jnp.sum(c * c, 1)[None, :])
+            v, i = jax.lax.top_k(-dist, 2)
+            return -v, i
+        d1, i1 = half_top2(x[:, :dh], c1)
+        d2, i2 = half_top2(x[:, dh:], c2)
+        cand_d = jnp.stack([d1[:, 0] + d2[:, 0], d1[:, 0] + d2[:, 1],
+                            d1[:, 1] + d2[:, 0], d1[:, 1] + d2[:, 1]], 1)
+        cand_i = jnp.stack([i1[:, 0] * hk + i2[:, 0],
+                            i1[:, 0] * hk + i2[:, 1],
+                            i1[:, 1] * hk + i2[:, 0],
+                            i1[:, 1] * hk + i2[:, 1]], 1)
+        _, sel = jax.lax.top_k(-cand_d, 2)
+        return jnp.take_along_axis(cand_i, sel, axis=1).astype(jnp.int32)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def put_rows(buf, rows, i):
+        return jax.lax.dynamic_update_slice(buf, rows, (i * chunk, 0))
+
+    codes4 = jnp.zeros((n_pad, (d + 1) // 2), jnp.uint8)
+    a12 = np.empty((n, 2), np.int32)
+    for i in range(nchunks):
+        m = min(chunk, n - i * chunk)
+        x = gen_chunk(i, chunk)
+        codes4 = put_rows(codes4, encode_sq4(x), jnp.int32(i))
+        a12[i * chunk:i * chunk + m] = np.asarray(top2_cells(x))[:m]
+        if (i + 1) % 32 == 0 or i == nchunks - 1:
+            print(f"  phase2 {i+1}/{nchunks} "
+                  f"({(i+1)*chunk/(time.time()-t0):.0f} rows/s)",
+                  flush=True)
+    print(f"phase2 sq4 encode + assign: {time.time()-t0:.1f}s", flush=True)
+
+    # ---- phase 3: coded clustered kNN + NN-descent ----------------------
+    t0 = time.time()
+    table, lmax = membership_table(a12, nlist, args.inter)
+    occ = (table >= 0).sum()
+    print(f"  build cells {nlist}, lmax {lmax}, table coverage "
+          f"{occ / (2 * n):.3f} of 2n entries", flush=True)
+    knn = _clustered_knn_scan(
+        codes4, jnp.asarray(table), jnp.float32(0.0),
+        degree=args.inter, lmax=int(lmax), nlist=int(nlist),
+        metric="INNER_PRODUCT", precision=jax.lax.Precision.DEFAULT,
+        codec="sq4", vmin=vmin4, scale=scale4)
+    np.asarray(knn[:1])                                # sync
+    print(f"phase3 clustered scan: {time.time()-t0:.1f}s", flush=True)
+    t0 = time.time()
+    for r in range(args.refine_rounds):
+        knn = _nn_descent_round(
+            codes4, knn, jnp.float32(0.0), sample=4, q_block=16,
+            metric="INNER_PRODUCT",
+            precision=jax.lax.Precision.DEFAULT,
+            codec="sq4", vmin=vmin4, scale=scale4)
+    adj = jax.jit(lambda a: a[:, :args.deg])(knn)   # forward-first degree
+    np.asarray(adj[:1])
+    del knn, codes4
+    print(f"phase3 nn-descent x{args.refine_rounds} + slice: "
+          f"{time.time()-t0:.1f}s", flush=True)
+
+    # ---- phase 4: SQ8 serving buffer ------------------------------------
+    t0 = time.time()
+    codes8 = jnp.zeros((n_pad, d), jnp.uint8)
+    for i in range(nchunks):
+        codes8 = put_rows(codes8, encode_sq8(gen_chunk(i, chunk)),
+                          jnp.int32(i))
+    np.asarray(codes8[:1, :1])
+    print(f"phase4 sq8 encode: {time.time()-t0:.1f}s "
+          f"({n/(time.time()-t0):.0f} rows/s)", flush=True)
+
+    # ---- phase 5: walk sweep vs exact GT ---------------------------------
+    adj_dev = adj
+    pools = [int(p) for p in args.pools.split(",")]
+    batches = [int(b) for b in args.batches.split(",")]
+    rng = np.random.default_rng(7)
+
+    for b in batches:
+        xq_b = np.tile(xq_np, (-(-b // nq_gt), 1))[:b]
+        xq_dev = jnp.asarray(xq_b)
+        for pool in pools:
+            try:
+                def run():
+                    s, p = graph_search(
+                        codes8, adj_dev, xq_dev, n, k, "INNER_PRODUCT",
+                        pool=pool, width=args.width, codec="sq8",
+                        vmin=vmin8, scale=scale8)
+                    return finalize_scores(s, p, "INNER_PRODUCT")
+                dist, pos = run()
+                np.asarray(pos[:1])
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.time()
+                    dist, pos = run()
+                    pos_h = np.asarray(pos)
+                    best = min(best, time.time() - t0)
+                rec = float(np.mean([
+                    len(set(pos_h[i][pos_h[i] >= 0]) & set(gt[i % nq_gt]))
+                    / k for i in range(b)]))
+                print(f"  walk b{b} ef={pool}: {b/best:7.0f} qps "
+                      f"({best*1e3:.1f} ms)  recall@10 {rec:.3f}",
+                      flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"  walk b{b} ef={pool}: FAILED "
+                      f"{type(e).__name__}: {str(e)[:140]}", flush=True)
+                break
+    print("MARCO-GRAPH COMPLETE", flush=True)
+
+
+if __name__ == "__main__":
+    main()
