@@ -178,9 +178,26 @@ def _dispatch_inner(self, xq, k, params=EMPTY, selector=None):
         # batch would exceed the ~0.75 GB budget, the per-query kernels
         # are the safer path (huge-nprobe regimes).
         pairs_fit = max(1, (768 << 20) // max(nprobe_eff * lmax * 9, 1))
-        pairs_ok = (xq_pad.shape[0] >= self.PAIRS_MIN_BATCH
-                    and lmax * self.d >= self.PAIRS_MIN_WORK
-                    and pairs_fit >= self.PAIRS_MIN_BATCH
+        nq_b = xq_pad.shape[0]
+        work = lmax * self.d
+        if self.PAIRS_MIN_BATCH > (1 << 20):
+            # tools force the per-query path with PAIRS_MIN_BATCH=10**9
+            want_pairs = False
+        elif self.PAIRS_MIN_WORK == 0:
+            # tests force the pairs path at tiny shapes with MIN_WORK=0
+            want_pairs = nq_b >= self.PAIRS_MIN_BATCH
+        else:
+            # measured-crossover gate (ops/pairs_gate.py): on-chip
+            # speedup table interpolated in (log lmax*d, log nq); the
+            # static class attrs only decide outside the measured hull.
+            from ..ops.pairs_gate import pairs_preferred
+
+            want_pairs = pairs_preferred(
+                work, nq_b,
+                static_ok=(nq_b >= self.PAIRS_MIN_BATCH
+                           and work >= self.PAIRS_MIN_WORK))
+        pairs_ok = (want_pairs
+                    and pairs_fit >= min(nq_b, self.PAIRS_MIN_BATCH)
                     # double-buffered list block + unpack scratch + the
                     # raw score tile must fit scoped VMEM (16 MB)
                     and 2 * lmax * row_bytes + lmax * 8 * 4 * 2

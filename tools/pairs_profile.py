@@ -47,8 +47,84 @@ def jax_block(out):
     np.asarray(x)
 
 
+def crossover_sweep() -> None:
+    """Measure the pairs/per-query crossover across a (d, lmax, nq) grid
+    and emit ops/pairs_gate.py MEASURED rows (VERDICT round-2 #8).
+
+    nlist is fixed at 1024 and nprobe at 16 — the gate's features are
+    (lmax*d, nq); nprobe mostly scales both paths together (it grows the
+    per-query DMA count and the pair-tile count linearly)."""
+    import jax
+    import jax.numpy as jnp
+
+    from duckdb_faiss_ext_tpu.ops import pallas_ivf_pairs as pp
+    from duckdb_faiss_ext_tpu.ops.pallas_ivf import pallas_ivf_sq_search
+    from duckdb_faiss_ext_tpu.utils.config import on_tpu
+
+    interp = not on_tpu()
+    nlist, nprobe, codec = 1024, 16, "sq8"
+    key = jax.random.PRNGKey(0)
+    rows = []
+    grid = [
+        (128, 512), (128, 2048), (128, 4096),
+        (768, 1024),
+        (1536, 512), (1536, 1024), (1536, 2048),
+    ]
+    for d, lmax in grid:
+        k1, k2, k3, k4 = jax.random.split(jax.random.fold_in(key, lmax * d),
+                                          4)
+        payload = jax.random.randint(k1, (nlist, lmax, d), 0, 256,
+                                     jnp.int32).astype(jnp.uint8)
+        jax_block(payload)
+        row_norm = jax.random.uniform(k2, (nlist, lmax), jnp.float32,
+                                      100.0, 200.0)
+        row_sum = jax.random.uniform(k2, (nlist, lmax), jnp.float32,
+                                     100.0 * d / 256, 200.0 * d / 256)
+        counts = jnp.full((nlist,), lmax, jnp.int32)
+        row_pos = jnp.arange(nlist * lmax, dtype=jnp.int32) \
+            .reshape(nlist, lmax)
+        vmin = jnp.full((d,), -0.03, jnp.float32)
+        scale = jnp.full((d,), 0.06 / 255, jnp.float32)
+        for nq in (256, 1024):
+            xq = jax.random.normal(k3, (nq, d), jnp.float32)
+            xq = xq / jnp.linalg.norm(xq, axis=1, keepdims=True)
+            probe_ids = jax.random.randint(k4, (nq, nprobe), 0, nlist,
+                                           jnp.int32)
+            kw = dict(k=10, k_scan=72, nprobe=nprobe,
+                      metric="INNER_PRODUCT", codec=codec)
+            try:
+                t_ref, r_ref = timed(
+                    pallas_ivf_sq_search, payload, row_norm, row_sum,
+                    counts, row_pos, vmin, scale, probe_ids, xq, None,
+                    interpret=interp, **kw)
+                t_pair, r_pair = timed(
+                    pp.pallas_ivf_sq_pairs_search, payload, row_norm,
+                    row_sum, counts, row_pos, vmin, scale, probe_ids,
+                    xq, None, qg=8, interpret=interp, **kw)
+            except Exception as e:  # noqa: BLE001
+                print(f"  d={d} lmax={lmax} nq={nq}: FAILED "
+                      f"{type(e).__name__}: {str(e)[:120]}", flush=True)
+                continue
+            agree = float(np.mean([
+                len(set(a) & set(b)) / 10
+                for a, b in zip(np.asarray(r_pair[1]),
+                                np.asarray(r_ref[1]))]))
+            ratio = t_ref / t_pair
+            rows.append((lmax * d, nq, ratio))
+            print(f"  d={d:5d} lmax={lmax:5d} nq={nq:5d}: per-query "
+                  f"{t_ref*1e3:7.1f} ms, pairs {t_pair*1e3:7.1f} ms, "
+                  f"ratio {ratio:5.2f}, agree {agree:.4f}", flush=True)
+        del payload
+    print("MEASURED rows for ops/pairs_gate.py:", flush=True)
+    for w, n, r in rows:
+        print(f"    ({w}, {n}, {r:.3f}),", flush=True)
+    print("CROSSOVER-SWEEP COMPLETE", flush=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--crossover", action="store_true",
+                    help="pairs/per-query crossover grid -> gate table")
     ap.add_argument("--nlist", type=int, default=4096)
     ap.add_argument("--lmax", type=int, default=1024)
     ap.add_argument("--d", type=int, default=1536)
@@ -61,6 +137,10 @@ def main() -> None:
     ap.add_argument("--skip-pairs", action="store_true")
     ap.add_argument("--skip-spill", action="store_true")
     args = ap.parse_args()
+
+    if args.crossover:
+        crossover_sweep()
+        return
 
     import jax
     import jax.numpy as jnp
