@@ -47,6 +47,42 @@ def jax_block(out):
     np.asarray(x)
 
 
+def rand_u8(k, shape):
+    """Random uint8 payload without int32 blowups.
+
+    random.randint/bits at u8 materialize 4x int32 intermediates (25 GB
+    at the 12.9 GiB marco payload), and a (flat, 4) u8 byte-split pads
+    32x on TPU (T(8,128) tiling of a 4-wide minor dim — OOMed on-chip
+    2026-08-20).  Generate u32 words in 16 donated chunks and lay each
+    word's 4 shifted bytes out as consecutive 1-D SEGMENTS (payload is
+    random — byte order within a chunk is irrelevant); peak = buffer +
+    one chunk of temps."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    flat = int(np.prod(shape))
+    nch = 16
+    ch = -(-flat // 4 // nch)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def upd(buf, kc, row):
+        wds = jax.random.bits(kc, (ch,), jnp.uint32)
+        b = jnp.concatenate([(wds >> (8 * j)).astype(jnp.uint8)
+                             for j in range(4)], axis=0)[None, :]
+        return jax.lax.dynamic_update_slice(buf, b, (row, 0))
+
+    # 2-D (chunk-row) buffer: a flat byte offset overflows int32 past
+    # 2 GiB.
+    buf = jnp.zeros((nch, ch * 4), jnp.uint8)
+    for i in range(nch):
+        buf = upd(buf, jax.random.fold_in(k, i), jnp.int32(i))
+    out = buf.reshape(-1)[:flat].reshape(shape)
+    jax_block(out)
+    return out
+
+
 def crossover_sweep() -> None:
     """Measure the pairs/per-query crossover across a (d, lmax, nq) grid
     and emit ops/pairs_gate.py MEASURED rows (VERDICT round-2 #8).
@@ -73,9 +109,7 @@ def crossover_sweep() -> None:
     for d, lmax in grid:
         k1, k2, k3, k4 = jax.random.split(jax.random.fold_in(key, lmax * d),
                                           4)
-        payload = jax.random.randint(k1, (nlist, lmax, d), 0, 256,
-                                     jnp.int32).astype(jnp.uint8)
-        jax_block(payload)
+        payload = rand_u8(k1, (nlist, lmax, d))
         row_norm = jax.random.uniform(k2, (nlist, lmax), jnp.float32,
                                       100.0, 200.0)
         row_sum = jax.random.uniform(k2, (nlist, lmax), jnp.float32,
@@ -158,38 +192,6 @@ def main() -> None:
     k1, k2, k3, k4 = jax.random.split(key, 4)
 
     w = {"sq8": d, "sq4": (d + 1) // 2, "sq6": 3 * ((d + 3) // 4)}[codec]
-
-    def rand_u8(k, shape):
-        # random.randint/bits at u8 materialize 4x int32 intermediates —
-        # 25 GB at the 12.9 GiB marco payload.  Generate u32 words in 16
-        # donated chunks (peak = buffer + one chunk), bitcast to u8 (a
-        # minor-dim split + merge — layout-free).
-        # (bitcast_convert_type u32->u8 lowers as a 4x u32 broadcast on
-        # TPU — 24 GB at the marco payload — so bytes come out of the
-        # words arithmetically, chunk by chunk.)
-        # Python loop with a DONATED buffer: peak = buffer + one chunk of
-        # temps (a fori_loop carry double-buffers the multi-GB buffer).
-        import functools
-
-        flat = int(np.prod(shape))
-        nch = 16
-        ch = -(-flat // 4 // nch)
-
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def upd(buf, kc, row):
-            wds = jax.random.bits(kc, (ch,), jnp.uint32)
-            b = jnp.stack([(wds >> (8 * j)).astype(jnp.uint8)
-                           for j in range(4)], axis=1).reshape(1, -1)
-            return jax.lax.dynamic_update_slice(buf, b, (row, 0))
-
-        # 2-D (chunk-row) buffer: a flat byte offset overflows int32 past
-        # 2 GiB.
-        buf = jnp.zeros((nch, ch * 4), jnp.uint8)
-        for i in range(nch):
-            buf = upd(buf, jax.random.fold_in(k, i), jnp.int32(i))
-        out = buf.reshape(-1)[:flat].reshape(shape)
-        jax_block(out)
-        return out
 
     if codec == "sq6":
         payload = rand_u8(k1, (nlist, 3, lmax, (d + 3) // 4))
