@@ -51,36 +51,39 @@ def rand_u8(k, shape):
     """Random uint8 payload without int32 blowups.
 
     random.randint/bits at u8 materialize 4x int32 intermediates (25 GB
-    at the 12.9 GiB marco payload), and a (flat, 4) u8 byte-split pads
-    32x on TPU (T(8,128) tiling of a 4-wide minor dim — OOMed on-chip
-    2026-08-20).  Generate u32 words in 16 donated chunks and lay each
-    word's 4 shifted bytes out as consecutive 1-D SEGMENTS (payload is
-    random — byte order within a chunk is irrelevant); peak = buffer +
-    one chunk of temps."""
+    at the 12.9 GiB marco payload); a (flat, 4) u8 byte-split pads 32x
+    on TPU (T(8,128) tiling of a 4-wide minor dim); and a flat staging
+    buffer + final reshape holds TWO payload-sized copies (both OOMed
+    on-chip 2026-08-20).  So: chunk along axis 0 of the TARGET-shaped
+    donated buffer, generate u32 words per chunk, and lay each word's 4
+    shifted bytes out as consecutive 1-D segments (the payload is
+    random — byte order is irrelevant).  Peak = buffer + one chunk."""
     import functools
 
     import jax
     import jax.numpy as jnp
 
-    flat = int(np.prod(shape))
-    nch = 16
-    ch = -(-flat // 4 // nch)
+    rows = shape[0]
+    inner = int(np.prod(shape[1:], dtype=np.int64))
+    nch = next(c for c in (16, 8, 4, 2, 1)
+               if rows % c == 0 and (rows // c) * inner % 4 == 0)
+    rch = rows // nch
+    ch = rch * inner // 4
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def upd(buf, kc, row):
         wds = jax.random.bits(kc, (ch,), jnp.uint32)
         b = jnp.concatenate([(wds >> (8 * j)).astype(jnp.uint8)
-                             for j in range(4)], axis=0)[None, :]
-        return jax.lax.dynamic_update_slice(buf, b, (row, 0))
+                             for j in range(4)], axis=0)
+        b = b.reshape((rch,) + tuple(shape[1:]))
+        return jax.lax.dynamic_update_slice(
+            buf, b, (row,) + (0,) * (len(shape) - 1))
 
-    # 2-D (chunk-row) buffer: a flat byte offset overflows int32 past
-    # 2 GiB.
-    buf = jnp.zeros((nch, ch * 4), jnp.uint8)
+    buf = jnp.zeros(shape, jnp.uint8)
     for i in range(nch):
-        buf = upd(buf, jax.random.fold_in(k, i), jnp.int32(i))
-    out = buf.reshape(-1)[:flat].reshape(shape)
-    jax_block(out)
-    return out
+        buf = upd(buf, jax.random.fold_in(k, i), jnp.int32(i) * rch)
+    jax_block(buf)
+    return buf
 
 
 def crossover_sweep() -> None:
