@@ -55,9 +55,16 @@ class DeviceResidentState:
                  "version")
 
     def __init__(self, nlist: int, lmax: int, width: int, dtype,
-                 with_rn: bool):
+                 with_rn: bool, planes: int = 0):
         self.lmax = int(lmax)
-        self.payload = jnp.zeros((nlist, lmax, width), dtype)
+        if planes:
+            # Plane-major payload (SQ6): byte b of every 3-byte group in
+            # plane b — the serving kernels' expected layout
+            # (models/ivf_layout.py::_build_device_pallas sq6 branch).
+            self.payload = jnp.zeros((nlist, planes, lmax, width // planes),
+                                     dtype)
+        else:
+            self.payload = jnp.zeros((nlist, lmax, width), dtype)
         self.rn_layout = (jnp.zeros((nlist, lmax), jnp.float32)
                           if with_rn else None)
         self.rs_layout = (jnp.zeros((nlist, lmax), jnp.float32)
@@ -80,8 +87,13 @@ class DeviceResidentState:
 
 @functools.partial(jax.jit, static_argnames=("codec", "levels"))
 def _encode_chunk(x, vmin, scale, *, codec: str, levels: int):
-    """fp32 rows → (packed codes uint8, per-row Σ(scale·c)² fp32), on
-    device (same quantization as ops/sq.py::sq_quantize + sq4_pack)."""
+    """fp32 rows → (packed codes uint8, per-row Σ(scale·c)² fp32[, SQ6
+    planes]), on device (same quantization/packing as ops/sq.py).
+
+    SQ6 additionally returns the (m, 3, d4) plane-major view for the
+    padded-layout scatter (built from the byte planes directly — a
+    transpose of the (m, d4, 3) packed view would materialize a
+    minor-dim-3 u8 intermediate that TPU tiling pads 42x)."""
     q = jnp.clip(jnp.round((x - vmin[None, :]) / scale[None, :]),
                  0, levels).astype(jnp.uint8)
     qf = q.astype(jnp.float32)
@@ -91,6 +103,23 @@ def _encode_chunk(x, vmin, scale, *, codec: str, levels: int):
         if x.shape[1] % 2:
             q = jnp.pad(q, ((0, 0), (0, 1)))
         packed = q[:, 0::2] | (q[:, 1::2] << 4)
+    elif codec == "sq6":
+        m, d = q.shape
+        if d % 4:
+            q = jnp.pad(q, ((0, 0), (0, (-d) % 4)))
+        g = q.reshape(m, -1, 4).astype(jnp.uint16)
+        b0 = ((g[..., 0] << 2) | (g[..., 1] >> 4)).astype(jnp.uint8)
+        b1 = (((g[..., 1] & 15) << 4) | (g[..., 2] >> 2)).astype(jnp.uint8)
+        b2 = (((g[..., 2] & 3) << 6) | g[..., 3]).astype(jnp.uint8)
+        d4 = b0.shape[1]
+        # Row-major packed bytes (spill buffer / host materialize):
+        # w-index = group*3 + byte, written as three strided updates so
+        # no minor-dim-3 intermediate ever materializes.
+        packed = (jnp.zeros((m, 3 * d4), jnp.uint8)
+                  .at[:, 0::3].set(b0).at[:, 1::3].set(b1)
+                  .at[:, 2::3].set(b2))
+        planes = jnp.stack([b0, b1, b2], axis=1)          # (m, 3, d4)
+        return packed, rn, rs, planes
     else:                                    # sq8
         packed = q
     return packed, rn, rs
@@ -166,6 +195,17 @@ def _scatter_sq(payload, rn_layout, rs_layout, lists_idx, slots_idx, rows,
     return payload, rn_layout, rs_layout
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _scatter_sq6(payload, rn_layout, rs_layout, lists_idx, slots_idx,
+                 planes, rn, rs):
+    """Plane-major scatter: payload is (nlist, 3, lmax, d4), planes is
+    (m, 3, d4) — row slots index the THIRD axis."""
+    payload = payload.at[lists_idx, :, slots_idx, :].set(planes)
+    rn_layout = rn_layout.at[lists_idx, slots_idx].set(rn)
+    rs_layout = rs_layout.at[lists_idx, slots_idx].set(rs)
+    return payload, rn_layout, rs_layout
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _scatter_flat(payload, lists_idx, slots_idx, rows):
     return payload.at[lists_idx, slots_idx].set(rows)
@@ -196,12 +236,13 @@ def _dr_codec(self) -> str | None:
     """Storage codec for device-resident mode, validating support."""
     if self.pq_m is not None:
         raise errors.InvalidInputError(
-            "device-resident ingest supports Flat, SQ8 and SQ4 storage "
-            "(PQ/RQ encoding needs the host path)")
-    if self.sq_type is not None and self.sq_type not in ("sq8", "sq4"):
+            "device-resident ingest supports Flat, SQ8, SQ6 and SQ4 "
+            "storage (PQ/RQ encoding needs the host path)")
+    if self.sq_type is not None and self.sq_type not in ("sq8", "sq4",
+                                                         "sq6"):
         raise errors.InvalidInputError(
-            f"device-resident ingest supports Flat, SQ8 and SQ4 storage, "
-            f"not SQ codec {self.sq_type}")
+            f"device-resident ingest supports Flat, SQ8, SQ6 and SQ4 "
+            f"storage, not SQ codec {self.sq_type}")
     if self.metric.name not in ("L2", "INNER_PRODUCT"):
         raise errors.InvalidInputError(
             "device-resident ingest supports only L2 and INNER_PRODUCT")
@@ -301,7 +342,8 @@ def ivf_add_device(self, x, ids=None, *, expected_total: int | None = None,
         width = (self._codes.shape[1] if codec is not None else self.d)
         dtype = jnp.uint8 if codec is not None else jnp.float32
         self._dr = DeviceResidentState(self.nlist, lmax, width, dtype,
-                                       with_rn=codec is not None)
+                                       with_rn=codec is not None,
+                                       planes=3 if codec == "sq6" else 0)
         if spill_capacity:
             self._dr.spill_payload = jnp.zeros(
                 (max(4096, -(-int(spill_capacity) // 512) * 512), width),
@@ -341,10 +383,14 @@ def ivf_add_device(self, x, ids=None, *, expected_total: int | None = None,
             for i in range(0, m, achunk)])
 
     # 2. encode on device.
+    planes = None
     if codec is not None:
         vmin, scale = self._sq_ranges()
-        rows, rn, rs = _encode_chunk(x, vmin, scale, codec=codec,
-                                     levels=SQ_LEVELS[codec])
+        enc = _encode_chunk(x, vmin, scale, codec=codec,
+                            levels=SQ_LEVELS[codec])
+        rows, rn, rs = enc[:3]
+        if codec == "sq6":
+            planes = enc[3]
     else:
         rows, rn, rs = x, None, None
 
@@ -370,7 +416,11 @@ def ivf_add_device(self, x, ids=None, *, expected_total: int | None = None,
         li = jnp.asarray(assign[kpad])
         si = jnp.asarray(slot[kpad].astype(np.int32))
         kdev = jnp.asarray(kpad)
-        if codec is not None:
+        if codec == "sq6":
+            dr.payload, dr.rn_layout, dr.rs_layout = _scatter_sq6(
+                dr.payload, dr.rn_layout, dr.rs_layout, li, si,
+                planes[kdev], rn[kdev], rs[kdev])
+        elif codec is not None:
             dr.payload, dr.rn_layout, dr.rs_layout = _scatter_sq(
                 dr.payload, dr.rn_layout, dr.rs_layout, li, si,
                 rows[kdev], rn[kdev], rs[kdev])
@@ -462,7 +512,12 @@ def dr_reconstruct(self, key: int) -> np.ndarray:
     dr = self._dr
     rec = int(dr.slot[key])
     if rec >= 0:
-        row = np.asarray(dr.payload[int(self._assign[key]), rec])
+        if self.sq_type == "sq6":
+            # plane-major (3, d4) → row-major bytes (w-index = g*3 + b)
+            pm = np.asarray(dr.payload[int(self._assign[key]), :, rec, :])
+            row = pm.transpose(1, 0).reshape(-1)
+        else:
+            row = np.asarray(dr.payload[int(self._assign[key]), rec])
     else:
         row = np.asarray(dr.spill_payload[-rec - 1])
     if self.sq_type is None:
@@ -478,6 +533,12 @@ def dr_materialize_codes(self) -> np.ndarray:
     dr = self._dr
     n = self._nstored
     payload_h = np.asarray(dr.payload)
+    if payload_h.ndim == 4:
+        # plane-major SQ6 (nlist, 3, lmax, d4) → row-major (nlist, lmax,
+        # 3*d4) with w-index = group*3 + byte.
+        payload_h = np.ascontiguousarray(
+            payload_h.transpose(0, 2, 3, 1)).reshape(
+                payload_h.shape[0], payload_h.shape[2], -1)
     width = payload_h.shape[2]
     out = np.empty((n, width), payload_h.dtype)
     kept = dr.slot >= 0

@@ -28,6 +28,7 @@ def _cleanup(*names):
 @pytest.mark.parametrize("storage,metric", [
     ("SQ8", "L2"), ("SQ8", "INNER_PRODUCT"),
     ("SQ4", "L2"), ("Flat", "L2"),
+    ("SQ6", "L2"), ("SQ6", "INNER_PRODUCT"),
 ])
 def test_device_ingest_matches_host_path(storage, metric):
     rng = np.random.default_rng(3)
@@ -94,22 +95,24 @@ def test_device_ingest_spill_and_selector():
         _cleanup("h", "dev")
 
 
-def test_device_ingest_save_load_reconstruct(tmp_path):
+@pytest.mark.parametrize("storage,tol", [("SQ4", 0.25), ("SQ6", 0.1)])
+def test_device_ingest_save_load_reconstruct(tmp_path, storage, tol):
     rng = np.random.default_rng(7)
     n, d, nlist = 2000, 24, 8
     xb = _mk(rng, n, d)
     xq = _mk(rng, 16, d)
     try:
-        dfx.faiss_create("dev", d, f"IVF{nlist},SQ4")
+        dfx.faiss_create("dev", d, f"IVF{nlist},{storage}")
         dfx.faiss_train_device(jnp.asarray(xb[:600]), "dev")
         dfx.faiss_add_device(jnp.asarray(xb), "dev", expected_total=n,
                              lmax=128)
 
         idx = GLOBAL_CATALOG.get("dev").index
+        assert idx._dr.spill_n > 0          # the tiny lmax binds
         # reconstruct decodes through the device layout (incl. spill).
         for key in (0, 1, n // 2, n - 1):
             rec = idx.reconstruct(key)
-            assert np.abs(rec - xb[key]).max() < 0.25   # SQ4 quantization
+            assert np.abs(rec - xb[key]).max() < tol    # quantization
 
         path = str(tmp_path / "dev.dfx")
         dfx.faiss_save("dev", path)
@@ -152,7 +155,8 @@ def test_device_ingest_guards():
 
         # unsupported storage
         dfx.faiss_create("g3", 8, "IVF4,PQ2")
-        with pytest.raises(InvalidInputError, match="Flat, SQ8 and SQ4"):
+        with pytest.raises(InvalidInputError,
+                           match="Flat, SQ8, SQ6 and SQ4"):
             dfx.faiss_train_device(jnp.asarray(xb), "g3")
     finally:
         _cleanup("g", "g2", "g3")

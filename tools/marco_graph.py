@@ -83,9 +83,13 @@ def main() -> None:
 
     cache = (f"/root/repo/.marco_passA_n{n}_d{d}_s{args.seed}"
              f"_c{args.clusters}_t262144_l4096_cs1.0_b1.0_un_ip2.npz")
-    if os.path.exists(cache):
-        z = np.load(cache)
-        xq_np, gt = z["xq"], z["gt"]
+    # The cache is SHARED with tools/marco_device.py, which also stores
+    # the IVF list counts there; a --skip-gt device run leaves counts+xq
+    # but no gt.  Merge-preserve whatever is present (clobbering counts
+    # would corrupt the next device run's layout sizing).
+    cached = dict(np.load(cache).items()) if os.path.exists(cache) else {}
+    if "gt" in cached:
+        xq_np, gt = cached["xq"], cached["gt"]
     else:
         # Exact fp32 GT pass (marco_device convention: queries are the
         # first 256 rows of chunk 0); cached for reuse.
@@ -113,7 +117,8 @@ def main() -> None:
             best_d, best_l = gt_merge(gen_chunk(i, chunk)[:m],
                                       jnp.int32(i * chunk), best_d, best_l)
         xq_np, gt = np.asarray(xq_dev), np.asarray(best_l)
-        np.savez(cache, xq=xq_np, gt=gt, counts=np.zeros(1))
+        cached.update(xq=xq_np, gt=gt)
+        np.savez(cache, **cached)
         print(f"GT pass: {time.time()-t0:.1f}s (cached {cache})",
               flush=True)
     nq_gt, k = gt.shape
