@@ -294,14 +294,15 @@ def choose_q_chunk(nq: int, ncand: int, d: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "precision", "pq", "codec", "sq",
-                     "n_used", "int8_dot", "int8_via"))
+                     "n_used", "int8_dot", "int8_via", "rerank_qb"))
 def ivf_spill_scan(spill_payload, spill_assign, spill_pos, centroids,
                    codebooks, probe_ids, xq, mask, metric_arg, *,
                    k, metric, precision, pq=False, codec="pq",
                    sq=None, sq_vmin=None, sq_scale=None,
                    n_used: int | None = None,
                    spill_rn=None, spill_rs=None, int8_dot: bool = False,
-                   int8_via: str = "bf16"):
+                   int8_via: str = "bf16",
+                   rerank_qb: int | None = None):
     """Scan the IVF overflow-spill region: rows whose list exceeded the
     capped padded layout (models/ivf.py quantile-lmax plan).
 
@@ -472,22 +473,50 @@ def ivf_spill_scan(spill_payload, spill_assign, spill_pos, centroids,
         # Fast-mode exact rerank (Flat/decoded rows, MXU metrics): the
         # spill top-k merges against the Pallas padded scan, which scores
         # fp32 — a bf16 spill side would mix score precisions.  Re-decode
-        # only the selected rows and re-score at HIGHEST.
-        safe = jnp.maximum(sel, 0)
-        xs = decode(spill_payload[safe.reshape(-1)],
-                    spill_assign[safe.reshape(-1)]).reshape(nq, k_scan, d)
-        xy2 = jnp.einsum("qd,qcd->qc", xq, xs,
-                         precision=lax.Precision.HIGHEST,
-                         preferred_element_type=jnp.float32)
-        if metric == "INNER_PRODUCT":
-            s2 = xy2
-        else:
-            qn2 = jnp.sum(xq * xq, axis=1, keepdims=True)
-            bn2 = jnp.sum(xs * xs, axis=2)
-            s2 = -jnp.maximum(qn2 - 2.0 * xy2 + bn2, 0.0)
-        s2 = jnp.where(jnp.isneginf(best), _NEG_INF, s2)
-        best, sel2 = lax.top_k(s2, k)
-        sel = jnp.take_along_axis(sel, sel2, axis=1)
+        # only the selected rows and re-score at HIGHEST.  Blocked over
+        # queries: the decoded (qb, k_scan, d) tile is bounded to ~128 MB
+        # — at the filtered-bench k'=1478 (binomial k at passrate 1%,
+        # go/main_test.go:104-128) an unblocked gather was a 1.7 GB fp32
+        # tile next to the 12 GiB marco payload (OOMed 2026-08-20).
+        qb = rerank_qb or max(1, min(nq, (1 << 25) // max(k_scan * d, 1)))
+        while nq % qb:
+            qb -= 1
+
+        def rerank_block(i, carry):
+            bests, sels = carry
+            q0 = i * qb
+            xq_b = lax.dynamic_slice(xq, (q0, 0), (qb, xq.shape[1]))
+            sel_b = lax.dynamic_slice(sels, (q0, 0), (qb, k_scan))
+            best_b = lax.dynamic_slice(bests, (q0, 0), (qb, k_scan))
+            safe = jnp.maximum(sel_b, 0)
+            xs = decode(spill_payload[safe.reshape(-1)],
+                        spill_assign[safe.reshape(-1)]) \
+                .reshape(qb, k_scan, d)
+            xy2 = jnp.einsum("qd,qcd->qc", xq_b, xs,
+                             precision=lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32)
+            if metric == "INNER_PRODUCT":
+                s2 = xy2
+            else:
+                qn2 = jnp.sum(xq_b * xq_b, axis=1, keepdims=True)
+                bn2 = jnp.sum(xs * xs, axis=2)
+                s2 = -jnp.maximum(qn2 - 2.0 * xy2 + bn2, 0.0)
+            s2 = jnp.where(jnp.isneginf(best_b), _NEG_INF, s2)
+            b2, o2 = lax.top_k(s2, k)
+            i2 = jnp.take_along_axis(sel_b, o2, axis=1)
+            # re-ranked (k) results live in the first k columns; the
+            # remaining k_scan-k columns are dead weight the final slice
+            # below drops.
+            pad = ((0, 0), (0, k_scan - k))
+            bests = lax.dynamic_update_slice(
+                bests, jnp.pad(b2, pad, constant_values=_NEG_INF), (q0, 0))
+            sels = lax.dynamic_update_slice(
+                sels, jnp.pad(i2, pad, constant_values=-1), (q0, 0))
+            return bests, sels
+
+        best, sel = lax.fori_loop(0, nq // qb, rerank_block, (best, sel))
+        best = lax.slice(best, (0, 0), (nq, k))
+        sel = lax.slice(sel, (0, 0), (nq, k))
     elif k_scan > k:
         best, sel2 = lax.top_k(best, k)
         sel = jnp.take_along_axis(sel, sel2, axis=1)

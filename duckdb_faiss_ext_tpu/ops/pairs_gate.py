@@ -25,12 +25,27 @@ from __future__ import annotations
 import math
 
 # (lmax*d, nq, speedup) — speedup = t_per_query / t_pairs measured on the
-# real chip, best-of-3, label-agreement 1.0 asserted in the same run.
-# Populated by tools/pairs_profile.py --crossover (v5e, 2026-08-20).
-# Seed rows: the two round-2 A/B points that produced the old rule.
+# real chip (v5e 2026-08-20, tools/pairs_profile.py --crossover: sq8,
+# nlist 1024, nprobe 16, best-of-3, label agreement >= 0.99 on every
+# row).  Grid: d in {128, 768, 1536} x lmax in {512..4096} x nq in
+# {256, 1024}.  Shape of the surface: pairs win grows with per-pair dot
+# work (lmax*d) AND with batch (more queries per list tile); at small
+# work the tile table/extraction overhead makes it a wash.
 MEASURED: list[tuple[int, int, float]] = [
-    (512 * 128, 256, 0.7),        # validator shape, pairs loses
-    (2048 * 1536, 1024, 1.34),    # marco SQ4 shape, pairs wins
+    (65536, 256, 1.050),
+    (65536, 1024, 0.995),
+    (262144, 256, 1.021),
+    (262144, 1024, 1.060),
+    (524288, 256, 1.057),
+    (524288, 1024, 1.145),
+    (786432, 256, 1.065),     # d=768, lmax=1024
+    (786432, 1024, 1.402),
+    (786432, 256, 1.113),     # d=1536, lmax=512
+    (786432, 1024, 1.367),
+    (1572864, 256, 1.181),
+    (1572864, 1024, 1.559),
+    (3145728, 256, 1.006),    # marco lmax at nq 256: a wash
+    (3145728, 1024, 2.460),   # marco serving shape: pairs 2.46x
 ]
 
 #: static floors that measurements do not override (VMEM/HBM fit is

@@ -277,3 +277,42 @@ def test_spill_int8_scoring_matches_decode(catalog):
     np.testing.assert_allclose(np.sort(r8["distance"], 1),
                                np.sort(rd["distance"], 1),
                                rtol=3e-4, atol=3e-4)
+
+
+def test_spill_rerank_query_blocking(catalog):
+    """The spill rerank's query-blocked gather (rerank_qb) returns the
+    same results as the unblocked path — regression for the k'=1478
+    filtered-bench OOM (the (nq, k_scan, d) decoded tile next to the
+    marco payload)."""
+    import jax
+    import jax.numpy as jnp_
+
+    from duckdb_faiss_ext_tpu.ops.ivf_scan import ivf_spill_scan
+
+    rng = np.random.default_rng(13)
+    s, d, nlist, nq, k = 2048, 32, 8, 12, 40
+    xb = rng.standard_normal((s, d)).astype(np.float32)
+    codes = np.clip(np.round((xb + 3.0) / (6.0 / 255)), 0,
+                    255).astype(np.uint8)
+    vmin = jnp_.full((d,), -3.0, jnp_.float32)
+    scale = jnp_.full((d,), 6.0 / 255, jnp_.float32)
+    qf = codes.astype(np.float32)
+    rn = jnp_.asarray((qf * (6.0 / 255)) ** 2 @ np.ones(d, np.float32))
+    rs = jnp_.asarray(qf.sum(1))
+    args = (jnp_.asarray(codes),
+            jnp_.asarray(rng.integers(0, nlist, s).astype(np.int32)),
+            jnp_.asarray(np.arange(s, dtype=np.int32)),
+            jnp_.asarray(rng.standard_normal((nlist, d)).astype(np.float32)),
+            None,
+            jnp_.asarray(np.tile(np.arange(nlist, dtype=np.int32),
+                                 (nq, 1))),
+            jnp_.asarray(rng.standard_normal((nq, d)).astype(np.float32)),
+            None, jnp_.float32(0))
+    kw = dict(k=k, metric="L2", precision=jax.lax.Precision.DEFAULT,
+              sq="sq8", sq_vmin=vmin, sq_scale=scale, n_used=s,
+              spill_rn=rn, spill_rs=rs, int8_dot=True)
+    b1, p1 = ivf_spill_scan(*args, **kw)                 # auto qb
+    b2, p2 = ivf_spill_scan(*args, rerank_qb=3, **kw)    # forced blocks
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2),
+                               rtol=1e-6, atol=1e-6)

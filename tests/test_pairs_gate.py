@@ -40,12 +40,12 @@ def test_floors_bind():
     assert not pairs_preferred(1 << 10, 4096)     # work floor
 
 
-def test_interpolation_monotone_between_points():
-    # Between a losing small shape and a winning big shape the estimate
-    # grows with work (log-space IDW of two points is monotone on the
-    # segment between them).
-    lo = min(MEASURED, key=lambda r: r[0])
-    hi = max(MEASURED, key=lambda r: r[0])
-    works = np.geomspace(lo[0], hi[0], 8).astype(int)
-    ests = [pairs_speedup_estimate(int(w), hi[1])[0] for w in works]
-    assert ests[-1] >= ests[0]
+def test_measured_surface_shape():
+    # The measured surface's two anchors: at the marco serving shape
+    # (big work, big batch) pairs win decisively; at the smallest work
+    # the paths are a wash — the gate must reflect both.
+    est_marco, d1 = pairs_speedup_estimate(2048 * 1536, 1024)
+    est_small, d2 = pairs_speedup_estimate(512 * 128, 1024)
+    assert d1 < 0.5 and d2 < 0.5          # inside the measured hull
+    assert est_marco > 1.5
+    assert est_small < 1.1
