@@ -107,6 +107,33 @@ def build_pair_tiles(probe_ids, *, nlist: int, t_max: int, qg: int = QG):
     return tile_list, tile_q, pair_slot, jnp.sum(tiles_pl)
 
 
+@functools.partial(jax.jit, static_argnames=("nlist", "qcap"))
+def build_sweep_tiles(probe_ids, *, nlist: int, qcap: int):
+    """Full-sweep tile table: tile i IS list i (static payload index map
+    — the DMA pipeline prefetches perfectly, unlike the pair tiles'
+    scalar-prefetch-driven maps).  Each list's probing queries fill its
+    ``qcap`` slots by rank; the CALLER guarantees max probers <= qcap
+    (host bincount gate in models/ivf_serve.py).
+
+    Returns (tile_q (nlist, qcap) int32 query ids (-1 empty),
+    pair_slot (nq, nprobe) int32 flat (list*qcap + slot) index)."""
+    nq, nprobe = probe_ids.shape
+    npair = nq * nprobe
+    lists = probe_ids.reshape(-1).astype(jnp.int32)
+    qid = jnp.arange(npair, dtype=jnp.int32) // nprobe
+    order = jnp.argsort(lists, stable=True)
+    sl = lists[order]
+    sq = qid[order]
+    m = jnp.zeros((nlist,), jnp.int32).at[lists].add(1)
+    first_idx = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(m)[:-1]])
+    r = jnp.arange(npair, dtype=jnp.int32) - first_idx[sl]
+    tile_q = jnp.full((nlist, qcap), -1, jnp.int32).at[sl, r].set(sq)
+    pair_slot = (jnp.zeros((npair,), jnp.int32)
+                 .at[order].set(sl * qcap + r).reshape(nq, nprobe))
+    return tile_q, pair_slot
+
+
 def _pairs_sq_kernel(meta_ref, counts_ref, ui_ref, qs_ref, *rest,
                      metric: str, codec: str, has_mask: bool, ways: int,
                      qg: int):
@@ -186,7 +213,7 @@ def _pairs_sq_kernel(meta_ref, counts_ref, ui_ref, qs_ref, *rest,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "k_scan", "nprobe", "metric", "codec",
-                     "interpret", "qg", "ways_opt"),
+                     "interpret", "qg", "ways_opt", "sweep"),
 )
 def pallas_ivf_sq_pairs_search(
     codes_lists,   # (nlist, lmax, w) uint8 / (nlist, 3, lmax, d4) sq6
@@ -208,10 +235,23 @@ def pallas_ivf_sq_pairs_search(
     interpret: bool = False,
     qg: int = QG,
     ways_opt: int | None = None,
+    sweep: bool = False,
 ):
     """MXU-batched IVF-SQ list scan (see module docstring).  Same output
     conventions as pallas_ivf_sq_search: (scores (nq, k) max-oriented
-    fp32-exact after rerank, positions (nq, k) int32, -1 missing)."""
+    fp32-exact after rerank, positions (nq, k) int32, -1 missing).
+
+    ``sweep=True``: full-corpus static sweep — one tile per LIST in
+    index order (tile i = list i, payload index map static in the grid
+    index, so the DMA stream prefetches with no scalar dependence),
+    with each list's probing queries in its ``qg`` slots.  The right
+    regime is large batches where most lists are probed anyway (b1024
+    nprobe=16 over nlist=4096 probes ~98% of lists): the pair-tile
+    path's ~4000 data-dependent partial tiles measured ~75 us of
+    per-tile stall (308 ms vs a ~16 ms HBM floor, 2026-08-20); the
+    sweep replaces them with nlist statically-pipelined steps.  Caller
+    guarantees max probers per list <= qg (models/ivf_serve.py host
+    bincount gate)."""
     from .sq import SQ_INT8_SHIFT, sq_query_digits
 
     if codec == "sq6":
@@ -246,11 +286,22 @@ def pallas_ivf_sq_pairs_search(
     qscal = jnp.stack([su2, c0, base, mu], axis=1)    # (nq, 4) fp32
 
     # Tile table + per-tile gathered query operands.
-    t_max = pairs_t_max(nq, nprobe, nlist, qg)
-    t_max = -(-t_max // ways) * ways
-    tile_list, tile_q, pair_slot, n_tiles = build_pair_tiles(
-        probe_ids.astype(jnp.int32), nlist=nlist, t_max=t_max, qg=qg)
-    meta = jnp.concatenate([n_tiles[None].astype(jnp.int32), tile_list])
+    if sweep:
+        while nlist % ways:
+            ways //= 2
+        t_max = nlist
+        tile_q, pair_slot = build_sweep_tiles(
+            probe_ids.astype(jnp.int32), nlist=nlist, qcap=qg)
+        tile_list = jnp.arange(nlist, dtype=jnp.int32)
+        meta = jnp.concatenate([jnp.full((1,), nlist, jnp.int32),
+                                tile_list])
+    else:
+        t_max = pairs_t_max(nq, nprobe, nlist, qg)
+        t_max = -(-t_max // ways) * ways
+        tile_list, tile_q, pair_slot, n_tiles = build_pair_tiles(
+            probe_ids.astype(jnp.int32), nlist=nlist, t_max=t_max, qg=qg)
+        meta = jnp.concatenate([n_tiles[None].astype(jnp.int32),
+                                tile_list])
     safe_q = jnp.maximum(tile_q, 0)
     ui_t = ui_pack[safe_q]                            # (t_max, qg, 2*wq)
     qs_t = qscal[safe_q]                              # (t_max, qg, 4)
@@ -261,6 +312,18 @@ def pallas_ivf_sq_pairs_search(
         jnp.where(tile_q < 0, dead, qs_t[:, :, 2]))
 
     def lspec(w):
+        if sweep:
+            # static in the grid index: the payload DMA stream has no
+            # scalar-prefetch dependence and double-buffers cleanly.
+            if codec == "sq6":
+                return pl.BlockSpec(
+                    (1, 3, lmax, d4),
+                    lambda i, tl, cn, w=w: (i * ways + w, 0, 0, 0),
+                    memory_space=pltpu.VMEM)
+            return pl.BlockSpec(
+                (1, lmax, wbytes),
+                lambda i, tl, cn, w=w: (i * ways + w, 0, 0),
+                memory_space=pltpu.VMEM)
         if codec == "sq6":
             return pl.BlockSpec(
                 (1, 3, lmax, d4),
@@ -272,6 +335,11 @@ def pallas_ivf_sq_pairs_search(
             memory_space=pltpu.VMEM)
 
     def lanespec(w):
+        if sweep:
+            return pl.BlockSpec(
+                (1, 1, lmax),
+                lambda i, tl, cn, w=w: (i * ways + w, 0, 0),
+                memory_space=pltpu.VMEM)
         return pl.BlockSpec(
             (1, 1, lmax),
             lambda i, tl, cn, w=w: (tl[1 + i * ways + w], 0, 0),

@@ -358,3 +358,79 @@ def test_per_query_sq8_kernel_subtiled_lmax():
         sc = -((dec - xq[qi]) ** 2).sum(-1)
         top = set(np.argsort(-sc, kind="stable")[:k])
         assert len(set(p[qi][p[qi] >= 0]) & top) >= k - 1
+
+
+def test_build_sweep_tiles_covers_every_pair():
+    from duckdb_faiss_ext_tpu.ops.pallas_ivf_pairs import build_sweep_tiles
+
+    rng = np.random.default_rng(17)
+    nq, nprobe, nlist, qcap = 40, 4, 8, 32
+    probe = np.stack([rng.choice(nlist, nprobe, replace=False)
+                      for _ in range(nq)]).astype(np.int32)
+    tq, ps = (np.asarray(a) for a in build_sweep_tiles(
+        jnp.asarray(probe), nlist=nlist, qcap=qcap))
+    seen = set()
+    for q in range(nq):
+        for j in range(nprobe):
+            s = int(ps[q, j])
+            assert s not in seen
+            seen.add(s)
+            li, sl = divmod(s, qcap)
+            assert li == probe[q, j]
+            assert tq[li, sl] == q
+    used = np.zeros(nlist * qcap, bool)
+    used[list(seen)] = True
+    assert (tq.reshape(-1)[~used] == -1).all()
+
+
+@pytest.mark.parametrize("codec", ["sq8", "sq4", "sq6"])
+@pytest.mark.parametrize("metric", ["L2", "INNER_PRODUCT"])
+def test_sweep_matches_pairs_kernel(codec, metric):
+    """The full-corpus static sweep variant (sweep=True) must reproduce
+    the pair-tile kernel exactly (same pairs scored, same rerank)."""
+    rng = np.random.default_rng(19)
+    n, d, nlist, lmax, nprobe, k = 600, 64, 8, 128, 4, 5
+    xb = rng.standard_normal((n, d)).astype(np.float32)
+    xq = rng.standard_normal((24, d)).astype(np.float32)
+    (lists, rn, rs, counts, row_pos, vmin, scale,
+     dec) = _sq_state(xb, nlist, lmax, codec, rng, metric)
+    probe = np.stack([rng.choice(nlist, nprobe, replace=False)
+                      for _ in range(24)]).astype(np.int32)
+    qcap = int(np.bincount(probe.reshape(-1), minlength=nlist).max())
+    qcap = max(8, 1 << (qcap - 1).bit_length())
+
+    s1, p1 = pallas_ivf_sq_pairs_search(
+        lists, rn, rs, counts, jnp.asarray(row_pos), vmin, scale,
+        jnp.asarray(probe), jnp.asarray(xq), None,
+        k=k, k_scan=2 * k, nprobe=nprobe, metric=metric, codec=codec,
+        interpret=True)
+    s2, p2 = pallas_ivf_sq_pairs_search(
+        lists, rn, rs, counts, jnp.asarray(row_pos), vmin, scale,
+        jnp.asarray(probe), jnp.asarray(xq), None,
+        k=k, k_scan=2 * k, nprobe=nprobe, metric=metric, codec=codec,
+        qg=qcap, ways_opt=1, sweep=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                               rtol=1e-6, atol=1e-6)
+    assert (np.asarray(p1) == np.asarray(p2)).mean() > 0.95  # ties only
+
+
+def test_sweep_with_mask():
+    rng = np.random.default_rng(23)
+    n, d, nlist, lmax, k = 400, 32, 8, 64, 5
+    xb = rng.standard_normal((n, d)).astype(np.float32)
+    xq = rng.standard_normal((8, d)).astype(np.float32)
+    (lists, rn, rs, counts, row_pos, vmin, scale,
+     dec) = _sq_state(xb, nlist, lmax, "sq8", rng, "L2")
+    probe = np.tile(np.arange(nlist, dtype=np.int32), (8, 1))
+    keep = rng.random(n) < 0.5
+    mask = np.zeros((nlist, lmax), np.int8)
+    for li in range(nlist):
+        sel = row_pos[li][row_pos[li] >= 0]
+        mask[li, :len(sel)] = keep[sel]
+    s, p = pallas_ivf_sq_pairs_search(
+        lists, rn, rs, counts, jnp.asarray(row_pos), vmin, scale,
+        jnp.asarray(probe), jnp.asarray(xq), jnp.asarray(mask),
+        k=k, k_scan=2 * k, nprobe=nlist, metric="L2", codec="sq8",
+        qg=8, ways_opt=1, sweep=True, interpret=True)
+    p = np.asarray(p)
+    assert (keep[p[p >= 0]]).all()

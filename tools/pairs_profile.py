@@ -254,6 +254,32 @@ def main() -> None:
                 print(f"  pairs qg={qg:3d} ways={ways}: {t*1e3:7.1f} ms "
                       f"({t_ref/t:4.2f}x per-query)  agree {agree:.4f}",
                       flush=True)
+        # Full-corpus static sweep (tile i = list i, static index map):
+        # the pair tiles' scalar-prefetch-driven DMA measured ~75 us of
+        # per-tile overhead at the marco shape; the sweep isolates it.
+        maxc = int(np.bincount(np.asarray(probe_ids).reshape(-1),
+                               minlength=nlist).max())
+        qcap = 8
+        while qcap < maxc:
+            qcap *= 2
+        raw_gb = nlist * qcap * lmax * 4 / (1 << 30)
+        if raw_gb <= 1.5:
+            t_sw, r_sw = timed(
+                pp.pallas_ivf_sq_pairs_search, payload, row_norm,
+                row_sum, counts, row_pos, vmin, scale, probe_ids, xq,
+                None, qg=qcap, ways_opt=1, sweep=True, interpret=interp,
+                **kw)
+            agree = float(np.mean([
+                len(set(a) & set(b)) / 10
+                for a, b in zip(np.asarray(r_sw[1]),
+                                np.asarray(r_ref[1]))]))
+            print(f"  sweep qcap={qcap} (maxc {maxc}): {t_sw*1e3:7.1f} ms "
+                  f"({t_ref/t_sw:4.2f}x per-query)  agree {agree:.4f}",
+                  flush=True)
+        else:
+            print(f"  sweep skipped: raw tile buffer {raw_gb:.1f} GiB "
+                  f"(qcap {qcap})", flush=True)
+
         # Hot-list probe table: every tile maps one of nprobe lists ->
         # payload DMA skipped after the first fetch of each.
         best_cfg = min(results, key=results.get) if results else (8, 1)
