@@ -32,6 +32,11 @@ from .distance import pairwise_tile
 from .flat_search import (SIMILARITY_METRICS, _NEG_INF, exact_topk,
                           finalize_scores)
 
+#: spill-scan membership: up to this many probes, per-probe equality
+#: compares (nprobe fused (nq, sc) VPU passes) beat the one-hot
+#: row-gather + transpose they replace (see ivf_spill_scan).
+MEMBERSHIP_CMP_MAX = 32
+
 
 def inchunk_rerank_kscan(k: int, ncand: int, metric: str, precision) -> int:
     """Widened candidate count for the fast-mode in-chunk exact rerank:
@@ -294,7 +299,8 @@ def choose_q_chunk(nq: int, ncand: int, d: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "precision", "pq", "codec", "sq",
-                     "n_used", "int8_dot", "int8_via", "rerank_qb"))
+                     "n_used", "int8_dot", "int8_via", "rerank_qb",
+                     "membership"))
 def ivf_spill_scan(spill_payload, spill_assign, spill_pos, centroids,
                    codebooks, probe_ids, xq, mask, metric_arg, *,
                    k, metric, precision, pq=False, codec="pq",
@@ -302,7 +308,8 @@ def ivf_spill_scan(spill_payload, spill_assign, spill_pos, centroids,
                    n_used: int | None = None,
                    spill_rn=None, spill_rs=None, int8_dot: bool = False,
                    int8_via: str = "bf16",
-                   rerank_qb: int | None = None):
+                   rerank_qb: int | None = None,
+                   membership: str = "auto"):
     """Scan the IVF overflow-spill region: rows whose list exceeded the
     capped padded layout (models/ivf.py quantile-lmax plan).
 
@@ -322,12 +329,22 @@ def ivf_spill_scan(spill_payload, spill_assign, spill_pos, centroids,
     s_pad, w = spill_payload.shape
     sim = metric in SIMILARITY_METRICS
 
-    # Probed-list membership: one-hot scatter (nlist, nq) then a ROW
-    # gather per chunk by list id (rows of nq bools are contiguous; the
-    # earlier (nq, nlist) column gather was lane-strided).
-    qidx = lax.broadcasted_iota(jnp.int32, probe_ids.shape, 0)
-    onehot_t = (jnp.zeros((nlist, nq), jnp.bool_)
-                .at[probe_ids, qidx].set(True))
+    # Probed-list membership.  For small nprobe, an unrolled loop of
+    # lane-aligned equality compares: probed[q, r] = OR_j
+    # (probe_ids[q, j] == asg[r]) — nprobe fused (nq, sc) VPU passes
+    # with NO gather and NO transpose.  The previous one-hot row-gather
+    # + .T moved ~nq*sc bools through a lane transpose EVERY chunk —
+    # at the 8.8M x 1536 marco spill (1.05M rows, b1024) the transpose,
+    # not the bf16 digit-dot einsum, dominated the measured 0.27 us/row.
+    # Past MEMBERSHIP_CMP_MAX probes the compare loop's VPU passes cost
+    # more than the gather; keep the one-hot path there.
+    nprobe = probe_ids.shape[1]
+    cmp_membership = (nprobe <= MEMBERSHIP_CMP_MAX
+                      if membership == "auto" else membership == "cmp")
+    if not cmp_membership:
+        qidx = lax.broadcasted_iota(jnp.int32, probe_ids.shape, 0)
+        onehot_t = (jnp.zeros((nlist, nq), jnp.bool_)
+                    .at[probe_ids, qidx].set(True))
 
     if pq:
         d = codebooks.shape[0] * codebooks.shape[2]
@@ -446,7 +463,13 @@ def ivf_spill_scan(spill_payload, spill_assign, spill_pos, centroids,
         else:
             xc = decode(pl, asg)
             dist = pairwise_tile(xq, xc, metric, metric_arg, precision)
-        probed = jnp.take(onehot_t, asg, axis=0).T         # (nq, sc)
+        if cmp_membership:
+            probed = (probe_ids[:, 0:1] == asg[None, :])   # (nq, sc)
+            for j in range(1, nprobe):
+                probed = jnp.logical_or(
+                    probed, probe_ids[:, j:j + 1] == asg[None, :])
+        else:
+            probed = jnp.take(onehot_t, asg, axis=0).T     # (nq, sc)
         valid = jnp.logical_and(probed, (pos_c >= 0)[None, :])
         if mask is not None:
             mc = lax.dynamic_slice(mask, (start,), (sc,))

@@ -316,3 +316,42 @@ def test_spill_rerank_query_blocking(catalog):
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
     np.testing.assert_allclose(np.asarray(b1), np.asarray(b2),
                                rtol=1e-6, atol=1e-6)
+
+def test_spill_membership_cmp_matches_gather(catalog):
+    """The compare-loop probed-list membership (nprobe fused equality
+    passes, no gather/transpose — the round-3 spill-scan hot-path fix)
+    selects exactly the rows the one-hot gather path selects."""
+    import jax
+    import jax.numpy as jnp_
+
+    from duckdb_faiss_ext_tpu.ops.ivf_scan import ivf_spill_scan
+
+    rng = np.random.default_rng(29)
+    s, d, nlist, nq, nprobe, k = 4096, 32, 64, 16, 5, 20
+    xb = rng.standard_normal((s, d)).astype(np.float32)
+    codes = np.clip(np.round((xb + 3.0) / (6.0 / 255)), 0,
+                    255).astype(np.uint8)
+    vmin = jnp_.full((d,), -3.0, jnp_.float32)
+    scale = jnp_.full((d,), 6.0 / 255, jnp_.float32)
+    qf = codes.astype(np.float32)
+    rn = jnp_.asarray((qf * (6.0 / 255)) ** 2 @ np.ones(d, np.float32))
+    rs = jnp_.asarray(qf.sum(1))
+    # Partial, per-query-distinct probe sets (membership varies by row).
+    probes = np.stack([rng.choice(nlist, nprobe, replace=False)
+                       for _ in range(nq)]).astype(np.int32)
+    args = (jnp_.asarray(codes),
+            jnp_.asarray(rng.integers(0, nlist, s).astype(np.int32)),
+            jnp_.asarray(np.arange(s, dtype=np.int32)),
+            jnp_.asarray(rng.standard_normal((nlist, d)).astype(np.float32)),
+            None, jnp_.asarray(probes),
+            jnp_.asarray(rng.standard_normal((nq, d)).astype(np.float32)),
+            None, jnp_.float32(0))
+    for metric in ("L2", "INNER_PRODUCT"):
+        kw = dict(k=k, metric=metric, precision=jax.lax.Precision.DEFAULT,
+                  sq="sq8", sq_vmin=vmin, sq_scale=scale, n_used=s,
+                  spill_rn=rn, spill_rs=rs, int8_dot=True)
+        b1, p1 = ivf_spill_scan(*args, membership="cmp", **kw)
+        b2, p2 = ivf_spill_scan(*args, membership="gather", **kw)
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+        np.testing.assert_allclose(np.asarray(b1), np.asarray(b2),
+                                   rtol=1e-6, atol=1e-6)

@@ -1,0 +1,52 @@
+#!/bin/bash
+# Round-3 master chain #2: re-run the three marco measurements that
+# failed in master #1 BEFORE their fixes landed (marco_graph: gt-less
+# cache merge; marco_sq6: device-resident sq6 ingest; marco_filtered:
+# query-blocked spill rerank OOM fix), plus the static-sweep pairs A/B
+# (pairs_profile default mode) and the deg-128 1M uniform graph run.
+# Each step probes the relay first and runs under timeout; ONE TPU
+# process at a time throughout.
+set -u
+cd /root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
+
+probe() {
+  timeout 140 python - <<'EOF'
+import threading, numpy as np, sys
+ok = []
+def p():
+    import jax.numpy as jnp
+    ok.append(float(np.asarray(jnp.ones((8, 8)) @ jnp.ones((8, 8)))[0][0]))
+t = threading.Thread(target=p, daemon=True); t.start(); t.join(110)
+sys.exit(0 if ok else 1)
+EOF
+}
+
+await_relay() {
+  local tries=0
+  until probe; do
+    tries=$((tries + 1))
+    echo "[master2] relay down (probe #$tries) $(date -u +%H:%M:%S)"
+    if [ "$tries" -ge 120 ]; then echo "[master2] giving up"; exit 1; fi
+    sleep 170
+  done
+  echo "[master2] relay alive $(date -u +%H:%M:%S)"
+}
+
+step() {  # step <name> <timeout_s> <cmd...>
+  local name="$1" tmo="$2"; shift 2
+  await_relay
+  echo "=== $name start $(date -u +%H:%M:%S) ==="
+  timeout "$tmo" "$@" || echo "$name FAILED rc=$?"
+  echo "=== $name end $(date -u +%H:%M:%S) ==="
+}
+
+step "pairs_sweep"    3600 python tools/pairs_profile.py
+step "marco_sq6"     10800 python tools/marco_device.py --storage SQ6 \
+  --metric IP --unit-norm --assign-topk 4 --budget-gb 13.0
+step "marco_graph"   10800 python tools/marco_graph.py
+step "marco_filtered" 10800 python tools/marco_filtered.py
+step "graph_1m_d128"  7200 python tools/graph_scale.py 1000000 128 uniform 64 graph
+step "tpu_smoke"       900 python tools/tpu_smoke.py
+step "bench"           900 python bench.py
+echo "=== master2 done $(date -u +%H:%M:%S) ==="
