@@ -259,11 +259,18 @@ def main() -> None:
         # per-tile overhead at the marco shape; the sweep isolates it.
         maxc = int(np.bincount(np.asarray(probe_ids).reshape(-1),
                                minlength=nlist).max())
-        qcap = 8
-        while qcap < maxc:
-            qcap *= 2
-        raw_gb = nlist * qcap * lmax * 4 / (1 << 30)
-        if raw_gb <= 1.5:
+        qcap0 = 8
+        while qcap0 < maxc:
+            qcap0 *= 2
+        # Also force qcap=32: the dot M dim then meets the MXU's (32,
+        # 128) int8 tile — isolates M-underfill from tile-count effects
+        # (the hot-list A/B showed ~90% of the scan is non-DMA cost).
+        for qcap in dict.fromkeys((qcap0, 32)):
+            raw_gb = nlist * qcap * lmax * 4 / (1 << 30)
+            if raw_gb > 1.5:
+                print(f"  sweep skipped: raw tile buffer {raw_gb:.1f} GiB "
+                      f"(qcap {qcap})", flush=True)
+                continue
             t_sw, r_sw = timed(
                 pp.pallas_ivf_sq_pairs_search, payload, row_norm,
                 row_sum, counts, row_pos, vmin, scale, probe_ids, xq,
@@ -276,9 +283,6 @@ def main() -> None:
             print(f"  sweep qcap={qcap} (maxc {maxc}): {t_sw*1e3:7.1f} ms "
                   f"({t_ref/t_sw:4.2f}x per-query)  agree {agree:.4f}",
                   flush=True)
-        else:
-            print(f"  sweep skipped: raw tile buffer {raw_gb:.1f} GiB "
-                  f"(qcap {qcap})", flush=True)
 
         # Hot-list probe table: every tile maps one of nprobe lists ->
         # payload DMA skipped after the first fetch of each.
