@@ -409,8 +409,9 @@ def _sq_scan_kernel(pids_ref, counts_ref, ui_ref, qs_ref, *rest,
         for t0 in range(0, lmax, utile):
             ut = min(utile, lmax - t0)       # adaptive utile (sq8) may
             digit_dot = sq_block_digit_dot(block, t0, ut, codec)
-            dot_hi = digit_dot(lax.slice(ui_mat, (0, 0), (1, wq)))[0]
-            dot_lo = digit_dot(lax.slice(ui_mat, (1, 0), (2, wq)))[0]
+            dot2 = digit_dot(ui_mat)          # (2, ut): hi row 0, lo row 1
+            dot_hi = dot2[0]
+            dot_lo = dot2[1]
             utc = su2 * (128.0 * dot_hi.astype(jnp.float32)
                          + dot_lo.astype(jnp.float32))
             uc = utc + c0 + mu * lax.slice(rowsum_w, (t0,), (t0 + ut,))

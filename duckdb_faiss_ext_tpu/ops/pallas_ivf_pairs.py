@@ -185,16 +185,19 @@ def _pairs_sq_kernel(meta_ref, counts_ref, ui_ref, qs_ref, *rest,
                    cnt=cnt, w=w, wq=wq, lmax=lmax, utile=utile):
             hi_q = lax.slice(ui, (0, 0), (qg, wq))
             lo_q = lax.slice(ui, (0, wq), (qg, 2 * wq))
-            dh_parts, dl_parts = [], []
+            # Stack hi|lo along M: ONE (2*qg, wq) dot per sub-tile
+            # instead of two (qg, wq) dots — doubles the MXU M fill
+            # (int8 native tile is (32, 128); qg=8 alone fills 8 rows).
+            ug2 = jnp.concatenate([hi_q, lo_q], axis=0)
+            d_parts = []
             for t0 in range(0, lmax, utile):
                 ut = min(utile, lmax - t0)   # adaptive utile (sq8) may
                 dot = sq_block_digit_dot(block, t0, ut, codec)  # not divide
-                dh_parts.append(dot(hi_q))
-                dl_parts.append(dot(lo_q))
-            dot_hi = (dh_parts[0] if len(dh_parts) == 1
-                      else jnp.concatenate(dh_parts, axis=1))
-            dot_lo = (dl_parts[0] if len(dl_parts) == 1
-                      else jnp.concatenate(dl_parts, axis=1))
+                d_parts.append(dot(ug2))
+            dot2 = (d_parts[0] if len(d_parts) == 1
+                    else jnp.concatenate(d_parts, axis=1))
+            dot_hi = lax.slice(dot2, (0, 0), (qg, lmax))
+            dot_lo = lax.slice(dot2, (qg, 0), (2 * qg, lmax))
             utc = su2[:, None] * (128.0 * dot_hi.astype(jnp.float32)
                                   + dot_lo.astype(jnp.float32))
             uc = utc + c0[:, None] + mu[:, None] * rs_row[None, :]

@@ -40,6 +40,7 @@ step() {  # step <name> <timeout_s> <cmd...>
 
 step "spill_profile"  2700 python tools/spill_profile.py
 step "mxu_probe"      2700 python tools/mxu_probe.py
+step "mxu_probe_2048" 2700 python tools/mxu_probe.py --n 2048 --t 4096
 step "marco_sq6"     10800 python tools/marco_device.py --storage SQ6 \
   --metric IP --unit-norm --assign-topk 4 --budget-gb 13.0
 step "marco_graph"   10800 python tools/marco_graph.py
