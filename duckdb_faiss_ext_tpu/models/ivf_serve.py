@@ -163,7 +163,8 @@ def _dispatch_inner(self, xq, k, params=EMPTY, selector=None):
                     probe_b, xq_b, mask_b,
                     k=k_kernel, k_scan=k_scan, nprobe=nprobe_eff,
                     metric=self.metric.name, codec=self.sq_type,
-                    interpret=not on_tpu())
+                    interpret=not on_tpu(),
+                    digit_dtype=config.sq_digit_dtype)
             return pallas_ivf_search(
                 payload, counts, row_pos, probe_b, xq_b, mask_b,
                 k=k_kernel, nprobe=nprobe_eff, metric=self.metric.name,
@@ -227,7 +228,8 @@ def _dispatch_inner(self, xq, k, params=EMPTY, selector=None):
                         vmin, scale, probe_b, xq_b, mask,
                         k=k_kernel, k_scan=k_scan, nprobe=nprobe_eff,
                         metric=self.metric.name, codec=self.sq_type,
-                        interpret=not on_tpu())
+                        interpret=not on_tpu(),
+                        digit_dtype=config.sq_digit_dtype)
                 from ..ops.pallas_ivf_pairs import pallas_ivf_pairs_search
 
                 self._last_scan_path = "pairs-flat"

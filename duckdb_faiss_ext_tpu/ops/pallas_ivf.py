@@ -339,7 +339,7 @@ def sq_exact_rerank(codes_lists, lids, lane, pos, best, xq, vmin, scale,
 
 def _sq_scan_kernel(pids_ref, counts_ref, ui_ref, qs_ref, *rest,
                     nprobe: int, metric: str, ways: int, has_mask: bool,
-                    codec: str):
+                    codec: str, digit_dtype: str = "int8"):
     """Int8 list scan for SQ8/SQ4/SQ6 payloads: per probed list block,
     int8 MXU dots against the pre-quantized query digits; scores
     reconstructed fp32 via the per-query scalars (su2, shift·Σũ, base, μ)
@@ -396,7 +396,8 @@ def _sq_scan_kernel(pids_ref, counts_ref, ui_ref, qs_ref, *rest,
 
     wb = (3 * list_refs[0].shape[3] if codec == "sq6"
           else list_refs[0].shape[2])
-    utile = sq_utile(codec, lmax, wb, 2 * ways * lmax * wb)
+    utile = sq_utile(codec, lmax, wb, 2 * ways * lmax * wb,
+                     dtype=digit_dtype)
 
     for w in range(ways):
         lid = pids_ref[(i * nprobe) + j * ways + w]
@@ -408,7 +409,8 @@ def _sq_scan_kernel(pids_ref, counts_ref, ui_ref, qs_ref, *rest,
 
         for t0 in range(0, lmax, utile):
             ut = min(utile, lmax - t0)       # adaptive utile (sq8) may
-            digit_dot = sq_block_digit_dot(block, t0, ut, codec)
+            digit_dot = sq_block_digit_dot(block, t0, ut, codec,
+                                           dtype=digit_dtype)
             dot2 = digit_dot(ui_mat)          # (2, ut): hi row 0, lo row 1
             dot_hi = dot2[0]
             dot_lo = dot2[1]
@@ -430,7 +432,7 @@ def _sq_scan_kernel(pids_ref, counts_ref, ui_ref, qs_ref, *rest,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "k_scan", "nprobe", "metric", "codec",
-                     "interpret"),
+                     "interpret", "digit_dtype"),
 )
 def pallas_ivf_sq_search(
     codes_lists,   # (nlist, lmax, w) uint8 padded SQ code lists
@@ -450,6 +452,7 @@ def pallas_ivf_sq_search(
     metric: str,
     codec: str = "sq8",
     interpret: bool = False,
+    digit_dtype: str = "int8",
 ):
     """Fused int8 DMA list-scan for IVF,SQ8 / IVF,SQ4 / IVF,SQ6 (L2 /
     INNER_PRODUCT): probed code blocks stream HBM→VMEM (double-buffered,
@@ -541,7 +544,7 @@ def pallas_ivf_sq_search(
 
     kernel = functools.partial(_sq_scan_kernel, nprobe=nprobe,
                                metric=metric, ways=ways, has_mask=has_mask,
-                               codec=codec)
+                               codec=codec, digit_dtype=digit_dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nq, nprobe // ways),

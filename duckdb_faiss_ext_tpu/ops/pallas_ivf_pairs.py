@@ -136,7 +136,7 @@ def build_sweep_tiles(probe_ids, *, nlist: int, qcap: int):
 
 def _pairs_sq_kernel(meta_ref, counts_ref, ui_ref, qs_ref, *rest,
                      metric: str, codec: str, has_mask: bool, ways: int,
-                     qg: int):
+                     qg: int, digit_dtype: str = "int8"):
     """meta_ref: (1 + t_pad,) int32 prefetch — [0] = count of real tiles,
     [1:] = list id per tile.  ``ways`` tiles are scored per grid step
     (separate in_specs alias the payload with staggered index maps, the
@@ -174,7 +174,8 @@ def _pairs_sq_kernel(meta_ref, counts_ref, ui_ref, qs_ref, *rest,
         lmax = block.shape[0] if codec != "sq6" else block.shape[1]
         wb = 3 * block.shape[2] if codec == "sq6" else block.shape[1]
         utile = sq_utile(codec, lmax, wb,
-                         2 * ways * lmax * wb + ways * qg * lmax * 8)
+                         2 * ways * lmax * wb + ways * qg * lmax * 8,
+                         dtype=digit_dtype)
         rs_row = rs_refs[w][0, 0]                     # (lmax,)
         rn_row = None if sim else rn_refs[w][0, 0]
         mask_row = mask_refs[w][0, 0] if has_mask else None
@@ -192,7 +193,8 @@ def _pairs_sq_kernel(meta_ref, counts_ref, ui_ref, qs_ref, *rest,
             d_parts = []
             for t0 in range(0, lmax, utile):
                 ut = min(utile, lmax - t0)   # adaptive utile (sq8) may
-                dot = sq_block_digit_dot(block, t0, ut, codec)  # not divide
+                dot = sq_block_digit_dot(block, t0, ut, codec,  # not divide
+                                         dtype=digit_dtype)
                 d_parts.append(dot(ug2))
             dot2 = (d_parts[0] if len(d_parts) == 1
                     else jnp.concatenate(d_parts, axis=1))
@@ -216,7 +218,8 @@ def _pairs_sq_kernel(meta_ref, counts_ref, ui_ref, qs_ref, *rest,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "k_scan", "nprobe", "metric", "codec",
-                     "interpret", "qg", "ways_opt", "sweep"),
+                     "interpret", "qg", "ways_opt", "sweep",
+                     "digit_dtype"),
 )
 def pallas_ivf_sq_pairs_search(
     codes_lists,   # (nlist, lmax, w) uint8 / (nlist, 3, lmax, d4) sq6
@@ -239,6 +242,7 @@ def pallas_ivf_sq_pairs_search(
     qg: int = QG,
     ways_opt: int | None = None,
     sweep: bool = False,
+    digit_dtype: str = "int8",
 ):
     """MXU-batched IVF-SQ list scan (see module docstring).  Same output
     conventions as pallas_ivf_sq_search: (scores (nq, k) max-oriented
@@ -367,7 +371,7 @@ def pallas_ivf_sq_pairs_search(
 
     kernel = functools.partial(_pairs_sq_kernel, metric=metric,
                                codec=codec, has_mask=has_mask, ways=ways,
-                               qg=qg)
+                               qg=qg, digit_dtype=digit_dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(t_max // ways,),

@@ -41,29 +41,47 @@ SQ_SCOPED_VMEM = 13 << 20
 
 
 def sq_utile(codec: str, lmax: int, row_bytes: int,
-             resident_bytes: int) -> int:
+             resident_bytes: int, dtype: str = "int8") -> int:
     """Rows per unpack+dot sub-tile.
 
     sq4/sq6 widen their code block to i32 per sub-tile (4·row_bytes per
     row of scratch), so they cap at 512 rows.  sq8 only materialises the
-    xor'd i8 copy (row_bytes per row): one big step when the VMEM left
-    after ``resident_bytes`` (double-buffered blocks, score tiles) allows
-    — fewer serial sub-tile chains per grid step (measured 2x on the
-    8.8M×1536 padded scan, chain9 2026-08-19)."""
+    xor'd i8 copy (row_bytes per row — 2x that for the bf16 digit-dot
+    operand): one big step when the VMEM left after ``resident_bytes``
+    (double-buffered blocks, score tiles) allows — fewer serial sub-tile
+    chains per grid step (measured 2x on the 8.8M×1536 padded scan,
+    chain9 2026-08-19)."""
     if codec != "sq8":
         return min(lmax, 512)
+    per_row = row_bytes * (2 if dtype == "bf16" else 1)
     left = SQ_SCOPED_VMEM - resident_bytes
-    return min(lmax, max(512, left // max(row_bytes, 1) // 512 * 512))
+    return min(lmax, max(512, left // max(per_row, 1) // 512 * 512))
 
 
-def sq_block_digit_dot(block, t0: int, ut: int, codec: str):
+def sq_block_digit_dot(block, t0: int, ut: int, codec: str,
+                       dtype: str = "int8"):
     """Unpack rows [t0, t0+ut) of a VMEM code block and return
-    ``digit_dot: (G, wq) int8 -> (G, ut) int32`` (MXU, int32 accumulate).
+    ``digit_dot: (G, wq) int8 -> (G, ut)`` (int32 for dtype="int8",
+    fp32 for dtype="bf16"; both integer-exact — see below).
 
     ``block`` layouts: (lmax, w) uint8 for sq8 (w = d) and sq4
     (w = ceil(d/2), byte j packs dims 2j low / 2j+1 high); plane-major
     (3, lmax, d4) for sq6 (4 codes per 3 bytes, d4 = ceil(d/4)).  The
-    matching query-digit packing is ``sq_pack_query_planes``."""
+    matching query-digit packing is ``sq_pack_query_planes``.
+
+    ``dtype="bf16"``: both operands cast to bf16 before the dot
+    (preferred fp32).  int8 values are EXACT in bf16 (|v| <= 128 < 2^8
+    mantissa) and the MXU accumulates fp32, so the dots compute the
+    same integers up to <=1-ulp accumulation noise past 2^24 — which
+    the callers' exact fp32 rerank absorbs (the same argument as the
+    spill scan's spill_int8_via="bf16", chain11 2026-08-19).  Why it
+    exists: per-tile timing showed the s8xs8 dot_general running at
+    ~VPU int32 MAC rates (~20 us for 2x (8,1536)x(1536,1024)), i.e.
+    Mosaic lowers small-M int8 dots OFF the MXU; bf16 rides the MXU."""
+    cast = ((lambda x: x.astype(jnp.bfloat16)) if dtype == "bf16"
+            else (lambda x: x))
+    pref = jnp.float32 if dtype == "bf16" else jnp.int32
+
     if codec == "sq6":
         d4 = block.shape[2]
         b0 = lax.slice(block, (0, t0, 0), (1, t0 + ut, d4))[0] \
@@ -72,19 +90,19 @@ def sq_block_digit_dot(block, t0: int, ut: int, codec: str):
             .astype(jnp.int32)
         b2 = lax.slice(block, (2, t0, 0), (3, t0 + ut, d4))[0] \
             .astype(jnp.int32)
-        planes = ((b0 >> 2).astype(jnp.int8),
-                  (((b0 & 3) << 4) | (b1 >> 4)).astype(jnp.int8),
-                  (((b1 & 15) << 2) | (b2 >> 6)).astype(jnp.int8),
-                  (b2 & 63).astype(jnp.int8))
+        planes = (cast((b0 >> 2).astype(jnp.int8)),
+                  cast((((b0 & 3) << 4) | (b1 >> 4)).astype(jnp.int8)),
+                  cast((((b1 & 15) << 2) | (b2 >> 6)).astype(jnp.int8)),
+                  cast((b2 & 63).astype(jnp.int8)))
 
         def digit_dot(ug, planes=planes, d4=d4):
             g = ug.shape[0]
-            dot = jnp.zeros((g, ut), jnp.int32)
+            dot = jnp.zeros((g, ut), pref)
             for x, cx in enumerate(planes):
-                ui_x = lax.slice(ug, (0, x * d4), (g, (x + 1) * d4))
+                ui_x = cast(lax.slice(ug, (0, x * d4), (g, (x + 1) * d4)))
                 dot = dot + jax.lax.dot_general(
                     ui_x, cx, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32)
+                    preferred_element_type=pref)
             return dot
         return digit_dot
 
@@ -92,30 +110,30 @@ def sq_block_digit_dot(block, t0: int, ut: int, codec: str):
         w_half = block.shape[1]
         b32 = lax.slice(block, (t0, 0), (t0 + ut, w_half)) \
             .astype(jnp.int32)
-        nib_lo = (b32 & 0x0F).astype(jnp.int8)
-        nib_hi = (b32 >> 4).astype(jnp.int8)
+        nib_lo = cast((b32 & 0x0F).astype(jnp.int8))
+        nib_hi = cast((b32 >> 4).astype(jnp.int8))
 
         def digit_dot(ug, w_half=w_half, nl=nib_lo, nh=nib_hi):
             g = ug.shape[0]
-            ui_e = lax.slice(ug, (0, 0), (g, w_half))
-            ui_o = lax.slice(ug, (0, w_half), (g, 2 * w_half))
+            ui_e = cast(lax.slice(ug, (0, 0), (g, w_half)))
+            ui_o = cast(lax.slice(ug, (0, w_half), (g, 2 * w_half)))
             return (jax.lax.dot_general(
                         ui_e, nl, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.int32)
+                        preferred_element_type=pref)
                     + jax.lax.dot_general(
                         ui_o, nh, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.int32))
+                        preferred_element_type=pref))
         return digit_dot
 
     # sq8
-    ci8 = pltpu.bitcast(
+    ci8 = cast(pltpu.bitcast(
         lax.slice(block, (t0, 0), (t0 + ut, block.shape[1]))
-        ^ jnp.uint8(0x80), jnp.int8)
+        ^ jnp.uint8(0x80), jnp.int8))
 
     def digit_dot(ug, ci8=ci8):
         return jax.lax.dot_general(
-            ug, ci8, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32)
+            cast(ug), ci8, (((1,), (1,)), ((), ())),
+            preferred_element_type=pref)
     return digit_dot
 
 

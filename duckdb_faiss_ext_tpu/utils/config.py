@@ -44,6 +44,12 @@ class Config:
     #: native int8 dot_general measured ~15x off the MXU on v5e);
     #: "int32" keeps the int8->int32 einsum (A/B switch).
     spill_int8_via: str = "bf16"
+    #: IN-KERNEL digit-dot operand dtype for the Pallas SQ scans (the
+    #: per-query DMA and pair-tile kernels): "bf16" casts both int8
+    #: operands to bf16 so the dot rides the MXU (integer-exact — see
+    #: ops/sq_digits.py); "int8" keeps the s8xs8 dot_general, which
+    #: per-tile timing showed running at ~VPU MAC rates for small M.
+    sq_digit_dtype: str = "bf16"
 
     @property
     def precision(self):

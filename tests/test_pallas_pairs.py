@@ -434,3 +434,34 @@ def test_sweep_with_mask():
         qg=8, ways_opt=1, sweep=True, interpret=True)
     p = np.asarray(p)
     assert (keep[p[p >= 0]]).all()
+
+
+@pytest.mark.parametrize("codec", ["sq8", "sq4", "sq6"])
+def test_digit_dtype_bf16_matches_int8(codec):
+    """bf16-cast digit dots (MXU lowering) return the same final
+    results as the s8xs8 dots: int8 values are exact in bf16 and the
+    exact fp32 rerank absorbs any fp32-accumulation ulp, so scores and
+    positions must match across both kernels."""
+    from duckdb_faiss_ext_tpu.ops.pallas_ivf import pallas_ivf_sq_search
+
+    rng = np.random.default_rng(17)
+    n, d, nlist, lmax, nprobe, k = 600, 64, 8, 128, 4, 5
+    xb = rng.standard_normal((n, d)).astype(np.float32)
+    xq = rng.standard_normal((12, d)).astype(np.float32)
+    for metric in ("L2", "INNER_PRODUCT"):
+        (lists, rn, rs, counts, row_pos, vmin, scale,
+         dec) = _sq_state(xb, nlist, lmax, codec, rng, metric)
+        probe = np.stack([rng.choice(nlist, nprobe, replace=False)
+                          for _ in range(12)]).astype(np.int32)
+        kw = dict(k=k, k_scan=2 * k, nprobe=nprobe, metric=metric,
+                  codec=codec, interpret=True)
+        for fn in (pallas_ivf_sq_pairs_search, pallas_ivf_sq_search):
+            s8, p8 = fn(lists, rn, rs, counts, jnp.asarray(row_pos),
+                        vmin, scale, jnp.asarray(probe), jnp.asarray(xq),
+                        None, digit_dtype="int8", **kw)
+            sb, pb = fn(lists, rn, rs, counts, jnp.asarray(row_pos),
+                        vmin, scale, jnp.asarray(probe), jnp.asarray(xq),
+                        None, digit_dtype="bf16", **kw)
+            np.testing.assert_allclose(np.asarray(s8), np.asarray(sb),
+                                       rtol=1e-5, atol=1e-5)
+            assert (np.asarray(p8) == np.asarray(pb)).mean() > 0.95

@@ -173,6 +173,9 @@ def main() -> None:
     ap.add_argument("--spill", type=int, default=524288)
     ap.add_argument("--skip-pairs", action="store_true")
     ap.add_argument("--skip-spill", action="store_true")
+    ap.add_argument("--skip-sweeps", action="store_true",
+                    help="skip the (qg, ways)/sweep/hot A/Bs but keep "
+                         "the tiles/kernel/epilogue decomposition")
     args = ap.parse_args()
 
     if args.crossover:
@@ -223,14 +226,16 @@ def main() -> None:
           f"nprobe={nprobe} {metric}", flush=True)
 
     if not args.skip_pairs:
-        t_ref, r_ref = timed(
-            pallas_ivf_sq_search, payload, row_norm, row_sum, counts,
-            row_pos, vmin, scale, probe_ids, xq, None,
-            interpret=interp, **kw)
-        print(f"  per-query kernel: {t_ref*1e3:7.1f} ms", flush=True)
+        if not args.skip_sweeps:
+            t_ref, r_ref = timed(
+                pallas_ivf_sq_search, payload, row_norm, row_sum, counts,
+                row_pos, vmin, scale, probe_ids, xq, None,
+                interpret=interp, **kw)
+            print(f"  per-query kernel: {t_ref*1e3:7.1f} ms", flush=True)
 
         results = {}
-        for qg in [int(x) for x in args.sweep_qg.split(",")]:
+        for qg in ([] if args.skip_sweeps
+                   else [int(x) for x in args.sweep_qg.split(",")]):
             for ways in (1, 2, 4):
                 per_way = 2 * lmax * w + 2 * qg * lmax * 4 + qg * 4 * w
                 if ways * per_way > (13 << 20):
@@ -265,7 +270,7 @@ def main() -> None:
         # Also force qcap=32: the dot M dim then meets the MXU's (32,
         # 128) int8 tile — isolates M-underfill from tile-count effects
         # (the hot-list A/B showed ~90% of the scan is non-DMA cost).
-        for qcap in dict.fromkeys((qcap0, 32)):
+        for qcap in () if args.skip_sweeps else dict.fromkeys((qcap0, 32)):
             raw_gb = nlist * qcap * lmax * 4 / (1 << 30)
             if raw_gb > 1.5:
                 print(f"  sweep skipped: raw tile buffer {raw_gb:.1f} GiB "
@@ -286,16 +291,43 @@ def main() -> None:
 
         # Hot-list probe table: every tile maps one of nprobe lists ->
         # payload DMA skipped after the first fetch of each.
-        best_cfg = min(results, key=results.get) if results else (8, 1)
+        best_cfg = min(results, key=results.get) if results else (8, 2)
         qg, ways = best_cfg
-        t_hot, _ = timed(
-            pp.pallas_ivf_sq_pairs_search, payload, row_norm, row_sum,
-            counts, row_pos, vmin, scale, hot_ids, xq, None,
-            qg=qg, ways_opt=ways, interpret=interp, **kw)
-        print(f"  pairs hot-lists qg={qg} ways={ways}: {t_hot*1e3:7.1f} "
-              f"ms (compute-only regime)", flush=True)
+        if not args.skip_sweeps:
+            t_hot, _ = timed(
+                pp.pallas_ivf_sq_pairs_search, payload, row_norm, row_sum,
+                counts, row_pos, vmin, scale, hot_ids, xq, None,
+                qg=qg, ways_opt=ways, interpret=interp, **kw)
+            print(f"  pairs hot-lists qg={qg} ways={ways}: "
+                  f"{t_hot*1e3:7.1f} ms (compute-only regime)", flush=True)
+
+        # Digit-dot dtype A/B at the best config: bf16-cast operands
+        # (MXU) vs s8xs8 dot_general (suspected VPU lowering at small M).
+        for dd in ("bf16", "int8"):
+            t_dd, r_dd = timed(
+                pp.pallas_ivf_sq_pairs_search, payload, row_norm, row_sum,
+                counts, row_pos, vmin, scale, probe_ids, xq, None,
+                qg=qg, ways_opt=ways, digit_dtype=dd, interpret=interp,
+                **kw)
+            print(f"  pairs digit_dtype={dd}: {t_dd*1e3:7.1f} ms",
+                  flush=True)
+            if not args.skip_sweeps:
+                t_dq, _ = timed(
+                    pallas_ivf_sq_search, payload, row_norm, row_sum,
+                    counts, row_pos, vmin, scale, probe_ids, xq, None,
+                    digit_dtype=dd, interpret=interp, **kw)
+                print(f"  per-query digit_dtype={dd}: {t_dq*1e3:7.1f} ms",
+                      flush=True)
 
         # Decomposition at the best config.
+        if best_cfg not in results:
+            t, _ = timed(
+                pp.pallas_ivf_sq_pairs_search, payload, row_norm, row_sum,
+                counts, row_pos, vmin, scale, probe_ids, xq, None,
+                qg=qg, ways_opt=ways, interpret=interp, **kw)
+            results[best_cfg] = t
+            print(f"  pairs qg={qg} ways={ways}: {t*1e3:7.1f} ms",
+                  flush=True)
         t_max = pp.pairs_t_max(nq, nprobe, nlist, qg)
         t_max = -(-t_max // ways) * ways
 

@@ -23,11 +23,11 @@ await_relay() {
   local tries=0
   until probe; do
     tries=$((tries + 1))
-    echo "[master3] relay down (probe #$tries) $(date -u +%H:%M:%S)"
-    if [ "$tries" -ge 120 ]; then echo "[master3] giving up"; exit 1; fi
+    echo "[master4] relay down (probe #$tries) $(date -u +%H:%M:%S)"
+    if [ "$tries" -ge 120 ]; then echo "[master4] giving up"; exit 1; fi
     sleep 170
   done
-  echo "[master3] relay alive $(date -u +%H:%M:%S)"
+  echo "[master4] relay alive $(date -u +%H:%M:%S)"
 }
 
 step() {  # step <name> <timeout_s> <cmd...>
@@ -38,7 +38,11 @@ step() {  # step <name> <timeout_s> <cmd...>
   echo "=== $name end $(date -u +%H:%M:%S) ==="
 }
 
-step "spill_profile"  2700 python tools/spill_profile.py
-step "mxu_probe"      2700 python tools/mxu_probe.py
-step "mxu_probe_2048" 2700 python tools/mxu_probe.py --n 2048 --t 4096
-echo "=== master3 done $(date -u +%H:%M:%S) ==="
+step "marco_sq6"     10800 python tools/marco_device.py --storage SQ6 \
+  --metric IP --unit-norm --assign-topk 4 --budget-gb 13.0
+step "marco_graph"   10800 python tools/marco_graph.py
+step "marco_filtered" 10800 python tools/marco_filtered.py
+step "graph_1m_d128"  7200 python tools/graph_scale.py 1000000 128 uniform 64 graph
+step "tpu_smoke"       900 python tools/tpu_smoke.py
+step "bench"           900 python bench.py
+echo "=== master4 done $(date -u +%H:%M:%S) ==="
