@@ -38,6 +38,7 @@ step() {  # step <name> <timeout_s> <cmd...>
   echo "=== $name end $(date -u +%H:%M:%S) ==="
 }
 
+step "marco_diag"    10800 python tools/marco_diag.py
 step "marco_sq6"     10800 python tools/marco_device.py --storage SQ6 \
   --metric IP --unit-norm --assign-topk 4 --budget-gb 13.0
 step "marco_graph"   10800 python tools/marco_graph.py
@@ -45,4 +46,7 @@ step "marco_filtered" 10800 python tools/marco_filtered.py
 step "graph_1m_d128"  7200 python tools/graph_scale.py 1000000 128 uniform 64 graph
 step "tpu_smoke"       900 python tools/tpu_smoke.py
 step "bench"           900 python bench.py
+# The gate's MEASURED table was taken with the int8 digit dots; the
+# bf16 lowering changes both paths — re-measure the crossover grid.
+step "crossover"      3600 python tools/pairs_profile.py --crossover
 echo "=== master4 done $(date -u +%H:%M:%S) ==="
