@@ -38,6 +38,7 @@ step() {  # step <name> <timeout_s> <cmd...>
   echo "=== $name end $(date -u +%H:%M:%S) ==="
 }
 
+step "spill_profile"     2700 python tools/spill_profile.py
 step "pairs_decomp"      2700 python tools/pairs_profile.py \
   --skip-sweeps --skip-spill
 step "pairs_decomp_2048" 2700 python tools/pairs_profile.py \

@@ -78,18 +78,21 @@ def main() -> None:
     scale = jnp.full((d,), 2.0 / 255.0, jnp.float32)
     centroids = jnp.zeros((nlist, d), jnp.float32)
 
-    from duckdb_faiss_ext_tpu.ops.sq import sq_row_norms, sq_row_sums
+    # Row norms/sums on device, CHUNKED (a whole-payload fp32 cast is a
+    # 6.4 GB intermediate next to the 1.5 GB payload — FAILED_PRECONDITION
+    # on-chip 2026-08-20).  Semantics match models/ivf_layout.py:
+    # rn = Σ(scale·c)², rs = Σ c (raw code sum).
+    @jax.jit
+    def _chunk_stats(blk):
+        cf = blk.astype(jnp.float32)
+        sc_ = scale[None, :] * cf
+        return jnp.sum(sc_ * sc_, axis=1), jnp.sum(cf, axis=1)
 
-    pl_h = np.asarray(payload[:65536])  # host helper sample only for dtype
-    del pl_h
-    # row norms/sums on device via the decode identities (host helpers
-    # expect numpy; these are exact for sq8 codes).
-    c = payload.astype(jnp.float32)
-    v = vmin[None, :] + scale[None, :] * c
-    rn = jnp.sum((scale[None, :] * c) ** 2, axis=1)
-    rs = jnp.sum(scale[None, :] * c, axis=1)
-    del v, c
-    _ = sq_row_norms, sq_row_sums  # documented host analogues
+    ch = 131072
+    parts = [_chunk_stats(payload[i:i + ch]) for i in range(0, n, ch)]
+    rn = jnp.concatenate([p[0] for p in parts])
+    rs = jnp.concatenate([p[1] for p in parts])
+    del parts
 
     marg = jnp.asarray(0.0, jnp.float32)
     print(f"spill profile: n={n} d={d} sq8 nq={nq} nprobe={nprobe} "
