@@ -99,10 +99,31 @@ def main() -> None:
         )
         return timed(jax.jit(f), q, c)
 
+    def probe_noin(m):
+        """Grid step with NO input windows at all — pure grid overhead."""
+
+        def kernel(o_ref):
+            o_ref[...] = jnp.float32(1.0) * pl.program_id(0)
+
+        f = pl.pallas_call(
+            kernel,
+            grid=(T,),
+            in_specs=[],
+            out_specs=pl.BlockSpec((m, 128), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((m, 128), jnp.float32),
+            interpret=interp,
+        )
+        return timed(jax.jit(f))
+
     print(f"mxu probe: grid T={T}, dot (M, {K}) x ({K}, {N})", flush=True)
+    t_ni = probe_noin(8)
+    print(f"  no-input step          : {t_ni * 1e6 / T:8.2f} us/step "
+          f"({t_ni * 1e3:.1f} ms total)", flush=True)
     t_noop = probe(8, jnp.int8, "noop")
     print(f"  noop step              : {t_noop * 1e6 / T:8.2f} us/step "
-          f"({t_noop * 1e3:.1f} ms total)", flush=True)
+          f"({t_noop * 1e3:.1f} ms total)  [c window {N}x{K} int8 = "
+          f"{N * K / (1 << 20):.1f} MB resident]", flush=True)
     for dtype, name in ((jnp.int8, "int8"), (jnp.bfloat16, "bf16")):
         for m in (8, 16, 32, 64, 128):
             try:
