@@ -103,7 +103,8 @@ def main() -> None:
         """Grid step with NO input windows at all — pure grid overhead."""
 
         def kernel(o_ref):
-            o_ref[...] = jnp.float32(1.0) * pl.program_id(0)
+            o_ref[...] = jnp.full(o_ref.shape, 1.0, jnp.float32) \
+                * pl.program_id(0).astype(jnp.float32)
 
         f = pl.pallas_call(
             kernel,
