@@ -219,7 +219,7 @@ def _pairs_sq_kernel(meta_ref, counts_ref, ui_ref, qs_ref, *rest,
     jax.jit,
     static_argnames=("k", "k_scan", "nprobe", "metric", "codec",
                      "interpret", "qg", "ways_opt", "sweep",
-                     "digit_dtype"),
+                     "digit_dtype", "mega"),
 )
 def pallas_ivf_sq_pairs_search(
     codes_lists,   # (nlist, lmax, w) uint8 / (nlist, 3, lmax, d4) sq6
@@ -243,6 +243,7 @@ def pallas_ivf_sq_pairs_search(
     ways_opt: int | None = None,
     sweep: bool = False,
     digit_dtype: str = "int8",
+    mega: bool = False,
 ):
     """MXU-batched IVF-SQ list scan (see module docstring).  Same output
     conventions as pallas_ivf_sq_search: (scores (nq, k) max-oriented
@@ -304,7 +305,20 @@ def pallas_ivf_sq_pairs_search(
                                 tile_list])
     else:
         t_max = pairs_t_max(nq, nprobe, nlist, qg)
-        t_max = -(-t_max // ways) * ways
+        blk = 3 * lmax * ((d + 3) // 4) if codec == "sq6" \
+            else lmax * wbytes
+        if mega:
+            # tiles per mega step / in-flight slots, VMEM-fitted: slots
+            # code buffers + the (tps, qg, lmax) fp32 out window.
+            slots = 3 if 3 * blk <= (9 << 20) else 2
+            tps = 16
+            while tps > 4 and \
+                    slots * blk + tps * qg * lmax * 4 > (13 << 20):
+                tps //= 2
+            round_to = tps
+        else:
+            round_to = ways
+        t_max = -(-t_max // round_to) * round_to
         tile_list, tile_q, pair_slot, n_tiles = build_pair_tiles(
             probe_ids.astype(jnp.int32), nlist=nlist, t_max=t_max, qg=qg)
         meta = jnp.concatenate([n_tiles[None].astype(jnp.int32),
@@ -317,6 +331,53 @@ def pallas_ivf_sq_pairs_search(
     dead = jnp.inf if not sim else -jnp.inf
     qs_t = qs_t.at[:, :, 2].set(
         jnp.where(tile_q < 0, dead, qs_t[:, :, 2]))
+
+    if mega and not sweep:
+        rlanes = [row_norm, row_sum]
+        if has_mask:
+            rlanes.append(mask.reshape(nlist, lmax).astype(jnp.float32))
+        rnrs = jnp.stack(rlanes, axis=1)          # (nlist, C, lmax) f32
+        code_shape = ((slots, 3, lmax, (d + 3) // 4) if codec == "sq6"
+                      else (slots, lmax, wbytes))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(t_max // tps,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+            out_specs=pl.BlockSpec((tps, qg, lmax),
+                                   lambda i, tl, cn: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM(code_shape, jnp.uint8),
+                pltpu.VMEM((slots, qg, ui_t.shape[2]), jnp.int8),
+                pltpu.VMEM((slots, qg, 4), jnp.float32),
+                pltpu.VMEM((slots, len(rlanes), lmax), jnp.float32),
+                pltpu.SemaphoreType.DMA((slots, 4)),
+            ],
+        )
+        kernel = functools.partial(
+            _pairs_sq_mega_kernel, metric=metric, codec=codec,
+            has_mask=has_mask, qg=qg, tps=tps, slots=slots,
+            digit_dtype=digit_dtype)
+        raw = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((t_max, qg, lmax),
+                                           jnp.float32),
+            interpret=interpret,
+        )(meta, counts.astype(jnp.int32), ui_t, qs_t, codes_lists, rnrs)
+
+        from .pallas_ivf import sq_exact_rerank
+
+        pv = (raw.reshape(t_max * qg, lmax)[pair_slot.reshape(-1)]
+              .reshape(nq, nprobe * lmax))
+        k_scan = min(k_scan, nprobe * lmax)
+        best, sel = exact_topk(pv, k_scan)
+        safe_lane = sel % lmax
+        lids = jnp.take_along_axis(probe_ids, sel // lmax, axis=1)
+        pos = row_pos[lids, safe_lane]
+        return sq_exact_rerank(codes_lists, lids, safe_lane, pos, best,
+                               xq, vmin, scale, codec=codec, k=k,
+                               metric=metric)
 
     def lspec(w):
         if sweep:
@@ -400,6 +461,125 @@ def pallas_ivf_sq_pairs_search(
     pos = row_pos[lids, safe_lane]
     return sq_exact_rerank(codes_lists, lids, safe_lane, pos, best, xq,
                            vmin, scale, codec=codec, k=k, metric=metric)
+
+
+def _pairs_sq_mega_kernel(meta_ref, counts_ref, ui_hbm, qs_hbm,
+                          payload_hbm, rnrs_hbm, out_ref,
+                          code_buf, ui_buf, qs_buf, rnrs_buf, sems, *,
+                          metric: str, codec: str, has_mask: bool,
+                          qg: int, tps: int, slots: int,
+                          digit_dtype: str):
+    """Mega-step variant of the pair-tile scan: ONE grid step processes
+    ``tps`` tiles with hand-rolled async copies over ``slots`` VMEM
+    buffers.  Motivation (mxu_probe, 2026-08-20): the automatic-pipeline
+    kernel pays ~12.5 us PER GRID STEP even for a no-op body — ~4000
+    tile-steps made the 8.8M x 1536 b1024 scan ~50 ms against a ~10 ms
+    floor.  Here the per-tile cost is one semaphore wait + four DMA
+    starts, and copies for ``slots-1`` tiles stay in flight.
+
+    Layouts: ui (t_max, qg, 2wq) int8, qs (t_max, qg, 4) fp32 (per-tile
+    gathered query operands), payload (nlist, lmax, w) u8 (sq6:
+    (nlist, 3, lmax, d4)), rnrs (nlist, C, lmax) fp32 with C = 2 + mask
+    (row_norm, row_sum, and the selector mask widened to fp32 so one
+    DMA fetches all per-row lanes)."""
+    from .sq_digits import sq_block_digit_dot, sq_utile
+
+    t_sup = pl.program_id(0)
+    base = t_sup * tps
+    n_tiles = meta_ref[0]
+    sim = metric == "INNER_PRODUCT"
+
+    def tile_copies(slot, ti):
+        gt = base + ti
+        lid = meta_ref[1 + gt]
+        return (
+            pltpu.make_async_copy(payload_hbm.at[lid],
+                                  code_buf.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(ui_hbm.at[gt],
+                                  ui_buf.at[slot], sems.at[slot, 1]),
+            pltpu.make_async_copy(qs_hbm.at[gt],
+                                  qs_buf.at[slot], sems.at[slot, 2]),
+            pltpu.make_async_copy(rnrs_hbm.at[lid],
+                                  rnrs_buf.at[slot], sems.at[slot, 3]),
+        )
+
+    def start(slot, ti):
+        for c in tile_copies(slot, ti):
+            c.start()
+
+    def wait(slot, ti):
+        for c in tile_copies(slot, ti):
+            c.wait()
+
+    for s in range(slots - 1):          # warmup: slots-1 tiles in flight
+        start(s, s)
+
+    if codec == "sq6":
+        lmax = code_buf.shape[2]
+        wb = 3 * code_buf.shape[3]
+    else:
+        lmax = code_buf.shape[1]
+        wb = code_buf.shape[2]
+    utile = sq_utile(codec, lmax, wb,
+                     slots * (lmax * wb + 2 * qg * lmax) + qg * lmax * 4,
+                     dtype=digit_dtype)
+
+    def body(ti, _):
+        slot = lax.rem(ti, slots)
+        nxt = ti + slots - 1
+
+        @pl.when(nxt < tps)
+        def _prefetch():
+            start(lax.rem(nxt, slots), nxt)
+
+        wait(slot, ti)
+        gt = base + ti
+
+        @pl.when(gt < n_tiles)
+        def _score():
+            block = code_buf[slot]
+            ui = ui_buf[slot]                       # (qg, 2*wq) int8
+            qsv = qs_buf[slot]                      # (qg, 4) fp32
+            rv = rnrs_buf[slot]                     # (C, lmax) fp32
+            wq = ui.shape[1] // 2
+            su2 = qsv[:, 0]
+            c0 = qsv[:, 1]
+            base_q = qsv[:, 2]
+            mu = qsv[:, 3]
+            rn_row = rv[0]
+            rs_row = rv[1]
+            cnt = counts_ref[meta_ref[1 + gt]]
+            hi_q = lax.slice(ui, (0, 0), (qg, wq))
+            lo_q = lax.slice(ui, (0, wq), (qg, 2 * wq))
+            ug2 = jnp.concatenate([hi_q, lo_q], axis=0)
+            d_parts = []
+            for t0 in range(0, lmax, utile):
+                ut = min(utile, lmax - t0)
+                dot = sq_block_digit_dot(block, t0, ut, codec,
+                                         dtype=digit_dtype)
+                d_parts.append(dot(ug2))
+            dot2 = (d_parts[0] if len(d_parts) == 1
+                    else jnp.concatenate(d_parts, axis=1))
+            dot_hi = lax.slice(dot2, (0, 0), (qg, lmax))
+            dot_lo = lax.slice(dot2, (qg, 0), (2 * qg, lmax))
+            utc = su2[:, None] * (128.0 * dot_hi.astype(jnp.float32)
+                                  + dot_lo.astype(jnp.float32))
+            uc = utc + c0[:, None] + mu[:, None] * rs_row[None, :]
+            if sim:
+                score = base_q[:, None] + uc
+            else:
+                score = -jnp.maximum(
+                    base_q[:, None] - 2.0 * uc + rn_row[None, :], 0.0)
+            lane = lax.broadcasted_iota(jnp.int32, (qg, lmax), 1)
+            valid = lane < cnt
+            if has_mask:
+                valid = jnp.logical_and(valid, rv[2][None, :] != 0.0)
+            out_ref[pl.ds(ti, 1)] = \
+                jnp.where(valid, score, _NEG_INF)[None]
+
+        return 0
+
+    lax.fori_loop(0, tps, body, 0)
 
 
 def _pairs_flat_kernel(meta_ref, counts_ref, xq_ref, qs_ref, *rest,

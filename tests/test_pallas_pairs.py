@@ -465,3 +465,33 @@ def test_digit_dtype_bf16_matches_int8(codec):
             np.testing.assert_allclose(np.asarray(s8), np.asarray(sb),
                                        rtol=1e-5, atol=1e-5)
             assert (np.asarray(p8) == np.asarray(pb)).mean() > 0.95
+
+
+@pytest.mark.parametrize("codec", ["sq8", "sq4", "sq6"])
+def test_mega_kernel_matches_standard(codec):
+    """The mega-step pairs kernel (hand-rolled DMA, tps tiles per grid
+    step — built because the automatic pipeline pays ~12.5 us per grid
+    step) returns identical scores/positions to the per-tile-step
+    kernel, with and without a selector mask."""
+    rng = np.random.default_rng(23)
+    n, d, nlist, lmax, nprobe, k = 600, 64, 8, 128, 4, 5
+    xb = rng.standard_normal((n, d)).astype(np.float32)
+    xq = rng.standard_normal((20, d)).astype(np.float32)
+    for metric in ("L2", "INNER_PRODUCT"):
+        (lists, rn, rs, counts, row_pos, vmin, scale,
+         dec) = _sq_state(xb, nlist, lmax, codec, rng, metric)
+        probe = np.stack([rng.choice(nlist, nprobe, replace=False)
+                          for _ in range(20)]).astype(np.int32)
+        mask = (rng.random((nlist, lmax)) < 0.7).astype(np.int8)
+        kw = dict(k=k, k_scan=2 * k, nprobe=nprobe, metric=metric,
+                  codec=codec, interpret=True)
+        for m in (None, jnp.asarray(mask)):
+            s1, p1 = pallas_ivf_sq_pairs_search(
+                lists, rn, rs, counts, jnp.asarray(row_pos), vmin, scale,
+                jnp.asarray(probe), jnp.asarray(xq), m, **kw)
+            s2, p2 = pallas_ivf_sq_pairs_search(
+                lists, rn, rs, counts, jnp.asarray(row_pos), vmin, scale,
+                jnp.asarray(probe), jnp.asarray(xq), m, mega=True, **kw)
+            np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                                       rtol=1e-5, atol=1e-5)
+            assert (np.asarray(p1) == np.asarray(p2)).mean() > 0.95

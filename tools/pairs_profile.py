@@ -301,6 +301,22 @@ def main() -> None:
             print(f"  pairs hot-lists qg={qg} ways={ways}: "
                   f"{t_hot*1e3:7.1f} ms (compute-only regime)", flush=True)
 
+        # Mega-step kernel (hand-rolled DMA, tps tiles per grid step):
+        # the automatic pipeline pays ~12.5 us per grid step (mxu_probe
+        # no-op, 2026-08-20) — this is the candidate fix.
+        for dd in ("bf16", "int8"):
+            t_mg, r_mg = timed(
+                pp.pallas_ivf_sq_pairs_search, payload, row_norm, row_sum,
+                counts, row_pos, vmin, scale, probe_ids, xq, None,
+                qg=qg, mega=True, digit_dtype=dd, interpret=interp, **kw)
+            agree = (float(np.mean([
+                len(set(a) & set(b)) / 10
+                for a, b in zip(np.asarray(r_mg[1]),
+                                np.asarray(r_ref[1]))]))
+                if not args.skip_sweeps else float("nan"))
+            print(f"  pairs MEGA digit_dtype={dd}: {t_mg*1e3:7.1f} ms "
+                  f"(agree {agree:.4f})", flush=True)
+
         # Digit-dot dtype A/B at the best config: bf16-cast operands
         # (MXU) vs s8xs8 dot_general (suspected VPU lowering at small M).
         for dd in ("bf16", "int8"):
