@@ -495,3 +495,36 @@ def test_mega_kernel_matches_standard(codec):
             np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
                                        rtol=1e-5, atol=1e-5)
             assert (np.asarray(p1) == np.asarray(p2)).mean() > 0.95
+
+
+def test_flat_mega_kernel_matches_standard():
+    """Flat-kernel mega-step variant parity (see the SQ mega test)."""
+    from duckdb_faiss_ext_tpu.ops.pallas_ivf_pairs import \
+        pallas_ivf_pairs_search
+
+    rng = np.random.default_rng(31)
+    nlist, lmax, d, nprobe, k = 8, 128, 64, 4, 5
+    xb = rng.standard_normal((nlist, lmax, d)).astype(np.float32)
+    counts = np.full(nlist, 100, np.int32)
+    row_pos = np.arange(nlist * lmax, dtype=np.int32) \
+        .reshape(nlist, lmax)
+    row_pos[:, 100:] = -1
+    xq = rng.standard_normal((20, d)).astype(np.float32)
+    probe = np.stack([rng.choice(nlist, nprobe, replace=False)
+                      for _ in range(20)]).astype(np.int32)
+    mask = (rng.random((nlist, lmax)) < 0.7).astype(np.int8)
+    for metric in ("L2", "INNER_PRODUCT"):
+        for m in (None, jnp.asarray(mask)):
+            kw = dict(k=k, k_scan=2 * k, nprobe=nprobe, metric=metric,
+                      interpret=True)
+            s1, p1 = pallas_ivf_pairs_search(
+                jnp.asarray(xb), jnp.asarray(counts),
+                jnp.asarray(row_pos), jnp.asarray(probe),
+                jnp.asarray(xq), m, **kw)
+            s2, p2 = pallas_ivf_pairs_search(
+                jnp.asarray(xb), jnp.asarray(counts),
+                jnp.asarray(row_pos), jnp.asarray(probe),
+                jnp.asarray(xq), m, mega=True, **kw)
+            np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                                       rtol=1e-5, atol=1e-5)
+            assert (np.asarray(p1) == np.asarray(p2)).mean() > 0.95

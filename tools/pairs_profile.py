@@ -158,6 +158,43 @@ def crossover_sweep() -> None:
     print("CROSSOVER-SWEEP COMPLETE", flush=True)
 
 
+def flat_ab(args) -> None:
+    """Flat pairs kernel standard-vs-mega A/B at the 1M x 128 bench
+    shape (nlist 4096, lmax 256): the headline ivf_qps_b1024 rides this
+    kernel, and ~4000 tiles x 12.5 us/step is most of its 69 ms."""
+    import jax
+    import jax.numpy as jnp
+
+    from duckdb_faiss_ext_tpu.ops import pallas_ivf_pairs as pp
+    from duckdb_faiss_ext_tpu.utils.config import on_tpu
+
+    interp = not on_tpu()
+    nlist, lmax, d, nq, nprobe = 4096, 256, 128, args.nq, 64
+    key = jax.random.PRNGKey(3)
+    k1, k2, k3 = jax.random.split(key, 3)
+    payload = jax.random.normal(k1, (nlist, lmax, d), jnp.float32)
+    counts = jnp.full((nlist,), lmax, jnp.int32)
+    row_pos = jnp.arange(nlist * lmax, dtype=jnp.int32) \
+        .reshape(nlist, lmax)
+    xq = jax.random.normal(k2, (nq, d), jnp.float32)
+    probe_ids = jax.random.randint(k3, (nq, nprobe), 0, nlist, jnp.int32)
+    kw = dict(k=10, k_scan=72, nprobe=nprobe, metric="INNER_PRODUCT")
+    print(f"flat payload {nlist}x{lmax}x{d} fp32 = "
+          f"{nlist * lmax * d * 4 / (1 << 30):.1f} GiB, b{nq} "
+          f"nprobe={nprobe}", flush=True)
+    res = {}
+    for mega in (False, True):
+        t, r = timed(pp.pallas_ivf_pairs_search, payload, counts,
+                     row_pos, probe_ids, xq, None, mega=mega,
+                     interpret=interp, **kw)
+        res[mega] = (t, np.asarray(r[1]))
+        print(f"  flat pairs mega={mega}: {t*1e3:7.1f} ms", flush=True)
+    agree = float(np.mean([len(set(a) & set(b)) / 10 for a, b in
+                           zip(res[False][1], res[True][1])]))
+    print(f"  label agreement: {agree:.4f}", flush=True)
+    print("FLAT-AB COMPLETE", flush=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--crossover", action="store_true",
@@ -176,10 +213,18 @@ def main() -> None:
     ap.add_argument("--skip-sweeps", action="store_true",
                     help="skip the (qg, ways)/sweep/hot A/Bs but keep "
                          "the tiles/kernel/epilogue decomposition")
+    ap.add_argument("--flat", action="store_true",
+                    help="flat (fp32) pairs kernel standard-vs-mega A/B "
+                         "at the bench shape (nlist 4096, lmax 256, "
+                         "d 128)")
     args = ap.parse_args()
 
     if args.crossover:
         crossover_sweep()
+        return
+
+    if args.flat:
+        flat_ab(args)
         return
 
     import jax
