@@ -44,4 +44,5 @@ step "pairs_decomp"      2700 python tools/pairs_profile.py \
 step "pairs_decomp_2048" 2700 python tools/pairs_profile.py \
   --skip-sweeps --skip-spill --lmax 2048
 step "spill_ab"          2700 python tools/pairs_profile.py --skip-pairs
+step "flat_ab"           2700 python tools/pairs_profile.py --flat
 echo "=== master3b done $(date -u +%H:%M:%S) ==="
