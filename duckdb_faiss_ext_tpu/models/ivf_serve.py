@@ -229,7 +229,8 @@ def _dispatch_inner(self, xq, k, params=EMPTY, selector=None):
                         k=k_kernel, k_scan=k_scan, nprobe=nprobe_eff,
                         metric=self.metric.name, codec=self.sq_type,
                         interpret=not on_tpu(),
-                        digit_dtype=config.sq_digit_dtype)
+                        digit_dtype=config.sq_digit_dtype,
+                        mega=config.pairs_impl == "mega")
                 from ..ops.pallas_ivf_pairs import pallas_ivf_pairs_search
 
                 self._last_scan_path = "pairs-flat"
@@ -238,7 +239,8 @@ def _dispatch_inner(self, xq, k, params=EMPTY, selector=None):
                 return pallas_ivf_pairs_search(
                     payload, counts, row_pos, probe_b, xq_b, mask,
                     k=k_kernel, k_scan=k_scan, nprobe=nprobe_eff,
-                    metric=self.metric.name, interpret=not on_tpu())
+                    metric=self.metric.name, interpret=not on_tpu(),
+                    mega=config.pairs_impl == "mega")
 
             if qb_pairs >= xq_pad.shape[0]:
                 scores, pos = run_pairs(xq_pad, probe_ids)

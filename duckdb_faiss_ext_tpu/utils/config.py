@@ -50,6 +50,10 @@ class Config:
     #: ops/sq_digits.py); "int8" keeps the s8xs8 dot_general, which
     #: per-tile timing showed running at ~VPU MAC rates for small M.
     sq_digit_dtype: str = "bf16"
+    #: pair-tile kernel implementation: "grid" = one tile per automatic
+    #: grid step (measured ~12.5 us/step overhead); "mega" = hand-rolled
+    #: DMA, 16+ tiles per step (ops/pallas_ivf_pairs.py mega kernels).
+    pairs_impl: str = "grid"
 
     @property
     def precision(self):
