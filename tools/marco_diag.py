@@ -47,6 +47,8 @@ def main() -> None:
               f"path={getattr(idx, '_last_scan_path', '?')}", flush=True)
         return best
 
+    from duckdb_faiss_ext_tpu.utils.config import config
+
     dfx.set_precision("fast")
     dfx.set_kernel_mode("pallas")
     saved = (IVFIndex.PAIRS_MIN_BATCH, IVFIndex.PAIRS_MIN_WORK)
@@ -55,7 +57,17 @@ def main() -> None:
         t_full = timed("pairs + spill (full)")
         idx._device_spill = None
         t_pad = timed("pairs, no spill")
-        idx._device_spill = spill
+        t_mega = t_mega_full = float("nan")
+        try:
+            config.pairs_impl = "mega"
+            t_mega = timed("pairs MEGA, no spill")
+            idx._device_spill = spill
+            t_mega_full = timed("pairs MEGA + spill (full)")
+            idx._device_spill = None
+        except Exception as e:  # noqa: BLE001 — keep the rest of the diag
+            print(f"  pairs MEGA FAILED: {type(e).__name__}: "
+                  f"{str(e)[:160]}", flush=True)
+        config.pairs_impl = "grid"
         IVFIndex.PAIRS_MIN_BATCH = 10 ** 9
         t_pq = timed("per-query + spill")
         idx._device_spill = None
@@ -63,9 +75,11 @@ def main() -> None:
     finally:
         idx._device_spill = spill
         (IVFIndex.PAIRS_MIN_BATCH, IVFIndex.PAIRS_MIN_WORK) = saved
+        config.pairs_impl = "grid"
         dfx.set_kernel_mode("auto")
     print(f"spill-scan share: {(t_full - t_pad)*1e3:.1f} ms; "
-          f"padded pairs {t_pad*1e3:.1f} ms vs per-query "
+          f"padded pairs {t_pad*1e3:.1f} ms (mega {t_mega*1e3:.1f} ms, "
+          f"mega full {t_mega_full*1e3:.1f} ms) vs per-query "
           f"{t_pq_pad*1e3:.1f} ms ({t_pq_pad/t_pad:.2f}x)", flush=True)
     print("MARCO-DIAG COMPLETE", flush=True)
 

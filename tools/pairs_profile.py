@@ -350,10 +350,16 @@ def main() -> None:
         # the automatic pipeline pays ~12.5 us per grid step (mxu_probe
         # no-op, 2026-08-20) — this is the candidate fix.
         for dd in ("bf16", "int8"):
-            t_mg, r_mg = timed(
-                pp.pallas_ivf_sq_pairs_search, payload, row_norm, row_sum,
-                counts, row_pos, vmin, scale, probe_ids, xq, None,
-                qg=qg, mega=True, digit_dtype=dd, interpret=interp, **kw)
+            try:
+                t_mg, r_mg = timed(
+                    pp.pallas_ivf_sq_pairs_search, payload, row_norm,
+                    row_sum, counts, row_pos, vmin, scale, probe_ids, xq,
+                    None, qg=qg, mega=True, digit_dtype=dd,
+                    interpret=interp, **kw)
+            except Exception as e:  # noqa: BLE001
+                print(f"  pairs MEGA digit_dtype={dd}: FAILED "
+                      f"{type(e).__name__}: {str(e)[:140]}", flush=True)
+                continue
             agree = (float(np.mean([
                 len(set(a) & set(b)) / 10
                 for a, b in zip(np.asarray(r_mg[1]),
