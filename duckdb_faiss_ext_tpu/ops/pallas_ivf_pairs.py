@@ -342,16 +342,22 @@ def pallas_ivf_sq_pairs_search(
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(t_max // tps,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((t_max, qg, 4),
+                             lambda i, tl, cn: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
             out_specs=pl.BlockSpec((tps, qg, lmax),
                                    lambda i, tl, cn: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM(code_shape, jnp.uint8),
                 pltpu.VMEM((slots, qg, ui_t.shape[2]), jnp.int8),
-                pltpu.VMEM((slots, qg, 4), jnp.float32),
                 pltpu.VMEM((slots, len(rlanes), lmax), jnp.float32),
-                pltpu.SemaphoreType.DMA((slots, 4)),
+                pltpu.SemaphoreType.DMA((slots, 3)),
             ],
         )
         kernel = functools.partial(
@@ -463,9 +469,9 @@ def pallas_ivf_sq_pairs_search(
                            vmin, scale, codec=codec, k=k, metric=metric)
 
 
-def _pairs_sq_mega_kernel(meta_ref, counts_ref, ui_hbm, qs_hbm,
+def _pairs_sq_mega_kernel(meta_ref, counts_ref, ui_hbm, qs_ref,
                           payload_hbm, rnrs_hbm, out_ref,
-                          code_buf, ui_buf, qs_buf, rnrs_buf, sems, *,
+                          code_buf, ui_buf, rnrs_buf, sems, *,
                           metric: str, codec: str, has_mask: bool,
                           qg: int, tps: int, slots: int,
                           digit_dtype: str):
@@ -477,11 +483,13 @@ def _pairs_sq_mega_kernel(meta_ref, counts_ref, ui_hbm, qs_hbm,
     floor.  Here the per-tile cost is one semaphore wait + four DMA
     starts, and copies for ``slots-1`` tiles stay in flight.
 
-    Layouts: ui (t_max, qg, 2wq) int8, qs (t_max, qg, 4) fp32 (per-tile
-    gathered query operands), payload (nlist, lmax, w) u8 (sq6:
-    (nlist, 3, lmax, d4)), rnrs (nlist, C, lmax) fp32 with C = 2 + mask
-    (row_norm, row_sum, and the selector mask widened to fp32 so one
-    DMA fetches all per-row lanes)."""
+    Layouts: ui (t_max, qg, 2wq) int8 (per-tile gathered query digits,
+    DMA'd per tile), qs (t_max, qg, 4) fp32 resident WHOLE in VMEM
+    (512 KB at t_max 4096 — a per-tile (qg, 4) DMA would be tiny and
+    lane-unaligned), payload (nlist, lmax, w) u8 (sq6: (nlist, 3, lmax,
+    d4)), rnrs (nlist, C, lmax) fp32 with C = 2 + mask (row_norm,
+    row_sum, and the selector mask widened to fp32 so one DMA fetches
+    all per-row lanes)."""
     from .sq_digits import sq_block_digit_dot, sq_utile
 
     t_sup = pl.program_id(0)
@@ -497,10 +505,8 @@ def _pairs_sq_mega_kernel(meta_ref, counts_ref, ui_hbm, qs_hbm,
                                   code_buf.at[slot], sems.at[slot, 0]),
             pltpu.make_async_copy(ui_hbm.at[gt],
                                   ui_buf.at[slot], sems.at[slot, 1]),
-            pltpu.make_async_copy(qs_hbm.at[gt],
-                                  qs_buf.at[slot], sems.at[slot, 2]),
             pltpu.make_async_copy(rnrs_hbm.at[lid],
-                                  rnrs_buf.at[slot], sems.at[slot, 3]),
+                                  rnrs_buf.at[slot], sems.at[slot, 2]),
         )
 
     def start(slot, ti):
@@ -539,7 +545,7 @@ def _pairs_sq_mega_kernel(meta_ref, counts_ref, ui_hbm, qs_hbm,
         def _score():
             block = code_buf[slot]
             ui = ui_buf[slot]                       # (qg, 2*wq) int8
-            qsv = qs_buf[slot]                      # (qg, 4) fp32
+            qsv = qs_ref[gt]                        # (qg, 4) fp32
             rv = rnrs_buf[slot]                     # (C, lmax) fp32
             wq = ui.shape[1] // 2
             su2 = qsv[:, 0]
@@ -582,19 +588,19 @@ def _pairs_sq_mega_kernel(meta_ref, counts_ref, ui_hbm, qs_hbm,
     lax.fori_loop(0, tps, body, 0)
 
 
-def _pairs_flat_mega_kernel(meta_ref, counts_ref, xq_hbm, qs_hbm,
+def _pairs_flat_mega_kernel(meta_ref, counts_ref, xq_hbm, qs_ref,
                             payload_hbm, *rest, metric: str,
                             has_mask: bool, precision, qg: int, tps: int,
                             slots: int):
     """Mega-step variant of the flat pair-tile scan (see
     _pairs_sq_mega_kernel for the motivation: ~12.5 us per automatic
-    grid step)."""
+    grid step).  qs stays whole in VMEM like the SQ variant."""
     if has_mask:
         maskf_hbm = rest[0]
-        out_ref, code_buf, xq_buf, qs_buf, mask_buf, sems = rest[1:]
+        out_ref, code_buf, xq_buf, mask_buf, sems = rest[1:]
     else:
         maskf_hbm = mask_buf = None
-        out_ref, code_buf, xq_buf, qs_buf, sems = rest
+        out_ref, code_buf, xq_buf, sems = rest
 
     t_sup = pl.program_id(0)
     base = t_sup * tps
@@ -610,12 +616,10 @@ def _pairs_flat_mega_kernel(meta_ref, counts_ref, xq_hbm, qs_hbm,
                                   code_buf.at[slot], sems.at[slot, 0]),
             pltpu.make_async_copy(xq_hbm.at[gt],
                                   xq_buf.at[slot], sems.at[slot, 1]),
-            pltpu.make_async_copy(qs_hbm.at[gt],
-                                  qs_buf.at[slot], sems.at[slot, 2]),
         ]
         if has_mask:
             cps.append(pltpu.make_async_copy(
-                maskf_hbm.at[lid], mask_buf.at[slot], sems.at[slot, 3]))
+                maskf_hbm.at[lid], mask_buf.at[slot], sems.at[slot, 2]))
         return cps
 
     def start(slot, ti):
@@ -643,7 +647,7 @@ def _pairs_flat_mega_kernel(meta_ref, counts_ref, xq_hbm, qs_hbm,
         @pl.when(gt < n_tiles)
         def _score():
             q = xq_buf[slot]                          # (qg, d) fp32
-            qsv = qs_buf[slot]
+            qsv = qs_ref[gt]
             bias = qsv[:, 0]
             qn = qsv[:, 1]
             block = code_buf[slot]                    # (lmax, d) fp32
@@ -775,20 +779,25 @@ def pallas_ivf_pairs_search(
         scratch = [
             pltpu.VMEM((slots, lmax, d), jnp.float32),
             pltpu.VMEM((slots, qg, d), jnp.float32),
-            pltpu.VMEM((slots, qg, 4), jnp.float32),
         ]
         margs = [meta, counts.astype(jnp.int32), xq_t, qs_t, xb_lists]
+        in_specs_m = [
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((t_max, qg, 4), lambda i, tl, cn: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ]
         if has_mask:
             scratch.append(pltpu.VMEM((slots, 1, lmax), jnp.float32))
             margs.append(mask.reshape(nlist, 1, lmax)
                          .astype(jnp.float32))
-        scratch.append(pltpu.SemaphoreType.DMA((slots, 4 if has_mask
-                                                else 3)))
+            in_specs_m.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        scratch.append(pltpu.SemaphoreType.DMA((slots, 3 if has_mask
+                                                else 2)))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(t_max // tps,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
-            * (4 if has_mask else 3),
+            in_specs=in_specs_m,
             out_specs=pl.BlockSpec((tps, qg, lmax),
                                    lambda i, tl, cn: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
