@@ -528,3 +528,40 @@ def test_flat_mega_kernel_matches_standard():
             np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
                                        rtol=1e-5, atol=1e-5)
             assert (np.asarray(p1) == np.asarray(p2)).mean() > 0.95
+
+
+def test_pairs_mega_path_end_to_end(catalog=None):
+    """config.pairs_impl='mega' routes big-batch IVF,SQ8 serving through
+    the mega-step kernel with identical results to the grid kernel."""
+    import duckdb_faiss_ext_tpu as dfx
+    from duckdb_faiss_ext_tpu.catalog import Catalog
+    from duckdb_faiss_ext_tpu.models.ivf import IVFIndex
+    from duckdb_faiss_ext_tpu.utils.config import config
+
+    cat = Catalog()
+    rng = np.random.default_rng(37)
+    n, d, nq, k = 20000, 32, 256, 10
+    xb = rng.standard_normal((n, d)).astype(np.float32)
+    xq = xb[:nq] + 0.01 * rng.standard_normal((nq, d)).astype(np.float32)
+    dfx.faiss_create("pm", d, "IVF64,SQ8", metric_type="L2", catalog=cat)
+    dfx.faiss_add(xb, "pm", catalog=cat)
+    dfx.set_kernel_mode("pallas")
+    dfx.set_precision("fast")        # int8 pallas plan needs fast mode
+    saved_work = IVFIndex.PAIRS_MIN_WORK
+    IVFIndex.PAIRS_MIN_WORK = 0
+    try:
+        idx = cat.get("pm").index
+        r1 = dfx.faiss_search("pm", k, xq, {"nprobe": "8"}, catalog=cat)
+        assert idx._last_scan_path == "pairs-sq8"
+        config.pairs_impl = "mega"
+        r2 = dfx.faiss_search("pm", k, xq, {"nprobe": "8"}, catalog=cat)
+        assert idx._last_scan_path == "pairs-sq8"
+    finally:
+        config.pairs_impl = "grid"
+        dfx.set_kernel_mode("auto")
+        dfx.set_precision("parity")
+        IVFIndex.PAIRS_MIN_WORK = saved_work
+    assert (r1["label"] == r2["label"]).mean() > 0.99
+    np.testing.assert_allclose(np.sort(r1["distance"], 1),
+                               np.sort(r2["distance"], 1),
+                               rtol=1e-5, atol=1e-5)
