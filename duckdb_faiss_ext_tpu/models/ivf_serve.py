@@ -275,6 +275,30 @@ def _dispatch_inner(self, xq, k, params=EMPTY, selector=None):
                         spill_rn=spill[4], spill_rs=spill[5],
                         int8_dot=(self.d >= 16 and sq_int8_active()),
                         int8_via=config.spill_int8_via)
+            use_pallas_spill = (
+                self.sq_type in ("sq8", "sq4")
+                and len(spill) > 4 and spill[4] is not None
+                and sq_int8_active() and self.pq_m is None
+                and config.spill_impl != "xla"
+                and (config.spill_impl == "pallas"
+                     or (sp_used or sp_pos.shape[0])
+                     >= config.spill_pallas_min))
+            if use_pallas_spill:
+                from ..ops.pallas_spill import pallas_spill_search
+
+                sp_scores, sp_positions = pallas_spill_search(
+                    sp_payload, sp_assign, sp_pos, probe_ids, xq_pad,
+                    sp_mask, k=min(k_eff, sp_pos.shape[0]),
+                    metric=self.metric.name, sq=self.sq_type,
+                    sq_vmin=dev[6], sq_scale=dev[7],
+                    spill_rn=spill[4], spill_rs=spill[5],
+                    n_used=sp_used, interpret=not on_tpu(),
+                    digit_dtype=config.sq_digit_dtype)
+                scores, pos = merge_topk(scores, pos, sp_scores,
+                                         sp_positions, k_eff)
+                dist, pos = finalize_scores(scores, pos,
+                                            self.metric.name)
+                return dist, pos, nq, k_eff, ids_labels
             sp_scores, sp_positions = ivf_spill_scan(
                 sp_payload, sp_assign, sp_pos, cents_dev,
                 dev[4] if self.pq_m is not None else None,
