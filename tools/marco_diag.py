@@ -54,7 +54,10 @@ def main() -> None:
     saved = (IVFIndex.PAIRS_MIN_BATCH, IVFIndex.PAIRS_MIN_WORK)
     spill = idx._device_spill
     try:
-        t_full = timed("pairs + spill (full)")
+        t_full = timed("pairs + spill (full)")   # spill_impl auto→pallas
+        config.spill_impl = "xla"
+        t_full_xla = timed("pairs + spill (XLA spill)")
+        config.spill_impl = "auto"
         idx._device_spill = None
         t_pad = timed("pairs, no spill")
         t_mega = t_mega_full = float("nan")
@@ -76,8 +79,10 @@ def main() -> None:
         idx._device_spill = spill
         (IVFIndex.PAIRS_MIN_BATCH, IVFIndex.PAIRS_MIN_WORK) = saved
         config.pairs_impl = "grid"
+        config.spill_impl = "auto"
         dfx.set_kernel_mode("auto")
-    print(f"spill-scan share: {(t_full - t_pad)*1e3:.1f} ms; "
+    print(f"spill-scan share: pallas {(t_full - t_pad)*1e3:.1f} ms / "
+          f"xla {(t_full_xla - t_pad)*1e3:.1f} ms; "
           f"padded pairs {t_pad*1e3:.1f} ms (mega {t_mega*1e3:.1f} ms, "
           f"mega full {t_mega_full*1e3:.1f} ms) vs per-query "
           f"{t_pq_pad*1e3:.1f} ms ({t_pq_pad/t_pad:.2f}x)", flush=True)

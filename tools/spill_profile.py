@@ -117,6 +117,26 @@ def main() -> None:
         print(f"  ivf_spill_scan membership={ms:7s}: {t * 1e3:8.1f} ms "
               f"({t * 1e9 / n:.3f} us/row/b{nq})", flush=True)
 
+    # Fused Pallas dense spill scan (ops/pallas_spill.py).
+    from duckdb_faiss_ext_tpu.ops.pallas_spill import pallas_spill_search
+    from duckdb_faiss_ext_tpu.utils.config import on_tpu
+
+    def run_pallas():
+        s, p = pallas_spill_search(
+            payload, assign, pos, probe_ids, xq, None, k=args.k,
+            metric=metric, sq="sq8", sq_vmin=vmin, sq_scale=scale,
+            spill_rn=rn, spill_rs=rs, n_used=n,
+            interpret=not on_tpu(), digit_dtype="bf16")
+        fetch(s)
+
+    try:
+        t = best_of(run_pallas, args.iters)
+        print(f"  pallas_spill_search          : {t * 1e3:8.1f} ms "
+              f"({t * 1e9 / n:.3f} us/row/b{nq})", flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"  pallas_spill_search FAILED: {type(e).__name__}: "
+              f"{str(e)[:140]}", flush=True)
+
     # C: bare digit-dot floor — the same bf16 dots the scan runs, chunked
     # identically, with only a running max (no membership, no topk).
     sc = 16384
