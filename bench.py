@@ -31,6 +31,11 @@ BIG_BATCH = 1024
 BASELINE_SUBSAMPLE = 131_072
 
 
+def _cfg():
+    from duckdb_faiss_ext_tpu.utils.config import config
+    return config
+
+
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
@@ -286,6 +291,10 @@ def main():
         "rtt_end_ms": round(rtt_end, 2),
         "relay_degraded": bool(cached_rtt
                                and min(rtt_ms, rtt_end) > 2.0 * cached_rtt),
+        # Kernel-config attribution (round-3 knobs): which pair-tile
+        # implementation / digit-dot dtype produced these numbers.
+        "pairs_impl": _cfg().pairs_impl,
+        "sq_digit_dtype": _cfg().sq_digit_dtype,
     }
     print(json.dumps(line))
     try:
