@@ -510,12 +510,21 @@ def _pairs_sq_mega_kernel(meta_ref, counts_ref, ui_hbm, qs_ref,
         )
 
     def start(slot, ti):
-        for c in tile_copies(slot, ti):
-            c.start()
+        # Padding tiles (>= n_tiles) never compute and their output is
+        # never gathered — skip their copies entirely (at the marco
+        # shape ~2000 padding tiles would otherwise re-DMA list 0's
+        # 3 MB block each).  wait() predicates identically, so
+        # semaphore signals and waits stay paired.
+        @pl.when(base + ti < n_tiles)
+        def _go():
+            for c in tile_copies(slot, ti):
+                c.start()
 
     def wait(slot, ti):
-        for c in tile_copies(slot, ti):
-            c.wait()
+        @pl.when(base + ti < n_tiles)
+        def _go():
+            for c in tile_copies(slot, ti):
+                c.wait()
 
     for s in range(slots - 1):          # warmup: slots-1 tiles in flight
         start(s, s)
@@ -623,12 +632,16 @@ def _pairs_flat_mega_kernel(meta_ref, counts_ref, xq_hbm, qs_ref,
         return cps
 
     def start(slot, ti):
-        for c in tile_copies(slot, ti):
-            c.start()
+        @pl.when(base + ti < n_tiles)   # padding tiles: no copy at all
+        def _go():
+            for c in tile_copies(slot, ti):
+                c.start()
 
     def wait(slot, ti):
-        for c in tile_copies(slot, ti):
-            c.wait()
+        @pl.when(base + ti < n_tiles)
+        def _go():
+            for c in tile_copies(slot, ti):
+                c.wait()
 
     for s in range(slots - 1):
         start(s, s)
