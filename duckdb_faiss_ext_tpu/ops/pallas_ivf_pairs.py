@@ -357,7 +357,7 @@ def pallas_ivf_sq_pairs_search(
                 pltpu.VMEM(code_shape, jnp.uint8),
                 pltpu.VMEM((slots, qg, ui_t.shape[2]), jnp.int8),
                 pltpu.VMEM((slots, len(rlanes), lmax), jnp.float32),
-                pltpu.SemaphoreType.DMA((slots, 3)),
+                pltpu.SemaphoreType.DMA((slots * 3,)),
             ],
         )
         kernel = functools.partial(
@@ -502,11 +502,14 @@ def _pairs_sq_mega_kernel(meta_ref, counts_ref, ui_hbm, qs_ref,
         lid = meta_ref[1 + gt]
         return (
             pltpu.make_async_copy(payload_hbm.at[lid],
-                                  code_buf.at[slot], sems.at[slot, 0]),
+                                  code_buf.at[slot],
+                                  sems.at[slot * 3]),
             pltpu.make_async_copy(ui_hbm.at[gt],
-                                  ui_buf.at[slot], sems.at[slot, 1]),
+                                  ui_buf.at[slot],
+                                  sems.at[slot * 3 + 1]),
             pltpu.make_async_copy(rnrs_hbm.at[lid],
-                                  rnrs_buf.at[slot], sems.at[slot, 2]),
+                                  rnrs_buf.at[slot],
+                                  sems.at[slot * 3 + 2]),
         )
 
     def start(slot, ti):
@@ -622,13 +625,16 @@ def _pairs_flat_mega_kernel(meta_ref, counts_ref, xq_hbm, qs_ref,
         lid = meta_ref[1 + gt]
         cps = [
             pltpu.make_async_copy(payload_hbm.at[lid],
-                                  code_buf.at[slot], sems.at[slot, 0]),
+                                  code_buf.at[slot],
+                                  sems.at[slot * 3]),
             pltpu.make_async_copy(xq_hbm.at[gt],
-                                  xq_buf.at[slot], sems.at[slot, 1]),
+                                  xq_buf.at[slot],
+                                  sems.at[slot * 3 + 1]),
         ]
         if has_mask:
             cps.append(pltpu.make_async_copy(
-                maskf_hbm.at[lid], mask_buf.at[slot], sems.at[slot, 2]))
+                maskf_hbm.at[lid], mask_buf.at[slot],
+                sems.at[slot * 3 + 2]))
         return cps
 
     def start(slot, ti):
@@ -805,8 +811,7 @@ def pallas_ivf_pairs_search(
             margs.append(mask.reshape(nlist, 1, lmax)
                          .astype(jnp.float32))
             in_specs_m.append(pl.BlockSpec(memory_space=pltpu.ANY))
-        scratch.append(pltpu.SemaphoreType.DMA((slots, 3 if has_mask
-                                                else 2)))
+        scratch.append(pltpu.SemaphoreType.DMA((slots * 3,)))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(t_max // tps,),
