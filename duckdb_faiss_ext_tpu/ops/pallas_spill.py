@@ -104,9 +104,14 @@ def _spill_kernel(ug2_ref, qs_ref, probes_ref, asg_ref, meta_ref,
         row0 = i * C + t0
         warg = row0 + lax.broadcasted_iota(
             jnp.int32, (nq, nw), 1) * WIN + jnp.minimum(warg_l, WIN - 1)
+        # Outputs are (nwin, nq): the blocked window axis is the sublane
+        # axis and the lane axis (nq) is whole, so the block's last dim
+        # always equals the array's — Mosaic's 128-lane block rule never
+        # triggers (the (nq, C//WIN) orientation statically violated it:
+        # last-dim blocks of 8-16 lanes).
         w0 = t0 // WIN
-        wmax_ref[:, w0:w0 + nw] = wmax
-        warg_ref[:, w0:w0 + nw] = warg
+        wmax_ref[w0:w0 + nw, :] = wmax.T
+        warg_ref[w0:w0 + nw, :] = warg.T
 
 
 @functools.partial(
@@ -193,9 +198,9 @@ def pallas_spill_search(spill_payload, spill_assign, spill_pos,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((nq, C // WIN), lambda i: (0, i),
+            pl.BlockSpec((C // WIN, nq), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nq, C // WIN), lambda i: (0, i),
+            pl.BlockSpec((C // WIN, nq), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -205,15 +210,19 @@ def pallas_spill_search(spill_payload, spill_assign, spill_pos,
     wmax, warg = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((nq, nwin), jnp.float32),
-                   jax.ShapeDtypeStruct((nq, nwin), jnp.int32)],
+        out_shape=[jax.ShapeDtypeStruct((nwin, nq), jnp.float32),
+                   jax.ShapeDtypeStruct((nwin, nq), jnp.int32)],
         interpret=interpret,
     )(ug2, qscal, probe_ids.astype(jnp.int32),
       spill_assign.reshape(1, s_pad),
       meta.reshape(1, len(lanes), s_pad),
       spill_payload.reshape(s_pad // C, C, w))
+    wmax = wmax.T                                      # (nq, nwin)
+    warg = warg.T
 
     # top-k_scan windows -> candidate rows -> exact fp32 rerank.
+    k_req = k
+    k = min(k, nwin)     # a tiny spill can have fewer windows than k
     f, add = (8, 96) if sq == "sq4" else (4, 32)
     k_scan = min(nwin, max(f * k, k + add))
     bestw, wsel = lax.top_k(wmax, k_scan)
@@ -235,4 +244,8 @@ def pallas_spill_search(spill_payload, spill_assign, spill_pos,
     rows = jnp.take_along_axis(cand, sel2, axis=1)
     pos = jnp.take(spill_pos, jnp.maximum(rows, 0))
     pos = jnp.where(jnp.isneginf(best), -1, pos)
+    if k < k_req:        # pad back to the caller's k (contract parity
+        pad = k_req - k  # with ivf_spill_scan)
+        best = jnp.pad(best, ((0, 0), (0, pad)), constant_values=_NEG_INF)
+        pos = jnp.pad(pos, ((0, 0), (0, pad)), constant_values=-1)
     return best, pos

@@ -54,12 +54,14 @@ class Config:
     #: grid step (measured ~12.5 us/step overhead); "mega" = hand-rolled
     #: DMA, 16+ tiles per step (ops/pallas_ivf_pairs.py mega kernels).
     pairs_impl: str = "grid"
-    #: spill-scan implementation: "auto" = the fused Pallas dense scan
-    #: (ops/pallas_spill.py) for sq8/sq4 spills >= spill_pallas_min rows
-    #: (where its 128-lane window prefilter is sparse enough to be
-    #: candidate-lossless in practice), XLA chunked scan otherwise;
-    #: "xla" / "pallas" force one path.
-    spill_impl: str = "auto"
+    #: spill-scan implementation: "xla" = the chunked XLA scan (exact,
+    #: chip-proven); "pallas" = the fused Pallas dense scan
+    #: (ops/pallas_spill.py — 128-lane window prefilter, approximate
+    #: pre-rerank); "auto" currently equals "xla".  Standing rule: a
+    #: kernel defaults on only after an on-chip label-agreement-1.0 run
+    #: is recorded in BASELINE.md — the Pallas spill kernel has not yet
+    #: cleared that bar, so it stays opt-in.
+    spill_impl: str = "xla"
     spill_pallas_min: int = 1 << 18
 
     @property
