@@ -275,10 +275,10 @@ def _dispatch_inner(self, xq, k, params=EMPTY, selector=None):
                         spill_rn=spill[4], spill_rs=spill[5],
                         int8_dot=(self.d >= 16 and sq_int8_active()),
                         int8_via=config.spill_int8_via)
-            # Opt-in only ("pallas" explicitly set): the window-max
-            # prefilter is approximate pre-rerank and the kernel has not
-            # yet recorded an on-chip label-agreement-1.0 run (standing
-            # rule, see utils/config.py spill_impl).  "auto" == "xla".
+            # On-chip label-agreement 1.0000 recorded 2026-08-20 (the
+            # exact full-window rerank, tools/spill_profile.py), so
+            # "auto" engages the Pallas scan for large sq8/sq4 spills
+            # (2.8x the XLA scan at the marco shape).
             sp_rows = (sp_pos.shape[0] if sp_used is None
                        else int(sp_used))
             use_pallas_spill = (
@@ -286,7 +286,9 @@ def _dispatch_inner(self, xq, k, params=EMPTY, selector=None):
                 and len(spill) > 4 and spill[4] is not None
                 and sq_int8_active() and self.pq_m is None
                 and self.d >= 16 and sp_rows > 0
-                and config.spill_impl == "pallas")
+                and config.spill_impl != "xla"
+                and (config.spill_impl == "pallas"
+                     or sp_rows >= config.spill_pallas_min))
             if use_pallas_spill:
                 from ..ops.pallas_spill import pallas_spill_search
 

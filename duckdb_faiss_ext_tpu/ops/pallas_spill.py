@@ -51,7 +51,9 @@ def _spill_kernel(ug2_ref, qs_ref, probes_ref, asg_ref, meta_ref,
                   digit_dtype: str):
     from .sq_digits import sq_block_digit_dot
 
-    i = pl.program_id(0)
+    i = pl.program_id(0)          # payload chunk; query block = grid dim 1
+                                  # (inner-most, so the chunk's payload
+                                  # block is fetched once per chunk)
     sim = metric == "INNER_PRODUCT"
     nq = qs_ref.shape[0]
     C = code_ref.shape[1]
@@ -117,16 +119,28 @@ def _spill_kernel(ug2_ref, qs_ref, probes_ref, asg_ref, meta_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "sq", "n_used", "interpret",
-                     "digit_dtype"))
+                     "digit_dtype", "exact"))
 def pallas_spill_search(spill_payload, spill_assign, spill_pos,
                         probe_ids, xq, mask, *, k, metric, sq,
                         sq_vmin, sq_scale, spill_rn, spill_rs,
                         n_used: int | None = None,
                         interpret: bool = False,
-                        digit_dtype: str = "bf16"):
+                        digit_dtype: str = "bf16",
+                        exact: bool = True):
     """Dense Pallas spill scan.  Same output conventions as
     ivf_spill_scan: (scores (nq, k) max-oriented fp32-exact, positions
-    (nq, k) int32 original-row ids, -1 missing)."""
+    (nq, k) int32 original-row ids, -1 missing).
+
+    ``exact=True`` (default): rerank ALL 128 rows of each query's top
+    (k+2) windows.  This is candidate-LOSSLESS for top-k: a row r in an
+    unselected window has int8-score <= that window's max, and k
+    selected windows each contain a row with int8-score >= it — but
+    exactness holds in the INT8 score order, and the fp32 rerank is
+    applied to the union, so the result matches the XLA scan's
+    int8-prefilter + fp32-rerank contract row-for-row.  ``exact=False``
+    keeps the cheaper window-argmax candidates (one row per window;
+    two true top-k rows in one 128-row window lose one — measured
+    0.999x agreement at the marco shape)."""
     from .sq import SQ_INT8_SHIFT, sq_decode, sq_query_digits
     from .sq_digits import sq_pack_query_planes, sq_utile
 
@@ -176,44 +190,66 @@ def pallas_spill_search(spill_payload, spill_assign, spill_pos,
         lanes.append(mask.astype(jnp.float32))
     meta = jnp.stack(lanes, axis=0)                    # (L, s_pad)
 
-    utile = min(C, max(WIN, sq_utile(sq, C, w, 2 * C * w + 4 * nq * w)
+    # Query blocking: in-kernel operand/score tiles scale with the query
+    # count (at nq=1024 the (2nq, utile) digit-dot output alone is ~16 MB
+    # — Mosaic compile OOMed on-chip 2026-08-20), so queries get their
+    # own INNER grid axis of <=256-row blocks.  The payload chunk's block
+    # index doesn't depend on the query axis, so Pallas fetches each
+    # chunk once and sweeps the query blocks over it.
+    # qb must be the whole query axis or a 128-multiple (Mosaic lane
+    # rule on the output blocks); serving pads nq to pow2 buckets so
+    # 256/128 always divide large batches.
+    if nq <= 256:
+        qb = nq
+    elif nq % 256 == 0:
+        qb = 256
+    elif nq % 128 == 0:
+        qb = 128
+    else:
+        qb = nq
+    n_qb = nq // qb
+    utile = min(C, max(WIN, sq_utile(sq, C, w, 2 * C * w + 4 * qb * w)
                        // WIN * WIN))
     nwin = n_chunks * (C // WIN)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(n_chunks,),
+        grid=(n_chunks, n_qb),
         in_specs=[
-            pl.BlockSpec((2 * nq, ug2.shape[1]), lambda i: (0, 0),
+            pl.BlockSpec((2 * qb, ug2.shape[1]), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nq, 4), lambda i: (0, 0),
+            pl.BlockSpec((qb, 4), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nq, nprobe), lambda i: (0, 0),
+            pl.BlockSpec((qb, nprobe), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda i: (0, i),
+            pl.BlockSpec((1, C), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, len(lanes), C), lambda i: (0, 0, i),
+            pl.BlockSpec((1, len(lanes), C), lambda i, j: (0, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C, w), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, C, w), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((C // WIN, nq), lambda i: (i, 0),
+            pl.BlockSpec((C // WIN, qb), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((C // WIN, nq), lambda i: (i, 0),
+            pl.BlockSpec((C // WIN, qb), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
         ],
     )
     kernel = functools.partial(
         _spill_kernel, metric=metric, codec=sq, has_mask=has_mask,
         nprobe=nprobe, utile=utile, digit_dtype=digit_dtype)
+    # ug2 is (2nq, wq) with hi digits in rows [0, nq) and lo in [nq, 2nq)
+    # — re-interleave per query block so block j holds its own hi|lo.
+    ug2b = (ug2.reshape(2, n_qb, qb, -1).swapaxes(0, 1)
+            .reshape(2 * nq, -1))
     wmax, warg = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((nwin, nq), jnp.float32),
                    jax.ShapeDtypeStruct((nwin, nq), jnp.int32)],
         interpret=interpret,
-    )(ug2, qscal, probe_ids.astype(jnp.int32),
+    )(ug2b, qscal, probe_ids.astype(jnp.int32),
       spill_assign.reshape(1, s_pad),
       meta.reshape(1, len(lanes), s_pad),
       spill_payload.reshape(s_pad // C, C, w))
@@ -226,20 +262,81 @@ def pallas_spill_search(spill_payload, spill_assign, spill_pos,
     f, add = (8, 96) if sq == "sq4" else (4, 32)
     k_scan = min(nwin, max(f * k, k + add))
     bestw, wsel = lax.top_k(wmax, k_scan)
-    cand = jnp.take_along_axis(warg, wsel, axis=1)     # (nq, k_scan)
-    safe = jnp.maximum(cand, 0)
-    xs = sq_decode(spill_payload[safe.reshape(-1)], sq_vmin, sq_scale,
-                   sq).reshape(nq, k_scan, d)
-    xy2 = jnp.einsum("qd,qcd->qc", xq, xs,
-                     precision=lax.Precision.HIGHEST,
-                     preferred_element_type=jnp.float32)
-    if sim:
-        s2 = xy2
+
+    def exact_score(xq_b, xs_b):
+        xy_b = jnp.einsum("qd,qcd->qc", xq_b, xs_b,
+                          precision=lax.Precision.HIGHEST,
+                          preferred_element_type=jnp.float32)
+        if sim:
+            return xy_b
+        qn_b = jnp.sum(xq_b * xq_b, axis=1, keepdims=True)
+        bn_b = jnp.sum(xs_b * xs_b, axis=2)
+        return -jnp.maximum(qn_b - 2.0 * xy_b + bn_b, 0.0)
+
+    kw = min(nwin, k + 2) if exact else 0
+    if kw:
+        # Candidate-lossless leg: ALL 128 rows of each query's top
+        # (k+2) windows, gathered as contiguous window BLOCKS (~100x
+        # fewer gather descriptors than row gathers) and reranked
+        # fp32-exact, query-chunked so the decoded tile stays ~300 MB.
+        wfull = wsel[:, :kw]                           # (nq, kw)
+        sw = (s_pad // WIN) * WIN   # window ids < nwin <= s_pad//WIN, so
+        pay_w = spill_payload[:sw].reshape(-1, WIN, w)  # a ragged tail
+        asg_w = spill_assign[:sw].reshape(-1, WIN)      # is never indexed
+        pos_w = spill_pos[:sw].reshape(-1, WIN)
+        mask_w = mask[:sw].reshape(-1, WIN) if has_mask else None
+        qc = min(nq, 32)
+        while nq % qc:
+            qc -= 1
+        nblk = nq // qc
+
+        def block(argsb):
+            xq_b, probe_b, wf_b = argsb
+            codes = pay_w[wf_b]                        # (qc, kw, WIN, w)
+            xs_b = sq_decode(codes.reshape(-1, w), sq_vmin, sq_scale,
+                             sq).reshape(qc, kw * WIN, d)
+            s_b = exact_score(xq_b, xs_b)
+            asg_b = asg_w[wf_b].reshape(qc, kw * WIN)
+            ok = pos_w[wf_b].reshape(qc, kw * WIN) >= 0
+            probed = probe_b[:, 0:1] == asg_b
+            for j in range(1, nprobe):
+                probed = jnp.logical_or(
+                    probed, probe_b[:, j:j + 1] == asg_b)
+            ok = jnp.logical_and(ok, probed)
+            if has_mask:
+                ok = jnp.logical_and(
+                    ok, mask_w[wf_b].reshape(qc, kw * WIN) != 0)
+            return jnp.where(ok, s_b, _NEG_INF)
+
+        s_full = lax.map(block, (xq.reshape(nblk, qc, d),
+                                 probe_ids.astype(jnp.int32)
+                                 .reshape(nblk, qc, nprobe),
+                                 wfull.reshape(nblk, qc, kw)))
+        s_full = s_full.reshape(nq, kw * WIN)
+        rows_full = (wfull[:, :, None] * WIN
+                     + jnp.arange(WIN, dtype=jnp.int32)[None, None, :]
+                     ).reshape(nq, kw * WIN)
+
+    # Window-argmax leg (windows ranked kw+1..k_scan — disjoint from the
+    # full-window leg, so no candidate appears twice): absorbs int8-vs-
+    # fp32 ranking noise the same way ivf_spill_scan's widened k_scan
+    # does.
+    bw_t = bestw[:, kw:]
+    cand_t = jnp.take_along_axis(warg, wsel[:, kw:], axis=1)
+    safe = jnp.maximum(cand_t, 0)
+    nt = k_scan - kw
+    if nt:
+        xs = sq_decode(spill_payload[safe.reshape(-1)], sq_vmin,
+                       sq_scale, sq).reshape(nq, nt, d)
+        s_t = jnp.where(jnp.isneginf(bw_t), _NEG_INF,
+                        exact_score(xq, xs))
+    if kw and nt:
+        s2 = jnp.concatenate([s_full, s_t], axis=1)
+        cand = jnp.concatenate([rows_full, cand_t], axis=1)
+    elif kw:
+        s2, cand = s_full, rows_full
     else:
-        qn2 = jnp.sum(xq * xq, axis=1, keepdims=True)
-        bn2 = jnp.sum(xs * xs, axis=2)
-        s2 = -jnp.maximum(qn2 - 2.0 * xy2 + bn2, 0.0)
-    s2 = jnp.where(jnp.isneginf(bestw), _NEG_INF, s2)
+        s2, cand = s_t, cand_t
     best, sel2 = lax.top_k(s2, k)
     rows = jnp.take_along_axis(cand, sel2, axis=1)
     pos = jnp.take(spill_pos, jnp.maximum(rows, 0))

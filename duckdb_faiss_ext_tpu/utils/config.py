@@ -39,11 +39,14 @@ class Config:
     #: quantization recovered by the built-in exact rerank), decode path
     #: in parity mode; "int8" / "decode" force one path.
     sq_dot: str = "auto"
-    #: spill-scan digit-dot lowering: "bf16" routes the int8 digit dots
-    #: through bf16 MXU matmuls (int8 values are exact in bf16; XLA's
-    #: native int8 dot_general measured ~15x off the MXU on v5e);
-    #: "int32" keeps the int8->int32 einsum (A/B switch).
-    spill_int8_via: str = "bf16"
+    #: spill-scan digit-dot lowering for the XLA spill scan: "int32"
+    #: keeps the int8->int32 einsum; "bf16" casts through bf16 MXU
+    #: matmuls.  Settled by a clean same-session on-chip A/B
+    #: (2026-08-20, tools/spill_profile.py): int32 312.0 vs bf16
+    #: 326.5 ms at 1M rows/b1024, and 45.0 vs 48.2 ms at 262k/b256 —
+    #: int32 wins both shapes (the earlier cross-session diag that
+    #: motivated bf16 was relay-drift noise).
+    spill_int8_via: str = "int32"
     #: IN-KERNEL digit-dot operand dtype for the Pallas SQ scans (the
     #: per-query DMA and pair-tile kernels): "bf16" casts both int8
     #: operands to bf16 so the dot rides the MXU (integer-exact — see
@@ -54,14 +57,16 @@ class Config:
     #: grid step (measured ~12.5 us/step overhead); "mega" = hand-rolled
     #: DMA, 16+ tiles per step (ops/pallas_ivf_pairs.py mega kernels).
     pairs_impl: str = "grid"
-    #: spill-scan implementation: "xla" = the chunked XLA scan (exact,
-    #: chip-proven); "pallas" = the fused Pallas dense scan
-    #: (ops/pallas_spill.py — 128-lane window prefilter, approximate
-    #: pre-rerank); "auto" currently equals "xla".  Standing rule: a
-    #: kernel defaults on only after an on-chip label-agreement-1.0 run
-    #: is recorded in BASELINE.md — the Pallas spill kernel has not yet
-    #: cleared that bar, so it stays opt-in.
-    spill_impl: str = "xla"
+    #: spill-scan implementation: "auto" = the fused Pallas dense scan
+    #: (ops/pallas_spill.py, exact full-window rerank) for sq8/sq4
+    #: spills >= spill_pallas_min rows, XLA chunked scan otherwise;
+    #: "xla" / "pallas" force one path.  Standing rule: a kernel
+    #: defaults on only after an on-chip label-agreement-1.0 run is
+    #: recorded in BASELINE.md — cleared 2026-08-20
+    #: (tools/spill_profile.py: agreement 1.0000 at 1M rows/b1024 and
+    #: 262k/b256; 110 vs 312 ms = 2.8x over the XLA scan at the marco
+    #: shape).
+    spill_impl: str = "auto"
     spill_pallas_min: int = 1 << 18
 
     @property

@@ -117,16 +117,69 @@ def main() -> None:
                                          if args.metric == "IP" else "L2"))
 
     # ---- train on device-generated rows ---------------------------------
-    t0 = time.time()
-    tchunks = -(-args.train_rows // chunk)
-    xt = jnp.concatenate([gen_chunk(i, chunk) for i in range(tchunks)],
-                         axis=0)[: args.train_rows]
-    dfx.faiss_train_device(xt, name)
-    del xt
-    print(f"train ({args.train_rows} rows, {args.nlist} lists): "
-          f"{time.time() - t0:.1f}s", flush=True)
+    # FROZEN BENCHMARK INDEX (VERDICT r3 #5): k-means under the tunneled
+    # relay converges to DIFFERENT local optima across sessions (same
+    # seeds, different XLA env → spill 525k vs 1.05M rows), so the
+    # trained centroids + SQ stats are persisted keyed by every training
+    # input.  Every session then serves the IDENTICAL index — the
+    # analogue of the reference benchmarking one saved index file
+    # (/root/reference/go/benches_c.go:57 FAISS_LOAD).
+    import os
 
-    idx = GLOBAL_CATALOG.get(name).index
+    from duckdb_faiss_ext_tpu.ops.sq import SQ_LEVELS
+
+    entry = GLOBAL_CATALOG.get(name)
+    idx = entry.index
+    # Storage-independent key: k-means ignores the codec, and the SQ
+    # stats are stored as (vmin, span) so every SQ level derives its own
+    # scale = span/levels from the same frozen training pass.
+    cent_cache = (f"/root/repo/.marco_cents_d{d}_s{args.seed}"
+                  f"_c{args.clusters}_t{args.train_rows}_l{args.nlist}"
+                  f"_cs{args.center_scale}_b{args.balance}"
+                  f"_{args.metric}{'_un' if args.unit_norm else ''}.npz")
+    sq = idx.sq_type if idx.sq_type not in (None, "fp16", "bf16") else None
+    if os.path.exists(cent_cache):
+        z = np.load(cent_cache)
+        idx._centroids = np.asarray(z["centroids"], np.float32)
+        if sq is not None:
+            if "sq_vmin" not in z.files:
+                # cache written by a non-SQ run: derive the stats from
+                # the (deterministic) training subsample, then extend it
+                from duckdb_faiss_ext_tpu.ops.sq import sq_train
+
+                tchunks = -(-args.train_rows // chunk)
+                xt = jnp.concatenate(
+                    [gen_chunk(i, chunk) for i in range(tchunks)],
+                    axis=0)[: args.train_rows]
+                vmin, scale1 = sq_train(xt, 1)
+                del xt
+                np.savez(cent_cache, centroids=z["centroids"],
+                         sq_vmin=np.asarray(vmin),
+                         sq_span=np.asarray(scale1))
+                z = np.load(cent_cache)
+            idx._sq_vmin = np.asarray(z["sq_vmin"], np.float32)
+            idx._sq_scale = (np.asarray(z["sq_span"], np.float32)
+                             / float(SQ_LEVELS[sq]))
+        idx._populate_quantizer()
+        idx._invalidate()
+        entry.needs_training = False
+        print(f"frozen index loaded from {cent_cache}", flush=True)
+    else:
+        t0 = time.time()
+        tchunks = -(-args.train_rows // chunk)
+        xt = jnp.concatenate([gen_chunk(i, chunk) for i in range(tchunks)],
+                             axis=0)[: args.train_rows]
+        dfx.faiss_train_device(xt, name)
+        del xt
+        print(f"train ({args.train_rows} rows, {args.nlist} lists): "
+              f"{time.time() - t0:.1f}s", flush=True)
+        extra = {}
+        if sq is not None and getattr(idx, "_sq_vmin", None) is not None:
+            extra = {"sq_vmin": np.asarray(idx._sq_vmin),
+                     "sq_span": (np.asarray(idx._sq_scale)
+                                 * float(SQ_LEVELS[sq]))}
+        np.savez(cent_cache, centroids=np.asarray(idx._centroids), **extra)
+        print(f"trained index frozen to {cent_cache}", flush=True)
     cents = jnp.asarray(idx._centroids)
 
     # ---- pass A: exact counts (lmax sizing) + queries + exact GT --------
@@ -152,12 +205,18 @@ def main() -> None:
         nd, sel = jax.lax.top_k(-cat_d, k)
         return -nd, jnp.take_along_axis(cat_l, sel, axis=1)
 
+    import hashlib
     import os
 
     # _ip2: IP coarse training went spherical (cached counts depend on
-    # the centroids; gt does not, but one cache carries both).
+    # the centroids; gt does not, but one cache carries both).  The
+    # centroid digest ties the counts to the FROZEN index above — a
+    # retrain (new digest) invalidates stale counts automatically.
+    cdig = hashlib.sha1(
+        np.ascontiguousarray(idx._centroids)).hexdigest()[:8]
     tag = (("_un" if args.unit_norm else "")
-           + ("_ip2" if args.metric == "IP" else ""))
+           + ("_ip2" if args.metric == "IP" else "")
+           + f"_h{cdig}")
     cache = (f"/root/repo/.marco_passA_n{n}_d{d}_s{args.seed}"
              f"_c{args.clusters}_t{args.train_rows}_l{args.nlist}"
              f"_cs{args.center_scale}_b{args.balance}{tag}.npz")

@@ -98,7 +98,7 @@ def main() -> None:
     print(f"spill profile: n={n} d={d} sq8 nq={nq} nprobe={nprobe} "
           f"nlist={nlist} {metric}", flush=True)
 
-    def run(ms):
+    def run(ms, via=None, want_result=False):
         def f():
             s, p = ivf_spill_scan(
                 payload, assign, pos, centroids, None, probe_ids, xq,
@@ -106,7 +106,9 @@ def main() -> None:
                 precision=lax.Precision.DEFAULT, sq="sq8",
                 sq_vmin=vmin, sq_scale=scale, n_used=n,
                 spill_rn=rn, spill_rs=rs, int8_dot=True,
-                int8_via=config.spill_int8_via, membership=ms)
+                int8_via=via or config.spill_int8_via, membership=ms)
+            if want_result:
+                return np.asarray(p)
             fetch(s)
         return f
 
@@ -117,22 +119,38 @@ def main() -> None:
         print(f"  ivf_spill_scan membership={ms:7s}: {t * 1e3:8.1f} ms "
               f"({t * 1e9 / n:.3f} us/row/b{nq})", flush=True)
 
+    # VERDICT r3 #8: settle spill_int8_via with one clean same-session
+    # A/B (the two prior cross-session diags disagreed).
+    for via in ("bf16", "int32"):
+        t = best_of(run("cmp", via=via), args.iters)
+        print(f"  ivf_spill_scan int8_via={via:6s}: {t * 1e3:8.1f} ms",
+              flush=True)
+
     # Fused Pallas dense spill scan (ops/pallas_spill.py).
     from duckdb_faiss_ext_tpu.ops.pallas_spill import pallas_spill_search
     from duckdb_faiss_ext_tpu.utils.config import on_tpu
 
-    def run_pallas():
+    def run_pallas(want_result=False):
         s, p = pallas_spill_search(
             payload, assign, pos, probe_ids, xq, None, k=args.k,
             metric=metric, sq="sq8", sq_vmin=vmin, sq_scale=scale,
             spill_rn=rn, spill_rs=rs, n_used=n,
             interpret=not on_tpu(), digit_dtype="bf16")
+        if want_result:
+            return np.asarray(p)
         fetch(s)
 
     try:
         t = best_of(run_pallas, args.iters)
         print(f"  pallas_spill_search          : {t * 1e3:8.1f} ms "
               f"({t * 1e9 / n:.3f} us/row/b{nq})", flush=True)
+        ref_pos = run("cmp", want_result=True)()
+        pal_pos = run_pallas(want_result=True)
+        agree = float(np.mean([
+            len(set(ref_pos[q]) & set(pal_pos[q])) / max(
+                1, (ref_pos[q] >= 0).sum())
+            for q in range(nq)]))
+        print(f"  pallas-vs-xla label agreement: {agree:.4f}", flush=True)
     except Exception as e:  # noqa: BLE001
         print(f"  pallas_spill_search FAILED: {type(e).__name__}: "
               f"{str(e)[:140]}", flush=True)
