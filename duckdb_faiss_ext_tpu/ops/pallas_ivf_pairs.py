@@ -219,7 +219,8 @@ def _pairs_sq_kernel(meta_ref, counts_ref, ui_ref, qs_ref, *rest,
     jax.jit,
     static_argnames=("k", "k_scan", "nprobe", "metric", "codec",
                      "interpret", "qg", "ways_opt", "sweep",
-                     "digit_dtype", "mega"),
+                     "digit_dtype", "mega", "tps_opt", "slots_opt",
+                     "mega_skip_pad", "debug_raw", "utile_opt"),
 )
 def pallas_ivf_sq_pairs_search(
     codes_lists,   # (nlist, lmax, w) uint8 / (nlist, 3, lmax, d4) sq6
@@ -244,6 +245,11 @@ def pallas_ivf_sq_pairs_search(
     sweep: bool = False,
     digit_dtype: str = "int8",
     mega: bool = False,
+    tps_opt: int | None = None,
+    slots_opt: int | None = None,
+    mega_skip_pad: bool = True,
+    debug_raw: bool = False,
+    utile_opt: int | None = None,
 ):
     """MXU-batched IVF-SQ list scan (see module docstring).  Same output
     conventions as pallas_ivf_sq_search: (scores (nq, k) max-oriented
@@ -309,13 +315,18 @@ def pallas_ivf_sq_pairs_search(
             else lmax * wbytes
         if mega:
             # tiles per mega step / in-flight slots, VMEM-fitted: slots
-            # code buffers + the (tps, qg, lmax) fp32 out window.
-            slots = 3 if 3 * blk <= (9 << 20) else 2
-            tps = 16
-            while tps > 4 and \
-                    slots * blk + tps * qg * lmax * 4 > (13 << 20):
+            # of (code + ui + rnrs) buffers + the double-buffered
+            # (tps, qg, lmax) fp32 out window.
+            nrl = 2 + int(has_mask)
+            blk_s = blk + qg * 2 * wq + nrl * lmax * 4
+            slots = slots_opt or (3 if 3 * blk_s <= (9 << 20) else 2)
+            tps = tps_opt or 16
+            while tps_opt is None and tps > 4 and \
+                    slots * blk_s + 2 * tps * qg * lmax * 4 > (13 << 20):
                 tps //= 2
-            round_to = tps
+            # t_max must be a 128-multiple for _lane_pick's aligned
+            # window (tps is a pow2 <= 128, so 128 | t_max => tps | t_max)
+            round_to = 128
         else:
             round_to = ways
         t_max = -(-t_max // round_to) * round_to
@@ -344,7 +355,7 @@ def pallas_ivf_sq_pairs_search(
             grid=(t_max // tps,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec((t_max, qg, 4),
+                pl.BlockSpec((4, qg, t_max),
                              lambda i, tl, cn: (0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.ANY),
@@ -363,14 +374,18 @@ def pallas_ivf_sq_pairs_search(
         kernel = functools.partial(
             _pairs_sq_mega_kernel, metric=metric, codec=codec,
             has_mask=has_mask, qg=qg, tps=tps, slots=slots,
-            digit_dtype=digit_dtype)
+            digit_dtype=digit_dtype, skip_pad=mega_skip_pad,
+            utile_opt=utile_opt)
         raw = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((t_max, qg, lmax),
                                            jnp.float32),
             interpret=interpret,
-        )(meta, counts.astype(jnp.int32), ui_t, qs_t, codes_lists, rnrs)
+        )(meta, counts.astype(jnp.int32), ui_t,
+          jnp.transpose(qs_t, (2, 1, 0)), codes_lists, rnrs)
+        if debug_raw:
+            return raw, tile_list, tile_q, pair_slot
 
         from .pallas_ivf import sq_exact_rerank
 
@@ -453,6 +468,8 @@ def pallas_ivf_sq_pairs_search(
         out_shape=jax.ShapeDtypeStruct((t_max, qg, lmax), jnp.float32),
         interpret=interpret,
     )(*args)
+    if debug_raw:
+        return raw, tile_list, tile_q, pair_slot
 
     # Static inverse ROW gather: every original (query, probe) pair owns
     # one (tile, slot) score row; then the per-query kernel's epilogue.
@@ -469,12 +486,26 @@ def pallas_ivf_sq_pairs_search(
                            vmin, scale, codec=codec, k=k, metric=metric)
 
 
+def _lane_pick(qs_ref, gt):
+    """Read lane ``gt`` of a (S, qg, t_max) fp32 resident table.  Mosaic
+    requires dynamic LANE indices to be provably 128-aligned, so read
+    the aligned 128-lane window containing ``gt`` (pl.multiple_of hint)
+    and mask-reduce the wanted lane (t_max is rounded to 128 by the
+    caller so the window never overruns)."""
+    rem = lax.rem(gt, 128)
+    g0 = pl.multiple_of(gt - rem, 128)
+    win = qs_ref[:, :, pl.ds(g0, 128)]              # (S, qg, 128)
+    lane = lax.broadcasted_iota(jnp.int32, win.shape, 2)
+    return jnp.sum(jnp.where(lane == rem, win, 0.0), axis=2)
+
+
 def _pairs_sq_mega_kernel(meta_ref, counts_ref, ui_hbm, qs_ref,
                           payload_hbm, rnrs_hbm, out_ref,
                           code_buf, ui_buf, rnrs_buf, sems, *,
                           metric: str, codec: str, has_mask: bool,
                           qg: int, tps: int, slots: int,
-                          digit_dtype: str):
+                          digit_dtype: str, skip_pad: bool = True,
+                          utile_opt: int | None = None):
     """Mega-step variant of the pair-tile scan: ONE grid step processes
     ``tps`` tiles with hand-rolled async copies over ``slots`` VMEM
     buffers.  Motivation (mxu_probe, 2026-08-20): the automatic-pipeline
@@ -484,12 +515,14 @@ def _pairs_sq_mega_kernel(meta_ref, counts_ref, ui_hbm, qs_ref,
     starts, and copies for ``slots-1`` tiles stay in flight.
 
     Layouts: ui (t_max, qg, 2wq) int8 (per-tile gathered query digits,
-    DMA'd per tile), qs (t_max, qg, 4) fp32 resident WHOLE in VMEM
-    (512 KB at t_max 4096 — a per-tile (qg, 4) DMA would be tiny and
-    lane-unaligned), payload (nlist, lmax, w) u8 (sq6: (nlist, 3, lmax,
-    d4)), rnrs (nlist, C, lmax) fp32 with C = 2 + mask (row_norm,
-    row_sum, and the selector mask widened to fp32 so one DMA fetches
-    all per-row lanes)."""
+    DMA'd per tile), qs (4, qg, t_max) fp32 resident WHOLE in VMEM —
+    the TILE axis must be the LANE axis: a (t_max, qg, 4) layout pads
+    its 4-lane minor dim to 128 (32x inflation, 25.2 MB at the marco
+    t_max 6144 — the round-3 scoped-VMEM stack OOM), while (4, qg,
+    t_max) is exactly 786 KB.  payload (nlist, lmax, w) u8 (sq6:
+    (nlist, 3, lmax, d4)), rnrs (nlist, C, lmax) fp32 with C = 2 + mask
+    (row_norm, row_sum, and the selector mask widened to fp32 so one
+    DMA fetches all per-row lanes)."""
     from .sq_digits import sq_block_digit_dot, sq_utile
 
     t_sup = pl.program_id(0)
@@ -517,13 +550,24 @@ def _pairs_sq_mega_kernel(meta_ref, counts_ref, ui_hbm, qs_ref,
         # never gathered — skip their copies entirely (at the marco
         # shape ~2000 padding tiles would otherwise re-DMA list 0's
         # 3 MB block each).  wait() predicates identically, so
-        # semaphore signals and waits stay paired.
+        # semaphore signals and waits stay paired.  skip_pad=False is
+        # the bisect knob (tools/mega_debug.py): copy unconditionally.
+        if not skip_pad:
+            for c in tile_copies(slot, ti):
+                c.start()
+            return
+
         @pl.when(base + ti < n_tiles)
         def _go():
             for c in tile_copies(slot, ti):
                 c.start()
 
     def wait(slot, ti):
+        if not skip_pad:
+            for c in tile_copies(slot, ti):
+                c.wait()
+            return
+
         @pl.when(base + ti < n_tiles)
         def _go():
             for c in tile_copies(slot, ti):
@@ -538,9 +582,16 @@ def _pairs_sq_mega_kernel(meta_ref, counts_ref, ui_hbm, qs_ref,
     else:
         lmax = code_buf.shape[1]
         wb = code_buf.shape[2]
-    utile = sq_utile(codec, lmax, wb,
-                     slots * (lmax * wb + 2 * qg * lmax) + qg * lmax * 4,
-                     dtype=digit_dtype)
+    # Full resident-VMEM accounting for the digit-dot sub-tile budget
+    # (an under-count here over-sizes utile and blows scoped VMEM — the
+    # round-3 failure mode): code slots + ui slots + rnrs slots + the
+    # double-buffered out window + the whole-resident qs table.
+    resident = (slots * (lmax * wb + qg * ui_buf.shape[2]
+                         + rnrs_buf.shape[1] * lmax * 4)
+                + 2 * tps * qg * lmax * 4
+                + qs_ref.shape[0] * qg * 16)
+    utile = utile_opt or sq_utile(codec, lmax, wb, resident,
+                                  dtype=digit_dtype)
 
     def body(ti, _):
         slot = lax.rem(ti, slots)
@@ -557,13 +608,13 @@ def _pairs_sq_mega_kernel(meta_ref, counts_ref, ui_hbm, qs_ref,
         def _score():
             block = code_buf[slot]
             ui = ui_buf[slot]                       # (qg, 2*wq) int8
-            qsv = qs_ref[gt]                        # (qg, 4) fp32
+            qsv = _lane_pick(qs_ref, gt)            # (4, qg) fp32
             rv = rnrs_buf[slot]                     # (C, lmax) fp32
             wq = ui.shape[1] // 2
-            su2 = qsv[:, 0]
-            c0 = qsv[:, 1]
-            base_q = qsv[:, 2]
-            mu = qsv[:, 3]
+            su2 = qsv[0]
+            c0 = qsv[1]
+            base_q = qsv[2]
+            mu = qsv[3]
             rn_row = rv[0]
             rs_row = rv[1]
             cnt = counts_ref[meta_ref[1 + gt]]
@@ -666,9 +717,9 @@ def _pairs_flat_mega_kernel(meta_ref, counts_ref, xq_hbm, qs_ref,
         @pl.when(gt < n_tiles)
         def _score():
             q = xq_buf[slot]                          # (qg, d) fp32
-            qsv = qs_ref[gt]
-            bias = qsv[:, 0]
-            qn = qsv[:, 1]
+            qsv = _lane_pick(qs_ref, gt)              # (4, qg): tile axis
+            bias = qsv[0]                             # on lanes (see SQ
+            qn = qsv[1]                               # mega docstring)
             block = code_buf[slot]                    # (lmax, d) fp32
             cnt = counts_ref[meta_ref[1 + gt]]
             xy = jax.lax.dot_general(q, block, (((1,), (1,)), ((), ())),
@@ -771,6 +822,12 @@ def pallas_ivf_pairs_search(
 
     t_max = pairs_t_max(nq, nprobe, nlist, qg)
     blk = lmax * d * 4
+    if mega and 2 * (blk + qg * d * 4) + 2 * 4 * qg * lmax * 4 > (13 << 20):
+        # fp32 list blocks too big for even 2 slots + a 4-tile out
+        # window (at d=1536/lmax=4096 one block is 25 MB — the round-3
+        # flat_ab 48.39M scoped-VMEM failure): fall back to the grid
+        # kernel rather than fail to compile.
+        mega = False
     if mega:
         slots = 3 if 3 * blk <= (9 << 20) else 2
         tps = 16
@@ -779,7 +836,7 @@ def pallas_ivf_pairs_search(
             tps *= 2
         while tps > 4 and slots * blk + tps * qg * lmax * 4 > (13 << 20):
             tps //= 2
-        round_to = tps
+        round_to = 128       # 128 | t_max for _lane_pick (tps | 128)
     else:
         round_to = ways
     t_max = -(-t_max // round_to) * round_to
@@ -799,10 +856,11 @@ def pallas_ivf_pairs_search(
             pltpu.VMEM((slots, lmax, d), jnp.float32),
             pltpu.VMEM((slots, qg, d), jnp.float32),
         ]
-        margs = [meta, counts.astype(jnp.int32), xq_t, qs_t, xb_lists]
+        margs = [meta, counts.astype(jnp.int32), xq_t,
+                 jnp.transpose(qs_t, (2, 1, 0)), xb_lists]
         in_specs_m = [
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((t_max, qg, 4), lambda i, tl, cn: (0, 0, 0),
+            pl.BlockSpec((4, qg, t_max), lambda i, tl, cn: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ]
