@@ -158,25 +158,11 @@ def augment_graph(knn: np.ndarray, degree: int,
     return np.where(valid, out, -1).astype(np.int32)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("degree", "lmax", "nlist", "metric", "precision",
-                     "codec"),
-)
-def _clustered_knn_scan(xb, table, metric_arg, *, degree, lmax, nlist,
-                        metric, precision, codec=None, vmin=None,
-                        scale=None):
-    """Sequential scan over padded list-membership tables: each list's
-    members are exact-scanned against each other once, and each member's
-    running top-``degree`` candidate set (rows appear in two lists) is
-    merged read-modify-write.  Returns ids (n_pad, degree) int32, -1
-    missing.
-
-    ``codec`` marks ``xb`` as packed SQ codes (n_pad, w) uint8: each
-    list's member rows decode in-block — the 8.8M×1536 build regime,
-    where fp32 rows cannot exist on-chip (see walk_scan)."""
+def _cluster_scan_body(xb, table, metric_arg, *, degree, lmax, metric,
+                       precision, codec, vmin, scale):
+    """Shared per-list body of the clustered kNN scan (see
+    _clustered_knn_scan); returns body(l, (vals, ids))."""
     n_pad = xb.shape[0]
-    d = vmin.shape[0] if codec is not None else xb.shape[1]
     sim = metric in SIMILARITY_METRICS
 
     def body(l, carry):
@@ -213,6 +199,80 @@ def _clustered_knn_scan(xb, table, metric_arg, *, degree, lmax, nlist,
         ids = ids.at[wrows].set(mi, mode="drop")
         return vals, ids
 
+    return body
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ncells", "degree", "lmax", "metric", "precision",
+                     "codec"),
+    donate_argnums=(3, 4),
+)
+def _clustered_knn_scan_step(xb, table, metric_arg, vals, ids, l0, *,
+                             ncells, degree, lmax, metric, precision,
+                             codec=None, vmin=None, scale=None):
+    """One host-dispatched chunk of ``ncells`` lists of the clustered
+    scan, carry donated.  A single fori over ALL cells (32,761 at the
+    8.8M marco build) is one monolithic ~30-min XLA dispatch — the
+    round-3 TPU-worker crash; chunking bounds each dispatch to seconds
+    and lets the host print progress between chunks."""
+    body = _cluster_scan_body(xb, table, metric_arg, degree=degree,
+                              lmax=lmax, metric=metric,
+                              precision=precision, codec=codec,
+                              vmin=vmin, scale=scale)
+    return lax.fori_loop(l0, l0 + ncells,
+                         body, (vals, ids))
+
+
+def clustered_knn_scan_chunked(xb, table, metric_arg, *, degree, lmax,
+                               nlist, metric, precision, codec=None,
+                               vmin=None, scale=None,
+                               cells_per_call: int = 2048,
+                               progress=None):
+    """Host-chunked clustered kNN scan (same result as
+    _clustered_knn_scan) for cell counts where one dispatch would run
+    tens of minutes."""
+    import numpy as np
+
+    n_pad = xb.shape[0]
+    vals = jnp.full((n_pad, degree), _NEG_INF, jnp.float32)
+    ids = jnp.full((n_pad, degree), -1, jnp.int32)
+    done = 0
+    while done < nlist:
+        nc = min(cells_per_call, nlist - done)
+        vals, ids = _clustered_knn_scan_step(
+            xb, table, metric_arg, vals, ids, jnp.int32(done),
+            ncells=nc, degree=degree, lmax=lmax, metric=metric,
+            precision=precision, codec=codec, vmin=vmin, scale=scale)
+        done += nc
+        if progress is not None:
+            np.asarray(ids[:1])                       # sync this chunk
+            progress(done, nlist)
+    return ids
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("degree", "lmax", "nlist", "metric", "precision",
+                     "codec"),
+)
+def _clustered_knn_scan(xb, table, metric_arg, *, degree, lmax, nlist,
+                        metric, precision, codec=None, vmin=None,
+                        scale=None):
+    """Sequential scan over padded list-membership tables: each list's
+    members are exact-scanned against each other once, and each member's
+    running top-``degree`` candidate set (rows appear in two lists) is
+    merged read-modify-write.  Returns ids (n_pad, degree) int32, -1
+    missing.
+
+    ``codec`` marks ``xb`` as packed SQ codes (n_pad, w) uint8: each
+    list's member rows decode in-block — the 8.8M×1536 build regime,
+    where fp32 rows cannot exist on-chip (see walk_scan)."""
+    n_pad = xb.shape[0]
+    body = _cluster_scan_body(xb, table, metric_arg, degree=degree,
+                              lmax=lmax, metric=metric,
+                              precision=precision, codec=codec,
+                              vmin=vmin, scale=scale)
     init = (jnp.full((n_pad, degree), _NEG_INF, jnp.float32),
             jnp.full((n_pad, degree), -1, jnp.int32))
     return lax.fori_loop(0, nlist, body, init)[1]
@@ -312,18 +372,60 @@ def _top2_assign(xb, cents, metric, metric_arg, precision) -> np.ndarray:
     return out
 
 
+def nn_descent_round_chunked(xb, knn, metric_arg, *, sample, q_block,
+                             metric, precision, codec=None, vmin=None,
+                             scale=None, rows_per_call: int = 262_144,
+                             progress=None):
+    """Host-chunked _nn_descent_round (pure map over row blocks, so
+    chunking is exact): bounds each dispatch at multi-million-row
+    corpora where one fori over n/q_block iterations is a single
+    hours-long XLA dispatch (the round-3 marco_graph failure mode)."""
+    import numpy as np
+
+    n_pad = knn.shape[0]
+    rpc = max(q_block, rows_per_call // q_block * q_block)
+    outs = []
+    done = 0
+    while done < n_pad:
+        nr = min(rpc, n_pad - done)
+        while nr % q_block:
+            nr -= 1
+        if nr <= 0:
+            nr = n_pad - done
+        outs.append(_nn_descent_rows(
+            xb, knn, metric_arg, jnp.int32(done), nrows=nr,
+            sample=sample, q_block=q_block, metric=metric,
+            precision=precision, codec=codec, vmin=vmin, scale=scale))
+        done += nr
+        if progress is not None:
+            np.asarray(outs[-1][:1])
+            progress(done, n_pad)
+    return jnp.concatenate(outs, axis=0)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("sample", "q_block", "metric", "precision", "codec"),
+    static_argnames=("nrows", "sample", "q_block", "metric", "precision",
+                     "codec"),
 )
-def _nn_descent_round(xb, knn, metric_arg, *, sample, q_block, metric,
-                      precision, codec=None, vmin=None, scale=None):
-    """One synchronous NN-descent refinement: each row scores its
-    neighbours' top-``sample`` neighbours and keeps the best ``deg`` of
-    (current ∪ candidates).  Reads the input graph only (pure map over row
-    blocks) so the round is order-independent."""
+def _nn_descent_rows(xb, knn, metric_arg, r0, *, nrows, sample, q_block,
+                     metric, precision, codec=None, vmin=None,
+                     scale=None):
+    """Rows [r0, r0+nrows) of one NN-descent round (reads the whole
+    input graph, writes only its row range)."""
+    body = _nn_descent_body(xb, knn, metric_arg, sample=sample,
+                            q_block=q_block, metric=metric,
+                            precision=precision, codec=codec, vmin=vmin,
+                            scale=scale, base=r0)
+    out = jnp.full((nrows, knn.shape[1]), -1, knn.dtype)
+    return lax.fori_loop(0, nrows // q_block, body, out)
+
+
+def _nn_descent_body(xb, knn, metric_arg, *, sample, q_block, metric,
+                     precision, codec, vmin, scale, base=None):
+    """Shared per-block body; ``base`` offsets the global row index
+    while the output write stays block-local (chunked variant)."""
     n_pad, deg = knn.shape
-    sim = metric in SIMILARITY_METRICS
     if codec is not None:
         from .sq import sq_decode
 
@@ -335,7 +437,8 @@ def _nn_descent_round(xb, knn, metric_arg, *, sample, q_block, metric,
             return rows
 
     def body(bi, out):
-        q0 = bi * q_block
+        q0l = bi * q_block
+        q0 = q0l if base is None else base + q0l
         rows = q0 + lax.broadcasted_iota(jnp.int32, (q_block, 1), 0)
         cur = lax.dynamic_slice(knn, (q0, 0), (q_block, deg))
         xq = decode(lax.dynamic_slice(xb, (q0, 0), (q_block, xb.shape[1])))
@@ -355,8 +458,26 @@ def _nn_descent_round(xb, knn, metric_arg, *, sample, q_block, metric,
         vals, sel = lax.top_k(scores, deg)
         new = jnp.take_along_axis(cand, sel, axis=1)
         new = jnp.where(jnp.isneginf(vals), -1, new)
-        return lax.dynamic_update_slice(out, new, (q0, 0))
+        return lax.dynamic_update_slice(out, new, (q0l, 0))
 
+    return body
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sample", "q_block", "metric", "precision", "codec"),
+)
+def _nn_descent_round(xb, knn, metric_arg, *, sample, q_block, metric,
+                      precision, codec=None, vmin=None, scale=None):
+    """One synchronous NN-descent refinement: each row scores its
+    neighbours' top-``sample`` neighbours and keeps the best ``deg`` of
+    (current ∪ candidates).  Reads the input graph only (pure map over row
+    blocks) so the round is order-independent."""
+    n_pad = knn.shape[0]
+    body = _nn_descent_body(xb, knn, metric_arg, sample=sample,
+                            q_block=q_block, metric=metric,
+                            precision=precision, codec=codec, vmin=vmin,
+                            scale=scale)
     out = jnp.full_like(knn, -1)
     return lax.fori_loop(0, n_pad // q_block, body, out)
 

@@ -640,3 +640,42 @@ def test_coded_graph_build_and_walk():
     # Output distances are exact vs the DECODED rows (IVF,SQ semantics).
     dd = np.take_along_axis(d2, np.maximum(pos, 0), axis=1)
     assert np.allclose(dd, dist, rtol=1e-4, atol=1e-4)
+
+
+def test_chunked_build_paths_match_monolithic():
+    """clustered_knn_scan_chunked / nn_descent_round_chunked are exact
+    host-chunked equivalents of the single-dispatch ops (the chunking
+    exists because one fori over 32k cells / 550k row-blocks is a
+    single ~30-min XLA dispatch at the 8.8M marco build — the round-3
+    TPU-worker crash; tools/marco_graph.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from duckdb_faiss_ext_tpu.ops.graph import (
+        _clustered_knn_scan, _nn_descent_round, _top2_assign,
+        clustered_knn_scan_chunked, membership_table,
+        nn_descent_round_chunked)
+    from duckdb_faiss_ext_tpu.ops.kmeans import kmeans_fit
+
+    n, d, deg, nlist = 4096, 16, 8, 16
+    xb = _clustered(n, d, seed=31, ncenters=32).astype(np.float32)
+    cents, _ = kmeans_fit(xb[::3], nlist, seed=0)
+    a12 = _top2_assign(xb, np.asarray(cents), "L2", 0.0, None)
+    table, lmax = membership_table(a12, nlist, deg)
+    xb_dev, table_dev = jnp.asarray(xb), jnp.asarray(table)
+    kw = dict(degree=deg, lmax=int(lmax), nlist=nlist, metric="L2",
+              precision=jax.lax.Precision.HIGHEST)
+    mono = np.asarray(_clustered_knn_scan(
+        xb_dev, table_dev, jnp.float32(0.0), **kw))
+    chunked = np.asarray(clustered_knn_scan_chunked(
+        xb_dev, table_dev, jnp.float32(0.0), cells_per_call=5, **kw))
+    assert (mono == chunked).all()
+
+    knn = jnp.asarray(mono)
+    dkw = dict(sample=3, q_block=16, metric="L2",
+               precision=jax.lax.Precision.HIGHEST)
+    r_mono = np.asarray(_nn_descent_round(
+        xb_dev, knn, jnp.float32(0.0), **dkw))
+    r_chunk = np.asarray(nn_descent_round_chunked(
+        xb_dev, knn, jnp.float32(0.0), rows_per_call=1024, **dkw))
+    assert (r_mono == r_chunk).all()

@@ -45,7 +45,10 @@ def main() -> None:
     ap.add_argument("--deg", type=int, default=32)
     ap.add_argument("--inter", type=int, default=48)
     ap.add_argument("--half-k", type=int, default=181)
-    ap.add_argument("--refine-rounds", type=int, default=1)
+    # default 0: one descent round at 8.8M gathers ~2.1G scattered rows
+    # (~0.5-1 TB of code bytes) — land the clustered-scan build first,
+    # opt into refinement when the serving numbers justify it.
+    ap.add_argument("--refine-rounds", type=int, default=0)
     ap.add_argument("--pools", default="16,32,64,128")
     ap.add_argument("--width", type=int, default=4)
     ap.add_argument("--batches", default="48,512,1024")
@@ -57,10 +60,10 @@ def main() -> None:
     import jax.numpy as jnp
 
     from duckdb_faiss_ext_tpu.ops.flat_search import finalize_scores
-    from duckdb_faiss_ext_tpu.ops.graph import (_clustered_knn_scan,
-                                                _nn_descent_round,
+    from duckdb_faiss_ext_tpu.ops.graph import (clustered_knn_scan_chunked,
                                                 graph_search,
-                                                membership_table)
+                                                membership_table,
+                                                nn_descent_round_chunked)
     from duckdb_faiss_ext_tpu.ops.kmeans import kmeans_fit
     from duckdb_faiss_ext_tpu.ops.sq import SQ_LEVELS, sq_train
 
@@ -204,20 +207,32 @@ def main() -> None:
     occ = (table >= 0).sum()
     print(f"  build cells {nlist}, lmax {lmax}, table coverage "
           f"{occ / (2 * n):.3f} of 2n entries", flush=True)
-    knn = _clustered_knn_scan(
+    def prog(done, total):
+        if done % 8192 == 0 or done == total:
+            print(f"  phase3 scan {done}/{total} "
+                  f"({done / max(time.time() - t0, 1e-9):.0f} cells/s)",
+                  flush=True)
+
+    # Host-chunked: one fori over all 32,761 cells was a single ~30-min
+    # XLA dispatch — the round-3 TPU-worker crash.
+    knn = clustered_knn_scan_chunked(
         codes4, jnp.asarray(table), jnp.float32(0.0),
         degree=args.inter, lmax=int(lmax), nlist=int(nlist),
         metric="INNER_PRODUCT", precision=jax.lax.Precision.DEFAULT,
-        codec="sq4", vmin=vmin4, scale=scale4)
+        codec="sq4", vmin=vmin4, scale=scale4, cells_per_call=2048,
+        progress=prog)
     np.asarray(knn[:1])                                # sync
     print(f"phase3 clustered scan: {time.time()-t0:.1f}s", flush=True)
     t0 = time.time()
     for r in range(args.refine_rounds):
-        knn = _nn_descent_round(
+        def dprog(done, total, r=r):
+            print(f"  descent r{r} {done}/{total}", flush=True)
+        knn = nn_descent_round_chunked(
             codes4, knn, jnp.float32(0.0), sample=4, q_block=16,
             metric="INNER_PRODUCT",
             precision=jax.lax.Precision.DEFAULT,
-            codec="sq4", vmin=vmin4, scale=scale4)
+            codec="sq4", vmin=vmin4, scale=scale4,
+            rows_per_call=524_288, progress=dprog)
     adj = jax.jit(lambda a: a[:, :args.deg])(knn)   # forward-first degree
     np.asarray(adj[:1])
     del knn, codes4
@@ -226,10 +241,10 @@ def main() -> None:
 
     # ---- phase 4: SQ8 serving buffer ------------------------------------
     t0 = time.time()
+    gen8 = jax.jit(lambda i: encode_sq8(gen_chunk(i, chunk)))
     codes8 = jnp.zeros((n_pad, d), jnp.uint8)
     for i in range(nchunks):
-        codes8 = put_rows(codes8, encode_sq8(gen_chunk(i, chunk)),
-                          jnp.int32(i))
+        codes8 = put_rows(codes8, gen8(jnp.int32(i)), jnp.int32(i))
     np.asarray(codes8[:1, :1])
     print(f"phase4 sq8 encode: {time.time()-t0:.1f}s "
           f"({n/(time.time()-t0):.0f} rows/s)", flush=True)
