@@ -199,8 +199,22 @@ def _scatter_sq(payload, rn_layout, rs_layout, lists_idx, slots_idx, rows,
 def _scatter_sq6(payload, rn_layout, rs_layout, lists_idx, slots_idx,
                  planes, rn, rs):
     """Plane-major scatter: payload is (nlist, 3, lmax, d4), planes is
-    (m, 3, d4) — row slots index the THIRD axis."""
-    payload = payload.at[lists_idx, :, slots_idx, :].set(planes)
+    (m, 3, d4) — row slots index the THIRD axis.
+
+    Written as ONE flat-row scatter on the (nlist*3*lmax, d4) reshape
+    (a bitcast): the mixed advanced/basic form
+    ``payload.at[li, :, si, :]`` made XLA materialise a TRANSPOSED
+    copy of the whole payload around the scatter despite donation —
+    a second 11.25 GiB allocation that OOMed the 8.8M marco SQ6 ingest
+    (r3 marco_sq6: copy.1 u8[10485760,3,384])."""
+    nlist, _, lmax, d4 = payload.shape
+    flat = payload.reshape(nlist * 3 * lmax, d4)
+    base = lists_idx * (3 * lmax) + slots_idx
+    idx3 = jnp.concatenate([base, base + lmax, base + 2 * lmax])
+    rows3 = jnp.concatenate([planes[:, 0], planes[:, 1], planes[:, 2]],
+                            axis=0)
+    flat = flat.at[idx3].set(rows3)
+    payload = flat.reshape(nlist, 3, lmax, d4)
     rn_layout = rn_layout.at[lists_idx, slots_idx].set(rn)
     rs_layout = rs_layout.at[lists_idx, slots_idx].set(rs)
     return payload, rn_layout, rs_layout
