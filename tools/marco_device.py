@@ -220,12 +220,15 @@ def main() -> None:
     cache = (f"/root/repo/.marco_passA_n{n}_d{d}_s{args.seed}"
              f"_c{args.clusters}_t{args.train_rows}_l{args.nlist}"
              f"_cs{args.center_scale}_b{args.balance}{tag}.npz")
-    if os.path.exists(cache):
+    if os.path.exists(cache) and (
+            args.skip_gt or "gt" in np.load(cache).files):
         z = np.load(cache)
         counts, xq = z["counts"], z["xq"]
         gt = z["gt"] if "gt" in z.files else None
         print(f"pass A loaded from {cache}", flush=True)
     else:
+        # (a cache written by a --skip-gt run has counts but no GT —
+        # redo the pass when this run needs recall numbers)
         t0 = time.time()
         counts = np.zeros((args.nlist,), np.int64)
         best_d = jnp.full((nq, k), np.inf, jnp.float32)
