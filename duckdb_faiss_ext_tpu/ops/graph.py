@@ -278,12 +278,16 @@ def _clustered_knn_scan(xb, table, metric_arg, *, degree, lmax, nlist,
     return lax.fori_loop(0, nlist, body, init)[1]
 
 
-def membership_table(a12: np.ndarray, nlist: int,
-                     degree: int) -> tuple[np.ndarray, int]:
+def membership_table(a12: np.ndarray, nlist: int, degree: int,
+                     lmax_factor: float = 1.5) -> tuple[np.ndarray, int]:
     """Padded top-2 list-membership table (host): 2 entries per row.
     PRIMARY memberships slot first within each list (secondary entries
     overflow first), and lmax ≥ degree so the per-list top-k is always
-    valid.  Returns (table (nlist, lmax) int32 row ids / -1, lmax)."""
+    valid.  ``lmax_factor`` scales the per-cell capacity (scan cost per
+    cell is O(lmax²·d) — at the 8.8M marco build, factor 1.5 covered
+    only 0.753 of the 2n entries and a row whose cells both overflow
+    gets NO build edges; ~3 covers ≥0.95 at 4x the scan cost).
+    Returns (table (nlist, lmax) int32 row ids / -1, lmax)."""
     from ..utils.config import next_pow2
 
     n = a12.shape[0]
@@ -294,7 +298,8 @@ def membership_table(a12: np.ndarray, nlist: int,
     grp = np.searchsorted(el, np.arange(nlist))
     slot = np.arange(el.shape[0]) - grp[el]
     avg = max(1, (2 * n) // nlist)
-    lmax = next_pow2(max(min(max(int(1.5 * avg), degree + 2), 4 * avg),
+    lmax = next_pow2(max(min(max(int(lmax_factor * avg), degree + 2),
+                             4 * avg),
                          degree))
     keep = slot < lmax
     table = np.full((nlist, lmax), -1, np.int32)

@@ -43,7 +43,14 @@ def main() -> None:
     ap.add_argument("--chunk", type=int, default=65536)
     ap.add_argument("--clusters", type=int, default=8192)
     ap.add_argument("--deg", type=int, default=32)
-    ap.add_argument("--inter", type=int, default=48)
+    ap.add_argument("--inter", type=int, default=48,
+                    help="build/carry degree (HBM: 8 bytes/row/entry; "
+                         "64 -> 4.5 GiB carry next to the 6.8 GiB sq4 "
+                         "buffer)")
+    ap.add_argument("--lmax-factor", type=float, default=1.5,
+                    help="membership-table capacity factor (1.5 covered "
+                         "0.753 of entries at 8.8M; 3.0 -> >=0.95 at 4x "
+                         "phase-3 cost)")
     ap.add_argument("--half-k", type=int, default=181)
     # default 0: one descent round at 8.8M gathers ~2.1G scattered rows
     # (~0.5-1 TB of code bytes) — land the clustered-scan build first,
@@ -203,7 +210,8 @@ def main() -> None:
 
     # ---- phase 3: coded clustered kNN + NN-descent ----------------------
     t0 = time.time()
-    table, lmax = membership_table(a12, nlist, args.inter)
+    table, lmax = membership_table(a12, nlist, args.inter,
+                                   lmax_factor=args.lmax_factor)
     occ = (table >= 0).sum()
     print(f"  build cells {nlist}, lmax {lmax}, table coverage "
           f"{occ / (2 * n):.3f} of 2n entries", flush=True)
