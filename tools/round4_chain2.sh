@@ -23,3 +23,7 @@ step marco_graph_q 3500 python tools/marco_graph.py \
 step crossover 3200 python tools/pairs_profile.py --crossover
 
 echo "CHAIN2 COMPLETE $(date -u +%H:%M:%SZ)" >> "$L.log"
+
+# 3. SQ6 sweep retry (sq_utile sub-tile fix for the lmax-2560 grid kernel)
+step sq6_retry 3000 python tools/marco_device.py --storage SQ6 \
+    --metric IP --unit-norm --assign-topk 4 --budget-gb 13.5
