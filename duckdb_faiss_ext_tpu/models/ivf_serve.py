@@ -286,6 +286,10 @@ def _dispatch_inner(self, xq, k, params=EMPTY, selector=None):
                 and len(spill) > 4 and spill[4] is not None
                 and sq_int8_active() and self.pq_m is None
                 and self.d >= 16 and sp_rows > 0
+                # huge-k requests (the filtered bench's binomial k')
+                # make the exact full-window rerank decode k*128 rows
+                # per query — the XLA scan is the better exact path
+                and k_eff <= 128
                 and config.spill_impl != "xla"
                 and (config.spill_impl == "pallas"
                      or sp_rows >= config.spill_pallas_min))

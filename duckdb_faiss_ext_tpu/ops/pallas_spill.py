@@ -278,14 +278,16 @@ def pallas_spill_search(spill_payload, spill_assign, spill_pos,
         # Candidate-lossless leg: ALL 128 rows of each query's top
         # (k+2) windows, gathered as contiguous window BLOCKS (~100x
         # fewer gather descriptors than row gathers) and reranked
-        # fp32-exact, query-chunked so the decoded tile stays ~300 MB.
+        # fp32-exact, query-chunked so the decoded tile stays ~256 MB
+        # (the chunk must scale with k: at the filtered bench's
+        # binomial k'=1874 a fixed 32-query chunk was a 47 GB decode).
         wfull = wsel[:, :kw]                           # (nq, kw)
         sw = (s_pad // WIN) * WIN   # window ids < nwin <= s_pad//WIN, so
         pay_w = spill_payload[:sw].reshape(-1, WIN, w)  # a ragged tail
         asg_w = spill_assign[:sw].reshape(-1, WIN)      # is never indexed
         pos_w = spill_pos[:sw].reshape(-1, WIN)
         mask_w = mask[:sw].reshape(-1, WIN) if has_mask else None
-        qc = min(nq, 32)
+        qc = min(nq, max(1, (1 << 26) // max(kw * WIN * d, 1)))
         while nq % qc:
             qc -= 1
         nblk = nq // qc
