@@ -177,15 +177,20 @@ def supports(metric: str, k: int, d: int) -> bool:
 
 
 def choose_tiles(nq: int, cap: int, d: int, k: int):
-    """(qt, nt): VMEM budget ~ qt*d + nt*d + qt*nt + 2*qt*kp floats ≲ 8M.
-    Bigger corpus tiles amortise the per-tile reduction latency (the skip
-    check) across more rows."""
-    qt = min(nq, 128)
-    nt = 2048
-    while nt * d * 4 > (4 << 20) and nt > 128:
-        nt //= 2
-    while qt * (d + nt) * 4 > (4 << 20) and qt > 8:
+    """(qt, nt): maximise per-step work — the grid machinery costs
+    ~7-12 µs per step regardless of body (tools/mxu_probe.py), so at
+    1M×128 b1024 the old (128, 2048) tiling's 4096 steps burned ~30-50
+    ms of pure step overhead against a ~5 ms fp32-MXU floor (measured
+    via tools/serve_profile.py corpus-scaling, 2026-08-20).  Budget:
+    qt·d (queries) + 2·qt·kp·2 (top-k scratch) ≲ 4 MB; 2·nt·d
+    (double-buffered corpus blocks) + qt·nt (score tile) ≲ 8 MB."""
+    kp = _round_up(max(k, 1), 128)
+    qt = min(nq, 1024)
+    while qt > 8 and qt * d * 4 + 2 * qt * kp * 8 > (4 << 20):
         qt //= 2
+    nt = 4096
+    while nt > 128 and 2 * nt * d * 4 + qt * nt * 4 > (8 << 20):
+        nt //= 2
     return qt, min(nt, cap)
 
 

@@ -53,10 +53,13 @@ def sq_utile(codec: str, lmax: int, row_bytes: int,
     chain9 2026-08-19)."""
     if codec != "sq8":
         # sq4/sq6 widen to i32 per sub-tile; at large blocks the 512-row
-        # sub-tile overflowed the scoped stack by ~0.9 MB (sq6 pair-tile
-        # grid kernel, lmax 2560 x 1152 B — marco sq6 sweep 2026-08-20),
-        # so halve it when the double-buffered block itself is big.
-        return min(lmax, 512 if lmax * row_bytes <= (2 << 20) else 256)
+        # sub-tile overflowed the scoped stack by ~0.9 MB and the
+        # 256-row one by 20 KB (sq6 pair-tile grid kernel, lmax 2560 x
+        # 1152 B — marco sq6 sweep 2026-08-20), so shrink with the
+        # double-buffered block size.
+        blk = lmax * row_bytes
+        return min(lmax, 512 if blk <= (2 << 20) else
+                   256 if blk <= (5 << 19) else 128)
     per_row = row_bytes * (2 if dtype == "bf16" else 1)
     left = SQ_SCOPED_VMEM - resident_bytes
     return min(lmax, max(512, left // max(per_row, 1) // 512 * 512))
