@@ -76,6 +76,38 @@ def _knn_graph_scan(xb, nvalid, metric_arg, *, degree, q_block, metric,
     return lax.fori_loop(0, cap // q_block, body, out)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("degree", "q_block", "nblocks", "metric",
+                     "precision"),
+    donate_argnums=(3,),
+)
+def _knn_graph_scan_range(xb, nvalid, metric_arg, out, b0, *, degree,
+                          q_block, nblocks, metric, precision):
+    """Query-blocks [b0, b0+nblocks) of _knn_graph_scan, carry donated —
+    the host-chunked variant for large corpora, where the single-fori
+    program is a minutes-long dispatch the TPU worker kills (observed
+    at 1M×128 inter-256, 2026-08-20; same failure mode as the marco
+    clustered scan)."""
+    cap, d = xb.shape
+    sim = metric in SIMILARITY_METRICS
+    col = lax.broadcasted_iota(jnp.int32, (1, cap), 1)
+
+    def body(bi, out):
+        q0 = bi * q_block
+        xqc = lax.dynamic_slice(xb, (q0, 0), (q_block, d))
+        dist = pairwise_tile(xqc, xb, metric, metric_arg, precision)
+        score = dist if sim else -dist
+        rows = q0 + lax.broadcasted_iota(jnp.int32, (q_block, 1), 0)
+        invalid = jnp.logical_or(col >= nvalid, col == rows)  # mask self
+        score = jnp.where(invalid, _NEG_INF, score)
+        vals, idx = exact_topk(score, degree)
+        idx = jnp.where(jnp.isneginf(vals), -1, idx.astype(jnp.int32))
+        return lax.dynamic_update_slice(out, idx, (q0, 0))
+
+    return lax.fori_loop(b0, b0 + nblocks, body, out)
+
+
 def build_knn_graph(xb: np.ndarray, degree: int, metric: str,
                     metric_arg: float = 0.0,
                     precision=lax.Precision.DEFAULT) -> np.ndarray:
@@ -92,9 +124,25 @@ def build_knn_graph(xb: np.ndarray, degree: int, metric: str,
     cap = max(128, next_pow2(n))
     q_block = min(256, cap)
     xb_pad = jnp.asarray(pad_rows(np.asarray(xb, np.float32), cap))
-    out = _knn_graph_scan(
-        xb_pad, jnp.int32(n), jnp.float32(metric_arg),
-        degree=degree, q_block=q_block, metric=metric, precision=precision)
+    nblocks = cap // q_block
+    if nblocks <= 1024:
+        out = _knn_graph_scan(
+            xb_pad, jnp.int32(n), jnp.float32(metric_arg),
+            degree=degree, q_block=q_block, metric=metric,
+            precision=precision)
+        return np.asarray(out[:n])
+    # Host-chunked for large corpora (one dispatch per 512 blocks): the
+    # single-fori program at 1M rows runs minutes and the TPU worker
+    # kills it mid-dispatch.
+    out = jnp.full((cap, degree), -1, jnp.int32)
+    done = 0
+    while done < nblocks:
+        nb = min(512, nblocks - done)
+        out = _knn_graph_scan_range(
+            xb_pad, jnp.int32(n), jnp.float32(metric_arg), out,
+            jnp.int32(done), degree=degree, q_block=q_block, nblocks=nb,
+            metric=metric, precision=precision)
+        done += nb
     return np.asarray(out[:n])
 
 

@@ -308,30 +308,51 @@ def sq_exact_rerank(codes_lists, lids, lane, pos, best, xq, vmin, scale,
     (scores (nq, k) fp32-exact, positions (nq, k), -1 missing)."""
     nq, k_scan = lids.shape
     d = vmin.shape[0]
-    if codec == "sq6":
-        d4 = codes_lists.shape[3]
-        planes = codes_lists[lids, :, lane]           # (nq, k_scan, 3, d4)
-        crows = jnp.transpose(planes, (0, 1, 3, 2)).reshape(
-            nq, k_scan, 3 * d4)
-        wbytes = 3 * d4
-    else:
-        crows = codes_lists[lids, lane]               # (nq, k_scan, w)
-        wbytes = codes_lists.shape[2]
-    if codec == "sq8":
-        xs = crows.astype(jnp.float32) * scale + vmin
-    else:
-        from .sq import sq_decode
 
-        xs = sq_decode(crows.reshape(-1, wbytes), vmin, scale,
-                       codec).reshape(nq, k_scan, d)
-    if metric == "INNER_PRODUCT":
-        s2 = jnp.einsum("qd,qcd->qc", xq, xs,
-                        precision=lax.Precision.HIGHEST,
-                        preferred_element_type=jnp.float32)
+    def rerank_block(argsb):
+        xq_b, lids_b, lane_b, best_b = argsb
+        qb = xq_b.shape[0]
+        if codec == "sq6":
+            d4 = codes_lists.shape[3]
+            planes = codes_lists[lids_b, :, lane_b]   # (qb, k_scan, 3, d4)
+            crows = jnp.transpose(planes, (0, 1, 3, 2)).reshape(
+                qb, k_scan, 3 * d4)
+            wbytes = 3 * d4
+        else:
+            crows = codes_lists[lids_b, lane_b]       # (qb, k_scan, w)
+            wbytes = codes_lists.shape[2]
+        if codec == "sq8":
+            xs = crows.astype(jnp.float32) * scale + vmin
+        else:
+            from .sq import sq_decode
+
+            xs = sq_decode(crows.reshape(-1, wbytes), vmin, scale,
+                           codec).reshape(qb, k_scan, d)
+        if metric == "INNER_PRODUCT":
+            s2 = jnp.einsum("qd,qcd->qc", xq_b, xs,
+                            precision=lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+        else:
+            diff = xs - xq_b[:, None, :]
+            s2 = -jnp.sum(diff * diff, axis=-1)
+        return jnp.where(jnp.isneginf(best_b), _NEG_INF, s2)
+
+    # Query-blocked so the decoded (qc, k_scan, d) fp32 tile stays
+    # ~128 MB: the filtered bench's binomial k'=1874 made the unblocked
+    # gather a 2.2 GB allocation next to the 12 GiB marco payload
+    # (RESOURCE_EXHAUSTED, 2026-08-20).
+    qc = min(nq, max(1, (1 << 25) // max(k_scan * d, 1)))
+    while nq % qc:
+        qc -= 1
+    if qc == nq:
+        s2 = rerank_block((xq, lids, lane, best))
     else:
-        diff = xs - xq[:, None, :]
-        s2 = -jnp.sum(diff * diff, axis=-1)
-    s2 = jnp.where(jnp.isneginf(best), _NEG_INF, s2)
+        nb = nq // qc
+        s2 = lax.map(rerank_block,
+                     (xq.reshape(nb, qc, -1),
+                      lids.reshape(nb, qc, k_scan),
+                      lane.reshape(nb, qc, k_scan),
+                      best.reshape(nb, qc, k_scan))).reshape(nq, k_scan)
     best, sel2 = lax.top_k(s2, k)
     pos = jnp.take_along_axis(pos, sel2, axis=1)
     return best, jnp.where(jnp.isneginf(best), -1, pos)

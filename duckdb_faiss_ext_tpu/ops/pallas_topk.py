@@ -184,13 +184,16 @@ def choose_tiles(nq: int, cap: int, d: int, k: int):
     via tools/serve_profile.py corpus-scaling, 2026-08-20).  Budget:
     qt·d (queries) + 2·qt·kp·2 (top-k scratch) ≲ 4 MB; 2·nt·d
     (double-buffered corpus blocks) + qt·nt (score tile) ≲ 8 MB."""
-    kp = _round_up(max(k, 1), 128)
-    qt = min(nq, 1024)
-    while qt > 8 and qt * d * 4 + 2 * qt * kp * 8 > (4 << 20):
-        qt //= 2
+    # qt stays small: the tile-skip predicate is ANY-query-improves, so
+    # wide query tiles skip almost never and pay k insert passes on
+    # every tile (qt=1024 measured 131 ms vs 92 ms at 1M×128 b1024 —
+    # 2026-08-20).  Only the corpus tile grows to cut step count.
+    qt = min(nq, 128)
     nt = 4096
     while nt > 128 and 2 * nt * d * 4 + qt * nt * 4 > (8 << 20):
         nt //= 2
+    while qt > 8 and qt * (d + nt) * 4 > (4 << 20):
+        qt //= 2
     return qt, min(nt, cap)
 
 
