@@ -194,7 +194,7 @@ def _dispatch_inner(self, xq, k, params=EMPTY, selector=None):
             from ..ops.pairs_gate import pairs_preferred
 
             want_pairs = pairs_preferred(
-                work, nq_b,
+                work, nq_b, self.d,
                 static_ok=(nq_b >= self.PAIRS_MIN_BATCH
                            and work >= self.PAIRS_MIN_WORK))
         pairs_ok = (want_pairs

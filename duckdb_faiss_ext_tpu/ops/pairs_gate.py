@@ -25,27 +25,33 @@ from __future__ import annotations
 import math
 
 # (lmax*d, nq, speedup) — speedup = t_per_query / t_pairs measured on the
-# real chip (v5e 2026-08-20, tools/pairs_profile.py --crossover: sq8,
-# nlist 1024, nprobe 16, best-of-3, label agreement >= 0.99 on every
-# row).  Grid: d in {128, 768, 1536} x lmax in {512..4096} x nq in
-# {256, 1024}.  Shape of the surface: pairs win grows with per-pair dot
-# work (lmax*d) AND with batch (more queries per list tile); at small
-# work the tile table/extraction overhead makes it a wash.
-MEASURED: list[tuple[int, int, float]] = [
-    (65536, 256, 1.050),
-    (65536, 1024, 0.995),
-    (262144, 256, 1.021),
-    (262144, 1024, 1.060),
-    (524288, 256, 1.057),
-    (524288, 1024, 1.145),
-    (786432, 256, 1.065),     # d=768, lmax=1024
-    (786432, 1024, 1.402),
-    (786432, 256, 1.113),     # d=1536, lmax=512
-    (786432, 1024, 1.367),
-    (1572864, 256, 1.181),
-    (1572864, 1024, 1.559),
-    (3145728, 256, 1.006),    # marco lmax at nq 256: a wash
-    (3145728, 1024, 2.460),   # marco serving shape: pairs 2.46x
+# real chip (v5e, tools/pairs_profile.py --crossover: sq8, nlist 1024,
+# nprobe 16, best-of-3).  Grid: d in {128, 768, 1536} x lmax in
+# {512..4096} x nq in {256, 1024}.  Shape of the surface: pairs win
+# grows with per-pair dot work (lmax*d) AND with batch (more queries per
+# list tile); at small work the tile table/extraction overhead makes it
+# a wash.  Re-measured 2026-08-20 17:09Z on a healthy relay (the round-3
+# grid carried that session's drift; ratios moved e.g. 2.46 -> 2.01 at
+# the marco shape and toward 1.0 at d=128).
+#: rows are (lmax*d, nq, d, speedup) — d is a half-weight third
+#: feature: at equal work the two (d=768, lmax=1024) / (d=1536,
+#: lmax=512) configs measured 0.97 vs 1.24, so work+nq alone cannot
+#: separate them.
+MEASURED: list[tuple[int, int, int, float]] = [
+    (65536, 256, 128, 1.01),
+    (65536, 1024, 128, 1.01),
+    (262144, 256, 128, 1.03),
+    (262144, 1024, 128, 1.10),
+    (524288, 256, 128, 1.08),
+    (524288, 1024, 128, 1.17),
+    (786432, 256, 768, 0.97),
+    (786432, 1024, 768, 1.33),
+    (786432, 256, 1536, 1.24),
+    (786432, 1024, 1536, 1.19),
+    (1572864, 256, 1536, 1.25),
+    (1572864, 1024, 1536, 1.67),
+    (3145728, 256, 1536, 1.18),
+    (3145728, 1024, 1536, 2.01),  # marco serving shape
 ]
 
 #: static floors that measurements do not override (VMEM/HBM fit is
@@ -54,11 +60,14 @@ MIN_BATCH_FLOOR = 64
 MIN_WORK_FLOOR = 1 << 16
 
 
-def _features(work: int, nq: int) -> tuple[float, float]:
-    return math.log2(max(work, 1)), math.log2(max(nq, 1))
+def _features(work: int, nq: int, d: int) -> tuple[float, float, float]:
+    # d enters at half weight: it separates equal-work configs without
+    # dominating the (work, nq) surface.
+    return (math.log2(max(work, 1)), math.log2(max(nq, 1)),
+            0.5 * math.log2(max(d, 1)))
 
 
-def pairs_speedup_estimate(work: int, nq: int,
+def pairs_speedup_estimate(work: int, nq: int, d: int = 0,
                            table=None) -> tuple[float, float]:
     """Inverse-distance-weighted geometric mean of measured speedups.
 
@@ -69,12 +78,15 @@ def pairs_speedup_estimate(work: int, nq: int,
     rows = MEASURED if table is None else table
     if not rows:
         return 1.0, float("inf")
-    fx, fy = _features(work, nq)
+    if d <= 0:
+        d = max(1, work // 2048)       # legacy 2-arg callers: assume a
+    fx, fy, fz = _features(work, nq, d)  # mid-size lmax
     num = den = 0.0
     dmin = float("inf")
-    for w, n, s in rows:
-        gx, gy = _features(w, n)
-        d2 = (fx - gx) ** 2 + (fy - gy) ** 2
+    for row in rows:
+        w, n, rd, s = row if len(row) == 4 else (*row[:2], 0, row[2])
+        gx, gy, gz = _features(w, n, rd if rd > 0 else max(1, w // 2048))
+        d2 = (fx - gx) ** 2 + (fy - gy) ** 2 + (fz - gz) ** 2
         dmin = min(dmin, math.sqrt(d2))
         wgt = 1.0 / (d2 + 1e-6)
         num += wgt * math.log(max(s, 1e-6))
@@ -82,7 +94,7 @@ def pairs_speedup_estimate(work: int, nq: int,
     return math.exp(num / den), dmin
 
 
-def pairs_preferred(work: int, nq: int, *, table=None,
+def pairs_preferred(work: int, nq: int, d: int = 0, *, table=None,
                     static_ok: bool | None = None) -> bool:
     """Should the pair-tile path run at (lmax*d = work, batch nq)?
 
@@ -94,7 +106,7 @@ def pairs_preferred(work: int, nq: int, *, table=None,
     """
     if nq < MIN_BATCH_FLOOR or work < MIN_WORK_FLOOR:
         return False
-    est, dist = pairs_speedup_estimate(work, nq, table)
+    est, dist = pairs_speedup_estimate(work, nq, d, table)
     if dist <= 2.0:
         return est >= 1.05
     if static_ok is None:
