@@ -137,6 +137,11 @@ class ChipLock:
     def acquire(self):
         import fcntl
 
+        if os.environ.get("DFX_CHIP_LOCK_HELD"):
+            # invoked under tools/chiplock.sh — the parent already holds
+            # the flock; trying to take it again deadlocks until the
+            # step timeout (chain1/chain2 bench rc=124, 2026-08-20)
+            return True
         self.fd = open(self.PATH, "w")
         deadline = time.time() + self.wait_s
         while True:

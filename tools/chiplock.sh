@@ -6,4 +6,5 @@
 # The lock is released between steps, letting bench.py slot in.
 set -u
 TIMEOUT_S="$1"; shift
+export DFX_CHIP_LOCK_HELD=1   # tell bench.py not to re-acquire
 exec flock -w 3600 /root/repo/.chip.lock timeout "$TIMEOUT_S" "$@"
