@@ -313,8 +313,17 @@ def sq_exact_rerank(codes_lists, lids, lane, pos, best, xq, vmin, scale,
         xq_b, lids_b, lane_b, best_b = argsb
         qb = xq_b.shape[0]
         if codec == "sq6":
-            d4 = codes_lists.shape[3]
-            planes = codes_lists[lids_b, :, lane_b]   # (qb, k_scan, 3, d4)
+            # flat-row gather on the (nlist*3*lmax, d4) bitcast reshape:
+            # the mixed advanced/basic form codes[lids, :, lane] makes
+            # XLA materialise a TRANSPOSED copy of the whole plane-major
+            # payload (11.25 GiB at marco — HBM OOM 26.37G, 2026-08-20),
+            # exactly like the scatter in models/ivf_device.py.
+            nlist_, _, lmax_, d4 = codes_lists.shape
+            fl = codes_lists.reshape(nlist_ * 3 * lmax_, d4)
+            base_r = lids_b * (3 * lmax_) + lane_b    # (qb, k_scan)
+            idx3 = jnp.stack([base_r, base_r + lmax_,
+                              base_r + 2 * lmax_], axis=-1)
+            planes = fl[idx3]                         # (qb, k_scan, 3, d4)
             crows = jnp.transpose(planes, (0, 1, 3, 2)).reshape(
                 qb, k_scan, 3 * d4)
             wbytes = 3 * d4
