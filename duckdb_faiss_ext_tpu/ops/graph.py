@@ -142,6 +142,10 @@ def build_knn_graph(xb: np.ndarray, degree: int, metric: str,
             xb_pad, jnp.int32(n), jnp.float32(metric_arg), out,
             jnp.int32(done), degree=degree, q_block=q_block, nblocks=nb,
             metric=metric, precision=precision)
+        np.asarray(out[:1, :1])   # sync: dispatches enqueue async, so
+        # without a fetch the whole loop is ONE unbounded in-flight
+        # queue — the exact minutes-long-work worker kill the chunking
+        # exists to avoid (graph1m_d128 crash, 2026-08-20)
         done += nb
     return np.asarray(out[:n])
 
