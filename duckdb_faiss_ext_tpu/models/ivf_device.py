@@ -59,10 +59,11 @@ class DeviceResidentState:
         self.lmax = int(lmax)
         if planes:
             # Plane-major payload (SQ6): byte b of every 3-byte group in
-            # plane b — the serving kernels' expected layout
+            # rows [b*lmax, (b+1)*lmax) — the serving kernels' expected
+            # (nlist, 3*lmax, d4) folded layout
             # (models/ivf_layout.py::_build_device_pallas sq6 branch).
-            self.payload = jnp.zeros((nlist, planes, lmax, width // planes),
-                                     dtype)
+            self.payload = jnp.zeros((nlist, planes * lmax,
+                                      width // planes), dtype)
         else:
             self.payload = jnp.zeros((nlist, lmax, width), dtype)
         self.rn_layout = (jnp.zeros((nlist, lmax), jnp.float32)
@@ -198,8 +199,8 @@ def _scatter_sq(payload, rn_layout, rs_layout, lists_idx, slots_idx, rows,
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
 def _scatter_sq6(payload, rn_layout, rs_layout, lists_idx, slots_idx,
                  planes, rn, rs):
-    """Plane-major scatter: payload is (nlist, 3, lmax, d4), planes is
-    (m, 3, d4) — row slots index the THIRD axis.
+    """Plane-major scatter: payload is (nlist, 3*lmax, d4) — plane b of
+    slot s lives at row b*lmax + s; planes is (m, 3, d4).
 
     Written as ONE flat-row scatter on the (nlist*3*lmax, d4) reshape
     (a bitcast): the mixed advanced/basic form
@@ -207,14 +208,15 @@ def _scatter_sq6(payload, rn_layout, rs_layout, lists_idx, slots_idx,
     copy of the whole payload around the scatter despite donation —
     a second 11.25 GiB allocation that OOMed the 8.8M marco SQ6 ingest
     (r3 marco_sq6: copy.1 u8[10485760,3,384])."""
-    nlist, _, lmax, d4 = payload.shape
-    flat = payload.reshape(nlist * 3 * lmax, d4)
-    base = lists_idx * (3 * lmax) + slots_idx
+    nlist, l3, d4 = payload.shape
+    lmax = l3 // 3
+    flat = payload.reshape(nlist * l3, d4)
+    base = lists_idx * l3 + slots_idx
     idx3 = jnp.concatenate([base, base + lmax, base + 2 * lmax])
     rows3 = jnp.concatenate([planes[:, 0], planes[:, 1], planes[:, 2]],
                             axis=0)
     flat = flat.at[idx3].set(rows3)
-    payload = flat.reshape(nlist, 3, lmax, d4)
+    payload = flat.reshape(nlist, l3, d4)
     rn_layout = rn_layout.at[lists_idx, slots_idx].set(rn)
     rs_layout = rs_layout.at[lists_idx, slots_idx].set(rs)
     return payload, rn_layout, rs_layout
@@ -228,6 +230,11 @@ def _scatter_flat(payload, lists_idx, slots_idx, rows):
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _append_spill(buf, start, rows):
     return jax.lax.dynamic_update_slice(buf, rows, (start, 0))
+
+
+@functools.partial(jax.jit, static_argnames=("rows",), donate_argnums=(0,))
+def _shrink_rows(buf, rows: int):
+    return jax.lax.slice(buf, (0, 0), (rows, buf.shape[1]))
 
 
 def _pad_idx(idx: np.ndarray) -> np.ndarray:
@@ -502,6 +509,18 @@ def dr_build_device_pallas(self):
     self._device_pallas = dev
     if dr.spill_n:
         scap = dr.spill_payload.shape[0]
+        # Trim over-planned capacity at serve time: the layout plans the
+        # spill from expected list overflow, but capped assignment
+        # (assign_topk) redirects about half of it into free slots —
+        # at marco the planned 1.05M-row buffer held 525k rows, 0.8 GB
+        # of dead capacity next to a 12 GiB payload, and the filtered
+        # bench ran out of HBM headroom.  Keep 12.5% slack for future
+        # appends (growth re-doubles if it runs out).
+        need_cap = max(4096, -(-int(dr.spill_n * 9 // 8) // 512) * 512)
+        row_b = dr.spill_payload.dtype.itemsize * dr.spill_payload.shape[1]
+        if need_cap < scap and (scap - need_cap) * row_b > (256 << 20):
+            dr.spill_payload = _shrink_rows(dr.spill_payload, need_cap)
+            scap = need_cap
         from ..utils.config import pad_rows
 
         self._device_spill = (
@@ -528,7 +547,10 @@ def dr_reconstruct(self, key: int) -> np.ndarray:
     if rec >= 0:
         if self.sq_type == "sq6":
             # plane-major (3, d4) → row-major bytes (w-index = g*3 + b)
-            pm = np.asarray(dr.payload[int(self._assign[key]), :, rec, :])
+            lm = dr.payload.shape[1] // 3
+            pm = np.asarray(dr.payload[
+                int(self._assign[key]),
+                jnp.asarray([rec, lm + rec, 2 * lm + rec]), :])
             row = pm.transpose(1, 0).reshape(-1)
         else:
             row = np.asarray(dr.payload[int(self._assign[key]), rec])
@@ -547,12 +569,13 @@ def dr_materialize_codes(self) -> np.ndarray:
     dr = self._dr
     n = self._nstored
     payload_h = np.asarray(dr.payload)
-    if payload_h.ndim == 4:
-        # plane-major SQ6 (nlist, 3, lmax, d4) → row-major (nlist, lmax,
+    if self.sq_type == "sq6":
+        # plane-major SQ6 (nlist, 3*lmax, d4) → row-major (nlist, lmax,
         # 3*d4) with w-index = group*3 + byte.
+        nlist_, l3, d4 = payload_h.shape
         payload_h = np.ascontiguousarray(
-            payload_h.transpose(0, 2, 3, 1)).reshape(
-                payload_h.shape[0], payload_h.shape[2], -1)
+            payload_h.reshape(nlist_, 3, l3 // 3, d4)
+            .transpose(0, 2, 3, 1)).reshape(nlist_, l3 // 3, -1)
     width = payload_h.shape[2]
     out = np.empty((n, width), payload_h.dtype)
     kept = dr.slot >= 0

@@ -223,12 +223,15 @@ def _build_device_pallas(self):
                  scale)
         if self.sq_type == "sq6":
             # Plane-major payload for the SQ6 kernel: byte b of every
-            # 3-byte group in plane b — (nlist, 3, lmax, ceil(d/4))
-            # (ops/pallas_ivf.py::_sq_scan_kernel sq6 branch).
+            # 3-byte group in rows [b*lmax, (b+1)*lmax) — (nlist,
+            # 3*lmax, ceil(d/4)), the plane axis FOLDED into the sublane
+            # axis so the operand is (8,128)-tileable as stored
+            # (ops/pallas_ivf.py::_sq_scan_kernel sq6 branch; a 4-D
+            # layout cost a 15 G Mosaic relayout copy at marco).
             nlist, lmax, w = payload.shape
             payload = np.ascontiguousarray(
                 payload.reshape(nlist, lmax, w // 3, 3)
-                .transpose(0, 3, 1, 2))
+                .transpose(0, 3, 1, 2)).reshape(nlist, 3 * lmax, w // 3)
     else:
         extra = ()
         sq_rn_full = sq_rs_full = None

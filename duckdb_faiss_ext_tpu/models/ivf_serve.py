@@ -115,9 +115,10 @@ def _dispatch_inner(self, xq, k, params=EMPTY, selector=None):
             64 * nprobe_eff <= self.PALLAS_SMEM_PROBE_INTS:
         dev = self._build_device_pallas()
         payload, counts, row_pos, cents_dev = dev[:4]
-        # sq6 payloads are plane-major (nlist, 3, lmax, d4); others
+        # sq6 payloads are plane-major (nlist, 3*lmax, d4); others
         # (nlist, lmax, w).
-        lmax = payload.shape[2] if payload.ndim == 4 else payload.shape[1]
+        lmax = (payload.shape[1] // 3 if self.sq_type == "sq6"
+                else payload.shape[1])
         spill = getattr(self, "_device_spill", None)
         # Spill rows are extra candidates beyond the capped padded
         # layout: k_eff must count them or k > nprobe·lmax truncates

@@ -318,8 +318,9 @@ def sq_exact_rerank(codes_lists, lids, lane, pos, best, xq, vmin, scale,
             # XLA materialise a TRANSPOSED copy of the whole plane-major
             # payload (11.25 GiB at marco — HBM OOM 26.37G, 2026-08-20),
             # exactly like the scatter in models/ivf_device.py.
-            nlist_, _, lmax_, d4 = codes_lists.shape
-            fl = codes_lists.reshape(nlist_ * 3 * lmax_, d4)
+            nlist_, l3_, d4 = codes_lists.shape
+            lmax_ = l3_ // 3
+            fl = codes_lists.reshape(nlist_ * l3_, d4)
             base_r = lids_b * (3 * lmax_) + lane_b    # (qb, k_scan)
             idx3 = jnp.stack([base_r, base_r + lmax_,
                               base_r + 2 * lmax_], axis=-1)
@@ -389,8 +390,10 @@ def _sq_scan_kernel(pids_ref, counts_ref, ui_ref, qs_ref, *rest,
 
     SQ6: the packed row layout (4 codes per 3 bytes) cannot be bit-sliced
     in-kernel without 8-bit reshapes, so its payload is stored PLANE-MAJOR
-    — (nlist, 3, lmax, ceil(d/4)) with byte b of every 3-byte group in
-    plane b — and each block arrives as (3, lmax, d4).  The four 6-bit
+    — (nlist, 3*lmax, ceil(d/4)) with byte b of every 3-byte group in
+    rows [b*lmax, (b+1)*lmax) — and each block arrives as (3*lmax, d4)
+    (the folded sublane axis keeps the operand (8,128)-tileable; a 4-D
+    block forced a 15 G relaid payload copy at marco).  The four 6-bit
     codes of a group come out of the three planes with the same
     widen-shift-truncate ops as SQ4, each shaped (lmax, d4), and the
     score is four dots against the four query dim-planes (dims x::4).
@@ -413,8 +416,9 @@ def _sq_scan_kernel(pids_ref, counts_ref, ui_ref, qs_ref, *rest,
     c0 = qs_ref[i, 1]                                     # shift·Σũ
     base = qs_ref[i, 2]                                   # ‖t‖² (L2) / q·vmin
     mu = qs_ref[i, 3]                                     # per-query mean(u)
-    # sq6 blocks are (1, 3, lmax, d4) plane-major; others (1, lmax, w).
-    lmax = list_refs[0].shape[2 if codec == "sq6" else 1]
+    # sq6 blocks are (1, 3*lmax, d4) plane-major; others (1, lmax, w).
+    lmax = (list_refs[0].shape[1] // 3 if codec == "sq6"
+            else list_refs[0].shape[1])
     lane = lax.broadcasted_iota(jnp.int32, (1, lmax), 1)[0]
     sim = metric == "INNER_PRODUCT"
 
@@ -424,7 +428,7 @@ def _sq_scan_kernel(pids_ref, counts_ref, ui_ref, qs_ref, *rest,
     # limit on the real chip at the 8.8M×1536 marco shape.
     from .sq_digits import sq_block_digit_dot, sq_utile
 
-    wb = (3 * list_refs[0].shape[3] if codec == "sq6"
+    wb = (3 * list_refs[0].shape[2] if codec == "sq6"
           else list_refs[0].shape[2])
     utile = sq_utile(codec, lmax, wb, 2 * ways * lmax * wb,
                      dtype=digit_dtype)
@@ -497,7 +501,8 @@ def pallas_ivf_sq_search(
     from .sq import SQ_INT8_SHIFT, sq_query_digits
 
     if codec == "sq6":
-        nlist, _, lmax, d4 = codes_lists.shape   # plane-major (see kernel)
+        nlist, l3, d4 = codes_lists.shape        # plane-major (see kernel)
+        lmax = l3 // 3
         wbytes = 3 * d4
     else:
         nlist, lmax, wbytes = codes_lists.shape
@@ -534,9 +539,9 @@ def pallas_ivf_sq_search(
     def list_spec(w):
         if codec == "sq6":
             return pl.BlockSpec(
-                (1, 3, lmax, d4),
+                (1, 3 * lmax, d4),
                 lambda i, j, pids, cnts, w=w: (
-                    pids[i * nprobe + j * ways + w], 0, 0, 0),
+                    pids[i * nprobe + j * ways + w], 0, 0),
                 memory_space=pltpu.VMEM)
         return pl.BlockSpec(
             (1, lmax, wbytes),

@@ -171,8 +171,9 @@ def _pairs_sq_kernel(meta_ref, counts_ref, ui_ref, qs_ref, *rest,
         base = qs_ref[w, :, 2]                        # ±inf on empty slots
         mu = qs_ref[w, :, 3]
         block = codes_refs[w][0]                      # (lmax, wb) uint8
-        lmax = block.shape[0] if codec != "sq6" else block.shape[1]
-        wb = 3 * block.shape[2] if codec == "sq6" else block.shape[1]
+        lmax = (block.shape[0] // 3 if codec == "sq6"
+                else block.shape[0])                  # sq6: (3*lmax, d4)
+        wb = 3 * block.shape[1] if codec == "sq6" else block.shape[1]
         utile = sq_utile(codec, lmax, wb,
                          2 * ways * lmax * wb + ways * qg * lmax * 8,
                          dtype=digit_dtype)
@@ -223,7 +224,7 @@ def _pairs_sq_kernel(meta_ref, counts_ref, ui_ref, qs_ref, *rest,
                      "mega_skip_pad", "debug_raw", "utile_opt"),
 )
 def pallas_ivf_sq_pairs_search(
-    codes_lists,   # (nlist, lmax, w) uint8 / (nlist, 3, lmax, d4) sq6
+    codes_lists,   # (nlist, lmax, w) uint8 / (nlist, 3*lmax, d4) sq6
     row_norm,      # (nlist, lmax) fp32
     row_sum,       # (nlist, lmax) fp32
     counts,        # (nlist,) int32
@@ -269,7 +270,8 @@ def pallas_ivf_sq_pairs_search(
     from .sq import SQ_INT8_SHIFT, sq_query_digits
 
     if codec == "sq6":
-        nlist, _, lmax, d4 = codes_lists.shape
+        nlist, l3, d4 = codes_lists.shape        # plane-major (3*lmax, d4)
+        lmax = l3 // 3
         wbytes = 3 * d4
     else:
         nlist, lmax, wbytes = codes_lists.shape
@@ -311,8 +313,7 @@ def pallas_ivf_sq_pairs_search(
                                 tile_list])
     else:
         t_max = pairs_t_max(nq, nprobe, nlist, qg)
-        blk = 3 * lmax * ((d + 3) // 4) if codec == "sq6" \
-            else lmax * wbytes
+        blk = lmax * wbytes                  # sq6: 3*lmax*d4 == lmax*wbytes
         if mega:
             # tiles per mega step / in-flight slots, VMEM-fitted: slots
             # of (code + ui + rnrs) buffers + the double-buffered
@@ -348,7 +349,7 @@ def pallas_ivf_sq_pairs_search(
         if has_mask:
             rlanes.append(mask.reshape(nlist, lmax).astype(jnp.float32))
         rnrs = jnp.stack(rlanes, axis=1)          # (nlist, C, lmax) f32
-        code_shape = ((slots, 3, lmax, (d + 3) // 4) if codec == "sq6"
+        code_shape = ((slots, 3 * lmax, (d + 3) // 4) if codec == "sq6"
                       else (slots, lmax, wbytes))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -406,8 +407,8 @@ def pallas_ivf_sq_pairs_search(
             # scalar-prefetch dependence and double-buffers cleanly.
             if codec == "sq6":
                 return pl.BlockSpec(
-                    (1, 3, lmax, d4),
-                    lambda i, tl, cn, w=w: (i * ways + w, 0, 0, 0),
+                    (1, 3 * lmax, d4),
+                    lambda i, tl, cn, w=w: (i * ways + w, 0, 0),
                     memory_space=pltpu.VMEM)
             return pl.BlockSpec(
                 (1, lmax, wbytes),
@@ -415,8 +416,8 @@ def pallas_ivf_sq_pairs_search(
                 memory_space=pltpu.VMEM)
         if codec == "sq6":
             return pl.BlockSpec(
-                (1, 3, lmax, d4),
-                lambda i, tl, cn, w=w: (tl[1 + i * ways + w], 0, 0, 0),
+                (1, 3 * lmax, d4),
+                lambda i, tl, cn, w=w: (tl[1 + i * ways + w], 0, 0),
                 memory_space=pltpu.VMEM)
         return pl.BlockSpec(
             (1, lmax, wbytes),
@@ -520,7 +521,7 @@ def _pairs_sq_mega_kernel(meta_ref, counts_ref, ui_hbm, qs_ref,
     its 4-lane minor dim to 128 (32x inflation, 25.2 MB at the marco
     t_max 6144 — the round-3 scoped-VMEM stack OOM), while (4, qg,
     t_max) is exactly 786 KB.  payload (nlist, lmax, w) u8 (sq6:
-    (nlist, 3, lmax, d4)), rnrs (nlist, C, lmax) fp32 with C = 2 + mask
+    (nlist, 3*lmax, d4)), rnrs (nlist, C, lmax) fp32 with C = 2 + mask
     (row_norm, row_sum, and the selector mask widened to fp32 so one
     DMA fetches all per-row lanes)."""
     from .sq_digits import sq_block_digit_dot, sq_utile
@@ -577,8 +578,8 @@ def _pairs_sq_mega_kernel(meta_ref, counts_ref, ui_hbm, qs_ref,
         start(s, s)
 
     if codec == "sq6":
-        lmax = code_buf.shape[2]
-        wb = 3 * code_buf.shape[3]
+        lmax = code_buf.shape[1] // 3        # (slots, 3*lmax, d4)
+        wb = 3 * code_buf.shape[2]
     else:
         lmax = code_buf.shape[1]
         wb = code_buf.shape[2]

@@ -73,8 +73,13 @@ def sq_block_digit_dot(block, t0: int, ut: int, codec: str,
 
     ``block`` layouts: (lmax, w) uint8 for sq8 (w = d) and sq4
     (w = ceil(d/2), byte j packs dims 2j low / 2j+1 high); plane-major
-    (3, lmax, d4) for sq6 (4 codes per 3 bytes, d4 = ceil(d/4)).  The
-    matching query-digit packing is ``sq_pack_query_planes``.
+    (3*lmax, d4) for sq6 (4 codes per 3 bytes, d4 = ceil(d/4); plane b
+    occupies rows [b*lmax, (b+1)*lmax)) — the plane axis is FOLDED into
+    the sublane axis so the trailing dims are (8,128)-tileable: a
+    4-D (3, lmax, d4) block made Mosaic demand a relaid operand and XLA
+    materialised a padded copy of the whole payload (15 G at the 8.8M
+    marco shape — compile-time HBM OOM, 2026-08-20).  The matching
+    query-digit packing is ``sq_pack_query_planes``.
 
     ``dtype="bf16"``: both operands cast to bf16 before the dot
     (preferred fp32).  int8 values are EXACT in bf16 (|v| <= 128 < 2^8
@@ -90,12 +95,13 @@ def sq_block_digit_dot(block, t0: int, ut: int, codec: str,
     pref = jnp.float32 if dtype == "bf16" else jnp.int32
 
     if codec == "sq6":
-        d4 = block.shape[2]
-        b0 = lax.slice(block, (0, t0, 0), (1, t0 + ut, d4))[0] \
+        d4 = block.shape[1]
+        lm = block.shape[0] // 3
+        b0 = lax.slice(block, (t0, 0), (t0 + ut, d4)) \
             .astype(jnp.int32)
-        b1 = lax.slice(block, (1, t0, 0), (2, t0 + ut, d4))[0] \
+        b1 = lax.slice(block, (lm + t0, 0), (lm + t0 + ut, d4)) \
             .astype(jnp.int32)
-        b2 = lax.slice(block, (2, t0, 0), (3, t0 + ut, d4))[0] \
+        b2 = lax.slice(block, (2 * lm + t0, 0), (2 * lm + t0 + ut, d4)) \
             .astype(jnp.int32)
         planes = (cast((b0 >> 2).astype(jnp.int8)),
                   cast((((b0 & 3) << 4) | (b1 >> 4)).astype(jnp.int8)),

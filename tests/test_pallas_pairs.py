@@ -80,7 +80,8 @@ def _sq_state(xb, nlist, lmax, codec, rng, metric):
     if codec == "sq6":
         # plane-major payload, as models/ivf_layout.py builds it
         lists = np.ascontiguousarray(
-            lists.reshape(nlist, lmax, w // 3, 3).transpose(0, 3, 1, 2))
+            lists.reshape(nlist, lmax, w // 3, 3)
+            .transpose(0, 3, 1, 2)).reshape(nlist, 3 * lmax, w // 3)
     return (jnp.asarray(lists), jnp.asarray(rn), jnp.asarray(rs),
             jnp.asarray(counts), row_pos, vmin, scale, dec)
 
