@@ -56,6 +56,12 @@ def main() -> None:
     # (~0.5-1 TB of code bytes) — land the clustered-scan build first,
     # opt into refinement when the serving numbers justify it.
     ap.add_argument("--refine-rounds", type=int, default=0)
+    ap.add_argument("--serve-codec", default="sq8",
+                    choices=["sq8", "sq6"],
+                    help="phase-4 serving code buffer: sq8 (13.6 GiB at "
+                         "8.8M x 1536) or sq6 (10.2 GiB — frees ~3.4 GiB "
+                         "of HBM for a deg-64 adjacency, the identified "
+                         "recall cap of the deg-32 builds)")
     ap.add_argument("--pools", default="16,32,64,128")
     ap.add_argument("--width", type=int, default=4)
     ap.add_argument("--batches", default="48,512,1024")
@@ -168,6 +174,28 @@ def main() -> None:
         return jnp.clip(jnp.round((x - vmin8[None, :]) / scale8[None, :]),
                         0, SQ_LEVELS["sq8"]).astype(jnp.uint8)
 
+    vmin6, scale6 = sq_train(gen_chunk(0, chunk), SQ_LEVELS["sq6"])
+
+    @jax.jit
+    def encode_sq6(x):
+        """Row-major SQ6 packing (m, 3*d/4), byte w = group*3 + plane —
+        the layout ops/sq.py::sq6_decode reads.  The three planes are
+        interleaved with interior-dilated pads (stride-3 writes as pure
+        VPU ops): stacking along a minor size-3 axis would make TPU
+        tiling pad it 42x (the ivf_device._encode_chunk lesson)."""
+        q = jnp.clip(jnp.round((x - vmin6[None, :]) / scale6[None, :]),
+                     0, SQ_LEVELS["sq6"]).astype(jnp.uint8)
+        m = x.shape[0]
+        g = q.reshape(m, -1, 4).astype(jnp.uint16)
+        b0 = ((g[..., 0] << 2) | (g[..., 1] >> 4)).astype(jnp.uint8)
+        b1 = (((g[..., 1] & 15) << 4) | (g[..., 2] >> 2)).astype(jnp.uint8)
+        b2 = (((g[..., 2] & 3) << 6) | g[..., 3]).astype(jnp.uint8)
+
+        def dil3(b, off):
+            return jax.lax.pad(b, jnp.uint8(0),
+                               ((0, 0, 0), (off, 2 - off, 2)))
+        return dil3(b0, 0) | dil3(b1, 1) | dil3(b2, 2)
+
     @jax.jit
     def top2_cells(x):
         # Exact top-2 product cells from per-half top-2 (the candidates
@@ -247,14 +275,19 @@ def main() -> None:
     print(f"phase3 nn-descent x{args.refine_rounds} + slice: "
           f"{time.time()-t0:.1f}s", flush=True)
 
-    # ---- phase 4: SQ8 serving buffer ------------------------------------
+    # ---- phase 4: SQ serving buffer (sq8, or sq6 for deg>=64) -----------
     t0 = time.time()
-    gen8 = jax.jit(lambda i: encode_sq8(gen_chunk(i, chunk)))
-    codes8 = jnp.zeros((n_pad, d), jnp.uint8)
+    s_codec = args.serve_codec
+    enc = encode_sq8 if s_codec == "sq8" else encode_sq6
+    s_vmin, s_scale = ((vmin8, scale8) if s_codec == "sq8"
+                       else (vmin6, scale6))
+    gen_s = jax.jit(lambda i: enc(gen_chunk(i, chunk)))
+    s_w = d if s_codec == "sq8" else 3 * (d // 4)
+    codes_s = jnp.zeros((n_pad, s_w), jnp.uint8)
     for i in range(nchunks):
-        codes8 = put_rows(codes8, gen8(jnp.int32(i)), jnp.int32(i))
-    np.asarray(codes8[:1, :1])
-    print(f"phase4 sq8 encode: {time.time()-t0:.1f}s "
+        codes_s = put_rows(codes_s, gen_s(jnp.int32(i)), jnp.int32(i))
+    np.asarray(codes_s[:1, :1])
+    print(f"phase4 {s_codec} encode: {time.time()-t0:.1f}s "
           f"({n/(time.time()-t0):.0f} rows/s)", flush=True)
 
     # ---- phase 5: walk sweep vs exact GT ---------------------------------
@@ -270,9 +303,9 @@ def main() -> None:
             try:
                 def run():
                     s, p = graph_search(
-                        codes8, adj_dev, xq_dev, n, k, "INNER_PRODUCT",
-                        pool=pool, width=args.width, codec="sq8",
-                        vmin=vmin8, scale=scale8)
+                        codes_s, adj_dev, xq_dev, n, k, "INNER_PRODUCT",
+                        pool=pool, width=args.width, codec=s_codec,
+                        vmin=s_vmin, scale=s_scale)
                     return finalize_scores(s, p, "INNER_PRODUCT")
                 dist, pos = run()
                 np.asarray(pos[:1])
