@@ -120,14 +120,14 @@ def main() -> None:
 
             acc = lax.fori_loop(0, TPS, body,
                                 jnp.zeros((128,), jnp.float32))
-            out_ref[0] = acc
+            out_ref[0] = jnp.broadcast_to(acc[None, :], (8, 128))
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(T // TPS,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
                       pl.BlockSpec(memory_space=pltpu.ANY)],
-            out_specs=pl.BlockSpec((1, 128), lambda i, tl: (i, 0),
+            out_specs=pl.BlockSpec((1, 8, 128), lambda i, tl: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((SLOTS, L, W), jnp.uint8),
@@ -137,7 +137,8 @@ def main() -> None:
         )
         return jax.jit(lambda tl, p, s: pl.pallas_call(
             kernel, grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((T // TPS, 128), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((T // TPS, 8, 128),
+                                           jnp.float32),
             interpret=interp)(tl, p, s))
 
     gib = T * L * W / 2**30
