@@ -366,9 +366,11 @@ def ivf_add_device(self, x, ids=None, *, expected_total: int | None = None,
                                        with_rn=codec is not None,
                                        planes=3 if codec == "sq6" else 0)
         if spill_capacity:
+            # 2048-granular (Pallas spill chunk divisibility, see the
+            # serve-time trim below)
             self._dr.spill_payload = jnp.zeros(
-                (max(4096, -(-int(spill_capacity) // 512) * 512), width),
-                dtype)
+                (max(4096, -(-int(spill_capacity) // 2048) * 2048),
+                 width), dtype)
     dr = self._dr
     # Drop cached device tuples BEFORE the donating scatter below: a live
     # reference to the payload (e.g. from a search between adds) would
@@ -516,7 +518,11 @@ def dr_build_device_pallas(self):
         # of dead capacity next to a 12 GiB payload, and the filtered
         # bench ran out of HBM headroom.  Keep 12.5% slack for future
         # appends (growth re-doubles if it runs out).
-        need_cap = max(4096, -(-int(dr.spill_n * 9 // 8) // 512) * 512)
+        # 2048-granular so the Pallas spill scan's chunk C=2048 always
+        # divides the capacity: a 512-granular cap drove C to 512 and
+        # the (C/128, qb) out block under Mosaic's 8-sublane floor
+        # (filtered 8.8M lowering failure, 2026-08-20).
+        need_cap = max(4096, -(-int(dr.spill_n * 9 // 8) // 2048) * 2048)
         row_b = dr.spill_payload.dtype.itemsize * dr.spill_payload.shape[1]
         if need_cap < scap and (scap - need_cap) * row_b > (256 << 20):
             dr.spill_payload = _shrink_rows(dr.spill_payload, need_cap)

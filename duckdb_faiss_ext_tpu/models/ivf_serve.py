@@ -295,6 +295,12 @@ def _dispatch_inner(self, xq, k, params=EMPTY, selector=None):
                 and (config.spill_impl == "pallas"
                      or sp_rows >= config.spill_pallas_min))
             if use_pallas_spill:
+                from ..ops.pallas_spill import spill_chunk_ok
+
+                # odd capacities chunk below Mosaic's 8-sublane output
+                # floor — keep those on the XLA scan
+                use_pallas_spill = spill_chunk_ok(sp_pos.shape[0])
+            if use_pallas_spill:
                 from ..ops.pallas_spill import pallas_spill_search
 
                 sp_scores, sp_positions = pallas_spill_search(

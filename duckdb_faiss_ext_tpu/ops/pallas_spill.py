@@ -120,6 +120,19 @@ def _spill_kernel(ug2_ref, qs_ref, probes_ref, asg_ref, meta_ref,
     jax.jit,
     static_argnames=("k", "metric", "sq", "n_used", "interpret",
                      "digit_dtype", "exact"))
+def spill_chunk_ok(s_pad: int) -> bool:
+    """True iff the chunk grid this kernel would pick for ``s_pad`` rows
+    yields a Mosaic-legal (C/128, qb) output block: either C >= 1024
+    (8+ sublanes) or a single chunk (block == whole array).  Callers
+    gate on this and keep odd capacities on the XLA scan — a 512-row
+    chunk lowered to a 4-sublane block and failed the static check
+    (filtered 8.8M, 2026-08-20)."""
+    c = 2048
+    while s_pad % c and c > 128:
+        c //= 2
+    return c >= 1024 or s_pad == c
+
+
 def pallas_spill_search(spill_payload, spill_assign, spill_pos,
                         probe_ids, xq, mask, *, k, metric, sq,
                         sq_vmin, sq_scale, spill_rn, spill_rs,

@@ -121,6 +121,21 @@ def test_pallas_ivf_sq8_kernel_interpret(catalog):
     assert np.all(flags[got])
 
 
+def test_spill_chunk_ok_gates_odd_capacities():
+    """Mosaic's 8-sublane output floor: capacities whose largest pow2
+    chunk divisor is 512 or 256 would lower a (C/128, qb) block below 8
+    sublanes — the gate must keep them on the XLA scan (filtered 8.8M
+    lowering failure, 2026-08-20).  Single-chunk capacities are legal by
+    the block==array escape."""
+    from duckdb_faiss_ext_tpu.ops.pallas_spill import spill_chunk_ok
+
+    assert spill_chunk_ok(2048) and spill_chunk_ok(4096)
+    assert spill_chunk_ok(289 * 2048)     # the 2048-granular trim shape
+    assert spill_chunk_ok(128) and spill_chunk_ok(512)   # single chunk
+    assert not spill_chunk_ok(88576)      # 512-odd multiple -> C=512
+    assert not spill_chunk_ok(591360)     # the failing filtered capacity
+
+
 def test_pallas_ivf_sq8_spill_plan(catalog):
     """Capped SQ8 layouts: the int8 kernel scans the padded lists and the
     SQ-aware spill scan covers the overflow; merged results match the
