@@ -116,10 +116,6 @@ def _spill_kernel(ug2_ref, qs_ref, probes_ref, asg_ref, meta_ref,
         warg_ref[w0:w0 + nw, :] = warg.T
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("k", "metric", "sq", "n_used", "interpret",
-                     "digit_dtype", "exact"))
 def spill_chunk_ok(s_pad: int) -> bool:
     """True iff the chunk grid this kernel would pick for ``s_pad`` rows
     yields a Mosaic-legal (C/128, qb) output block: either C >= 1024
@@ -133,6 +129,10 @@ def spill_chunk_ok(s_pad: int) -> bool:
     return c >= 1024 or s_pad == c
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "sq", "n_used", "interpret",
+                     "digit_dtype", "exact"))
 def pallas_spill_search(spill_payload, spill_assign, spill_pos,
                         probe_ids, xq, mask, *, k, metric, sq,
                         sq_vmin, sq_scale, spill_rn, spill_rs,
