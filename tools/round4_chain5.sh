@@ -1,8 +1,8 @@
 #!/bin/bash
-# Round-4 chain 5: marco graph quality build #2 — deg 64 (the identified
-# recall cap of the deg-32 builds), inter 96, coverage 3.0, SQ6 serving
-# codes (10.2 GiB leaves ~2.3 GiB for the deg-64 adjacency).  Gated on
-# chain 4 finishing so steps never interleave on the one chip.
+# Round-4 chain 5 (v2): filtered retry FIRST (VERDICT top-4 ask; spill
+# chunk-legality fix in), then the deg-64 SQ6-serving marco graph build,
+# then a bench refresh.  Gated on chain 4 finishing so steps never
+# interleave on the one chip.
 set -u
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
@@ -15,12 +15,12 @@ step() {
   sleep 20
 }
 
-# Gate: wait for chain4 (up to 3.5 h), then go regardless (flock still
-# serializes against any straggler step).
 for _ in $(seq 1 420); do
   grep -q 'CHAIN4 COMPLETE' logs/r4_chain4.log 2>/dev/null && break
   sleep 30
 done
+
+step filtered 3600 python tools/marco_filtered.py
 
 step graph_deg64 5400 python tools/marco_graph.py \
     --deg 64 --inter 96 --lmax-factor 3.0 --serve-codec sq6
