@@ -116,7 +116,8 @@ def main() -> None:
 
                 wait(slot, ti)
                 # touch one lane so the copies aren't dead
-                return acc + code_buf[slot, 0, :128].astype(jnp.float32)
+                return acc + (code_buf[slot, 0, :128]
+                              .astype(jnp.int32).astype(jnp.float32))
 
             acc = lax.fori_loop(0, TPS, body,
                                 jnp.zeros((128,), jnp.float32))
