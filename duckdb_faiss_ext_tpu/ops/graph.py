@@ -605,10 +605,44 @@ def build_graph(xb: np.ndarray, degree: int, metric: str,
 # Packed neighbourhoods
 # ---------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnames=("rows",),
+                   donate_argnums=(0,))
+def _pack_fill(out, codes, idx_c, r0, *, rows: int):
+    """Rows [r0, r0+rows) of the packed tensor: flat row gather +
+    immediate fold to (rows, deg*w).  Chunked by the caller so the
+    gather's LANE-PADDED intermediate stays tens of MB: a whole-graph
+    (N, deg, w) u8 gather at w < 128 lanes materialises at ceil(w/128)·
+    128 lanes — 2x for int4 d=128, which turned the 8.6 GB deg-128 pack
+    into a 17.2 GB allocation (graph1m_d128 OOM, 2026-08-20)."""
+    deg = idx_c.shape[1]
+    w = codes.shape[1]
+    blk = jnp.take(codes, jnp.maximum(idx_c, 0).reshape(-1), axis=0)
+    return jax.lax.dynamic_update_slice(
+        out, blk.reshape(rows, deg * w), (r0, 0))
+
+
+def _pack_build(codes, idx):
+    """(N, deg*w) packed tensor from per-node codes (N, w) + adjacency
+    (N, deg), built in bounded chunks (see _pack_fill)."""
+    n, deg = idx.shape
+    w = codes.shape[1]
+    out = jnp.zeros((n, deg * w), codes.dtype)
+    chunk = max(256, (1 << 25) // max(deg * w, 1))
+    r0 = 0
+    while r0 < n:
+        rows = min(chunk, n - r0)
+        out = _pack_fill(out, codes, idx[r0:r0 + rows], jnp.int32(r0),
+                         rows=rows)
+        r0 += rows
+    return out
+
+
 def pack_neighbors(xb_dev: jax.Array, graph_dev: jax.Array,
                    dtype=jnp.bfloat16, parts: int = 1):
-    """(N, deg, d) packed neighbour vectors: row i holds the vectors of
-    node i's neighbours, contiguous.
+    """(N, deg*w) packed neighbour vectors: row i holds the codes of
+    node i's neighbours, contiguous (node j of row i at lanes
+    [j*w, (j+1)*w)) — 2-D so the minor dim is lane-aligned for every
+    code width (a 3-D (N, deg, w) layout pads w to 128 lanes).
 
     Measured on v5e: XLA's row gather costs ~16 ns per scattered row
     regardless of row bytes (descriptor-latency-bound), which makes the
@@ -623,7 +657,7 @@ def pack_neighbors(xb_dev: jax.Array, graph_dev: jax.Array,
     (packed int8, inv_scale fp32 scalar): symmetric max-abs quantization,
     decoded to fp32 after the gather (int8 exists purely to halve pack
     memory — the gather cost is per-descriptor, not per-byte).
-    dtype "int4" → returns (packed uint8 (N, deg, ceil(d/2)), inv_scale):
+    dtype "int4" → returns (packed uint8 (N, deg*ceil(d/2)), inv_scale):
     two 4-bit codes per byte (dim 2j low nibble, 2j+1 high), symmetric ±7
     quantization — halves pack memory again, DOUBLING the degree
     affordable under a fixed HBM budget.  Traversal scores are coarser but
@@ -657,19 +691,19 @@ def pack_neighbors(xb_dev: jax.Array, graph_dev: jax.Array,
                          -127, 127).astype(jnp.int8)
         inv = (1.0 / scale).astype(jnp.float32)
     else:
+        codes_b = xb_dev.astype(dtype)
         if parts > 1:
             n = idx.shape[0]
             pr = -(-n // parts)
-            return tuple(
-                jnp.take(xb_dev.astype(dtype), idx[i * pr:(i + 1) * pr],
-                         axis=0) for i in range(parts))
-        return jnp.take(xb_dev.astype(dtype), idx, axis=0)
+            return tuple(_pack_build(codes_b, idx[i * pr:(i + 1) * pr])
+                         for i in range(parts))
+        return _pack_build(codes_b, idx)
     if parts > 1:
         n = idx.shape[0]
         pr = -(-n // parts)
-        return (tuple(jnp.take(codes, idx[i * pr:(i + 1) * pr], axis=0)
+        return (tuple(_pack_build(codes, idx[i * pr:(i + 1) * pr])
                       for i in range(parts)), inv)
-    return jnp.take(codes, idx, axis=0), inv
+    return _pack_build(codes, idx), inv
 
 
 def unpack_i4_blocks(blocks, d: int, inv_scale):
@@ -825,19 +859,22 @@ def walk_scan(xb, graph, xq, nvalid, metric_arg, mask, pack, *, k, pool,
                     idx = jnp.clip(sel_f - pi * pr, 0, p.shape[0] - 1)
                     alt = jnp.take(p, idx, axis=0)
                     here = (sel_f >= pi * pr) & (sel_f < pi * pr + pr)
-                    out = jnp.where(here[..., None, None], alt, out)
+                    out = jnp.where(here[..., None], alt, out)
                 return out
 
             # Quantized packs are (codes, inv_scale-scalar); a bf16
-            # multi-part pack is a bare tuple of arrays.
+            # multi-part pack is a bare tuple of arrays.  All packs are
+            # 2-D (N, deg*w): a gathered block is (B, width, deg*w) and
+            # folds to per-node code rows before decode.
             if isinstance(pack, tuple) and \
                     getattr(pack[-1], "ndim", None) == 0:
                 codes, inv = pack
                 c0 = codes[0] if isinstance(codes, tuple) else codes
                 blocks = gather_parts(codes, fids)
                 if c0.dtype == jnp.uint8:    # int4: nibble-packed
-                    cvecs = unpack_i4_blocks(blocks, d, inv).reshape(
-                        B, width * deg, d)
+                    w4 = c0.shape[1] // deg
+                    cvecs = unpack_i4_blocks(
+                        blocks.reshape(B, width * deg, w4), d, inv)
                 else:                        # int8: decode after gather
                     cvecs = blocks.astype(jnp.float32).reshape(
                         B, width * deg, d) * inv

@@ -144,9 +144,9 @@ def sharded_graph_search_fn(mesh: Mesh, *, k: int, pool: int, width: int,
         pos = jnp.where(pos >= 0, pos + offset, -1)
         return _merge_shard_topk(scores, pos, k, metric)
 
-    pack_specs = {"none": (), "bf16": (P("shard", None, None),),
-                  "int8": (P("shard", None, None), P()),
-                  "int4": (P("shard", None, None), P())}[pack_kind]
+    pack_specs = {"none": (), "bf16": (P("shard", None),),
+                  "int8": (P("shard", None), P()),
+                  "int4": (P("shard", None), P())}[pack_kind]
     fn = shard_map(
         local,
         mesh=mesh,
@@ -160,14 +160,20 @@ def sharded_graph_search_fn(mesh: Mesh, *, k: int, pool: int, width: int,
 
 @functools.lru_cache(maxsize=16)
 def sharded_pack_fn(mesh: Mesh, kind: str):
-    """Build the per-shard packed neighbourhood tensor (P('shard', None,
-    None)) from the sharded corpus + local adjacency — each device packs
-    only its own rows.  'int8' also takes a replicated quantization scale."""
+    """Build the per-shard packed neighbourhood tensor (P('shard', None))
+    from the sharded corpus + local adjacency — each device packs only
+    its own rows.  2-D (rows, deg*w) like ops/graph.pack_neighbors (the
+    lane-aligned layout).  'int8'/'int4' also take a replicated
+    quantization scale."""
+
+    def fold(codes, g):
+        deg = g.shape[1]
+        rows = jnp.take(codes, jnp.maximum(g, 0).reshape(-1), axis=0)
+        return rows.reshape(g.shape[0], deg * codes.shape[1])
 
     if kind == "bf16":
         def local(xb, g):
-            return jnp.take(xb.astype(jnp.bfloat16), jnp.maximum(g, 0),
-                            axis=0)
+            return fold(xb.astype(jnp.bfloat16), g)
         in_specs = (P("shard", None), P("shard", None))
     elif kind == "int4":
         def local(xb, g, scale):
@@ -177,15 +183,15 @@ def sharded_pack_fn(mesh: Mesh, kind: str):
                 # bias-value pad: the nibble decodes to 0 (see ops/graph.py)
                 q = jnp.pad(q, ((0, 0), (0, 1)), constant_values=8)
             packed = q[:, 0::2] | (q[:, 1::2] << 4)
-            return jnp.take(packed, jnp.maximum(g, 0), axis=0)
+            return fold(packed, g)
         in_specs = (P("shard", None), P("shard", None), P())
     else:
         def local(xb, g, scale):
             q = jnp.clip(jnp.round(xb * scale), -127, 127).astype(jnp.int8)
-            return jnp.take(q, jnp.maximum(g, 0), axis=0)
+            return fold(q, g)
         in_specs = (P("shard", None), P("shard", None), P())
     fn = shard_map(local, mesh=mesh, in_specs=in_specs,
-                   out_specs=P("shard", None, None), check_vma=False)
+                   out_specs=P("shard", None), check_vma=False)
     return jax.jit(fn)
 
 

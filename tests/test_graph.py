@@ -115,7 +115,7 @@ def test_graph_walk_packed_matches_scattered():
     g_dev = jnp.asarray(np.concatenate(
         [g, np.full((cap - n, 16), -1, np.int32)]))
     pack = pack_neighbors(xb_dev, g_dev)
-    assert pack.dtype == jnp.bfloat16 and pack.shape == (cap, 16, 16)
+    assert pack.dtype == jnp.bfloat16 and pack.shape == (cap, 16 * 16)
     pack8 = pack_neighbors(xb_dev, g_dev, dtype=jnp.int8)
     assert pack8[0].dtype == jnp.int8
     # Row-split packs (the >6 GB single-tensor workaround): identical
@@ -563,8 +563,9 @@ def test_int4_pack_roundtrip_and_walk():
     g = jnp.asarray(build_graph(xb, deg, "L2"))
 
     p4, inv = pack_neighbors(xb_dev, g, "int4")
-    assert p4.dtype == jnp.uint8 and p4.shape == (n, deg, (d + 1) // 2)
-    dec = np.asarray(unpack_i4_blocks(p4, d, inv))
+    w4 = (d + 1) // 2
+    assert p4.dtype == jnp.uint8 and p4.shape == (n, deg * w4)
+    dec = np.asarray(unpack_i4_blocks(p4.reshape(n, deg, w4), d, inv))
     ref = xb[np.maximum(np.asarray(g), 0)]
     step = float(inv)                        # one quantization step
     assert np.abs(dec - ref).max() <= 0.51 * step + 1e-6
