@@ -60,6 +60,7 @@ def main() -> None:
                                args.tps, args.slots)
     assert T % TPS == 0
 
+    SEMS = 8
     rng = np.random.default_rng(0)
     payload = jnp.asarray(rng.integers(0, 255, (NL, L, W), np.uint8))
     side = jnp.asarray(rng.standard_normal((NL, 2, L)).astype(np.float32))
@@ -73,26 +74,20 @@ def main() -> None:
             def copies(slot, ti):
                 lid = tl_ref[base + ti]
                 cs = []
-                if mode == "split2":
-                    h = L // 2
+                nsplit = {"big": 1, "split2": 2, "split4": 4,
+                          "split8": 8}.get(mode, 1)
+                h = L // nsplit
+                for j in range(nsplit):
                     cs.append(pltpu.make_async_copy(
-                        payload_hbm.at[lid, pl.ds(0, h)],
-                        code_buf.at[slot, pl.ds(0, h)],
-                        sems.at[slot * 3]))
+                        payload_hbm.at[lid, pl.ds(j * h, h)],
+                        code_buf.at[slot, pl.ds(j * h, h)],
+                        sems.at[slot * SEMS + j]))
+                if mode == "big+side":
+                    # whole (2, L) side block in ONE copy (a 1-sublane
+                    # f32 slice violates the (2,128) HBM tiling)
                     cs.append(pltpu.make_async_copy(
-                        payload_hbm.at[lid, pl.ds(h, h)],
-                        code_buf.at[slot, pl.ds(h, h)],
-                        sems.at[slot * 3 + 1]))
-                else:
-                    cs.append(pltpu.make_async_copy(
-                        payload_hbm.at[lid], code_buf.at[slot],
-                        sems.at[slot * 3]))
-                nside = {"big": 0, "split2": 0, "big+1": 1, "big+2": 2}
-                for j in range(nside[mode]):
-                    cs.append(pltpu.make_async_copy(
-                        side_hbm.at[lid, pl.ds(j, 1)],
-                        side_buf.at[slot, pl.ds(j, 1)],
-                        sems.at[slot * 3 + 1 + j]))
+                        side_hbm.at[lid], side_buf.at[slot],
+                        sems.at[slot * SEMS + 1]))
                 return cs
 
             def start(slot, ti):
@@ -133,7 +128,7 @@ def main() -> None:
             scratch_shapes=[
                 pltpu.VMEM((SLOTS, L, W), jnp.uint8),
                 pltpu.VMEM((SLOTS, 2, L), jnp.float32),
-                pltpu.SemaphoreType.DMA((SLOTS * 3,)),
+                pltpu.SemaphoreType.DMA((SLOTS * SEMS,)),
             ],
         )
         return jax.jit(lambda tl, p, s: pl.pallas_call(
@@ -147,7 +142,7 @@ def main() -> None:
           f"{T} tiles x {L*W/2**20:.2f} MiB = {gib:.1f} GiB read; "
           f"tps {TPS} slots {SLOTS}", flush=True)
     base_ms = None
-    for mode in ("big", "split2", "big+1", "big+2"):
+    for mode in ("big", "split2", "split4", "split8", "big+side"):
         fn = make(mode)
         out = fn(tl, payload, side)
         np.asarray(out[0, 0])
@@ -163,7 +158,8 @@ def main() -> None:
         if mode == "big":
             base_ms = ms
         elif base_ms is not None:
-            ncop = {"split2": 2, "big+1": 2, "big+2": 3}[mode]
+            ncop = {"split2": 2, "split4": 4, "split8": 8,
+                    "big+side": 2}[mode]
             extra = (f"  (+{(ms - base_ms) / T * 1e3 / (ncop - 1):.2f} "
                      f"us/extra-copy)")
         print(f"  {mode:7s}: {ms:8.1f} ms  {bw:6.1f} GiB/s  "
