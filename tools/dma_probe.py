@@ -63,10 +63,16 @@ def main() -> None:
     SEMS = 8
     rng = np.random.default_rng(0)
     payload = jnp.asarray(rng.integers(0, 255, (NL, L, W), np.uint8))
+    # f32 bitcast view of the same bytes: measures whether the u8
+    # (32,128)(4,1) tiling caps DMA throughput vs f32 (8,128) tiles
+    payload_f32 = jax.lax.bitcast_convert_type(
+        payload.reshape(NL, L, W // 4, 4), jnp.float32)
     side = jnp.asarray(rng.standard_normal((NL, 2, L)).astype(np.float32))
     tl = jnp.asarray(rng.integers(0, NL, (T,), np.int32))
 
     def make(mode: str):
+        f32 = mode == "bigf32"
+
         def kernel(tl_ref, payload_hbm, side_hbm, out_ref, code_buf,
                    side_buf, sems):
             base = pl.program_id(0) * TPS
@@ -110,9 +116,11 @@ def main() -> None:
                     start(lax.rem(nxt, SLOTS), nxt)
 
                 wait(slot, ti)
-                # touch one lane so the copies aren't dead
-                return acc + (code_buf[slot, 0, :128]
-                              .astype(jnp.int32).astype(jnp.float32))
+                # touch one row so the copies aren't dead
+                if f32:
+                    return acc + jnp.sum(code_buf[slot, 0])
+                return acc + jnp.sum(code_buf[slot, 0]
+                                     .astype(jnp.int32)).astype(jnp.float32)
 
             acc = lax.fori_loop(0, TPS, body,
                                 jnp.zeros((128,), jnp.float32))
@@ -126,7 +134,8 @@ def main() -> None:
             out_specs=pl.BlockSpec((1, 8, 128), lambda i, tl: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((SLOTS, L, W), jnp.uint8),
+                (pltpu.VMEM((SLOTS, L, W // 4), jnp.float32) if f32
+                 else pltpu.VMEM((SLOTS, L, W), jnp.uint8)),
                 pltpu.VMEM((SLOTS, 2, L), jnp.float32),
                 pltpu.SemaphoreType.DMA((SLOTS * SEMS,)),
             ],
@@ -142,14 +151,16 @@ def main() -> None:
           f"{T} tiles x {L*W/2**20:.2f} MiB = {gib:.1f} GiB read; "
           f"tps {TPS} slots {SLOTS}", flush=True)
     base_ms = None
-    for mode in ("big", "split2", "split4", "split8", "big+side"):
+    for mode in ("big", "split2", "split4", "split8", "big+side",
+                 "bigf32"):
         fn = make(mode)
-        out = fn(tl, payload, side)
+        pay = payload_f32 if mode == "bigf32" else payload
+        out = fn(tl, pay, side)
         np.asarray(out[0, 0])
         best = float("inf")
         for _ in range(args.reps):
             t0 = time.time()
-            np.asarray(fn(tl, payload, side)[0, 0])
+            np.asarray(fn(tl, pay, side)[0, 0])
             best = min(best, time.time() - t0)
         ms = best * 1e3
         bw = gib / best
@@ -159,7 +170,7 @@ def main() -> None:
             base_ms = ms
         elif base_ms is not None:
             ncop = {"split2": 2, "split4": 4, "split8": 8,
-                    "big+side": 2}[mode]
+                    "big+side": 2, "bigf32": 2}[mode]
             extra = (f"  (+{(ms - base_ms) / T * 1e3 / (ncop - 1):.2f} "
                      f"us/extra-copy)")
         print(f"  {mode:7s}: {ms:8.1f} ms  {bw:6.1f} GiB/s  "
