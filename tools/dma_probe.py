@@ -45,6 +45,10 @@ def main() -> None:
     ap.add_argument("--tps", type=int, default=16)
     ap.add_argument("--slots", type=int, default=3)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--modes",
+                    default="big,split2,split4,split8,big+side",
+                    help="comma list; 'bigf32' must run ALONE (its f32 "
+                         "payload is a second 12 GiB allocation)")
     args = ap.parse_args()
 
     import jax
@@ -61,12 +65,18 @@ def main() -> None:
     assert T % TPS == 0
 
     SEMS = 8
+    modes = args.modes.split(",")
     rng = np.random.default_rng(0)
-    payload = jnp.asarray(rng.integers(0, 255, (NL, L, W), np.uint8))
-    # f32 bitcast view of the same bytes: measures whether the u8
-    # (32,128)(4,1) tiling caps DMA throughput vs f32 (8,128) tiles
-    payload_f32 = jax.lax.bitcast_convert_type(
-        payload.reshape(NL, L, W // 4, 4), jnp.float32)
+    payload = payload_f32 = None
+    if any(m != "bigf32" for m in modes):
+        payload = jnp.asarray(rng.integers(0, 255, (NL, L, W), np.uint8))
+    if "bigf32" in modes:
+        # same bytes as f32 (8,128) tiles: measures whether the u8
+        # (32,128)(4,1) tiling caps DMA throughput.  Values are
+        # irrelevant to DMA; generated directly so only ONE payload
+        # allocation exists (a bitcast VIEW still materialises a copy).
+        payload_f32 = jnp.asarray(
+            rng.standard_normal((NL, L, W // 4)).astype(np.float32))
     side = jnp.asarray(rng.standard_normal((NL, 2, L)).astype(np.float32))
     tl = jnp.asarray(rng.integers(0, NL, (T,), np.int32))
 
@@ -147,12 +157,11 @@ def main() -> None:
             interpret=interp)(tl, p, s))
 
     gib = T * L * W / 2**30
-    print(f"payload {NL}x{L}x{W} u8 ({payload.nbytes/2**30:.2f} GiB); "
+    print(f"payload {NL}x{L}x{W} u8; "
           f"{T} tiles x {L*W/2**20:.2f} MiB = {gib:.1f} GiB read; "
-          f"tps {TPS} slots {SLOTS}", flush=True)
+          f"tps {TPS} slots {SLOTS}; modes {modes}", flush=True)
     base_ms = None
-    for mode in ("big", "split2", "split4", "split8", "big+side",
-                 "bigf32"):
+    for mode in modes:
         fn = make(mode)
         pay = payload_f32 if mode == "bigf32" else payload
         out = fn(tl, pay, side)
