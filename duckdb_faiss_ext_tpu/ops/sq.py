@@ -109,24 +109,39 @@ def sq_code_width(d: int, codec: str) -> int:
 
 # --- device decode (inside the scan kernels) ------------------------------
 
+def _interleave_lanes(parts, step: int):
+    """[p0..p_{step-1}] each (c, m) → (c, step*m) with part x at lanes
+    x::step, via interior-dilated pads OR'd together.  The obvious
+    ``jnp.stack(parts, -1).reshape`` materialises a (c, m, step) minor-
+    step intermediate that TPU tiling pads to 128 lanes (32-64x) — at
+    the 8.8M graph walk's per-iteration decode that was a multi-GB temp
+    and a compile OOM (2026-08-20)."""
+    out = None
+    for x, p in enumerate(parts):
+        q = jax.lax.pad(p, p.dtype.type(0),
+                        ((0, 0, 0), (x, step - 1 - x, step - 1)))
+        out = q if out is None else out | q
+    return out
+
+
 def sq4_decode(packed, vmin, scale):
     d = vmin.shape[0]
     lo = packed & jnp.uint8(15)
     hi = packed >> jnp.uint8(4)
-    q = jnp.stack([lo, hi], axis=-1).reshape(packed.shape[0], -1)[:, :d]
+    q = _interleave_lanes((lo, hi), 2)[:, :d]
     return q.astype(jnp.float32) * scale[None, :] + vmin[None, :]
 
 
 def sq6_decode(packed, vmin, scale):
     d = vmin.shape[0]
-    c = packed.shape[0]
-    g = packed.reshape(c, -1, 3)
-    b0, b1, b2 = g[..., 0], g[..., 1], g[..., 2]
+    b0 = packed[:, 0::3]
+    b1 = packed[:, 1::3]
+    b2 = packed[:, 2::3]
     c0 = b0 >> jnp.uint8(2)
     c1 = ((b0 & jnp.uint8(3)) << jnp.uint8(4)) | (b1 >> jnp.uint8(4))
     c2 = ((b1 & jnp.uint8(15)) << jnp.uint8(2)) | (b2 >> jnp.uint8(6))
     c3 = b2 & jnp.uint8(63)
-    q = jnp.stack([c0, c1, c2, c3], axis=-1).reshape(c, -1)[:, :d]
+    q = _interleave_lanes((c0, c1, c2, c3), 4)[:, :d]
     return q.astype(jnp.float32) * scale[None, :] + vmin[None, :]
 
 
