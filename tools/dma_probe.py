@@ -67,16 +67,19 @@ def main() -> None:
     SEMS = 8
     modes = args.modes.split(",")
     rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    # payloads generated ON DEVICE: a host 12 GiB ndarray + relay upload
+    # cost ~15 min and blew the probe's step timeout
     payload = payload_f32 = None
     if any(m != "bigf32" for m in modes):
-        payload = jnp.asarray(rng.integers(0, 255, (NL, L, W), np.uint8))
+        payload = jax.random.randint(key, (NL, L, W), 0, 255, jnp.int32) \
+            .astype(jnp.uint8)
     if "bigf32" in modes:
         # same bytes as f32 (8,128) tiles: measures whether the u8
         # (32,128)(4,1) tiling caps DMA throughput.  Values are
         # irrelevant to DMA; generated directly so only ONE payload
         # allocation exists (a bitcast VIEW still materialises a copy).
-        payload_f32 = jnp.asarray(
-            rng.standard_normal((NL, L, W // 4)).astype(np.float32))
+        payload_f32 = jax.random.normal(key, (NL, L, W // 4), jnp.float32)
     side = jnp.asarray(rng.standard_normal((NL, 2, L)).astype(np.float32))
     tl = jnp.asarray(rng.integers(0, NL, (T,), np.int32))
 
