@@ -13,6 +13,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import functools
 import time
 
 import numpy as np
@@ -43,8 +44,19 @@ def main() -> None:
     key = jax.random.PRNGKey(0)
 
     t0 = time.time()
-    codes = jax.random.randint(key, (n_pad, w), 0, 255, jnp.int32) \
-        .astype(jnp.uint8)
+
+    # chunked generation: one whole-array randint materialises an i32
+    # intermediate 4x the u8 buffer (38 GB at this shape)
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def gen_chunk(buf, i):
+        ch = jax.random.randint(jax.random.fold_in(key, i),
+                                (args.chunk, w), 0, 255, jnp.int32) \
+            .astype(jnp.uint8)
+        return jax.lax.dynamic_update_slice(buf, ch, (i * args.chunk, 0))
+
+    codes = jnp.zeros((n_pad, w), jnp.uint8)
+    for i in range(nchunks):
+        codes = gen_chunk(codes, jnp.int32(i))
     adj = jax.random.randint(key, (n_pad, args.deg), 0, n, jnp.int32)
     xq = jax.random.normal(key, (args.nq, d), jnp.float32)
     vmin = jnp.full((d,), -0.1, jnp.float32)
