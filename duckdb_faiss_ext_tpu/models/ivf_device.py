@@ -525,7 +525,18 @@ def dr_build_device_pallas(self):
         need_cap = max(4096, -(-int(dr.spill_n * 9 // 8) // 2048) * 2048)
         row_b = dr.spill_payload.dtype.itemsize * dr.spill_payload.shape[1]
         if need_cap < scap and (scap - need_cap) * row_b > (256 << 20):
-            dr.spill_payload = _shrink_rows(dr.spill_payload, need_cap)
+            # XLA cannot alias a shrinking slice, so old (scap rows) and
+            # new (need_cap rows) buffers coexist during the copy — a
+            # transient +need_cap*row_b at the HBM-tightest moment
+            # (~1.8 GB combined at marco next to the 12 GiB payload;
+            # acceptable, ADVICE r4).  Free the old buffer as soon as
+            # the copy lands so the overlap is bounded by the slice
+            # itself, not by GC.
+            old = dr.spill_payload
+            dr.spill_payload = _shrink_rows(old, need_cap)
+            jax.block_until_ready(dr.spill_payload)
+            if hasattr(old, "delete"):
+                old.delete()
             scap = need_cap
         from ..utils.config import pad_rows
 

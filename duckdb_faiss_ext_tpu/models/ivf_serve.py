@@ -299,7 +299,8 @@ def _dispatch_inner(self, xq, k, params=EMPTY, selector=None):
 
                 # odd capacities chunk below Mosaic's 8-sublane output
                 # floor — keep those on the XLA scan
-                use_pallas_spill = spill_chunk_ok(sp_pos.shape[0])
+                use_pallas_spill = spill_chunk_ok(sp_pos.shape[0],
+                                                  xq_pad.shape[0])
             if use_pallas_spill:
                 from ..ops.pallas_spill import pallas_spill_search
 

@@ -116,17 +116,29 @@ def _spill_kernel(ug2_ref, qs_ref, probes_ref, asg_ref, meta_ref,
         warg_ref[w0:w0 + nw, :] = warg.T
 
 
-def spill_chunk_ok(s_pad: int) -> bool:
+def spill_chunk_ok(s_pad: int, nq: int | None = None) -> bool:
     """True iff the chunk grid this kernel would pick for ``s_pad`` rows
     yields a Mosaic-legal (C/128, qb) output block: either C >= 1024
-    (8+ sublanes) or a single chunk (block == whole array).  Callers
-    gate on this and keep odd capacities on the XLA scan — a 512-row
-    chunk lowered to a 4-sublane block and failed the static check
-    (filtered 8.8M, 2026-08-20)."""
+    (8+ sublanes) or a single chunk whose block is the WHOLE output
+    array.  Callers gate on this and keep odd capacities on the XLA
+    scan — a 512-row chunk lowered to a 4-sublane block and failed the
+    static check (filtered 8.8M, 2026-08-20).
+
+    The single-chunk escape additionally requires the query axis to be
+    unblocked (qb == nq): with nq > 256 and 128 | nq the kernel splits
+    queries into blocks, so a sub-8-sublane out block is NOT the whole
+    array and Mosaic rejects it (ADVICE r4).  ``nq=None`` is
+    conservative — no escape."""
     c = 2048
     while s_pad % c and c > 128:
         c //= 2
-    return c >= 1024 or s_pad == c
+    if c >= 1024:
+        return True
+    if s_pad != c or nq is None:
+        return False
+    qb = nq if nq <= 256 else (
+        256 if nq % 256 == 0 else (128 if nq % 128 == 0 else nq))
+    return qb == nq
 
 
 @functools.partial(

@@ -167,9 +167,25 @@ def sharded_pack_fn(mesh: Mesh, kind: str):
     quantization scale."""
 
     def fold(codes, g):
-        deg = g.shape[1]
-        rows = jnp.take(codes, jnp.maximum(g, 0).reshape(-1), axis=0)
-        return rows.reshape(g.shape[0], deg * codes.shape[1])
+        # Chunked like ops/graph._pack_build: an unchunked flat gather
+        # materialises a (rows_local*deg, w) intermediate whose minor dim
+        # is lane-padded (2x for int4 widths < 128) — multi-GB transient
+        # at large per-shard corpora (ADVICE r4).  lax.map keeps the
+        # per-block gather <= ~32M elements.
+        n, deg = g.shape
+        w = codes.shape[1]
+        chunk = min(n, max(256, (1 << 25) // max(deg * w, 1)))
+        nb = -(-n // chunk)
+        pad = nb * chunk - n
+        gp = jnp.pad(g, ((0, pad), (0, 0))) if pad else g
+
+        def one(gb):
+            rows = jnp.take(codes, jnp.maximum(gb, 0).reshape(-1), axis=0)
+            return rows.reshape(gb.shape[0], deg * w)
+
+        out = lax.map(one, gp.reshape(nb, chunk, deg))
+        out = out.reshape(nb * chunk, deg * w)
+        return out[:n] if pad else out
 
     if kind == "bf16":
         def local(xb, g):
