@@ -65,11 +65,24 @@ def _ivf_build_sharded(self):
         return self._device_sharded[1]
     mesh = self._shard_mesh
     payload, counts, row_pos, _ = self._build_list_layout()
+    # Skew-aware placement: permute lists so each shard's contiguous
+    # block carries a balanced Σcounts (hot lists are probed most — a
+    # raw contiguous block parks them all on one device).  The centroids
+    # are permuted identically, so probe ids computed inside the sharded
+    # search already live in permuted space and the search kernel,
+    # masks, and returned row positions need no translation
+    # (parallel.sharded.balanced_list_partition).
+    from ..parallel.sharded import balanced_list_partition
+
+    nshards = int(mesh.shape["shard"])
+    perm = balanced_list_partition(counts, nshards)
+    self._shard_perm = perm
     arrays = (
-        jax.device_put(payload, NamedSharding(mesh, P("shard", None, None))),
-        jax.device_put(counts, NamedSharding(mesh, P("shard"))),
-        jax.device_put(row_pos, NamedSharding(mesh, P("shard", None))),
-        jnp.asarray(self._centroids),
+        jax.device_put(payload[perm],
+                       NamedSharding(mesh, P("shard", None, None))),
+        jax.device_put(counts[perm], NamedSharding(mesh, P("shard"))),
+        jax.device_put(row_pos[perm], NamedSharding(mesh, P("shard", None))),
+        jnp.asarray(self._centroids[perm]),
     )
     if self.pq_m is not None:
         arrays += (jnp.asarray(self._pq_codebooks),)

@@ -461,3 +461,63 @@ def test_sharded_ivf_ip_fast_mode_rerank():
         dfx.set_precision("parity")
     np.testing.assert_array_equal(ref["label"], fast["label"])
     np.testing.assert_allclose(ref["distance"], fast["distance"], rtol=1e-6)
+
+
+def test_balanced_list_partition_property():
+    """LPT bin-pack: equal group cardinality, every list placed once,
+    per-shard Σcounts spread far below the contiguous-block split on a
+    front-loaded skew distribution (SURVEY §2.3 data-partitioning row)."""
+    from duckdb_faiss_ext_tpu.parallel.sharded import balanced_list_partition
+
+    rng = np.random.default_rng(3)
+    nlist, nshards = 64, 8
+    # marco-like skew: a few huge lists (packed first), long tail.
+    counts = np.concatenate([
+        rng.integers(4000, 7500, 8),
+        rng.integers(100, 2000, nlist - 8)]).astype(np.int64)
+    perm = balanced_list_partition(counts, nshards)
+    assert sorted(perm.tolist()) == list(range(nlist))
+    npl = nlist // nshards
+    loads = np.asarray([counts[perm[s * npl:(s + 1) * npl]].sum()
+                        for s in range(nshards)], np.float64)
+    contig = np.asarray([counts[s * npl:(s + 1) * npl].sum()
+                         for s in range(nshards)], np.float64)
+    assert loads.max() / loads.mean() < 1.3
+    assert contig.max() / contig.mean() > 1.5   # the problem being fixed
+    assert loads.max() < contig.max()
+
+
+def test_faiss_to_device_ivf_skewed(catalog):
+    """Skew-aware placement end to end: a corpus whose k-means lists are
+    heavily skewed, sharded with faiss_to_device — results identical to
+    the single-device search, and the recorded _shard_perm balances
+    per-shard Σcounts."""
+    import duckdb_faiss_ext_tpu as dfx
+
+    rng = np.random.default_rng(9)
+    d, n = 16, 4000
+    # one dominant cluster (hot lists) + sparse outliers
+    xb = np.concatenate([
+        rng.standard_normal((n - 256, d)).astype(np.float32) * 0.2,
+        rng.standard_normal((256, d)).astype(np.float32) * 4 + 8,
+    ])
+    dfx.faiss_create("shskew", d, "IVF16,Flat", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_add(xb, "shskew", catalog=catalog)
+    before = dfx.faiss_search("shskew", 5, xb[:8], {"nprobe": "16"},
+                              catalog=catalog)
+    mesh = make_mesh(8, batch_axis=1)
+    dfx.faiss_to_device("shskew", mesh, catalog=catalog)
+    after = dfx.faiss_search("shskew", 5, xb[:8], {"nprobe": "16"},
+                             catalog=catalog)
+    np.testing.assert_array_equal(before["label"], after["label"])
+    np.testing.assert_allclose(before["distance"], after["distance"],
+                               rtol=3e-4, atol=3e-4)
+    idx = catalog.get("shskew").index
+    counts = idx._counts()
+    perm = idx._shard_perm
+    nshards = 8
+    npl = counts.shape[0] // nshards
+    loads = np.asarray([counts[perm[s * npl:(s + 1) * npl]].sum()
+                        for s in range(nshards)], np.float64)
+    assert loads.max() / max(loads.mean(), 1.0) < 1.5
