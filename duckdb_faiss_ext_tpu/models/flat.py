@@ -24,6 +24,7 @@ from ..ops import pallas_topk
 from ..ops.selectors import Selector
 from ..utils.config import (config, next_capacity, next_pow2, on_tpu,
                             pad_rows)
+from ..utils.transfer import upload_queries
 from .base import Index, SearchResult, as_matrix
 
 
@@ -141,7 +142,7 @@ class FlatIndex(Index):
         cap = self._capacity()
         k_eff = min(k, cap)
         nq_pad = max(config.min_query_bucket, next_pow2(nq))
-        xq_pad = jnp.asarray(pad_rows(xq, nq_pad))
+        xq_pad = upload_queries(pad_rows(xq, nq_pad))
         if self.storage == "pm1_i8":
             # Queries are ±1 sign codes too (LSH encodes before dispatch);
             # the int8×int8 dot is exact, so no rerank ever applies.

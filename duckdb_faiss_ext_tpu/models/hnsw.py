@@ -292,7 +292,7 @@ class HNSWIndex(FlatIndex):
         if nq == 0 or k <= 0 or indexed == 0:
             return None
         nq_pad = max(config.min_query_bucket, next_pow2(nq))
-        xq_pad = jnp.asarray(pad_rows(xq, nq_pad))
+        xq_pad = upload_queries(pad_rows(xq, nq_pad))
         xb_dev = self.device_vectors()
         gdev = self._graph_device(xb_dev.shape[0], gstate)
         pack = self._graph_pack(xb_dev, gdev, gstate)
@@ -711,6 +711,7 @@ class HNSWIndex(FlatIndex):
                 accel._ids = ids_prefix
             accel._assign = np.asarray(assign, np.int32).reshape(-1)
             self._accel = (accel, indexed)
+from ..utils.transfer import upload_queries
 
 
 from ..ops.flat_search import SIMILARITY_METRICS as _SIMILARITY  # noqa: E402

@@ -267,12 +267,16 @@ def _spill_mask(self, selector):
     hit = self._mask_cache.get(key)
     if hit is not None:
         return hit
-    sp_pos = np.asarray(self._device_spill[2])
-    passing = selector.contains(self._ids)
-    mask = np.zeros(sp_pos.shape, bool)
-    valid = sp_pos >= 0
-    mask[valid] = passing[sp_pos[valid]]
-    dev = jnp.asarray(mask)
+    from ..ops.selectors import device_row_mask
+
+    dev = device_row_mask(selector, self._device_spill[2], self._ids)
+    if dev is None:                     # host fallback (odd selectors)
+        sp_pos = np.asarray(self._device_spill[2])
+        passing = selector.contains(self._ids)
+        mask = np.zeros(sp_pos.shape, bool)
+        valid = sp_pos >= 0
+        mask[valid] = passing[sp_pos[valid]]
+        dev = jnp.asarray(mask)
     self._mask_cache[key] = dev
     return dev
 
@@ -281,15 +285,24 @@ def _pallas_mask(self, selector):
     hit = self._mask_cache.get(key)
     if hit is not None:
         return hit
-    if self._dr is not None:
-        rp = self._dr.row_pos          # host copy, no device fetch
-    else:
-        rp = np.asarray(self._build_device_pallas()[2])
-    passing = selector.contains(self._ids)
-    mask = np.zeros(rp.shape, np.int8)
-    valid = rp >= 0
-    mask[valid] = passing[rp[valid]]
-    dev = jnp.asarray(mask)
+    # Device-side build: gather+bit-test over the device-resident
+    # row_pos from the ~n/8-byte packed bitmap (or sorted id set) —
+    # replaces the O(n) host unpack + O(nlist*lmax) scatter + ~10 MB
+    # mask upload that cost ~75 ms/call at the marco shape.
+    from ..ops.selectors import device_row_mask
+
+    dev = device_row_mask(selector, self._build_device_pallas()[2],
+                          self._ids)
+    if dev is None:                     # host fallback (odd selectors)
+        if self._dr is not None:
+            rp = self._dr.row_pos      # host copy, no device fetch
+        else:
+            rp = np.asarray(self._build_device_pallas()[2])
+        passing = selector.contains(self._ids)
+        mask = np.zeros(rp.shape, np.int8)
+        valid = rp >= 0
+        mask[valid] = passing[rp[valid]]
+        dev = jnp.asarray(mask)
     self._mask_cache = {key: dev}
     return dev
 

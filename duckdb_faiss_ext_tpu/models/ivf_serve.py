@@ -21,6 +21,7 @@ from ..ops.pallas_ivf import pallas_ivf_search
 from ..params import EMPTY
 from ..utils.config import (config, next_pow2, on_tpu, pad_rows,
                             sq_int8_active)
+from ..utils.transfer import upload_queries
 from .base import SearchResult, as_matrix
 from .base import dedup_by_key as _dedup_by_key
 from .ivf import IVFIndex
@@ -87,7 +88,7 @@ def _dispatch_inner(self, xq, k, params=EMPTY, selector=None):
 
     nprobe_eff = max(1, min(int(nprobe), self.nlist))
     nq_pad = max(config.min_query_bucket, next_pow2(nq))
-    xq_pad = jnp.asarray(pad_rows(xq, nq_pad))
+    xq_pad = upload_queries(pad_rows(xq, nq_pad))
 
     def ids_labels(pos, ids=self._ids):
         return np.where(pos >= 0, ids[np.clip(pos, 0, None)]

@@ -21,6 +21,7 @@ from ..ops.pq import pq_decode, pq_encode, pq_search, pq_train
 from ..params import EMPTY
 from ..utils.config import (config, next_capacity, next_pow2,
                             pad_rows)
+from ..utils.transfer import upload_queries
 from .base import Index, SearchResult, as_matrix
 
 
@@ -184,7 +185,7 @@ class PQIndex(Index):
         cap = codes_dev.shape[0]
         k_eff = min(k, cap)
         nq_pad = max(config.min_query_bucket, next_pow2(nq))
-        xq_pad = jnp.asarray(pad_rows(xq, nq_pad))
+        xq_pad = upload_queries(pad_rows(xq, nq_pad))
         mask = None
         if selector is not None:
             key = (selector.cache_key(), self._version)

@@ -24,6 +24,7 @@ from ..ops.sq import (SQ_LEVELS, sq4_pack, sq6_pack, sq_code_width,
 from ..params import EMPTY
 from ..utils.config import (config, next_capacity, next_pow2,
                             pad_rows)
+from ..utils.transfer import upload_queries
 from .base import Index, SearchResult, as_matrix
 
 #: training-free float codecs; bf16 is the MXU-native storage type.
@@ -191,7 +192,7 @@ class SQIndex(Index):
         cap = self._capacity()
         k_eff = min(k, cap)
         nq_pad = max(config.min_query_bucket, next_pow2(nq))
-        xq_pad = jnp.asarray(pad_rows(xq, nq_pad))
+        xq_pad = upload_queries(pad_rows(xq, nq_pad))
         mask = None
         if selector is not None:
             key = (selector.cache_key(), self._version)

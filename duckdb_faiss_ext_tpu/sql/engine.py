@@ -166,6 +166,8 @@ class Database:
 
     def __init__(self):
         self._tables: dict[str, dict[str, np.ndarray]] = {}
+        self._versions: dict[str, int] = {}
+        self._vcounter = 0
         self._lock = threading.Lock()
 
     def register(self, name: str, table) -> None:
@@ -176,10 +178,22 @@ class Database:
                 f"columns of table {name} have differing lengths {lens}")
         with self._lock:
             self._tables[name] = cols
+            self._vcounter += 1
+            self._versions[name] = self._vcounter
 
     def unregister(self, name: str) -> None:
         with self._lock:
             self._tables.pop(name, None)
+            self._versions.pop(name, None)
+
+    def table_version(self, name: str) -> int:
+        """Monotonic per-registration version: re-registering a table (even
+        with identical contents) bumps it, so caches keyed on
+        (table, version, expr) can never serve results for stale data."""
+        with self._lock:
+            if name not in self._tables:
+                raise filter_query_error(f"unknown table {name}")
+            return self._versions[name]
 
     def _table(self, name: str) -> dict[str, np.ndarray]:
         with self._lock:

@@ -68,6 +68,13 @@ class Config:
     #: shape).
     spill_impl: str = "auto"
     spill_pallas_min: int = 1 << 18
+    #: host->device query wire format: "auto" = fp16 in fast mode for
+    #: uploads > 1 MB (cast back to f32 on device — the tunneled relay
+    #: uploads at ~25 ms + ~23 ms/MB, so the b1024 x 1536 query batch
+    #: cost 170 ms of a 223 ms marco batch as fp32; fp16 halves it for
+    #: ~6e-4 relative query error, far below storage quantization
+    #: noise), f32 in parity mode; "f32" / "f16" force one format.
+    query_wire: str = "auto"
 
     @property
     def precision(self):

@@ -33,3 +33,30 @@ def fetch_results(dist, pos):
     d = np.ascontiguousarray(host[:, :k]).view(np.float32)
     p = host[:, k:].copy()
     return d, p
+
+
+def upload_queries(xq_np):
+    """Host→device query upload with a halved wire format in fast mode.
+
+    The tunneled relay uploads at roughly 25 ms fixed + ~23 ms/MB
+    (measured 2026-08-21, tools/epilogue_profile.py: the 6.3 MB of
+    b1024 × 1536 fp32 queries cost 170 ms of a 223 ms marco batch — the
+    single largest term, bigger than the HBM-floor list scan itself).
+    In fast precision mode queries go over the wire as fp16 and are cast
+    back to f32 on device: unit-norm embedding values lose ~6e-4
+    relative, orders of magnitude below SQ/PQ storage quantization
+    noise (recall A/B on chip: see BASELINE.md round 5).  Parity mode
+    and small uploads keep full f32.  config.query_wire forces
+    "f32"/"f16"."""
+    from jax import lax
+
+    from .config import config
+
+    xq_np = np.ascontiguousarray(xq_np, dtype=np.float32)
+    wire = config.query_wire
+    if wire == "auto":
+        wire = ("f16" if config.precision != lax.Precision.HIGHEST
+                and xq_np.nbytes > (1 << 20) else "f32")
+    if wire == "f16":
+        return jnp.asarray(xq_np.astype(np.float16)).astype(jnp.float32)
+    return jnp.asarray(xq_np)

@@ -90,10 +90,11 @@ def main() -> None:
     print("\n=== EPILOGUE DECOMPOSITION "
           f"(b{nq} np{nprobe} {args.storage}) ===", flush=True)
 
-    # Full API reference point.
+    # Full API reference point (f32 wire forced — the round-4 baseline).
+    config.query_wire = "f32"
     t_api = best_of(lambda: dfx.faiss_search("marco", k, xq_big, params),
                     iters=5)
-    print(f"api total:        {t_api:8.1f} ms  "
+    print(f"api total (f32):  {t_api:8.1f} ms  "
           f"({nq / t_api * 1e3:.0f} qps)", flush=True)
 
     # Stage inputs (mirror _dispatch_inner's pairs branch).
@@ -207,40 +208,93 @@ def main() -> None:
     print(f"staged sum:       {staged:8.1f} ms   (vs api {t_api:.1f})",
           flush=True)
 
-    # ---- ONE fused jit over the whole device path -----------------------
-    import functools
+    # ---- fp16 query wire A/B (utils/transfer.upload_queries) ------------
+    t_up16 = best_of(lambda: jnp.asarray(
+        xq_big.astype(np.float16)).astype(jnp.float32).block_until_ready())
+    print(f"upload fp16:      {t_up16:8.1f} ms   (vs f32 {t_up:.1f})",
+          flush=True)
 
-    @functools.partial(jax.jit, static_argnames=())
-    def fused(xq_d):
-        pid = _coarse_topk(xq_d, cents_dev, marg, nprobe=nprobe,
+    # ---- ONE fused jit over the whole device path -----------------------
+    # Arrays passed as ARGUMENTS — a closure captures them as constants
+    # and the remote compiler then serializes the 12 GiB payload
+    # (wedged for >15 min on 2026-08-21; killed).
+    sq_static = {kk: v for kk, v in sq_kw.items()
+                 if kk in ("sq", "int8_dot", "int8_via")}
+
+    def fused_body(xq_d, payload_a, rn_a, rs_a, counts_a, rp_a, vmin_a,
+                   scale_a, cents_a, sp_payload_a, sp_assign_a, sp_pos_a,
+                   sp_rn_a, sp_rs_a):
+        pid = _coarse_topk(xq_d, cents_a, marg, nprobe=nprobe,
                            metric=metric, precision=config.precision)
         s, p = pallas_ivf_sq_pairs_search(
-            payload, rn_layout, rs_layout, counts, row_pos, vmin, scale,
+            payload_a, rn_a, rs_a, counts_a, rp_a, vmin_a, scale_a,
             pid, xq_d, None, **common)
         if spill is not None:
             sp = ivf_spill_scan(
-                sp_payload, sp_assign, sp_pos, cents_dev, None,
+                sp_payload_a, sp_assign_a, sp_pos_a, cents_a, None,
                 pid, xq_d, None, marg,
-                k=min(k_eff, sp_pos.shape[0]), metric=metric,
+                k=min(k_eff, sp_pos_a.shape[0]), metric=metric,
                 precision=config.precision, pq=False,
-                codec=idx.pq_codec, n_used=sp_used, **sq_kw)
+                codec=idx.pq_codec, n_used=sp_used,
+                sq_vmin=vmin_a, sq_scale=scale_a,
+                spill_rn=sp_rn_a, spill_rs=sp_rs_a, **sq_static)
             s, p = merge_topk(s, p, sp[0], sp[1], k_eff)
         return finalize_scores(s, p, metric)
 
+    fused = jax.jit(fused_body)
+    fargs = (payload, rn_layout, rs_layout, counts, row_pos, vmin, scale,
+             cents_dev, sp_payload, sp_assign, sp_pos,
+             sq_kw.get("spill_rn"), sq_kw.get("spill_rs"))
     t0 = time.perf_counter()
-    jax.block_until_ready(fused(xq_dev))
+    jax.block_until_ready(fused(xq_dev, *fargs))
     print(f"fused compile:    {(time.perf_counter()-t0)*1e3:8.1f} ms",
           flush=True)
-    t_fu = best_of(lambda: jax.block_until_ready(fused(xq_dev)), iters=5)
+    t_fu = best_of(lambda: jax.block_until_ready(fused(xq_dev, *fargs)),
+                   iters=5)
     print(f"fused device:     {t_fu:8.1f} ms   (coarse+pairs+spill+"
           "merge+finalize in ONE jit)", flush=True)
 
     def fused_e2e():
-        d, p = fused(jnp.asarray(xq_big))
+        d, p = fused(jnp.asarray(xq_big.astype(np.float16))
+                     .astype(jnp.float32), *fargs)
         return fetch_results(d, p)
     t_f2 = best_of(fused_e2e, iters=5)
-    print(f"fused e2e:        {t_f2:8.1f} ms   (upload+fused+fetch = "
+    print(f"fused e2e fp16:   {t_f2:8.1f} ms   (upload+fused+fetch = "
           f"{nq / t_f2 * 1e3:.0f} qps)", flush=True)
+
+    # ---- the public API again, now with the fp16 wire default ----------
+    config.query_wire = "auto"
+    t_api2 = best_of(lambda: dfx.faiss_search("marco", k, xq_big, params),
+                     iters=5)
+    print(f"api fp16 wire:    {t_api2:8.1f} ms  "
+          f"({nq / t_api2 * 1e3:.0f} qps)", flush=True)
+
+    # Recall A/B: fp16 wire vs forced f32 on the GT queries.
+    gt = z["gt"] if "gt" in z.files else None
+    if gt is not None:
+        def recall_of(res):
+            return float(np.mean([
+                len(set(a[a >= 0]) & set(b)) / k
+                for a, b in zip(res["label"][:256], gt)]))
+        config.query_wire = "f32"
+        r32 = recall_of(dfx.faiss_search("marco", k, xq_big, params))
+        config.query_wire = "auto"
+        r16 = recall_of(dfx.faiss_search("marco", k, xq_big, params))
+        print(f"recall@10 wire A/B: f32 {r32:.4f} vs fp16 {r16:.4f}",
+              flush=True)
+
+    # Pipelined serving with the fp16 wire (the honest throughput tier).
+    qbig = xq_host[np.arange(2048) % xq_host.shape[0]]
+    dfx.faiss_search_batched("marco", k, qbig, params, batch_size=256)
+    t0 = time.perf_counter()
+    dfx.faiss_search_batched("marco", k, qbig, params, batch_size=256)
+    qps = 2048 / (time.perf_counter() - t0)
+    print(f"pipelined 8xb256: {qps:.1f} qps", flush=True)
+    dfx.faiss_search_batched("marco", k, qbig, params, batch_size=1024)
+    t0 = time.perf_counter()
+    dfx.faiss_search_batched("marco", k, qbig, params, batch_size=1024)
+    qps = 2048 / (time.perf_counter() - t0)
+    print(f"pipelined 2xb1024: {qps:.1f} qps", flush=True)
     print("EPILOGUE-PROFILE COMPLETE", flush=True)
 
 
