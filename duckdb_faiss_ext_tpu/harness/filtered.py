@@ -60,6 +60,54 @@ class FilteredBenchResult:
     qps_post: float
     qps_sel: float
     qps_set: float
+    #: scaled CPU brute-force stand-in for the reference's VSS / plain-SQL
+    #: comparison columns (go/main_test.go:53-102); None when not measured
+    qps_cpu: float | None = None
+
+
+def cpu_filtered_baseline(d: int, n_total: int, queries: np.ndarray,
+                          want: int, passrate: float,
+                          metric: str = "INNER_PRODUCT",
+                          sample: int = 65_536, iters: int = 3,
+                          seed: int = 13) -> float:
+    """CPU filtered-search baseline, the reference's VSS/plain-SQL column
+    analogue (go/main_test.go:53-102): numpy BLAS exact scan over a
+    corpus sample with the ``id % 100`` predicate masked in, partial
+    top-``want`` select, timed and scaled linearly to ``n_total`` rows —
+    the same subsample-and-scale methodology as bench.py's
+    measure_cpu_baseline.  The sample is synthetic (same family as the
+    serving corpus); a scan's cost depends on shape, not values."""
+    rng = np.random.default_rng(seed)
+    xb = rng.standard_normal((sample, d), dtype=np.float32)
+    if metric == "INNER_PRODUCT":
+        xb /= np.linalg.norm(xb, axis=1, keepdims=True)
+    thresh = max(1, int(round(passrate * 100)))
+    passing = (np.arange(sample) % 100) < thresh
+    xq = np.ascontiguousarray(queries, dtype=np.float32)
+    xb_norms = (xb * xb).sum(axis=1)
+
+    def run():
+        if metric == "INNER_PRODUCT":
+            s = xq @ xb.T
+            s[:, ~passing] = -np.inf
+            idx = np.argpartition(-s, want, axis=1)[:, :want]
+            part = np.take_along_axis(-s, idx, axis=1)
+        else:
+            s = xb_norms[None, :] - 2.0 * (xq @ xb.T)
+            s[:, ~passing] = np.inf
+            idx = np.argpartition(s, want, axis=1)[:, :want]
+            part = np.take_along_axis(s, idx, axis=1)
+        order = np.argsort(part, axis=1)
+        return np.take_along_axis(idx, order, axis=1)
+
+    run()
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    per_batch = best * (n_total / sample)
+    return queries.shape[0] / per_batch
 
 
 def run_filtered_bench(
@@ -73,6 +121,9 @@ def run_filtered_bench(
     database: Database | None = None,
     params=None,
     iters: int = 3,
+    cpu_baseline: bool = False,
+    cpu_n: int | None = None,
+    cpu_metric: str = "INNER_PRODUCT",
 ) -> list[FilteredBenchResult]:
     """Benchmark the three strategies.  The filter predicate is
     ``id % 100 < passrate*100`` over the registered table — the reference's
@@ -109,7 +160,13 @@ def run_filtered_bench(
                 fn()
             return nq * iters / (time.perf_counter() - t0)
 
+        qps_cpu = None
+        if cpu_baseline:
+            qps_cpu = cpu_filtered_baseline(
+                queries.shape[1], cpu_n or queries.shape[0], queries,
+                want, p, metric=cpu_metric, iters=iters)
         out.append(FilteredBenchResult(
             passrate=p, required_k=kp,
-            qps_post=timeit(post), qps_sel=timeit(sel), qps_set=timeit(sset)))
+            qps_post=timeit(post), qps_sel=timeit(sel),
+            qps_set=timeit(sset), qps_cpu=qps_cpu))
     return out

@@ -141,3 +141,19 @@ def test_autotune_knobless_and_graph(catalog):
                          catalog=catalog, repeat=1)
     assert len(res.points) == 7                      # efSearch 16..1024
     assert res.best is not None and res.best.recall >= 0.8
+
+
+def test_cpu_filtered_baseline_column():
+    """The reference's VSS/plain-SQL comparison column analogue: scaled
+    CPU brute-force filtered scan, wired through run_filtered_bench."""
+    from duckdb_faiss_ext_tpu.harness.filtered import cpu_filtered_baseline
+
+    rng = np.random.default_rng(0)
+    xq = rng.standard_normal((8, 32)).astype(np.float32)
+    qps = cpu_filtered_baseline(32, 100_000, xq, want=5, passrate=0.5,
+                                sample=4096, iters=2)
+    assert qps > 0
+    # scaling: doubling n_total halves the scaled qps
+    qps2 = cpu_filtered_baseline(32, 200_000, xq, want=5, passrate=0.5,
+                                 sample=4096, iters=2)
+    assert 0.3 < qps2 / qps < 0.7

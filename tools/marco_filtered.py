@@ -40,12 +40,14 @@ def run_sweep(index_name, xq, n, nprobe, passrates, want=10, iters=3):
     params = {"nprobe": str(nprobe)} if nprobe else None
     results = run_filtered_bench(index_name, xq, "ids", "id",
                                  passrates=passrates, want=want,
-                                 params=params, iters=iters)
+                                 params=params, iters=iters,
+                                 cpu_baseline=True, cpu_n=n)
     print(f"{'passrate':>9} {'k_req':>7} {'post_qps':>10} {'sel_qps':>10} "
-          f"{'set_qps':>10}", flush=True)
+          f"{'set_qps':>10} {'cpu_qps':>9}", flush=True)
     for r in results:
         print(f"{r.passrate:9.2f} {r.required_k:7d} {r.qps_post:10.1f} "
-              f"{r.qps_sel:10.1f} {r.qps_set:10.1f}", flush=True)
+              f"{r.qps_sel:10.1f} {r.qps_set:10.1f} "
+              f"{(r.qps_cpu or 0):9.2f}", flush=True)
     return results
 
 
