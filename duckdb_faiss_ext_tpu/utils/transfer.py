@@ -59,4 +59,15 @@ def upload_queries(xq_np):
                 and xq_np.nbytes > (1 << 20) else "f32")
     if wire == "f16":
         return jnp.asarray(xq_np.astype(np.float16)).astype(jnp.float32)
+    if wire == "sq8":
+        # 1 byte/dim: per-dim affine quantization with batch-local
+        # ranges (the 2·d fp32 range rows are noise next to nq rows).
+        vmin = xq_np.min(axis=0)
+        scale = (xq_np.max(axis=0) - vmin) / 255.0
+        scale = np.where(scale > 0, scale, 1.0).astype(np.float32)
+        q = np.round((xq_np - vmin[None, :]) / scale[None, :])
+        q = np.clip(q, 0, 255).astype(np.uint8)
+        return (jnp.asarray(q).astype(jnp.float32)
+                * jnp.asarray(scale)[None, :]
+                + jnp.asarray(vmin)[None, :])
     return jnp.asarray(xq_np)

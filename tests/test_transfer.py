@@ -35,3 +35,35 @@ def test_k_zero():
     p = jnp.zeros((3, 0), jnp.int32)
     dd, pp = fetch_results(d, p)
     assert dd.shape == (3, 0) and pp.shape == (3, 0)
+
+
+def test_upload_queries_wire_formats():
+    """fp16/sq8 wire formats reconstruct queries to within their design
+    error; f32 is exact; auto respects precision mode and size gate."""
+    import numpy as np
+
+    import duckdb_faiss_ext_tpu as dfx
+    from duckdb_faiss_ext_tpu.utils.config import config
+    from duckdb_faiss_ext_tpu.utils.transfer import upload_queries
+
+    rng = np.random.default_rng(5)
+    xq = rng.standard_normal((512, 1536)).astype(np.float32)
+    xq /= np.linalg.norm(xq, axis=1, keepdims=True)
+    try:
+        config.query_wire = "f32"
+        np.testing.assert_array_equal(np.asarray(upload_queries(xq)), xq)
+        config.query_wire = "f16"
+        got = np.asarray(upload_queries(xq))
+        assert got.dtype == np.float32
+        np.testing.assert_allclose(got, xq, atol=2e-4)
+        config.query_wire = "sq8"
+        got = np.asarray(upload_queries(xq))
+        span = xq.max(0) - xq.min(0)
+        assert np.abs(got - xq).max() <= (span / 255.0).max() * 0.51 + 1e-7
+        # auto: parity mode keeps f32 exactly
+        config.query_wire = "auto"
+        dfx.set_precision("parity")
+        np.testing.assert_array_equal(np.asarray(upload_queries(xq)), xq)
+    finally:
+        config.query_wire = "auto"
+        dfx.set_precision("parity")

@@ -269,19 +269,21 @@ def main() -> None:
     print(f"api fp16 wire:    {t_api2:8.1f} ms  "
           f"({nq / t_api2 * 1e3:.0f} qps)", flush=True)
 
-    # Recall A/B: fp16 wire vs forced f32 on the GT queries.
+    # Recall + latency A/B across wire formats on the GT queries.
     gt = z["gt"] if "gt" in z.files else None
     if gt is not None:
         def recall_of(res):
             return float(np.mean([
                 len(set(a[a >= 0]) & set(b)) / k
                 for a, b in zip(res["label"][:256], gt)]))
-        config.query_wire = "f32"
-        r32 = recall_of(dfx.faiss_search("marco", k, xq_big, params))
+        for wire in ("f32", "f16", "sq8"):
+            config.query_wire = wire
+            t = best_of(lambda: dfx.faiss_search("marco", k, xq_big,
+                                                 params), iters=3)
+            r = recall_of(dfx.faiss_search("marco", k, xq_big, params))
+            print(f"wire {wire}: {t:8.1f} ms  recall@10 {r:.4f}",
+                  flush=True)
         config.query_wire = "auto"
-        r16 = recall_of(dfx.faiss_search("marco", k, xq_big, params))
-        print(f"recall@10 wire A/B: f32 {r32:.4f} vs fp16 {r16:.4f}",
-              flush=True)
 
     # Pipelined serving with the fp16 wire (the honest throughput tier).
     qbig = xq_host[np.arange(2048) % xq_host.shape[0]]
