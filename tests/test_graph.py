@@ -680,3 +680,50 @@ def test_chunked_build_paths_match_monolithic():
     r_chunk = np.asarray(nn_descent_round_chunked(
         xb_dev, knn, jnp.float32(0.0), rows_per_call=1024, **dkw))
     assert (r_mono == r_chunk).all()
+
+
+def test_sq6_coded_walk():
+    """SQ6-coded serving walk (the marco deg-64 regime: SQ6 codes free
+    ~3.4 GiB of HBM vs SQ8 for a deg-64 adjacency).  Walk over row-major
+    packed sq6 codes must closely match the decoded-corpus oracle."""
+    import jax.numpy as jnp
+
+    from duckdb_faiss_ext_tpu.ops.flat_search import finalize_scores
+    from duckdb_faiss_ext_tpu.ops.graph import (augment_graph,
+                                                graph_search)
+    from duckdb_faiss_ext_tpu.ops.sq import (SQ_LEVELS, sq6_pack,
+                                             sq6_unpack_host, sq_quantize,
+                                             sq_train)
+    from duckdb_faiss_ext_tpu.utils.config import next_capacity, pad_rows
+
+    n, d, k, deg = 6000, 24, 10, 16
+    xb = _clustered(n, d, seed=31, ncenters=32)
+    xq = _clustered(32, d, seed=32, ncenters=32)
+    vmin, scale = sq_train(jnp.asarray(xb), SQ_LEVELS["sq6"])
+    q = np.asarray(sq_quantize(jnp.asarray(xb), vmin, scale,
+                               levels=SQ_LEVELS["sq6"]))
+    codes = sq6_pack(q)
+    xb_dec = sq6_unpack_host(codes, d).astype(np.float32) \
+        * np.asarray(scale) + np.asarray(vmin)
+
+    # exact kNN graph over the decoded corpus (build quality is not the
+    # subject here — the sq6 DECODE inside the walk is)
+    d2 = ((xb_dec[:, None, :] - xb_dec[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    knn = np.argsort(d2, axis=1)[:, : 2 * deg].astype(np.int32)
+    g = augment_graph(knn, deg)
+    cap = max(128, next_capacity(n))
+    codes_dev = jnp.asarray(pad_rows(codes, cap))
+    g_dev = jnp.asarray(np.concatenate(
+        [g, np.full((cap - n, deg), -1, np.int32)]))
+
+    s, p = graph_search(codes_dev, g_dev, jnp.asarray(xq), n, k, "L2",
+                        pool=64, width=8, codec="sq6", vmin=vmin,
+                        scale=scale)
+    dist, pos = finalize_scores(s, p, "L2")
+    pos = np.asarray(pos)
+    dq = ((xq[:, None, :] - xb_dec[None, :, :]) ** 2).sum(-1)
+    oracle = np.argsort(dq, axis=1)[:, :k]
+    recall = np.mean([len(set(pos[i]) & set(oracle[i])) / k
+                      for i in range(len(xq))])
+    assert recall > 0.85
