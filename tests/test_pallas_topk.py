@@ -131,7 +131,13 @@ def test_spill_chunk_ok_gates_odd_capacities():
 
     assert spill_chunk_ok(2048) and spill_chunk_ok(4096)
     assert spill_chunk_ok(289 * 2048)     # the 2048-granular trim shape
-    assert spill_chunk_ok(128) and spill_chunk_ok(512)   # single chunk
+    # Single-chunk escape is legal ONLY when the query axis is unblocked
+    # (qb == nq) — ADVICE r4: nq > 256 with 128 | nq splits queries, so
+    # a sub-8-sublane block is no longer the whole array.
+    assert spill_chunk_ok(128, 256) and spill_chunk_ok(512, 64)
+    assert spill_chunk_ok(512, 129)       # odd nq: qb == nq, unblocked
+    assert not spill_chunk_ok(512, 512)   # qb 256 < nq -> blocked
+    assert not spill_chunk_ok(512)        # unknown nq: conservative
     assert not spill_chunk_ok(88576)      # 512-odd multiple -> C=512
     assert not spill_chunk_ok(591360)     # the failing filtered capacity
 
