@@ -244,6 +244,20 @@ def _dispatch_inner(self, xq, k, params=EMPTY, selector=None):
                     metric=self.metric.name, interpret=not on_tpu(),
                     mega=config.pairs_impl == "mega")
 
+            if (qb_pairs >= xq_pad.shape[0]
+                    and self.sq_type in ("sq8", "sq4", "sq6")
+                    and config.fused_dispatch != "off"):
+                # Single-jit serve: coarse+pairs+spill+merge+finalize in
+                # one XLA program (the common marco path; the eager
+                # probe_ids above is recomputed inside — ~0.5 ms device
+                # work, no host sync).
+                self._last_scan_path = "fused-pairs-" + self.sq_type
+                k_scan = _sq_kscan(self, k_kernel, nprobe_eff * lmax)
+                return self._serve_fused(
+                    dev, spill, mask, selector, xq_pad, marg=jnp.asarray(
+                        self.metric_arg, jnp.float32),
+                    k_kernel=k_kernel, k_eff=k_eff, k_scan=k_scan,
+                    nprobe=nprobe_eff) + (nq, k_eff, ids_labels)
             if qb_pairs >= xq_pad.shape[0]:
                 scores, pos = run_pairs(xq_pad, probe_ids)
             else:
@@ -396,6 +410,107 @@ def _dispatch_inner(self, xq, k, params=EMPTY, selector=None):
             np.where(pos >= 0, src[np.clip(pos, 0, None)], -1))
 
     return dist, pos, nq, k_eff, sorted_labels
+
+
+def _serve_fused(self, dev, spill, mask, selector, xq_pad, *, marg,
+                 k_kernel, k_eff, k_scan, nprobe):
+    """Build the argument set for _fused_sq_pairs_serve, replicating the
+    staged path's spill-plan gating exactly (Pallas-vs-XLA spill, int8
+    dot, n_used bound)."""
+    payload, counts, row_pos, cents_dev = dev[:4]
+    rn_layout, rs_layout, vmin, scale = dev[4:8]
+    codec = self.sq_type
+    sp_payload = sp_assign = sp_pos = sp_rn = sp_rs = sp_mask = None
+    pallas_spill = False
+    n_used = None
+    int8_dot = False
+    if spill is not None:
+        sp_payload, sp_assign, sp_pos = spill[:3]
+        n_used_raw = spill[3] if len(spill) > 3 else None
+        n_used = int(n_used_raw) if n_used_raw is not None else None
+        sp_mask = (self._spill_mask(selector)
+                   if selector is not None else None)
+        has_rn = len(spill) > 4 and spill[4] is not None
+        sp_rn = spill[4] if has_rn else None
+        sp_rs = spill[5] if has_rn else None
+        int8_dot = bool(has_rn and self.d >= 16 and sq_int8_active())
+        sp_rows = sp_pos.shape[0] if n_used is None else n_used
+        pallas_spill = (
+            codec in ("sq8", "sq4") and has_rn and sq_int8_active()
+            and self.pq_m is None and self.d >= 16 and sp_rows > 0
+            and k_eff <= 128 and config.spill_impl != "xla"
+            and (config.spill_impl == "pallas"
+                 or sp_rows >= config.spill_pallas_min))
+        if pallas_spill:
+            from ..ops.pallas_spill import spill_chunk_ok
+
+            pallas_spill = spill_chunk_ok(sp_pos.shape[0],
+                                          xq_pad.shape[0])
+    return _fused_sq_pairs_serve(
+        payload, rn_layout, rs_layout, counts, row_pos, vmin, scale,
+        cents_dev, xq_pad, mask, marg,
+        sp_payload, sp_assign, sp_pos, sp_rn, sp_rs, sp_mask,
+        k_kernel=k_kernel, k_eff=k_eff, k_scan=k_scan, nprobe=nprobe,
+        metric=self.metric.name, codec=codec,
+        digit_dtype=config.sq_digit_dtype,
+        mega=config.pairs_impl == "mega", interpret=not on_tpu(),
+        precision=config.precision, pallas_spill=pallas_spill,
+        n_used=n_used, int8_dot=int8_dot,
+        int8_via=config.spill_int8_via, pq_codec=self.pq_codec)
+
+
+IVFIndex._serve_fused = _serve_fused
+
+
+@_functools.partial(_jax.jit, static_argnames=(
+    "k_kernel", "k_eff", "k_scan", "nprobe", "metric", "codec",
+    "digit_dtype", "mega", "interpret", "precision", "pallas_spill",
+    "n_used", "int8_dot", "int8_via", "pq_codec"))
+def _fused_sq_pairs_serve(payload, rn_layout, rs_layout, counts, row_pos,
+                          vmin, scale, cents_dev, xq_pad, mask, marg,
+                          sp_payload, sp_assign, sp_pos, sp_rn, sp_rs,
+                          sp_mask, *, k_kernel, k_eff, k_scan, nprobe,
+                          metric, codec, digit_dtype, mega, interpret,
+                          precision, pallas_spill, n_used, int8_dot,
+                          int8_via, pq_codec):
+    """ONE XLA program for the device-resident SQ serving batch:
+    coarse top-k → pair-tile scan (+ epilogue) → spill scan → merge →
+    finalize.  The staged path dispatches these as 5-6 separate
+    programs; each inter-program boundary through the tunneled runtime
+    costs a dispatch gap and an HBM round-trip of the intermediates
+    (epilogue decomposition, BASELINE r5).  Statics mirror the staged
+    calls exactly, so results are bitwise-identical."""
+    from ..ops.ivf_scan import ivf_spill_scan, merge_topk
+    from ..ops.pallas_ivf_pairs import pallas_ivf_sq_pairs_search
+
+    probe_ids = _coarse_topk(xq_pad, cents_dev, marg, nprobe=nprobe,
+                             metric=metric, precision=precision)
+    scores, pos = pallas_ivf_sq_pairs_search(
+        payload, rn_layout, rs_layout, counts, row_pos, vmin, scale,
+        probe_ids, xq_pad, mask, k=k_kernel, k_scan=k_scan,
+        nprobe=nprobe, metric=metric, codec=codec, interpret=interpret,
+        digit_dtype=digit_dtype, mega=mega)
+    if sp_pos is not None:
+        if pallas_spill:
+            from ..ops.pallas_spill import pallas_spill_search
+
+            sp_s, sp_p = pallas_spill_search(
+                sp_payload, sp_assign, sp_pos, probe_ids, xq_pad,
+                sp_mask, k=min(k_eff, sp_pos.shape[0]), metric=metric,
+                sq=codec, sq_vmin=vmin, sq_scale=scale, spill_rn=sp_rn,
+                spill_rs=sp_rs, n_used=n_used, interpret=interpret,
+                digit_dtype=digit_dtype)
+        else:
+            sp_s, sp_p = ivf_spill_scan(
+                sp_payload, sp_assign, sp_pos, cents_dev, None,
+                probe_ids, xq_pad, sp_mask, marg,
+                k=min(k_eff, sp_pos.shape[0]), metric=metric,
+                precision=precision, pq=False, codec=pq_codec,
+                n_used=n_used, sq=codec, sq_vmin=vmin, sq_scale=scale,
+                spill_rn=sp_rn, spill_rs=sp_rs, int8_dot=int8_dot,
+                int8_via=int8_via)
+        scores, pos = merge_topk(scores, pos, sp_s, sp_p, k_eff)
+    return finalize_scores(scores, pos, metric)
 
 
 @_functools.partial(_jax.jit,

@@ -68,6 +68,13 @@ class Config:
     #: shape).
     spill_impl: str = "auto"
     spill_pallas_min: int = 1 << 18
+    #: single-jit SQ pairs serving: "auto" fuses coarse+pairs+spill+
+    #: merge+finalize into ONE XLA program when the batch needs no query
+    #: blocking (the staged path pays a dispatch gap + intermediate HBM
+    #: round-trip per program boundary through the tunneled runtime);
+    #: "off" keeps the staged dispatch.  Same jitted building blocks
+    #: traced inline — results identical.
+    fused_dispatch: str = "auto"
     #: host->device query wire format: "auto" = fp16 in fast mode for
     #: uploads > 1 MB (cast back to f32 on device — the tunneled relay
     #: uploads at ~25 ms + ~23 ms/MB, so the b1024 x 1536 query batch

@@ -553,10 +553,10 @@ def test_pairs_mega_path_end_to_end(catalog=None):
     try:
         idx = cat.get("pm").index
         r1 = dfx.faiss_search("pm", k, xq, {"nprobe": "8"}, catalog=cat)
-        assert idx._last_scan_path == "pairs-sq8"
+        assert idx._last_scan_path in ("pairs-sq8", "fused-pairs-sq8")
         config.pairs_impl = "mega"
         r2 = dfx.faiss_search("pm", k, xq, {"nprobe": "8"}, catalog=cat)
-        assert idx._last_scan_path == "pairs-sq8"
+        assert idx._last_scan_path in ("pairs-sq8", "fused-pairs-sq8")
     finally:
         config.pairs_impl = "grid"
         dfx.set_kernel_mode("auto")
@@ -566,3 +566,49 @@ def test_pairs_mega_path_end_to_end(catalog=None):
     np.testing.assert_allclose(np.sort(r1["distance"], 1),
                                np.sort(r2["distance"], 1),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fused_dispatch_matches_staged(catalog):
+    """The single-jit fused serve (coarse+pairs+spill+merge+finalize in
+    one XLA program) returns results identical to the staged dispatch —
+    same jitted building blocks traced inline."""
+    import duckdb_faiss_ext_tpu as dfx
+    from duckdb_faiss_ext_tpu.models.ivf import IVFIndex
+    from duckdb_faiss_ext_tpu.utils.config import config
+
+    rng = np.random.default_rng(23)
+    xb = np.concatenate([
+        rng.standard_normal((3000, 32)).astype(np.float32),   # skewed list
+        rng.standard_normal((2000, 32)).astype(np.float32) + 6.0,
+    ])
+    xq = xb[rng.integers(0, 5000, 32)] + 0.01
+    dfx.faiss_create("fu", 32, "IVF16,SQ8", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_add(xb, "fu", catalog=catalog)
+    idx = catalog.get("fu").index
+    idx.PALLAS_LAYOUT_BUDGET_BYTES = 16 * 256 * 32  # force spill plan
+    idx.SPILL_FRACTION_MAX = 0.9
+    idx._pallas_plan_cache = None
+    dfx.set_kernel_mode("pallas")
+    dfx.set_precision("fast")
+    saved_work = IVFIndex.PAIRS_MIN_WORK
+    saved_batch = IVFIndex.PAIRS_MIN_BATCH
+    IVFIndex.PAIRS_MIN_WORK = 0
+    IVFIndex.PAIRS_MIN_BATCH = 8
+    try:
+        config.fused_dispatch = "off"
+        staged = dfx.faiss_search("fu", 5, xq, {"nprobe": "4"},
+                                  catalog=catalog)
+        assert idx._last_scan_path == "pairs-sq8"
+        config.fused_dispatch = "auto"
+        fused = dfx.faiss_search("fu", 5, xq, {"nprobe": "4"},
+                                 catalog=catalog)
+        assert idx._last_scan_path == "fused-pairs-sq8"
+    finally:
+        config.fused_dispatch = "auto"
+        dfx.set_kernel_mode("auto")
+        dfx.set_precision("parity")
+        IVFIndex.PAIRS_MIN_WORK = saved_work
+        IVFIndex.PAIRS_MIN_BATCH = saved_batch
+    np.testing.assert_array_equal(staged["label"], fused["label"])
+    np.testing.assert_array_equal(staged["distance"], fused["distance"])
