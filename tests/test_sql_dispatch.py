@@ -144,3 +144,38 @@ def test_sql_range_search(catalog):
     for qi in range(3):
         assert got.get(qi, set()) == \
             set(np.nonzero(oracle[qi] < 4.0)[0].tolist())
+
+
+def test_filter_selector_cache_invalidation(catalog):
+    """Selectors are reused across repeated filtered calls (the device
+    mask survives), but RE-REGISTERING the table invalidates the cache —
+    results must reflect the new table contents immediately."""
+    import duckdb_faiss_ext_tpu as dfx
+
+    rng = np.random.default_rng(4)
+    xb = rng.standard_normal((500, 8)).astype(np.float32)
+    dfx.faiss_create("selc", 8, "Flat", metric_type="L2", catalog=catalog)
+    dfx.faiss_add(xb, "selc", catalog=catalog)
+    dfx.register_table("selc_t", {"id": np.arange(500, dtype=np.int64),
+                                  "grp": np.zeros(500, np.int64)})
+    # grp==0 everywhere: every row passes
+    r1 = dfx.faiss_search_filter("selc", 3, xb[:4], "grp=0", "id",
+                                 "selc_t", catalog=catalog)
+    assert (r1["label"][:, 0] == np.arange(4)).all()
+    # same table, same filter: cached selector path (results identical)
+    r2 = dfx.faiss_search_filter("selc", 3, xb[:4], "grp=0", "id",
+                                 "selc_t", catalog=catalog)
+    np.testing.assert_array_equal(r1["label"], r2["label"])
+    # re-register with grp flipped for the first 100 ids: rows 0-99 must
+    # now be EXCLUDED despite the earlier cache
+    grp = np.zeros(500, np.int64)
+    grp[:100] = 1
+    dfx.register_table("selc_t", {"id": np.arange(500, dtype=np.int64),
+                                  "grp": grp})
+    r3 = dfx.faiss_search_filter("selc", 3, xb[:4], "grp=0", "id",
+                                 "selc_t", catalog=catalog)
+    assert (r3["label"] < 100).sum() == 0
+    # set-selector flavour sees the new table too
+    r4 = dfx.faiss_search_filter_set("selc", 3, xb[:4], "grp=0", "id",
+                                     "selc_t", catalog=catalog)
+    np.testing.assert_array_equal(r3["label"], r4["label"])
