@@ -266,6 +266,19 @@ def _dispatch_inner(self, xq, k, params=EMPTY, selector=None):
                          for i in range(0, xq_pad.shape[0], qb_pairs)]
                 scores = jnp.concatenate([p[0] for p in parts], axis=0)
                 pos = jnp.concatenate([p[1] for p in parts], axis=0)
+        elif (qb == xq_pad.shape[0]
+                and self.sq_type in ("sq8", "sq4", "sq6")
+                and self.pq_m is None
+                and config.fused_dispatch != "off"):
+            # Per-query DMA kernel, fused single-jit flavour (the b48 /
+            # high-nprobe regimes; same statics as run_block's sq path).
+            self._last_scan_path = "fused-perquery-" + self.sq_type
+            k_scan = _sq_kscan(self, k_kernel, nprobe_eff * lmax)
+            return self._serve_fused(
+                dev, spill, mask, selector, xq_pad,
+                marg=jnp.asarray(self.metric_arg, jnp.float32),
+                k_kernel=k_kernel, k_eff=k_eff, k_scan=k_scan,
+                nprobe=nprobe_eff, pairs=False) + (nq, k_eff, ids_labels)
         elif qb == xq_pad.shape[0]:
             scores, pos = run_block(xq_pad, probe_ids)
         else:
@@ -413,7 +426,7 @@ def _dispatch_inner(self, xq, k, params=EMPTY, selector=None):
 
 
 def _serve_fused(self, dev, spill, mask, selector, xq_pad, *, marg,
-                 k_kernel, k_eff, k_scan, nprobe):
+                 k_kernel, k_eff, k_scan, nprobe, pairs=True):
     """Build the argument set for _fused_sq_pairs_serve, replicating the
     staged path's spill-plan gating exactly (Pallas-vs-XLA spill, int8
     dot, n_used bound)."""
@@ -456,7 +469,8 @@ def _serve_fused(self, dev, spill, mask, selector, xq_pad, *, marg,
         mega=config.pairs_impl == "mega", interpret=not on_tpu(),
         precision=config.precision, pallas_spill=pallas_spill,
         n_used=n_used, int8_dot=int8_dot,
-        int8_via=config.spill_int8_via, pq_codec=self.pq_codec)
+        int8_via=config.spill_int8_via, pq_codec=self.pq_codec,
+        pairs=pairs)
 
 
 IVFIndex._serve_fused = _serve_fused
@@ -465,31 +479,42 @@ IVFIndex._serve_fused = _serve_fused
 @_functools.partial(_jax.jit, static_argnames=(
     "k_kernel", "k_eff", "k_scan", "nprobe", "metric", "codec",
     "digit_dtype", "mega", "interpret", "precision", "pallas_spill",
-    "n_used", "int8_dot", "int8_via", "pq_codec"))
+    "n_used", "int8_dot", "int8_via", "pq_codec", "pairs"))
 def _fused_sq_pairs_serve(payload, rn_layout, rs_layout, counts, row_pos,
                           vmin, scale, cents_dev, xq_pad, mask, marg,
                           sp_payload, sp_assign, sp_pos, sp_rn, sp_rs,
                           sp_mask, *, k_kernel, k_eff, k_scan, nprobe,
                           metric, codec, digit_dtype, mega, interpret,
                           precision, pallas_spill, n_used, int8_dot,
-                          int8_via, pq_codec):
+                          int8_via, pq_codec, pairs=True):
     """ONE XLA program for the device-resident SQ serving batch:
-    coarse top-k → pair-tile scan (+ epilogue) → spill scan → merge →
-    finalize.  The staged path dispatches these as 5-6 separate
-    programs; each inter-program boundary through the tunneled runtime
-    costs a dispatch gap and an HBM round-trip of the intermediates
-    (epilogue decomposition, BASELINE r5).  Statics mirror the staged
-    calls exactly, so results are bitwise-identical."""
+    coarse top-k → list scan (pair-tile for large batches, per-query DMA
+    otherwise; + epilogue) → spill scan → merge → finalize.  The staged
+    path dispatches these as 5-6 separate programs; each inter-program
+    boundary through the tunneled runtime costs a dispatch gap and an
+    HBM round-trip of the intermediates (epilogue decomposition,
+    BASELINE r5).  Statics mirror the staged calls exactly, so results
+    are bitwise-identical."""
     from ..ops.ivf_scan import ivf_spill_scan, merge_topk
-    from ..ops.pallas_ivf_pairs import pallas_ivf_sq_pairs_search
 
     probe_ids = _coarse_topk(xq_pad, cents_dev, marg, nprobe=nprobe,
                              metric=metric, precision=precision)
-    scores, pos = pallas_ivf_sq_pairs_search(
-        payload, rn_layout, rs_layout, counts, row_pos, vmin, scale,
-        probe_ids, xq_pad, mask, k=k_kernel, k_scan=k_scan,
-        nprobe=nprobe, metric=metric, codec=codec, interpret=interpret,
-        digit_dtype=digit_dtype, mega=mega)
+    if pairs:
+        from ..ops.pallas_ivf_pairs import pallas_ivf_sq_pairs_search
+
+        scores, pos = pallas_ivf_sq_pairs_search(
+            payload, rn_layout, rs_layout, counts, row_pos, vmin, scale,
+            probe_ids, xq_pad, mask, k=k_kernel, k_scan=k_scan,
+            nprobe=nprobe, metric=metric, codec=codec,
+            interpret=interpret, digit_dtype=digit_dtype, mega=mega)
+    else:
+        from ..ops.pallas_ivf import pallas_ivf_sq_search
+
+        scores, pos = pallas_ivf_sq_search(
+            payload, rn_layout, rs_layout, counts, row_pos, vmin, scale,
+            probe_ids, xq_pad, mask, k=k_kernel, k_scan=k_scan,
+            nprobe=nprobe, metric=metric, codec=codec,
+            interpret=interpret, digit_dtype=digit_dtype)
     if sp_pos is not None:
         if pallas_spill:
             from ..ops.pallas_spill import pallas_spill_search
