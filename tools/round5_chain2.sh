@@ -27,6 +27,5 @@ step() {
 
 step filtered 3600 python tools/marco_filtered.py
 step trec 3600 python tools/marco_trec.py
-step refine 6000 python tools/marco_refine.py
 step bench_refresh 900 python bench.py --refresh
 echo "CHAIN2 COMPLETE $(date -u +%H:%M:%SZ)" >> "$L.log"
