@@ -88,7 +88,10 @@ def _dispatch_inner(self, xq, k, params=EMPTY, selector=None):
 
     nprobe_eff = max(1, min(int(nprobe), self.nlist))
     nq_pad = max(config.min_query_bucket, next_pow2(nq))
-    xq_pad = upload_queries(pad_rows(xq, nq_pad))
+    xq_pad = upload_queries(
+        pad_rows(xq, nq_pad),
+        lossy_ok=(self.sq_type in ("sq8", "sq4", "sq6")
+                  or self.pq_m is not None))
 
     def ids_labels(pos, ids=self._ids):
         return np.where(pos >= 0, ids[np.clip(pos, 0, None)]

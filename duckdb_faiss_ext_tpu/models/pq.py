@@ -185,7 +185,7 @@ class PQIndex(Index):
         cap = codes_dev.shape[0]
         k_eff = min(k, cap)
         nq_pad = max(config.min_query_bucket, next_pow2(nq))
-        xq_pad = upload_queries(pad_rows(xq, nq_pad))
+        xq_pad = upload_queries(pad_rows(xq, nq_pad), lossy_ok=True)
         mask = None
         if selector is not None:
             key = (selector.cache_key(), self._version)

@@ -192,7 +192,9 @@ class SQIndex(Index):
         cap = self._capacity()
         k_eff = min(k, cap)
         nq_pad = max(config.min_query_bucket, next_pow2(nq))
-        xq_pad = upload_queries(pad_rows(xq, nq_pad))
+        xq_pad = upload_queries(
+            pad_rows(xq, nq_pad),
+            lossy_ok=self.codec in ("sq8", "sq4", "sq6"))
         mask = None
         if selector is not None:
             key = (selector.cache_key(), self._version)

@@ -35,7 +35,7 @@ def fetch_results(dist, pos):
     return d, p
 
 
-def upload_queries(xq_np):
+def upload_queries(xq_np, lossy_ok: bool = False):
     """Host→device query upload with a halved wire format in fast mode.
 
     The tunneled relay uploads at roughly 25 ms fixed + ~23 ms/MB
@@ -55,8 +55,16 @@ def upload_queries(xq_np):
     xq_np = np.ascontiguousarray(xq_np, dtype=np.float32)
     wire = config.query_wire
     if wire == "auto":
-        wire = ("f16" if config.precision != lax.Precision.HIGHEST
-                and xq_np.nbytes > (1 << 20) else "f32")
+        if (config.precision == lax.Precision.HIGHEST
+                or xq_np.nbytes <= (1 << 20)):
+            wire = "f32"
+        else:
+            # ``lossy_ok``: the caller's STORAGE is coarsely quantized
+            # (sq8/sq4/sq6/PQ), so sq8 query noise (~range/510 per dim)
+            # sits far below the codec's own — on-chip A/B 2026-08-21:
+            # marco SQ6 recall@10 0.8902 (sq8 wire) vs 0.8887 (f32),
+            # 124.7 vs 218.7 ms/batch.  Near-exact storages keep fp16.
+            wire = "sq8" if lossy_ok else "f16"
     if wire == "f16":
         return jnp.asarray(xq_np.astype(np.float16)).astype(jnp.float32)
     if wire == "sq8":
