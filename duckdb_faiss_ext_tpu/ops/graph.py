@@ -754,7 +754,7 @@ def _batched_scores(xq, vecs, metric, metric_arg, precision):
 
 def walk_scan(xb, graph, xq, nvalid, metric_arg, mask, pack, *, k, pool,
               width, iters, metric, precision, codec=None, vmin=None,
-              scale=None):
+              scale=None, deg=None):
     """Batched greedy walk (traceable body — jitted via graph_search, or
     called under shard_map for per-shard subgraph walks).  Returns (scores
     (B, k) max-oriented with -inf missing, positions (B, k) int32 with -1
@@ -776,7 +776,23 @@ def walk_scan(xb, graph, xq, nvalid, metric_arg, mask, pack, *, k, pool,
     output distances are then exact against the QUANTIZED vectors,
     matching IVF,SQ semantics."""
     B, d = xq.shape
-    N, deg = graph.shape
+    gm, gl = graph.shape
+    if deg is None or deg == gl:
+        deg, fold = gl, 1
+    else:
+        # Lane-folded adjacency: (N/fold, fold*deg) with node i's list at
+        # row i//fold, lanes [(i%fold)*deg, (i%fold+1)*deg).  An (N, 64)
+        # int32 gather operand makes XLA materialise a 64→128 lane-pad
+        # copy of the WHOLE adjacency — +2.1 GiB at the 8.8M deg-64 marco
+        # shape, the 146.8 MB-over compile OOM of 2026-08-21.  Folding to
+        # 128 lanes keeps the stored layout tile-aligned; the row-group
+        # gather + per-row lane select below is a few extra VPU ops on a
+        # (B, width, 128) block.
+        fold = gl // deg
+        if fold * deg != gl:
+            raise ValueError(f"folded adjacency width {gl} is not a "
+                             f"multiple of degree {deg}")
+    N = gm * fold
     sim = metric in SIMILARITY_METRICS
 
     if codec is not None:
@@ -829,7 +845,14 @@ def walk_scan(xb, graph, xq, nvalid, metric_arg, mask, pack, *, k, pool,
         onehot = fsel[:, :, None] == jnp.arange(pool)[None, None, :]
         expanded = jnp.logical_or(expanded, onehot.any(axis=1))
 
-        nbrs = jnp.take(graph, jnp.maximum(fids, 0), axis=0)  # (B, width, deg)
+        safe_f = jnp.maximum(fids, 0)
+        if fold == 1:
+            nbrs = jnp.take(graph, safe_f, axis=0)        # (B, width, deg)
+        else:
+            rows = jnp.take(graph, safe_f // fold, axis=0)
+            lanes = ((safe_f % fold)[:, :, None] * deg
+                     + jnp.arange(deg, dtype=jnp.int32)[None, None, :])
+            nbrs = jnp.take_along_axis(rows, lanes, axis=2)
         nbrs = jnp.where(alive[:, :, None], nbrs, -1)
         nbrs = nbrs.reshape(B, width * deg)
         # Dedup: vs pool, and first-occurrence within the frontier batch.
@@ -940,16 +963,16 @@ def walk_scan(xb, graph, xq, nvalid, metric_arg, mask, pack, *, k, pool,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "pool", "width", "iters", "metric", "precision",
-                     "seed", "codec"),
+                     "seed", "codec", "deg"),
 )
 def _graph_walk(xb, graph, xq, nvalid, metric_arg, mask, pack, vmin, scale,
                 *, k, pool, width, iters, metric, precision, seed,
-                codec=None):
+                codec=None, deg=None):
     del seed  # deterministic init; kept in the signature for compatibility
     return walk_scan(xb, graph, xq, nvalid, metric_arg, mask, pack,
                      k=k, pool=pool, width=width, iters=iters,
                      metric=metric, precision=precision, codec=codec,
-                     vmin=vmin, scale=scale)
+                     vmin=vmin, scale=scale, deg=deg)
 
 
 def graph_search(
@@ -972,6 +995,7 @@ def graph_search(
     codec: str | None = None,   # xb_dev is (cap, w) packed SQ codes
     vmin=None,
     scale=None,
+    deg: int | None = None,     # true degree when graph_dev is lane-folded
 ):
     """Batched CAGRA walk over a prebuilt graph.  Returns max-oriented
     (scores, positions) like search_scan; pass through finalize_scores for
@@ -983,10 +1007,12 @@ def graph_search(
     ``xb_dev`` (the scattered walk already scores at ``precision``)."""
     pool = max(pool, k)
     if iters is None:
-        iters = default_iters(pool, width, graph_dev.shape[1])
+        iters = default_iters(pool, width,
+                              deg if deg else graph_dev.shape[1])
     return _graph_walk(
         xb_dev, graph_dev, xq_pad,
         jnp.int32(nvalid), jnp.float32(metric_arg), mask, pack,
         vmin, scale,
         k=k, pool=int(pool), width=int(width), iters=int(iters),
-        metric=metric, precision=precision, seed=int(seed), codec=codec)
+        metric=metric, precision=precision, seed=int(seed), codec=codec,
+        deg=deg)

@@ -727,3 +727,36 @@ def test_sq6_coded_walk():
     recall = np.mean([len(set(pos[i]) & set(oracle[i])) / k
                       for i in range(len(xq))])
     assert recall > 0.85
+
+
+def test_folded_adjacency_walk_matches():
+    """Lane-folded adjacency ((N/f, f*deg) with deg passed explicitly)
+    must walk identically to the plain (N, deg) table — the fold exists
+    purely to avoid XLA's 64->128 lane-pad copy of the gather operand
+    (the 8.8M deg-64 compile OOM)."""
+    import jax.numpy as jnp
+
+    from duckdb_faiss_ext_tpu.ops.graph import (augment_graph,
+                                                graph_search)
+    from duckdb_faiss_ext_tpu.utils.config import next_capacity, pad_rows
+
+    n, d, k, deg = 4000, 16, 8, 16     # fold = 8
+    xb = _clustered(n, d, seed=41, ncenters=16)
+    xq = _clustered(16, d, seed=42, ncenters=16)
+    d2 = ((xb[:, None, :] - xb[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    knn = np.argsort(d2, axis=1)[:, : 2 * deg].astype(np.int32)
+    g = augment_graph(knn, deg)
+    cap = max(128, next_capacity(n))
+    xb_dev = jnp.asarray(pad_rows(xb, cap))
+    g_pad = np.concatenate([g, np.full((cap - n, deg), -1, np.int32)])
+    g_dev = jnp.asarray(g_pad)
+    fold = 128 // deg
+    g_folded = jnp.asarray(g_pad.reshape(cap // fold, fold * deg))
+
+    s1, p1 = graph_search(xb_dev, g_dev, jnp.asarray(xq), n, k, "L2",
+                          pool=32, width=4)
+    s2, p2 = graph_search(xb_dev, g_folded, jnp.asarray(xq), n, k, "L2",
+                          pool=32, width=4, deg=deg)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))

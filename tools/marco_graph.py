@@ -271,8 +271,32 @@ def main() -> None:
             rows_per_call=524_288, progress=dprog)
     adj = jax.jit(lambda a: a[:, :args.deg])(knn)   # forward-first degree
     np.asarray(adj[:1])
-    del knn, codes4
-    print(f"phase3 nn-descent x{args.refine_rounds} + slice: "
+    del knn
+    # Lane-fold the adjacency to 128 lanes: an (N, deg<128) int32 gather
+    # operand makes XLA materialise a lane-pad copy of the whole table
+    # (+2.1 GiB at deg 64 — the 146.8 MB-over walk compile OOM,
+    # 2026-08-21).  Chunked so the fold itself allocates only small
+    # temps next to the build buffer.
+    fold_f = max(1, 128 // args.deg) if 128 % args.deg == 0 else 1
+    if fold_f > 1:
+        @functools.partial(jax.jit, donate_argnums=(0,),
+                           static_argnames=("rows",))
+        def fold_put(buf, a, j, rows: int):
+            blk = jax.lax.dynamic_slice(
+                a, (j * rows, 0), (rows, args.deg))
+            return jax.lax.dynamic_update_slice(
+                buf, blk.reshape(rows // fold_f, fold_f * args.deg),
+                (j * rows // fold_f, 0))
+
+        adj_f = jnp.zeros((n_pad // fold_f, fold_f * args.deg), jnp.int32)
+        rows = chunk
+        for j in range(n_pad // rows):
+            adj_f = fold_put(adj_f, adj, jnp.int32(j), rows=rows)
+        np.asarray(adj_f[:1, :1])
+        del adj
+        adj = adj_f
+    del codes4
+    print(f"phase3 nn-descent x{args.refine_rounds} + slice+fold: "
           f"{time.time()-t0:.1f}s", flush=True)
 
     # ---- phase 4: SQ serving buffer (sq8, or sq6 for deg>=64) -----------
@@ -305,7 +329,7 @@ def main() -> None:
                     s, p = graph_search(
                         codes_s, adj_dev, xq_dev, n, k, "INNER_PRODUCT",
                         pool=pool, width=args.width, codec=s_codec,
-                        vmin=s_vmin, scale=s_scale)
+                        vmin=s_vmin, scale=s_scale, deg=args.deg)
                     return finalize_scores(s, p, "INNER_PRODUCT")
                 dist, pos = run()
                 np.asarray(pos[:1])

@@ -57,19 +57,25 @@ def main() -> None:
     codes = jnp.zeros((n_pad, w), jnp.uint8)
     for i in range(nchunks):
         codes = gen_chunk(codes, jnp.int32(i))
-    adj = jax.random.randint(key, (n_pad, args.deg), 0, n, jnp.int32)
+    # Lane-folded adjacency, generated folded (an (N, 64) int32 gather
+    # operand makes XLA pad it 64->128 lanes — the +2.1 GiB copy behind
+    # the 2026-08-21 compile OOM; see walk_scan deg kwarg).
+    fold = max(1, 128 // args.deg) if 128 % args.deg == 0 else 1
+    adj = jax.random.randint(key, (n_pad // fold, fold * args.deg),
+                             0, n, jnp.int32)
     xq = jax.random.normal(key, (args.nq, d), jnp.float32)
     vmin = jnp.full((d,), -0.1, jnp.float32)
     scale = jnp.full((d,), 0.2 / SQ_LEVELS[args.codec], jnp.float32)
     np.asarray(adj[0, :1])
     print(f"operands on device: {time.time()-t0:.1f}s "
           f"(codes {codes.nbytes/2**30:.2f} GiB + adj "
-          f"{adj.nbytes/2**30:.2f} GiB)", flush=True)
+          f"{adj.nbytes/2**30:.2f} GiB, fold {fold})", flush=True)
 
     t0 = time.time()
     s, p = graph_search(codes, adj, xq, n, 10, "INNER_PRODUCT",
                         pool=args.pool, width=args.width,
-                        codec=args.codec, vmin=vmin, scale=scale)
+                        codec=args.codec, vmin=vmin, scale=scale,
+                        deg=args.deg)
     np.asarray(p[:1])
     print(f"WALK COMPILE+RUN OK: {time.time()-t0:.1f}s", flush=True)
 
