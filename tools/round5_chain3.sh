@@ -23,6 +23,8 @@ step() {
   sleep 20
 }
 
+step walk_debug_folded 1500 python tools/walk_debug.py --deg 64 --codec sq6
+
 step graph_deg64_descent 8000 python tools/marco_graph.py \
     --deg 64 --inter 64 --lmax-factor 3.0 --serve-codec sq6 \
     --refine-rounds 1
