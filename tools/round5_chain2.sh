@@ -1,21 +1,40 @@
 #!/bin/bash
-# Round-5 chain 2 (after chain 1): the long marco measurements.
-#   1. marco_filtered — 8.8M three-strategy sweep with the device-side /
-#      cached selector masks (ask #4 validation)
-#   2. marco_trec — k=1000 conformance over the frozen 8.8M index (ask #5)
-#   3. marco_refine — fp16 host-store refine tier, recall >= 0.95 target
-#      (ask #7; first run also fetches + caches the 27 GiB store)
-#   4. bench refresh
+# Round-5 chain 2 (regenerated 02:20Z with relay-await gates).
 set -u
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 L=logs/r5_chain2
 
-for _ in $(seq 1 720); do
+probe() {
+  timeout 140 python - <<'PYEOF'
+import threading, numpy as np, sys, os
+ok = []
+def p():
+    import jax.numpy as jnp
+    ok.append(float(np.asarray(jnp.ones((8, 8)) @ jnp.ones((8, 8)))[0][0]))
+t = threading.Thread(target=p, daemon=True); t.start(); t.join(110)
+sys.stdout.flush()
+os._exit(0 if ok else 1)
+PYEOF
+}
+
+await_relay() {
+  local tries=0
+  until probe; do
+    tries=$((tries + 1))
+    echo "[await] relay down (probe #$tries) $(date -u +%H:%M:%S)" >> "$L.log"
+    if [ "$tries" -ge 120 ]; then echo "[await] giving up" >> "$L.log"; exit 1; fi
+    sleep 170
+  done
+  echo "[await] relay ALIVE $(date -u +%H:%M:%S)" >> "$L.log"
+}
+
+for _ in $(seq 1 900); do
   grep -q 'CHAIN1 COMPLETE' logs/r5_chain1.log 2>/dev/null && break
   sleep 30
 done
-echo "[chain2] starting $(date -u +%H:%M:%S)" >> "$L.log"
+echo "[chain2] gate passed $(date -u +%H:%M:%S)" >> "$L.log"
+await_relay
 
 step() {
   local name="$1" tmo="$2"; shift 2
@@ -26,6 +45,8 @@ step() {
 }
 
 step filtered 3600 python tools/marco_filtered.py
+await_relay
 step trec 3600 python tools/marco_trec.py
+await_relay
 step bench_refresh 900 python bench.py --refresh
 echo "CHAIN2 COMPLETE $(date -u +%H:%M:%SZ)" >> "$L.log"

@@ -1,19 +1,40 @@
 #!/bin/bash
-# Round-5 chain 3 (after chain 2): the HNSW-recall ask (#2).
-#   deg-64 adjacency + one coded NN-descent round + SQ6 serving codes at
-#   8,841,823 x 1536 — the identified caps of the round-4 0.610@ef128
-#   build were final degree 32 and no NN-descent at scale.
-#   Target: recall@10 >= 0.75 @ ef128 b48 (VERDICT r4 #2).
+# Round-5 chain 3 (regenerated 02:20Z with relay-await gates).
 set -u
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 L=logs/r5_chain3
 
+probe() {
+  timeout 140 python - <<'PYEOF'
+import threading, numpy as np, sys, os
+ok = []
+def p():
+    import jax.numpy as jnp
+    ok.append(float(np.asarray(jnp.ones((8, 8)) @ jnp.ones((8, 8)))[0][0]))
+t = threading.Thread(target=p, daemon=True); t.start(); t.join(110)
+sys.stdout.flush()
+os._exit(0 if ok else 1)
+PYEOF
+}
+
+await_relay() {
+  local tries=0
+  until probe; do
+    tries=$((tries + 1))
+    echo "[await] relay down (probe #$tries) $(date -u +%H:%M:%S)" >> "$L.log"
+    if [ "$tries" -ge 120 ]; then echo "[await] giving up" >> "$L.log"; exit 1; fi
+    sleep 170
+  done
+  echo "[await] relay ALIVE $(date -u +%H:%M:%S)" >> "$L.log"
+}
+
 for _ in $(seq 1 900); do
   grep -q 'CHAIN2 COMPLETE' logs/r5_chain2.log 2>/dev/null && break
   sleep 30
 done
-echo "[chain3] starting $(date -u +%H:%M:%S)" >> "$L.log"
+echo "[chain3] gate passed $(date -u +%H:%M:%S)" >> "$L.log"
+await_relay
 
 step() {
   local name="$1" tmo="$2"; shift 2
@@ -24,10 +45,10 @@ step() {
 }
 
 step walk_debug_folded 1500 python tools/walk_debug.py --deg 64 --codec sq6
-
+await_relay
 step graph_deg64_descent 8000 python tools/marco_graph.py \
     --deg 64 --inter 64 --lmax-factor 3.0 --serve-codec sq6 \
     --refine-rounds 1
-
+await_relay
 step bench_refresh 900 python bench.py --refresh
 echo "CHAIN3 COMPLETE $(date -u +%H:%M:%SZ)" >> "$L.log"
