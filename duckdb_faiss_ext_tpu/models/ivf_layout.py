@@ -262,6 +262,19 @@ def _build_device_pallas(self):
         )
     return self._device_pallas
 
+def _mask_labels_dev(self):
+    """Per-version cached labels_for_device_mask resolution (uploading
+    the 8.8M-row int64 label table per filtered call would cost more
+    than the host path it replaces)."""
+    from ..ops.selectors import labels_for_device_mask
+
+    hit = getattr(self, "_mask_ids_dev", None)
+    if hit is not None and hit[0] == self._version:
+        return hit[1]
+    val = labels_for_device_mask(self._ids)
+    self._mask_ids_dev = (self._version, val)
+    return val
+
 def _spill_mask(self, selector):
     key = ("spill", selector.cache_key(), self._version)
     hit = self._mask_cache.get(key)
@@ -269,7 +282,8 @@ def _spill_mask(self, selector):
         return hit
     from ..ops.selectors import device_row_mask
 
-    dev = device_row_mask(selector, self._device_spill[2], self._ids)
+    dev = device_row_mask(selector, self._device_spill[2],
+                          _mask_labels_dev(self))
     if dev is None:                     # host fallback (odd selectors)
         sp_pos = np.asarray(self._device_spill[2])
         passing = selector.contains(self._ids)
@@ -292,7 +306,7 @@ def _pallas_mask(self, selector):
     from ..ops.selectors import device_row_mask
 
     dev = device_row_mask(selector, self._build_device_pallas()[2],
-                          self._ids)
+                          _mask_labels_dev(self))
     if dev is None:                     # host fallback (odd selectors)
         if self._dr is not None:
             rp = self._dr.row_pos      # host copy, no device fetch

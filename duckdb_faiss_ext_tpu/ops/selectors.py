@@ -135,19 +135,36 @@ def _mask_jit(kind: str):
     return fn
 
 
-def device_row_mask(selector, rp_dev, ids_host):
-    """Per-row int8 pass mask computed ON DEVICE from ``rp_dev`` (any
-    shape of int32 storage positions, -1 invalid) and the index's label
-    table (``ids_host`` — empty means labels ARE positions).  Returns
-    None when the selector shape needs the host fallback (labels beyond
-    int32 bit-index range, or an empty set)."""
+def labels_for_device_mask(ids_host):
+    """Resolve an index's label table for the device mask path: None =
+    identity (positions ARE labels — no upload), False = host fallback
+    required (labels beyond the int32 bit-index range), else the device
+    label array.  CALLERS CACHE the result per index version — uploading
+    ~70 MB of int64 labels per filtered call would undo the win."""
     import jax.numpy as jnp
 
-    labels_dev = None
-    if ids_host is not None and getattr(ids_host, "size", 0):
-        if ids_host.max(initial=0) >= (1 << 31):
-            return None          # bit-index would overflow int32 gather
-        labels_dev = jnp.asarray(np.ascontiguousarray(ids_host))
+    if ids_host is None or not getattr(ids_host, "size", 0):
+        return None
+    n = ids_host.shape[0]
+    if (ids_host[0] == 0 and ids_host[-1] == n - 1
+            and np.array_equal(ids_host,
+                               np.arange(n, dtype=ids_host.dtype))):
+        return None              # identity labels, skip the gather
+    if ids_host.max(initial=0) >= (1 << 31):
+        return False             # bit-index would overflow int32 gather
+    return jnp.asarray(np.ascontiguousarray(ids_host))
+
+
+def device_row_mask(selector, rp_dev, labels_dev):
+    """Per-row int8 pass mask computed ON DEVICE from ``rp_dev`` (any
+    shape of int32 storage positions, -1 invalid) and the resolved label
+    table (``labels_for_device_mask`` output: None = identity, False =
+    unsupported, or a device array).  Returns None when the selector
+    shape needs the host fallback."""
+    import jax.numpy as jnp
+
+    if labels_dev is False:
+        return None
     if isinstance(selector, BitmapSelector):
         if selector.nbits >= (1 << 31):
             return None
