@@ -1,5 +1,5 @@
 #!/bin/bash
-# Round-5 chain 2 (regenerated 02:20Z with relay-await gates).
+# Round-5 chain 2 (regenerated 03:07Z: retry-capable steps).
 set -u
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
@@ -29,13 +29,6 @@ await_relay() {
   echo "[await] relay ALIVE $(date -u +%H:%M:%S)" >> "$L.log"
 }
 
-for _ in $(seq 1 900); do
-  grep -q 'CHAIN1 COMPLETE' logs/r5_chain1.log 2>/dev/null && break
-  sleep 30
-done
-echo "[chain2] gate passed $(date -u +%H:%M:%S)" >> "$L.log"
-await_relay
-
 step() {
   local name="$1" tmo="$2"; shift 2
   echo "=== STEP $name start $(date -u +%H:%M:%SZ) ===" >> "$L.log"
@@ -44,9 +37,26 @@ step() {
   sleep 20
 }
 
-step filtered 3600 python tools/marco_filtered.py
-await_relay
-step trec 3600 python tools/marco_trec.py
+# retry_step <marker> <name> <tmo> <cmd...>: re-run (fresh process, fresh
+# relay-await) until the log gains <marker>, up to 4 attempts — mid-step
+# relay deaths waste one attempt, not the whole ask.
+retry_step() {
+  local marker="$1" name="$2" tmo="$3"; shift 3
+  for a in 1 2 3 4; do
+    await_relay
+    step "$name#$a" "$tmo" "$@"
+    grep -q "$marker" "$L.log" && return 0
+    echo "[retry] $name attempt $a did not reach '$marker'" >> "$L.log"
+  done
+  return 1
+}
+
+echo "[chain2] start $(date -u +%H:%M:%S)" >> "$L.log"
+
+retry_step "MARCO-FILTERED COMPLETE" filtered 3600 \
+    python tools/marco_filtered.py
+retry_step "MARCO-TREC COMPLETE" trec 3600 \
+    python tools/marco_trec.py
 await_relay
 step bench_refresh 900 python bench.py --refresh
 echo "CHAIN2 COMPLETE $(date -u +%H:%M:%SZ)" >> "$L.log"
