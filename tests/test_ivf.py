@@ -851,3 +851,38 @@ def test_ivf_sq_pallas_multitile_lmax(catalog, codec):
     same = ref["label"] == got["label"]
     np.testing.assert_allclose(got["distance"][same],
                                ref["distance"][same], rtol=2e-5, atol=2e-5)
+
+
+def test_k1000_result_width(catalog):
+    """k=1000 through the SQ pairs/spill serving path (the TREC
+    conformance width): k_eff clamps, the >128-k spill routing, and the
+    query-blocked wide rerank must produce exactly the brute-force
+    decoded ranking (VERDICT r4 ask #5 regression)."""
+    import duckdb_faiss_ext_tpu as dfx
+    from duckdb_faiss_ext_tpu.ops.sq import sq_decode
+
+    rng = np.random.default_rng(37)
+    n, d, k = 5000, 32, 1000
+    xb = np.concatenate([
+        rng.standard_normal((3500, d)).astype(np.float32),
+        rng.standard_normal((1500, d)).astype(np.float32) + 5.0,
+    ])
+    dfx.faiss_create("wide", d, "IVF8,SQ8", metric_type="L2",
+                     catalog=catalog)
+    dfx.faiss_add(xb, "wide", catalog=catalog)
+    res = dfx.faiss_search("wide", k, xb[:4], {"nprobe": "8"},
+                           catalog=catalog)
+    assert res["label"].shape == (4, k)
+    # nprobe=8 == nlist: every row is a candidate, so exactly n valid
+    # results per query padded with -1 to k... n > k here, so all k.
+    assert (res["label"] >= 0).all()
+    idx = catalog.get("wide").index
+    import jax.numpy as jnp
+    vmin = jnp.asarray(idx._sq_vmin)
+    scale = jnp.asarray(idx._sq_scale)
+    codes = np.asarray(sq_decode(
+        jnp.asarray(idx._codes), vmin, scale, "sq8"))
+    d2 = ((xb[:4, None, :] - codes[None, :, :]) ** 2).sum(-1)
+    oracle = np.sort(d2, axis=1)[:, :k]
+    np.testing.assert_allclose(np.sort(res["distance"], axis=1), oracle,
+                               rtol=2e-3, atol=2e-3)
