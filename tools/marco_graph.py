@@ -251,16 +251,39 @@ def main() -> None:
 
     # Host-chunked: one fori over all 32,761 cells was a single ~30-min
     # XLA dispatch — the round-3 TPU-worker crash.
-    knn = clustered_knn_scan_chunked(
-        codes4, jnp.asarray(table), jnp.float32(0.0),
-        degree=args.inter, lmax=int(lmax), nlist=int(nlist),
-        metric="INNER_PRODUCT", precision=jax.lax.Precision.DEFAULT,
-        codec="sq4", vmin=vmin4, scale=scale4, cells_per_call=2048,
-        progress=prog)
-    np.asarray(knn[:1])                                # sync
-    print(f"phase3 clustered scan: {time.time()-t0:.1f}s", flush=True)
+    # RESUMABLE BUILD (round-5): the relay dies in ~15-30 min windows,
+    # shorter than the full build — each completed phase-3 stage
+    # (clustered scan, then every descent round) is checkpointed to host
+    # disk keyed by its inputs, so a retry resumes instead of restarting.
+    knn_key = (f"/root/repo/.marco_graph_knn_n{n}_s{args.seed}"
+               f"_i{args.inter}_hk{args.half_k}_lf{args.lmax_factor}")
+
+    def knn_ckpt(stage: int) -> str:
+        return f"{knn_key}_r{stage}.npy"
+
+    done_rounds = -1
+    for r in range(args.refine_rounds, -1, -1):
+        if os.path.exists(knn_ckpt(r)):
+            done_rounds = r
+            break
+    if done_rounds >= 0:
+        knn = jnp.asarray(np.load(knn_ckpt(done_rounds)))
+        print(f"phase3 resume: loaded {knn_ckpt(done_rounds)}",
+              flush=True)
+    else:
+        knn = clustered_knn_scan_chunked(
+            codes4, jnp.asarray(table), jnp.float32(0.0),
+            degree=args.inter, lmax=int(lmax), nlist=int(nlist),
+            metric="INNER_PRODUCT", precision=jax.lax.Precision.DEFAULT,
+            codec="sq4", vmin=vmin4, scale=scale4, cells_per_call=2048,
+            progress=prog)
+        np.save(knn_ckpt(0) + ".tmp.npy", np.asarray(knn))
+        os.replace(knn_ckpt(0) + ".tmp.npy", knn_ckpt(0))
+        done_rounds = 0
+        print(f"phase3 clustered scan: {time.time()-t0:.1f}s "
+              f"(checkpointed)", flush=True)
     t0 = time.time()
-    for r in range(args.refine_rounds):
+    for r in range(done_rounds, args.refine_rounds):
         def dprog(done, total, r=r):
             print(f"  descent r{r} {done}/{total}", flush=True)
         knn = nn_descent_round_chunked(
@@ -269,6 +292,9 @@ def main() -> None:
             precision=jax.lax.Precision.DEFAULT,
             codec="sq4", vmin=vmin4, scale=scale4,
             rows_per_call=524_288, progress=dprog)
+        np.save(knn_ckpt(r + 1) + ".tmp.npy", np.asarray(knn))
+        os.replace(knn_ckpt(r + 1) + ".tmp.npy", knn_ckpt(r + 1))
+        print(f"  descent r{r} checkpointed", flush=True)
     adj = jax.jit(lambda a: a[:, :args.deg])(knn)   # forward-first degree
     np.asarray(adj[:1])
     del knn
