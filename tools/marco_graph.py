@@ -284,16 +284,49 @@ def main() -> None:
               f"(checkpointed)", flush=True)
     t0 = time.time()
     for r in range(done_rounds, args.refine_rounds):
-        def dprog(done, total, r=r):
-            print(f"  descent r{r} {done}/{total}", flush=True)
-        knn = nn_descent_round_chunked(
-            codes4, knn, jnp.float32(0.0), sample=4, q_block=16,
-            metric="INNER_PRODUCT",
-            precision=jax.lax.Precision.DEFAULT,
-            codec="sq4", vmin=vmin4, scale=scale4,
-            rows_per_call=524_288, progress=dprog)
-        np.save(knn_ckpt(r + 1) + ".tmp.npy", np.asarray(knn))
+        # Row-block-resumable descent round: _nn_descent_rows writes only
+        # its row range (reads the constant previous-round graph), so
+        # completed blocks land in a host memmap with a progress sidecar
+        # — a relay death mid-round costs one block, not the round.
+        from duckdb_faiss_ext_tpu.ops.graph import _nn_descent_rows
+
+        part = knn_ckpt(r + 1) + ".part.npy"
+        prog_f = part + ".rows"
+        rows_done = (int(open(prog_f).read())
+                     if os.path.exists(prog_f) else 0)
+        if os.path.exists(part) and rows_done > 0:
+            nxt = np.lib.format.open_memmap(part, mode="r+")
+            print(f"  descent r{r} resuming at {rows_done}/{n_pad}",
+                  flush=True)
+        else:
+            nxt = np.lib.format.open_memmap(
+                part, mode="w+", dtype=np.int32,
+                shape=(n_pad, args.inter))
+            rows_done = 0
+        rpc = 524_288
+        while rows_done < n_pad:
+            nr = min(rpc, n_pad - rows_done)
+            while nr % 16:
+                nr -= 1
+            blk = _nn_descent_rows(
+                codes4, knn, jnp.float32(0.0), jnp.int32(rows_done),
+                nrows=nr, sample=4, q_block=16, metric="INNER_PRODUCT",
+                precision=jax.lax.Precision.DEFAULT,
+                codec="sq4", vmin=vmin4, scale=scale4)
+            nxt[rows_done:rows_done + nr] = np.asarray(blk)
+            rows_done += nr
+            with open(prog_f + ".tmp", "w") as f:
+                f.write(str(rows_done))
+            os.replace(prog_f + ".tmp", prog_f)
+            print(f"  descent r{r} {rows_done}/{n_pad} "
+                  f"({rows_done / max(time.time()-t0, 1e-9):.0f} rows/s)",
+                  flush=True)
+        knn = jnp.asarray(np.asarray(nxt))
+        np.save(knn_ckpt(r + 1) + ".tmp.npy", np.asarray(nxt))
         os.replace(knn_ckpt(r + 1) + ".tmp.npy", knn_ckpt(r + 1))
+        del nxt
+        os.remove(part)
+        os.remove(prog_f)
         print(f"  descent r{r} checkpointed", flush=True)
     adj = jax.jit(lambda a: a[:, :args.deg])(knn)   # forward-first degree
     np.asarray(adj[:1])
