@@ -56,6 +56,11 @@ def main() -> None:
     # (~0.5-1 TB of code bytes) — land the clustered-scan build first,
     # opt into refinement when the serving numbers justify it.
     ap.add_argument("--refine-rounds", type=int, default=0)
+    ap.add_argument("--descent-rows", type=int, default=65536,
+                    help="rows per descent dispatch: 524288 made one "
+                         "dispatch a multi-minute XLA program and the "
+                         "TPU worker watchdog killed it (2026-08-21); "
+                         "65536 keeps each ~20-45 s")
     ap.add_argument("--serve-codec", default="sq8",
                     choices=["sq8", "sq6"],
                     help="phase-4 serving code buffer: sq8 (13.6 GiB at "
@@ -303,7 +308,7 @@ def main() -> None:
                 part, mode="w+", dtype=np.int32,
                 shape=(n_pad, args.inter))
             rows_done = 0
-        rpc = 524_288
+        rpc = max(16, args.descent_rows // 16 * 16)
         while rows_done < n_pad:
             nr = min(rpc, n_pad - rows_done)
             while nr % 16:
